@@ -1,0 +1,330 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Queries covering the reference's own operator surface (SURVEY.md §2):
+  * scans (S1), DNF filters (F1), range trim (F3), keep-last dedup (W1),
+  * time-scale binning with closed/label semantics (G2), count binning (G3),
+  * snapshots / running aggregates (A6), empty-bin spine materialization
+  * (A7), plus TPC-H-style headline aggregations for the benchmark.
+  *
+  * Oracle-parity conventions (DuckDB hash-compare):
+  *  - every query is globally ordered on its output columns (both sides);
+  *  - integer sums are cast to BIGINT on the DuckDB side (SUM(BIGINT)
+  *    would otherwise return HUGEINT);
+  *  - double sums are accumulated in DECIMAL(38,6) — exact, associative,
+  *    so shuffle order cannot change the result — then cast to DOUBLE on
+  *    both sides so the output dtypes match bit-for-bit;
+  *  - events.ts is TIMESTAMP(NANOS) in parquet: Spark reads it via
+  *    nanosAsLong + µs conversion (Tables.events); DuckDB oracles go
+  *    through a CTE casting to µs TIMESTAMP so TIMESTAMP_NS never leaks
+  *    into compared output;
+  *  - first/last per reference semantics (first/last row in `ordered_on`
+  *    order, ref jcumsegagg.py:20-82) use min_by/max_by on `event_id`,
+  *    which is monotone with `ts` in the events table.
+  */
+object RefQueries {
+
+  /** Exact sum of a double column; cast to double at output. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(38,6)")).cast("double")
+
+  /** DuckDB-side CTE giving events with µs timestamps. */
+  private val EV =
+    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                       event_type, value, props FROM events)"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1: full-dataset ordered scan (ref base.py:440-459 to_pandas).
+    "s1_full_scan" -> { (s, d) =>
+      Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    },
+
+    // F1: DNF row filter — OR of ANDs with ==, in, not-in, >, <=
+    // (ref aggstream/utils.py:16-71).
+    "f1_dnf_filter" -> { (s, d) =>
+      val e = Tables.events(s, d)
+      e.filter(
+        (col("event_type").isin("click", "view") && col("value") > 100.0) ||
+        (col("event_type") === "purchase" && !col("user_id").isin(1L, 2L, 3L)
+          && col("value") <= 400.0))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    },
+
+    // F3: range trim on the ordered column (ref aggstream.py:553-569).
+    "f3_range_trim" -> { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp_ntz")
+          && col("ts") < lit("2024-01-20 00:00:00").cast("timestamp_ntz"))
+        .select("event_id", "ts", "user_id", "value")
+        .orderBy("event_id")
+    },
+
+    // W1: keep-last dedup on a subset ∪ {ordered_on}
+    // (ref write.py:199-203, iter_merge_split_data.py:113-119): last row
+    // per user_id in (ts, event_id) order wins.
+    "w1_dedup_keep_last" -> { (s, d) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    },
+
+    // G2 + A1-A5: tumbling 5-minute bins, left-closed left-labeled,
+    // all five agg kernels (ref segmentby.py:141-368, jcumsegagg.py).
+    "g2_time_bins_5m" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "5 minutes").getField("start").as("bin"))
+        .agg(
+          min_by(col("value"), col("event_id")).as("first_value"),
+          max_by(col("value"), col("event_id")).as("last_value"),
+          min("value").as("min_value"),
+          max("value").as("max_value"),
+          dsum(col("value")).as("sum_value"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("bin")
+    },
+
+    // G2 closed='right', label='right': a row exactly on a day boundary
+    // belongs to the bin *ending* there (ref segmentby.py by_scale
+    // closed/label semantics).
+    "g2_time_bins_1d_right" -> { (s, d) =>
+      val label = date_trunc("day", col("ts") - expr("INTERVAL 1 MICROSECOND"))
+        .cast("timestamp_ntz") + expr("INTERVAL 1 DAY")
+      Tables.events(s, d)
+        .groupBy(label.as("bin_end"))
+        .agg(
+          min_by(col("value"), col("event_id")).as("first_value"),
+          max_by(col("value"), col("event_id")).as("last_value"),
+          min("value").as("min_value"),
+          max("value").as("max_value"),
+          dsum(col("value")).as("sum_value"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("bin_end")
+    },
+
+    // G3: by_x_rows — bins of exactly N rows in stream order, labeled by
+    // the first ordered_on value of the bin (ref segmentby.py:371-520).
+    // Global row numbering = single-partition window; acceptable at parity
+    // scale, the distributed path is graft.agg.SegmentAgg.xRowsBins.
+    "g3_by_x_rows" -> { (s, d) =>
+      val w = Window.orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("bin_id", ((col("rn") - 1) / 500).cast("long"))
+        .groupBy("bin_id")
+        .agg(
+          min("ts").as("bin_label"),
+          min_by(col("value"), col("event_id")).as("first_value"),
+          max_by(col("value"), col("event_id")).as("last_value"),
+          min("value").as("min_value"),
+          max("value").as("max_value"),
+          dsum(col("value")).as("sum_value"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("bin_id")
+    },
+
+    // A7: empty bins materialized with typed nulls via a generated spine
+    // (ref cumsegagg.py:532-569 NULL_DICT; Spark emits no empty groups so
+    // the spine left-join is required for parity).
+    "a7_empty_bins" -> { (s, d) =>
+      val base = Tables.events(s, d).filter(col("event_type") === "signup")
+      val bounds = base.agg(
+        date_trunc("hour", min("ts")).cast("timestamp_ntz").as("lo"),
+        date_trunc("hour", max("ts")).cast("timestamp_ntz").as("hi"))
+      val spine = bounds.select(
+        explode(expr("sequence(lo, hi, INTERVAL 1 HOUR)")).as("bin"))
+      val agg0 = base
+        .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("bin"))
+        .agg(
+          min("value").as("min_value"),
+          max("value").as("max_value"),
+          dsum(col("value")).as("sum_value"),
+          count(lit(1)).cast("long").as("n_rows"))
+      spine.join(agg0, Seq("bin"), "left")
+        .select("bin", "min_value", "max_value", "sum_value", "n_rows")
+        .orderBy("bin")
+    },
+
+    // A6/T6: snapshots — running aggregate of the in-progress bin sampled
+    // at a finer grid (ref jcumsegagg.py:230-417 preserve_res): 1-day bins
+    // observed at 6-hour snapshot points.
+    "a6_snapshots" -> { (s, d) =>
+      val pre = Tables.events(s, d)
+        .groupBy(
+          date_trunc("day", col("ts")).cast("timestamp_ntz").as("bin"),
+          window(col("ts"), "6 hours").getField("start").as("snap"))
+        .agg(
+          min_by(col("value"), col("event_id")).as("c_first"),
+          max_by(col("value"), col("event_id")).as("c_last"),
+          min("value").as("c_min"),
+          max("value").as("c_max"),
+          sum(col("value").cast("decimal(38,6)")).as("c_sum"),
+          count(lit(1)).as("c_n"))
+      val w = Window.partitionBy("bin").orderBy("snap")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pre.select(
+        col("bin"), col("snap"),
+        first("c_first").over(w).as("first_value"),
+        last("c_last").over(w).as("last_value"),
+        min("c_min").over(w).as("min_value"),
+        max("c_max").over(w).as("max_value"),
+        sum("c_sum").over(w).cast("double").as("sum_value"),
+        sum("c_n").over(w).cast("long").as("n_rows"))
+        .orderBy("bin", "snap")
+    },
+
+    // Headline: TPC-H Q1-style pricing summary (benchmark flagship).
+    "q1_pricing_summary" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Headline: join + aggregation; orders is broadcast-able at any SF
+    // where it fits (dim side), lineitem is the fact side.
+    "j1_join_agg" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"),
+          date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority", "month")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "s1_full_scan" -> s"""$EV
+         SELECT event_id, ts, user_id, event_type, value
+         FROM e ORDER BY event_id""",
+
+    "f1_dnf_filter" -> s"""$EV
+         SELECT event_id, ts, user_id, event_type, value FROM e
+         WHERE (event_type IN ('click','view') AND value > 100.0)
+            OR (event_type = 'purchase' AND user_id NOT IN (1,2,3)
+                AND value <= 400.0)
+         ORDER BY event_id""",
+
+    "f3_range_trim" -> s"""$EV
+         SELECT event_id, ts, user_id, value FROM e
+         WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+           AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+         ORDER BY event_id""",
+
+    "w1_dedup_keep_last" -> s"""$EV
+         SELECT user_id, ts, event_id, event_type, value FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM e) WHERE rn = 1
+         ORDER BY user_id""",
+
+    "g2_time_bins_5m" -> s"""$EV
+         SELECT time_bucket(INTERVAL '5 minutes', ts) AS bin,
+              min_by(value, event_id) AS first_value,
+              max_by(value, event_id) AS last_value,
+              min(value) AS min_value, max(value) AS max_value,
+              CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+              count(*) AS n_rows
+         FROM e GROUP BY 1 ORDER BY 1""",
+
+    "g2_time_bins_1d_right" -> s"""$EV
+         SELECT date_trunc('day', ts - INTERVAL 1 MICROSECOND)
+                + INTERVAL 1 DAY AS bin_end,
+              min_by(value, event_id) AS first_value,
+              max_by(value, event_id) AS last_value,
+              min(value) AS min_value, max(value) AS max_value,
+              CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+              count(*) AS n_rows
+         FROM e GROUP BY 1 ORDER BY 1""",
+
+    "g3_by_x_rows" -> s"""$EV
+         SELECT CAST(floor((rn - 1) / 500) AS BIGINT) AS bin_id,
+              min(ts) AS bin_label,
+              min_by(value, event_id) AS first_value,
+              max_by(value, event_id) AS last_value,
+              min(value) AS min_value, max(value) AS max_value,
+              CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+              count(*) AS n_rows
+         FROM (SELECT *, row_number() OVER (ORDER BY ts, event_id) AS rn
+               FROM e)
+         GROUP BY 1 ORDER BY 1""",
+
+    "a7_empty_bins" -> s"""$EV,
+            base AS (SELECT * FROM e WHERE event_type = 'signup'),
+            b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                         date_trunc('hour', max(ts)) AS hi FROM base),
+            spine AS (SELECT unnest(generate_series(lo, hi,
+                          INTERVAL 1 HOUR)) AS bin FROM b),
+            a AS (SELECT date_trunc('hour', ts) AS bin,
+                         min(value) AS min_value, max(value) AS max_value,
+                         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                           AS sum_value,
+                         count(*) AS n_rows
+                  FROM base GROUP BY 1)
+         SELECT spine.bin, a.min_value, a.max_value, a.sum_value, a.n_rows
+         FROM spine LEFT JOIN a ON spine.bin = a.bin
+         ORDER BY spine.bin""",
+
+    "a6_snapshots" -> s"""$EV
+         SELECT bin, snap,
+              first_value(c_first) OVER w AS first_value,
+              last_value(c_last) OVER w AS last_value,
+              min(c_min) OVER w AS min_value,
+              max(c_max) OVER w AS max_value,
+              CAST(sum(c_sum) OVER w AS DOUBLE) AS sum_value,
+              CAST(sum(c_n) OVER w AS BIGINT) AS n_rows
+         FROM (SELECT date_trunc('day', ts) AS bin,
+                      time_bucket(INTERVAL '6 hours', ts) AS snap,
+                      min_by(value, event_id) AS c_first,
+                      max_by(value, event_id) AS c_last,
+                      min(value) AS c_min, max(value) AS c_max,
+                      SUM(CAST(value AS DECIMAL(38,6))) AS c_sum,
+                      count(*) AS c_n
+               FROM e GROUP BY 1, 2)
+         WINDOW w AS (PARTITION BY bin ORDER BY snap
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY bin, snap""",
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+                AS sum_base_price,
+              CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+              min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+              count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "j1_join_agg" ->
+      """SELECT o_orderpriority,
+              CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+              CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+              count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1, 2 ORDER BY 1, 2"""
+  )
+}
