@@ -15,10 +15,15 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RefQueries.queries
+    RefQueries.queries ++ StoreQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RefQueries.oracleSql
+    RefQueries.oracleSql ++ StoreQueries.oracleSql
+
+  /** One-time fixture build (store datasets under /tmp) so benchmark
+    * timings measure queries, not setup. */
+  def prepare(spark: SparkSession, sfDir: String): Unit =
+    StoreQueries.ensure(spark, sfDir): Unit
 }

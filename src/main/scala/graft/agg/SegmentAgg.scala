@@ -1,0 +1,158 @@
+package graft.agg
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The five aggregation kernels of the reference (ref jcumsegagg.py:
+  * AGG_FUNCS = first,last,min,max,sum; aggstream.py:47). */
+sealed trait AggFn
+object AggFn {
+  case object First extends AggFn
+  case object Last extends AggFn
+  case object Min extends AggFn
+  case object Max extends AggFn
+  case object Sum extends AggFn
+
+  def parse(s: String): AggFn = s.toLowerCase match {
+    case "first" => First; case "last" => Last; case "min" => Min
+    case "max" => Max; case "sum" => Sum
+    case other => throw new IllegalArgumentException(s"unknown agg fn $other")
+  }
+}
+
+/** `{out_col: (in_col, fn)}` of the reference's agg plans
+  * (ref cumsegagg.py:47-155). */
+final case class AggSpec(out: String, in: String, fn: AggFn)
+
+/** Segmentation (binning) + segment aggregation on DataFrames — the
+  * Spark-native port of the reference's segmentby/cumsegagg layer
+  * (ref segmentby.py, cumsegagg.py). Bins are expressed as *columns*
+  * (codegen'd, shuffle-by-bin) rather than index arrays; first/last are
+  * made deterministic with an explicit tiebreak column because Spark
+  * aggregation order is not defined (SURVEY §7.5 risk 2).
+  *
+  * Double sums are accumulated in DECIMAL(38,6): exact and associative,
+  * so results are identical under any shuffle/partition order — the
+  * distributed analog of the reference's single-threaded deterministic
+  * sums — and cast back to double on output.
+  */
+object SegmentAgg {
+
+  /** Tumbling time-bin label (ref segmentby.py:141-368 by_scale with a
+    * TimeGrouper): `freq` like "5 minutes"/"1 hour"/"1 day" (fixed) or
+    * "month" (calendar). closed='left' puts an edge value in the bin
+    * starting there, 'right' in the bin ending there; label picks the
+    * left or right edge as the bin's label.
+    */
+  def timeBin(ordered: Column, freq: String, closed: String = "left",
+      label: String = "left"): Column = {
+    val cal = Set("week", "month", "quarter", "year")
+    val f = freq.trim.toLowerCase
+    val eps = expr("INTERVAL 1 MICROSECOND")
+    if (cal.contains(f)) {
+      val x = if (closed == "left") ordered else ordered - eps
+      val start = date_trunc(f, x).cast("timestamp_ntz")
+      if (label == "left") start
+      else f match {
+        case "month"   => add_months(start, 1).cast("timestamp_ntz")
+        case "quarter" => add_months(start, 3).cast("timestamp_ntz")
+        case "year"    => add_months(start, 12).cast("timestamp_ntz")
+        case "week"    => start + expr("INTERVAL 7 DAYS")
+      }
+    } else {
+      val x = if (closed == "left") ordered else ordered - eps
+      val win = window(x, freq)
+      if (label == "left") win.getField("start") else win.getField("end")
+    }
+  }
+
+  /** Aggregation expressions for one bin; `tie` orders rows within a bin
+    * (the ordered_on + provenance tiebreak). */
+  def aggExprs(specs: Seq[AggSpec], tie: Column,
+      exactDoubleSums: Boolean = true): Seq[Column] =
+    specs.map { s =>
+      val c = col(s.in)
+      (s.fn match {
+        case AggFn.First => min_by(c, tie)
+        case AggFn.Last  => max_by(c, tie)
+        case AggFn.Min   => min(c)
+        case AggFn.Max   => max(c)
+        case AggFn.Sum   =>
+          if (exactDoubleSums) sum(c.cast("decimal(38,6)")).cast("double")
+          else sum(c)
+      }).as(s.out)
+    }
+
+  /** Plain segmented aggregation: one row per non-empty bin. */
+  def aggregate(df: DataFrame, bin: Column, specs: Seq[AggSpec],
+      tie: Column): DataFrame = {
+    val es = aggExprs(specs, tie)
+    df.groupBy(bin.as("bin")).agg(es.head, es.tail: _*)
+  }
+
+  /** Segmented aggregation with empty bins materialized as typed nulls
+    * (ref cumsegagg.py:532-569): joins the result against a generated
+    * label spine covering [min, max] at `step`.
+    */
+  def aggregateWithSpine(df: DataFrame, bin: Column, specs: Seq[AggSpec],
+      tie: Column, step: String): DataFrame = {
+    val a = aggregate(df, bin, specs, tie)
+    val bounds = a.agg(min("bin").as("lo"), max("bin").as("hi"))
+    val spine = bounds.select(
+      explode(expr(s"sequence(lo, hi, INTERVAL $step)")).as("bin"))
+    spine.join(a, Seq("bin"), "left")
+  }
+
+  /** Count-based bins of exactly n rows in stream order (ref
+    * segmentby.py:371-520 by_x_rows), labeled by the first ordered value
+    * of the bin. `carryIn` continues a partial bin from a previous call.
+    * NOTE: global row numbering — a single-partition window; acceptable
+    * at parity scale (SURVEY §7.5 risk 6); the distributed alternative is
+    * a two-pass per-partition-offset computation.
+    */
+  def xRowsBins(df: DataFrame, orderedOn: String, n: Int, tie: Column,
+      carryIn: Long = 0L): DataFrame = {
+    val w = Window.orderBy(col(orderedOn), tie)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("bin_id",
+        ((col("__rn") - 1 + lit(carryIn)) / n).cast("long"))
+      .drop("__rn")
+  }
+
+  /** Snapshots: running aggregates of the in-progress bin sampled at a
+    * finer snapshot grid (ref jcumsegagg.py:230-417, preserve_res).
+    * Two-level plan: partial agg per (bin, snap), then an ordered running
+    * combine over snaps within each bin — the heavy reduction happens in
+    * the shuffle-side partial agg; the window only sees one row per
+    * (bin, snap).
+    */
+  def snapshots(df: DataFrame, bin: Column, snap: Column,
+      specs: Seq[AggSpec], tie: Column): DataFrame = {
+    val partials = specs.map { s =>
+      val c = col(s.in)
+      (s.fn match {
+        case AggFn.First => min_by(c, tie)
+        case AggFn.Last  => max_by(c, tie)
+        case AggFn.Min   => min(c)
+        case AggFn.Max   => max(c)
+        case AggFn.Sum   => sum(c.cast("decimal(38,6)"))
+      }).as("__p_" + s.out)
+    }
+    val partial = df.groupBy(bin.as("bin"), snap.as("snap"))
+      .agg(partials.head, partials.tail: _*)
+    val w = Window.partitionBy("bin").orderBy("snap")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val outCols = Seq(col("bin"), col("snap")) ++ specs.map { s =>
+      val p = col("__p_" + s.out)
+      (s.fn match {
+        case AggFn.First => first(p).over(w)
+        case AggFn.Last  => last(p).over(w)
+        case AggFn.Min   => min(p).over(w)
+        case AggFn.Max   => max(p).over(w)
+        case AggFn.Sum   => sum(p).over(w).cast("double")
+      }).as(s.out)
+    }
+    partial.select(outCols: _*)
+  }
+}

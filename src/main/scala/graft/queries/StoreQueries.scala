@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.agg.{AggFn, AggSpec}
+import graft.store._
+import graft.stream.{AggStream, StreamKeyCfg}
+
+/** Queries exercising the store layer end-to-end: ordered upsert with
+  * keep-last dedup (M1-M6, W1), zone-map-pruned range scans (S2), the
+  * synchronized multi-dataset range scan (W3-W4), and the restartable
+  * incremental aggregation (T1-T9) — each with a DuckDB oracle that
+  * recomputes the same semantics relationally from the raw events table.
+  *
+  * Store state is built once per scale factor under /tmp (idempotent,
+  * marker-file-guarded) so Verify and Bench can call queries repeatedly.
+  */
+object StoreQueries {
+
+  implicit val strOrd: Ordering[String] = Ordering.String
+  private val idx: Indexer[String] =
+    Indexer.of[String](1)(k => Seq(Seq(k)))(l =>
+      if (l.head.size == 1) Some(l.head.head) else None)
+
+  private def slug(sfDir: String): String =
+    sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete(): Unit
+  }
+
+  private def baseDir(sfDir: String) = s"/tmp/graft_store_${slug(sfDir)}"
+
+  private def ev5(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+
+  val aggSpecs = Seq(
+    AggSpec("first_v", "value", AggFn.First),
+    AggSpec("last_v", "value", AggFn.Last),
+    AggSpec("min_v", "value", AggFn.Min),
+    AggSpec("max_v", "value", AggFn.Max),
+    AggSpec("sum_v", "value", AggFn.Sum))
+
+  /** Build all store fixtures for a scale factor (idempotent). */
+  def ensure(s: SparkSession, d: String): Store[String] = synchronized {
+    val base = baseDir(d)
+    val st = new Store(s, base, idx)
+    val marker = new java.io.File(s"$base/_BUILT")
+    if (marker.exists()) return st
+    // wipe any partial build
+    deleteRec(new java.io.File(base))
+    val e = ev5(s, d)
+
+    // m6 upsert fixture: initial load (event_id % 10 != 0), then an
+    // overlapping correction batch (event_id % 3 == 0, value + 1000)
+    // deduped keep-last on ts.
+    val up = st.get("upsert")
+    up.write(e.filter(col("event_id") % 10 =!= 0),
+      WriteOpts("ts", NRows(2000)))
+    up.write(
+      e.filter(col("event_id") % 3 === 0)
+        .withColumn("value", col("value") + 1000.0),
+      WriteOpts("ts", NRows(2000), duplicatesOn = Some(Seq("ts")),
+        maxNOffTargetRgs = Some(4)))
+
+    // per-type datasets for pruned scans + synchronized iteration
+    st.get("clicks").write(e.filter(col("event_type") === "click"),
+      WriteOpts("ts", NRows(1000)))
+    st.get("purchases").write(e.filter(col("event_type") === "purchase"),
+      WriteOpts("ts", NRows(1000)))
+
+    // t3 fixture: AggStream over three seed chunks with a restart between
+    // them (a fresh AggStream instance resuming from persisted state)
+    val mk = () => new AggStream(st, "ts", "event_id",
+      Map("hourly" -> StreamKeyCfg(None, "1 hour", aggs = aggSpecs)),
+      NRows(5000))
+    val chunks = Seq(
+      e.filter(col("event_id") < 3000),
+      e.filter(col("event_id") >= 3000 && col("event_id") < 6500),
+      e.filter(col("event_id") >= 6500))
+    mk().agg(chunks.take(2).iterator)   // stops mid-stream…
+    mk().agg(chunks.drop(2).iterator)   // …and restarts from stored state
+    marker.getParentFile.mkdirs()
+    marker.createNewFile()
+    st
+  }
+
+  /** DuckDB-side events projection with µs timestamps. */
+  private val EV =
+    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                       event_type, value FROM events)"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // M1-M6: ordered upsert — full readback after overlap merge + dedup.
+    "m6_upsert" -> { (s, d) =>
+      val st = ensure(s, d)
+      st.get("upsert").df
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    },
+
+    // S2: zone-map-pruned range scan from sidecar stats.
+    "s2_pruned_scan" -> { (s, d) =>
+      val st = ensure(s, d)
+      val lo = OrdTs(java.time.LocalDateTime.of(2024, 1, 12, 0, 0)
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L)
+      val hi = OrdTs(java.time.LocalDateTime.of(2024, 1, 22, 0, 0)
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L)
+      st.get("clicks").rangeDF(Some(lo), Some(hi))
+        .select("event_id", "ts", "user_id", "value")
+        .orderBy("event_id")
+    },
+
+    // W3-W4: synchronized multi-dataset range scan; the union of the
+    // yielded per-interval slices tagged by dataset key.
+    "w3_intersections" -> { (s, d) =>
+      val st = ensure(s, d)
+      val lo = OrdTs(java.time.LocalDateTime.of(2024, 1, 8, 0, 0)
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L)
+      val hi = OrdTs(java.time.LocalDateTime.of(2024, 1, 25, 0, 0)
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L)
+      val parts = st.iterIntersections(Seq("clicks", "purchases"),
+        Some(lo), Some(hi)).toSeq
+      parts.map { p =>
+        p.slices.map { case (k, df) =>
+          df.select(lit(k).as("ds_key"), col("event_id"), col("ts"),
+            col("value"))
+        }.reduce(_ unionByName _)
+      }.reduce(_ unionByName _)
+        .orderBy("ds_key", "event_id")
+    },
+
+    // T1-T9: restartable incremental aggregation — results after a
+    // 3-chunk run with a mid-stream restart equal the one-shot hourly agg.
+    "t3_aggstream_restart" -> { (s, d) =>
+      val st = ensure(s, d)
+      new AggStream(st, "ts", "event_id",
+        Map("hourly" -> StreamKeyCfg(None, "1 hour", aggs = aggSpecs)),
+        NRows(5000))
+        .results("hourly")
+        .orderBy("bin")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "m6_upsert" -> s"""$EV,
+         init AS (SELECT * FROM e WHERE event_id % 10 <> 0),
+         b AS (SELECT event_id, ts, user_id, event_type,
+                      value + 1000.0 AS value
+               FROM e WHERE event_id % 3 = 0),
+         u AS (SELECT *, 0 AS src FROM init
+               UNION ALL SELECT *, 1 AS src FROM b),
+         dd AS (SELECT *, row_number() OVER (
+                  PARTITION BY ts ORDER BY src DESC) AS rn FROM u)
+         SELECT event_id, ts, user_id, event_type, value
+         FROM dd WHERE rn = 1 ORDER BY event_id""",
+
+    "s2_pruned_scan" -> s"""$EV
+         SELECT event_id, ts, user_id, value FROM e
+         WHERE event_type = 'click'
+           AND ts >= TIMESTAMP '2024-01-12 00:00:00'
+           AND ts <  TIMESTAMP '2024-01-22 00:00:00'
+         ORDER BY event_id""",
+
+    "w3_intersections" -> s"""$EV
+         SELECT 'clicks' AS ds_key, event_id, ts, value FROM e
+         WHERE event_type = 'click'
+           AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+           AND ts <  TIMESTAMP '2024-01-25 00:00:00'
+         UNION ALL
+         SELECT 'purchases' AS ds_key, event_id, ts, value FROM e
+         WHERE event_type = 'purchase'
+           AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+           AND ts <  TIMESTAMP '2024-01-25 00:00:00'
+         ORDER BY ds_key, event_id""",
+
+    "t3_aggstream_restart" -> s"""$EV
+         SELECT date_trunc('hour', ts) AS bin,
+              min_by(value, event_id) AS first_v,
+              max_by(value, event_id) AS last_v,
+              min(value) AS min_v, max(value) AS max_v,
+              CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
+         FROM e GROUP BY 1 ORDER BY 1"""
+  )
+}

@@ -1,0 +1,65 @@
+package graft.store
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+/** Value of an `ordered_on` column as tracked by the stats sidecar.
+  * The reference compares ordered_on values as int, float or Timestamp
+  * (ref oups/store/.../iter_intersections.py:68-69, write.py:98-103);
+  * we support Long, Double and µs-precision timestamps (TIMESTAMP_NTZ).
+  */
+sealed trait OrdVal extends Ordered[OrdVal] {
+  def typeTag: String
+
+  override def compare(that: OrdVal): Int = (this, that) match {
+    case (OrdLong(a), OrdLong(b))     => java.lang.Long.compare(a, b)
+    case (OrdDouble(a), OrdDouble(b)) => java.lang.Double.compare(a, b)
+    case (OrdTs(a), OrdTs(b))         => java.lang.Long.compare(a, b)
+    case _ => throw new IllegalArgumentException(
+      s"incomparable OrdVal types: $typeTag vs ${that.typeTag}")
+  }
+
+  /** Literal usable in Spark Column predicates. */
+  def toLiteral: Any = this match {
+    case OrdLong(v)   => v
+    case OrdDouble(v) => v
+    case OrdTs(us)    => java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000).toInt,
+      java.time.ZoneOffset.UTC)
+  }
+}
+final case class OrdLong(v: Long) extends OrdVal { def typeTag = "long" }
+final case class OrdDouble(v: Double) extends OrdVal { def typeTag = "double" }
+/** Microseconds since epoch, naive UTC (TIMESTAMP_NTZ). */
+final case class OrdTs(us: Long) extends OrdVal { def typeTag = "ts" }
+
+object OrdVal {
+  /** Convert a value returned by Row.get for the ordered column. */
+  def fromAny(v: Any): OrdVal = v match {
+    case l: java.lang.Long       => OrdLong(l)
+    case i: java.lang.Integer    => OrdLong(i.toLong)
+    case d: java.lang.Double     => OrdDouble(d)
+    case t: java.time.LocalDateTime =>
+      OrdTs(t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+        + t.getNano / 1000L)
+    case t: java.sql.Timestamp   =>
+      OrdTs(t.getTime * 1000L + (t.getNanos % 1000000) / 1000L)
+    case t: java.time.Instant    =>
+      OrdTs(t.getEpochSecond * 1000000L + t.getNano / 1000L)
+    case other => throw new IllegalArgumentException(
+      s"unsupported ordered_on value: $other (${other.getClass})")
+  }
+
+  def writeTo(node: ObjectNode, field: String, v: OrdVal): Unit = v match {
+    case OrdLong(l)   => node.put(field, l); node.put(field + "_t", "long")
+    case OrdDouble(d) => node.put(field, d); node.put(field + "_t", "double")
+    case OrdTs(us)    => node.put(field, us); node.put(field + "_t", "ts")
+  }
+
+  def readFrom(node: JsonNode, field: String): OrdVal =
+    node.get(field + "_t").asText() match {
+      case "long"   => OrdLong(node.get(field).asLong())
+      case "double" => OrdDouble(node.get(field).asDouble())
+      case "ts"     => OrdTs(node.get(field).asLong())
+    }
+}

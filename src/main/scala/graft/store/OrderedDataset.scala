@@ -1,0 +1,285 @@
+package graft.store
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Row-group sizing target (ref write/write.py:198-231: int → NRows
+  * strategy, freqstr → TimePeriod strategy).
+  */
+sealed trait RowGroupTarget
+final case class NRows(n: Long) extends RowGroupTarget
+/** One file per time period; unit ∈ {hour, day, week, month}. */
+final case class TimePeriod(unit: String) extends RowGroupTarget
+
+/** Options of the ordered upsert (ref write/write.py:78-271).
+  * `duplicatesOn = None` disables dedup; `Some(Nil)` dedups on all
+  * columns; otherwise the subset is implicitly ∪ {orderedOn}
+  * (ref write.py:35-75).
+  */
+final case class WriteOpts(
+    orderedOn: String,
+    target: RowGroupTarget = NRows(6345000L),
+    duplicatesOn: Option[Seq[String]] = None,
+    maxNOffTargetRgs: Option[Int] = None,
+    kv: Map[String, String] = Map.empty,
+    kvRemove: Seq[String] = Nil)
+
+final case class UpsertReport(filesRewritten: Int, filesKept: Int,
+                              filesAdded: Int, rowsWritten: Long)
+
+/** One ordered dataset = a directory of parquet files (one logical row
+  * group each) + the `_graftmd.json` stats sidecar — the Spark-native
+  * port of the reference's OrderedParquetDataset
+  * (ref ordered_parquet_dataset/base.py:117-209).
+  *
+  * Scale notes (100 TB design intent):
+  *  - all planning (overlap detection, compaction selection) happens on
+  *    the driver against sidecar stats — O(#files) metadata, no data IO
+  *    (ref merge_split_strategies/base.py:184-354 does the same);
+  *  - the merge job reads ONLY overlapping files plus the batch, sorts
+  *    within range partitions and writes one file per range partition —
+  *    no global shuffle of the untouched remainder of the dataset;
+  *  - keep-last dedup is a window over the duplicate key, which shuffles
+  *    only the merged slice, partitioned by the dup key.
+  */
+final class OrderedDataset(val spark: SparkSession, val dir: String) {
+  import OrderedDataset._
+
+  def exists: Boolean = Sidecar.exists(dir)
+  def meta: DatasetMeta = Sidecar.read(dir)
+
+  private def fs: FileSystem =
+    new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def filePaths(m: DatasetMeta): Seq[String] =
+    m.files.map(f => s"$dir/${f.name}")
+
+  /** Full scan; physical file order is not an ordering guarantee — use
+    * orderedDf for an `ordered_on`-sorted view (ref base.py:440-459).
+    */
+  def df: DataFrame = {
+    val m = meta
+    if (m.files.isEmpty) emptyLike(m)
+    else spark.read.parquet(filePaths(m): _*)
+  }
+
+  def orderedDf: DataFrame = { val m = meta; df.orderBy(m.orderedOn) }
+
+  private def emptyLike(m: DatasetMeta): DataFrame =
+    spark.emptyDataFrame
+
+  /** Zone-map-pruned range scan [lo, hiExcl) — files are selected from
+    * sidecar stats without touching parquet footers
+    * (ref iter_intersections.py:136-151; SURVEY §4).
+    */
+  def rangeDF(lo: Option[OrdVal], hiExcl: Option[OrdVal]): DataFrame = {
+    val m = meta
+    val sel = m.files.filter(f =>
+      lo.forall(l => f.max >= l) && hiExcl.forall(h => f.min < h))
+    if (sel.isEmpty) {
+      if (m.files.isEmpty) emptyLike(m)
+      else spark.read.parquet(filePaths(m): _*).limit(0)
+    } else {
+      var d = spark.read.parquet(sel.map(f => s"$dir/${f.name}"): _*)
+      lo.foreach(l => d = d.filter(col(m.orderedOn) >= lit(l.toLiteral)))
+      hiExcl.foreach(h => d = d.filter(col(m.orderedOn) < lit(h.toLiteral)))
+      d
+    }
+  }
+
+  /** Row-group-slice view by position in min-order, the analog of
+    * `opd[i:j]` (ref base.py:297-330, read_only.py:52-168).
+    */
+  def sliceDF(from: Int, untilExcl: Int): DataFrame = {
+    val m = meta
+    val sel = m.files.slice(from, untilExcl)
+    if (sel.isEmpty) emptyLike(m)
+    else spark.read.parquet(sel.map(f => s"$dir/${f.name}"): _*)
+  }
+
+  def kv: Map[String, String] = meta.kv
+
+  def updateKv(add: Map[String, String], remove: Seq[String] = Nil): Unit = {
+    val m = meta
+    Sidecar.write(dir, m.copy(kv = m.kv ++ add -- remove))
+  }
+
+  def removeFromDisk(): Unit = fs.delete(new HPath(dir), true)
+
+  /** The ordered upsert (ref write/write.py:78-271; SURVEY §3.1):
+    * plan on the driver from sidecar stats, run ONE Spark job over the
+    * overlapping slice ∪ batch, commit via atomic sidecar swap.
+    */
+  def write(batch: DataFrame, opts: WriteOpts): UpsertReport = {
+    val m0: Option[DatasetMeta] = if (exists) Some(meta) else None
+    m0.foreach { m =>
+      require(m.orderedOn == opts.orderedOn,
+        s"ordered_on is fixed at creation: ${m.orderedOn} != ${opts.orderedOn}")
+    }
+    require(batch.columns.contains(opts.orderedOn),
+      s"batch lacks ordered_on column ${opts.orderedOn}")
+
+    val ordType = typeTag(batch.schema(opts.orderedOn).dataType)
+    val cached = batch.persist()
+    try {
+      val bStats = cached.agg(
+        min(opts.orderedOn), max(opts.orderedOn), count(lit(1))).head()
+      val batchRows = bStats.getLong(2)
+      if (batchRows == 0) {
+        val m = m0.getOrElse(DatasetMeta(opts.orderedOn, ordType, Nil,
+          Map.empty, 0L))
+        Sidecar.write(dir, m.copy(kv = m.kv ++ opts.kv -- opts.kvRemove))
+        return UpsertReport(0, m.files.size, 0, 0)
+      }
+      val bMin = OrdVal.fromAny(bStats.get(0))
+      val bMax = OrdVal.fromAny(bStats.get(1))
+
+      val files = m0.map(_.files).getOrElse(Nil)
+      val (rewriteIdx, keepIdx) = planRewrite(files, bMin, bMax, opts)
+      val rewrite = rewriteIdx.map(files)
+      val kept = keepIdx.map(files)
+
+      // ---- the single data-touching job ----
+      val dataCols = cached.columns.filterNot(c => c == SeqCol || c == RidCol)
+      val existing: Option[DataFrame] = if (rewrite.isEmpty) None else {
+        val nameToSeq = rewrite.zipWithIndex
+          .flatMap { case (f, i) => Seq(lit(f.name), lit(i.toLong)) }
+        Some(spark.read.parquet(rewrite.map(f => s"$dir/${f.name}"): _*)
+          .withColumn(SeqCol, element_at(
+            map(nameToSeq: _*),
+            regexp_extract(input_file_name(), "[^/]+$", 0)))
+          .withColumn(RidCol, monotonically_increasing_id()))
+      }
+      val incoming = cached
+        .withColumn(SeqCol, lit(Long.MaxValue))
+        .withColumn(RidCol, monotonically_increasing_id())
+      val unioned = existing match {
+        case Some(e) => e.select(dataCols.map(col) ++ Seq(col(SeqCol), col(RidCol)): _*)
+          .unionByName(incoming.select(dataCols.map(col) ++ Seq(col(SeqCol), col(RidCol)): _*))
+        case None => incoming
+      }
+      val deduped = opts.duplicatesOn match {
+        case None => unioned
+        case Some(subset0) =>
+          val subset =
+            if (subset0.isEmpty) dataCols.toSeq
+            else (subset0 :+ opts.orderedOn).distinct
+          val w = Window.partitionBy(subset.map(col): _*)
+            .orderBy(col(SeqCol).desc, col(RidCol).desc)
+          unioned.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+      }
+
+      val totalIn = rewrite.map(_.rows).sum + batchRows
+      val tmpDir = s"$dir/$TmpDirName"
+      fs.delete(new HPath(tmpDir), true)
+      val ord = col(opts.orderedOn)
+      val sized = opts.target match {
+        case NRows(n) =>
+          val nOut = math.max(1L, math.ceil(totalIn.toDouble / n).toLong).toInt
+          deduped
+            .repartitionByRange(nOut, ord, col(SeqCol), col(RidCol))
+            .sortWithinPartitions(ord, col(SeqCol), col(RidCol))
+        case TimePeriod(unit) =>
+          val p = date_trunc(unit, ord)
+          val nPeriods = math.max(1L,
+            deduped.select(p.as("__p")).distinct().count()).toInt
+          deduped
+            .repartitionByRange(nPeriods, p, ord, col(SeqCol), col(RidCol))
+            .sortWithinPartitions(ord, col(SeqCol), col(RidCol))
+      }
+      sized.drop(SeqCol, RidCol)
+        .write.mode("overwrite").parquet(tmpDir)
+
+      // ---- stats of the written files (one cheap pruned job) ----
+      val written = spark.read.parquet(tmpDir)
+        .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("f"))
+        .agg(count(lit(1)).as("rows"),
+          min(opts.orderedOn).as("mn"), max(opts.orderedOn).as("mx"))
+        .collect()
+        .sortBy(r => OrdVal.fromAny(r.getAs[Any]("mn")))
+
+      // ---- commit: move files in, swap sidecar, delete replaced ----
+      var nextId = m0.map(_.nextFileId).getOrElse(0L)
+      val newStats = written.map { r =>
+        val id = nextId; nextId += 1
+        val newName = f"f$id%08d.parquet"
+        fs.rename(new HPath(s"$tmpDir/${r.getAs[String]("f")}"),
+          new HPath(s"$dir/$newName"))
+        FileStat(id, newName, r.getAs[Long]("rows"),
+          OrdVal.fromAny(r.getAs[Any]("mn")), OrdVal.fromAny(r.getAs[Any]("mx")))
+      }.toSeq
+      val allStats = (kept ++ newStats).sortBy(f => (f.min, f.id))
+      val newKv = m0.map(_.kv).getOrElse(Map.empty) ++ opts.kv -- opts.kvRemove
+      Sidecar.write(dir,
+        DatasetMeta(opts.orderedOn, ordType, allStats, newKv, nextId))
+      rewrite.foreach(f => fs.delete(new HPath(s"$dir/${f.name}"), false))
+      fs.delete(new HPath(tmpDir), true)
+      UpsertReport(rewrite.size, kept.size, newStats.size,
+        newStats.map(_.rows).sum)
+    } finally cached.unpersist()
+  }
+
+  /** Driver-side rewrite planner: overlap detection (ref
+    * merge_split_strategies/base.py:184-354), equal-boundary chaining so
+    * cross-file duplicates are found (ref base.py:293-308), and
+    * off-target neighbor compaction (ref base.py:505-633,
+    * n_rows_strategy.py:152-207). Returns (rewrite indices, keep
+    * indices), both in stats order.
+    */
+  private def planRewrite(files: Seq[FileStat], bMin: OrdVal, bMax: OrdVal,
+      opts: WriteOpts): (Seq[Int], Seq[Int]) = {
+    if (files.isEmpty) return (Nil, Nil)
+    var i = files.indexWhere(f => f.max >= bMin)
+    var j = files.lastIndexWhere(f => f.min <= bMax)
+    if (i == -1 || j < i) { // pure append before head or after tail
+      i = if (files.head.min > bMax) 0 else files.size
+      j = i - 1
+    }
+    // equal-boundary chains (split-point protection, only matters with dedup)
+    if (opts.duplicatesOn.isDefined && i <= j) {
+      while (i > 0 && files(i - 1).max == files(i).min) i -= 1
+      while (j + 1 < files.size && files(j + 1).min == files(j).max) j += 1
+    }
+    // off-target neighbor coalescing: absorb a contiguous run of
+    // off-target files adjacent to the merge region once the run is
+    // longer than maxNOffTargetRgs — the compaction trigger that stops
+    // tiny row groups accumulating under steady appends.
+    opts.maxNOffTargetRgs.foreach { maxN =>
+      val offTarget: Int => Boolean = opts.target match {
+        case NRows(n) => idx => files(idx).rows < (n * OnTargetFraction).toLong
+        case TimePeriod(_) => _ => false
+      }
+      var lo = i - 1
+      while (lo >= 0 && offTarget(lo)) lo -= 1
+      if ((i - 1) - lo >= maxN) i = lo + 1
+      var hi = if (j < i) i else j + 1
+      var h = hi
+      while (h < files.size && offTarget(h)) h += 1
+      if (h - hi >= maxN) j = h - 1
+    }
+    val rewrite = (i to j).filter(k => k >= 0 && k < files.size)
+    val rewriteSet = rewrite.toSet
+    val keep = files.indices.filterNot(rewriteSet.contains)
+    (rewrite, keep)
+  }
+}
+
+object OrderedDataset {
+  val SeqCol = "__graft_seq"
+  val RidCol = "__graft_rid"
+  val TmpDirName = "_tmp_write"
+  /** ≥80 % of target counts as on-target (ref n_rows_strategy.py:33). */
+  val OnTargetFraction = 0.8
+
+  def typeTag(dt: DataType): String = dt match {
+    case LongType | IntegerType            => "long"
+    case DoubleType | FloatType            => "double"
+    case TimestampNTZType | TimestampType  => "ts"
+    case other =>
+      throw new IllegalArgumentException(s"unsupported ordered_on type $other")
+  }
+}

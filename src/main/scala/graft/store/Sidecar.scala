@@ -1,0 +1,82 @@
+package graft.store
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import scala.jdk.CollectionConverters._
+
+/** Per-file zone-map stats (ref base.py:58-62: file_ids / n_rows /
+  * ordered_on_mins / ordered_on_maxs). `name` is relative to the dataset
+  * directory; files are one row group each (ref base.py:190-197).
+  */
+final case class FileStat(id: Long, name: String, rows: Long,
+                          min: OrdVal, max: OrdVal)
+
+/** Dataset-level metadata: the enforced `ordered_on` column
+  * (ref base.py:103-114), file stats sorted by min, a free-form kv map
+  * (carries user metadata and AggStream restart state, ref
+  * base.py:144-146), and a monotonically increasing file-id counter.
+  */
+final case class DatasetMeta(orderedOn: String, orderedType: String,
+                             files: Seq[FileStat], kv: Map[String, String],
+                             nextFileId: Long) {
+  def totalRows: Long = files.map(_.rows).sum
+}
+
+/** Atomic JSON sidecar, the analog of the reference's `_opdmd` file
+  * (ref metadata_filename.py:12-30, base.py:600-649). Lives *inside*
+  * the dataset directory but with a `_` prefix so Spark / Hadoop / any
+  * parquet reader treats it as hidden — foreign readers still work on
+  * the bare directory, like the reference intends (ref base.py:192-195).
+  *
+  * The sidecar is the planner's source of truth: the upsert planner and
+  * the intersection planner read min/max per file from here without
+  * opening any parquet footer (SURVEY.md §4 zone-map row).
+  */
+object Sidecar {
+  val FileName = "_graftmd.json"
+  private val mapper = new ObjectMapper()
+
+  def path(datasetDir: String): Path = Paths.get(datasetDir, FileName)
+
+  def exists(datasetDir: String): Boolean = Files.exists(path(datasetDir))
+
+  def read(datasetDir: String): DatasetMeta = {
+    val root = mapper.readTree(Files.readAllBytes(path(datasetDir)))
+    val files = root.get("files").elements().asScala.map { f =>
+      FileStat(f.get("id").asLong(), f.get("name").asText(),
+        f.get("rows").asLong(),
+        OrdVal.readFrom(f, "min"), OrdVal.readFrom(f, "max"))
+    }.toSeq
+    val kv = Option(root.get("kv")).map { k =>
+      k.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty)
+    DatasetMeta(root.get("orderedOn").asText(),
+      root.get("orderedType").asText(), files, kv,
+      root.get("nextFileId").asLong())
+  }
+
+  /** Write-tmp-then-rename commit (the port of the reference's
+    * metadata-last commit discipline, ref write.py:247-271).
+    */
+  def write(datasetDir: String, meta: DatasetMeta): Unit = {
+    val root = mapper.createObjectNode()
+    root.put("orderedOn", meta.orderedOn)
+    root.put("orderedType", meta.orderedType)
+    root.put("nextFileId", meta.nextFileId)
+    val arr = root.putArray("files")
+    meta.files.sortBy(f => (f.min, f.id)).foreach { f =>
+      val n = arr.addObject()
+      n.put("id", f.id); n.put("name", f.name); n.put("rows", f.rows)
+      OrdVal.writeTo(n, "min", f.min); OrdVal.writeTo(n, "max", f.max)
+    }
+    val kvn = root.putObject("kv")
+    meta.kv.foreach { case (k, v) => kvn.put(k, v) }
+    Files.createDirectories(Paths.get(datasetDir))
+    val tmp = Paths.get(datasetDir, FileName + ".tmp")
+    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(root))
+    Files.move(tmp, path(datasetDir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.store
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.immutable.TreeSet
+
+/** One interval of a synchronized multi-dataset range scan: every slice
+  * covers exactly [lo, hiExcl) of the shared ordered column
+  * (ref iter_intersections.py:201-302).
+  */
+final case class Intersection[K](lo: OrdVal, hiExcl: Option[OrdVal],
+                                 slices: Map[K, DataFrame])
+
+/** Collection of ordered datasets under one basepath, keyed by a typed
+  * indexer (ref oups/store/store/store.py:67-131). Key discovery scans
+  * the directory tree at indexer depth for sidecar files
+  * (ref store.py:22-64) and returns a sorted key set (ref store.py:50).
+  */
+final class Store[K](val spark: SparkSession, val basepath: String,
+                     val indexer: Indexer[K])(implicit ord: Ordering[K]) {
+
+  private def fs: FileSystem =
+    new HPath(basepath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def dirOf(k: K): String = s"$basepath/${indexer.toPath(k)}"
+
+  def get(k: K): OrderedDataset = new OrderedDataset(spark, dirOf(k))
+
+  def apply(k: K): OrderedDataset = get(k)
+
+  /** Sorted set of keys whose directory holds a sidecar. */
+  def keys: TreeSet[K] = {
+    val base = new HPath(basepath)
+    if (!fs.exists(base)) return TreeSet.empty[K]
+    def walk(p: HPath, depth: Int): Seq[HPath] =
+      if (depth == 0) Seq(p)
+      else fs.listStatus(p).toSeq.filter(_.isDirectory)
+        .flatMap(s => walk(s.getPath, depth - 1))
+    val dirs = walk(base, indexer.depth)
+    val baseUri = base.toUri.getPath.stripSuffix("/")
+    TreeSet.from(dirs.flatMap { d =>
+      val rel = d.toUri.getPath.stripPrefix(baseUri).stripPrefix("/")
+      if (Sidecar.exists(d.toUri.getPath)) indexer.fromPath(rel) else None
+    })
+  }
+
+  /** Delete a dataset's files and prune now-empty parents
+    * (ref store.py:230-257, base.py:405-438).
+    */
+  def delete(k: K): Unit = {
+    fs.delete(new HPath(dirOf(k)), true)
+    var p = new HPath(dirOf(k)).getParent
+    val stop = new HPath(basepath)
+    while (p != null && p.toString != stop.toString &&
+        fs.exists(p) && fs.listStatus(p).isEmpty) {
+      fs.delete(p, false)
+      p = p.getParent
+    }
+  }
+
+  /** Synchronized range scan across datasets sharing the ordered column
+    * (ref store.py:303-326, iter_intersections.py:66-302). Boundaries
+    * are the union of per-file min values from the sidecars — driver-side
+    * metadata work; each yielded slice is a zone-map-pruned lazy
+    * DataFrame, so only the row groups overlapping the interval are read
+    * when a slice is consumed.
+    */
+  def iterIntersections(ks: Seq[K], start: Option[OrdVal] = None,
+      endExcl: Option[OrdVal] = None): Iterator[Intersection[K]] = {
+    require(ks.nonEmpty, "no keys")
+    val dss = ks.map(k => k -> get(k))
+    val metas = dss.map { case (k, d) => k -> d.meta }
+    val names = metas.map(_._2.orderedOn).distinct
+    require(names.size == 1,
+      s"iterIntersections requires a shared ordered_on, got $names")
+
+    val mins = metas.flatMap(_._2.files.map(_.min))
+    if (mins.isEmpty) return Iterator.empty
+    val globalLo = start.getOrElse(mins.min)
+    val boundaries = (mins :+ globalLo)
+      .filter(b => b >= globalLo && endExcl.forall(b < _))
+      .distinct.sorted
+    val his: Seq[Option[OrdVal]] =
+      boundaries.drop(1).map(Some(_)) :+ endExcl
+    boundaries.zip(his).iterator
+      .filter { case (lo, hi) => hi.forall(h => lo < h) }
+      .map { case (lo, hi) =>
+        Intersection(lo, hi,
+          dss.map { case (k, d) => k -> d.rangeDF(Some(lo), hi) }.toMap)
+      }
+  }
+}

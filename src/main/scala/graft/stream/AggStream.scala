@@ -1,0 +1,231 @@
+package graft.stream
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.agg.{AggFn, AggSpec, SegmentAgg}
+import graft.store._
+
+/** Per-key streamed-aggregation config (ref aggstream.py:115-271): an
+  * optional seed filter (the per-filter-id fan-out F2), a tumbling bin
+  * spec, the agg plan, and an optional post hook applied at read time.
+  */
+final case class StreamKeyCfg(
+    filter: Option[Column],
+    binFreq: String,
+    closed: String = "left",
+    label: String = "left",
+    aggs: Seq[AggSpec],
+    post: Option[DataFrame => DataFrame] = None)
+
+/** Restartable, out-of-core streamed segment aggregation — the
+  * batch-incremental port of the reference's AggStream
+  * (ref aggstream/aggstream.py; SURVEY §2.12, §3.3).
+  *
+  * Design: instead of carrying the numba kernel's `chunk_res` array
+  * (ref jcumsegagg.py:230-417), each result dataset stores *mergeable
+  * partial aggregates* per bin — for first/last/min/max/sum the stored
+  * row IS the restart state, extended with the bin's tiebreak bounds
+  * (`__tb_min`/`__tb_max`) so first/last merge correctly across chunks.
+  * Each seed chunk is aggregated to per-bin partials and combined with
+  * the previously stored partial of any still-open bin, then upserted
+  * keep-last on the bin label (ref A8 restart-aware stitching,
+  * cumsegagg.py:398-435). The restart index persists in the sidecar kv
+  * atomically with the data write (ref aggstream.py:799-806).
+  *
+  * Scale notes: every step is a distributed DataFrame op — partial agg
+  * shuffles once by bin; the combine touches only bins ≥ the restart
+  * index via a zone-map-pruned read; nothing is collected to the driver
+  * but per-chunk min/max stats.
+  */
+final class AggStream[K](
+    val store: Store[K],
+    val orderedOn: String,
+    val tieCol: String,
+    val keys: Map[K, StreamKeyCfg],
+    val target: RowGroupTarget = NRows(6345000L)) {
+
+  import AggStream._
+
+  /** Columns holding each bin's tiebreak bounds in the stored partials. */
+  private def tbMin = "__tb_min"
+  private def tbMax = "__tb_max"
+
+  private def partialExprs(cfg: StreamKeyCfg): Seq[Column] =
+    cfg.aggs.map { s =>
+      val c = col(s.in)
+      (s.fn match {
+        case AggFn.First => min_by(c, col(tieCol))
+        case AggFn.Last  => max_by(c, col(tieCol))
+        case AggFn.Min   => min(c)
+        case AggFn.Max   => max(c)
+        case AggFn.Sum   => sum(c.cast("decimal(38,6)"))
+      }).as(s.out)
+    } ++ Seq(min(col(tieCol)).as(tbMin), max(col(tieCol)).as(tbMax))
+
+  private def combineExprs(cfg: StreamKeyCfg): Seq[Column] =
+    cfg.aggs.map { s =>
+      val c = col(s.out)
+      (s.fn match {
+        case AggFn.First => min_by(c, col(tbMin))
+        case AggFn.Last  => max_by(c, col(tbMax))
+        case AggFn.Min   => min(c)
+        case AggFn.Max   => max(c)
+        case AggFn.Sum   => sum(c)
+      }).as(s.out)
+    } ++ Seq(min(tbMin).as(tbMin), max(tbMax).as(tbMax))
+
+  private def readState(k: K): Option[Restart] = {
+    val ds = store.get(k)
+    if (!ds.exists) None
+    else ds.kv.get(StateKey).map(Restart.fromJson)
+  }
+
+  /** Process one seed chunk for one key: partial-agg, merge with stored
+    * open-bin partials, upsert keep-last on bin.
+    */
+  private def processKey(k: K, cfg: StreamKeyCfg, chunk: DataFrame,
+      restart: Restart): Unit = {
+    val data = cfg.filter.map(chunk.filter).getOrElse(chunk)
+    val bin = SegmentAgg.timeBin(col(orderedOn), cfg.binFreq, cfg.closed,
+      cfg.label)
+    val partial = data.groupBy(bin.as(BinCol))
+      .agg(partialExprs(cfg).head, partialExprs(cfg).tail: _*)
+      .persist()
+    try {
+      if (partial.isEmpty) {
+        // still persist the restart index so all keys stay aligned
+        val ds = store.get(k)
+        if (ds.exists) ds.updateKv(Map(StateKey -> restart.toJson))
+        return
+      }
+      val minBin = OrdVal.fromAny(partial.agg(min(BinCol)).head.get(0))
+      val ds = store.get(k)
+      val merged =
+        if (!ds.exists) partial
+        else {
+          val old = ds.rangeDF(Some(minBin), None)
+            .select(partial.columns.map(col): _*)
+          old.unionByName(partial)
+            .groupBy(BinCol)
+            .agg(combineExprs(cfg).head, combineExprs(cfg).tail: _*)
+        }
+      ds.write(merged, WriteOpts(
+        orderedOn = BinCol,
+        target = target,
+        duplicatesOn = Some(Seq(BinCol)),
+        kv = Map(StateKey -> restart.toJson)))
+    } finally partial.unpersist()
+  }
+
+  /** Run the stream over an iterator of ordered seed chunks
+    * (ref aggstream.py:1399-1474: seed as DataFrame or iterable).
+    * `discardLast` withholds the final ordered_on-equal row block as
+    * possibly-incomplete, re-presenting it with the next chunk
+    * (ref aggstream.py:566-569; T2).
+    */
+  def agg(seed: Iterator[DataFrame], discardLast: Boolean = true,
+      pre: Option[DataFrame => DataFrame] = None): Unit = {
+    var restart: Option[Restart] =
+      keys.keys.flatMap(readState).reduceOption { (a, b) =>
+        require(a == b, s"keys disagree on restart state: $a vs $b"); a
+      }
+    var remainder: Option[DataFrame] = None
+    var cachedPrev: Option[DataFrame] = None // backing cache of `remainder`
+
+    def trim(df: DataFrame): DataFrame = restart match {
+      case None => df
+      case Some(r) =>
+        val c = col(orderedOn)
+        df.filter(if (r.exclusive) c > lit(r.v.toLiteral)
+                  else c >= lit(r.v.toLiteral))
+    }
+
+    // `d0` must already have the pre hook applied.
+    def runChunk(d0: DataFrame, isFinal: Boolean): Unit = {
+      val data = trim(d0).persist()
+      val st = data.agg(min(orderedOn), max(orderedOn), count(lit(1))).head()
+      if (st.getLong(2) == 0) { data.unpersist(); return }
+      val mx = OrdVal.fromAny(st.get(1))
+      val (process, newRemainder, newRestart) =
+        if (discardLast && !isFinal) {
+          (data.filter(col(orderedOn) < lit(mx.toLiteral)),
+           Some(data.filter(col(orderedOn) === lit(mx.toLiteral))),
+           Restart(mx, exclusive = false))
+        } else (data, None, Restart(mx, exclusive = true))
+      val hasRows = !process.isEmpty
+      if (hasRows) {
+        keys.foreach { case (k, cfg) => processKey(k, cfg, process, newRestart) }
+        restart = Some(newRestart)
+      }
+      // release the cache backing the previous remainder, now consumed
+      cachedPrev.foreach(_.unpersist())
+      remainder = newRemainder
+      if (newRemainder.isDefined) cachedPrev = Some(data)
+      else { cachedPrev = None; data.unpersist() }
+    }
+
+    seed.foreach { chunk =>
+      // pre hook applies to fresh seed rows only, never re-applied to the
+      // withheld remainder (ref `pre` contract, aggstream.py:539-546)
+      val fresh = pre.map(_(chunk)).getOrElse(chunk)
+      val d = remainder match {
+        case Some(r) => r.unionByName(fresh.select(r.columns.map(col): _*))
+        case None => fresh
+      }
+      runChunk(d, isFinal = false)
+    }
+    // final flush of the withheld tail (ref final_write, aggstream.py:799-837)
+    remainder.foreach { r => runChunk(r, isFinal = true) }
+    remainder = None
+    cachedPrev.foreach(_.unpersist())
+    cachedPrev = None
+  }
+
+  /** User-facing results: post hook applied, internal columns dropped,
+    * decimal partial sums cast back to double.
+    */
+  def results(k: K): DataFrame = {
+    val cfg = keys(k)
+    val ds = store.get(k)
+    val raw = ds.df
+    val casts = cfg.aggs.map { s =>
+      if (s.fn == AggFn.Sum) col(s.out).cast("double").as(s.out)
+      else col(s.out)
+    }
+    val out = raw.select(col(BinCol) +: casts: _*)
+    cfg.post.map(_(out)).getOrElse(out)
+  }
+}
+
+object AggStream {
+  val BinCol = "bin"
+  val StateKey = "aggstream.restart"
+
+  /** Restart index: seed replays from here (ref aggstream.py:274-369).
+    * `exclusive=true` means rows == v were fully processed; `false`
+    * means they were withheld by discardLast and must be re-processed.
+    */
+  final case class Restart(v: OrdVal, exclusive: Boolean) {
+    def toJson: String = {
+      val t = v.typeTag
+      val raw = v match {
+        case OrdLong(l) => l.toString
+        case OrdDouble(d) => d.toString
+        case OrdTs(us) => us.toString
+      }
+      s"""{"t":"$t","v":$raw,"excl":$exclusive}"""
+    }
+  }
+  object Restart {
+    private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def fromJson(s: String): Restart = {
+      val n = mapper.readTree(s)
+      val v = n.get("t").asText() match {
+        case "long" => OrdLong(n.get("v").asLong())
+        case "double" => OrdDouble(n.get("v").asDouble())
+        case "ts" => OrdTs(n.get("v").asLong())
+      }
+      Restart(v, n.get("excl").asBoolean())
+    }
+  }
+}

@@ -1,0 +1,167 @@
+package graft.store
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+final case class CityKey(country: String, city: String)
+
+class StoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  implicit val cityOrd: Ordering[CityKey] = Ordering.by(k => (k.country, k.city))
+  val cityIdx: Indexer[CityKey] = Indexer.of[CityKey](1)(
+    k => Seq(Seq(k.country, k.city)))(
+    l => l.head match {
+      case Seq(co, ci) => Some(CityKey(co, ci))
+      case _ => None
+    })
+
+  def tsDf(pairs: Seq[(Long, Double)]): DataFrame =
+    pairs.toDF("t", "v")
+
+  test("indexer round-trips and validates fields") {
+    assert(cityIdx.toPath(CityKey("germany", "berlin")) == "germany-berlin")
+    assert(cityIdx.fromPath("germany-berlin") == Some(CityKey("germany", "berlin")))
+    assert(cityIdx.fromPath("nope") == None)
+    intercept[IllegalArgumentException] {
+      cityIdx.toPath(CityKey("a-b", "c"))
+    }
+  }
+
+  test("sidecar round-trips meta") {
+    val dir = tmpDir("sidecar")
+    val meta = DatasetMeta("t", "long",
+      Seq(FileStat(0, "f0.parquet", 10, OrdLong(1), OrdLong(9)),
+          FileStat(1, "f1.parquet", 5, OrdLong(10), OrdLong(20))),
+      Map("k" -> "v"), 2)
+    Sidecar.write(dir, meta)
+    assert(Sidecar.read(dir) == meta)
+  }
+
+  test("create + full scan + pruned range scan") {
+    val dir = tmpDir("opd")
+    val ds = new OrderedDataset(spark, s"$dir/d1")
+    ds.write(tsDf((1L to 100L).map(i => (i, i * 1.0))),
+      WriteOpts("t", target = NRows(30)))
+    val m = ds.meta
+    assert(m.files.size == 4) // ceil(100/30)
+    assert(m.totalRows == 100)
+    assert(ds.df.count() == 100)
+    assert(ds.orderedDf.select("t").as[Long].collect().toSeq == (1L to 100L))
+    // pruned range: only overlapping files are read
+    val r = ds.rangeDF(Some(OrdLong(35)), Some(OrdLong(60)))
+    assert(r.select("t").as[Long].collect().sorted.toSeq == (35L until 60L))
+    val scanned = r.select(input_file_name()).distinct().count()
+    assert(scanned < 4, s"expected pruning, scanned $scanned files")
+  }
+
+  test("append beyond tail rewrites nothing") {
+    val dir = tmpDir("opd")
+    val ds = new OrderedDataset(spark, s"$dir/d1")
+    ds.write(tsDf((1L to 50L).map(i => (i, 1.0))), WriteOpts("t", NRows(25)))
+    val before = ds.meta.files.map(_.name).toSet
+    val rep = ds.write(tsDf((51L to 60L).map(i => (i, 2.0))),
+      WriteOpts("t", NRows(25)))
+    assert(rep.filesRewritten == 0)
+    assert(before.subsetOf(ds.meta.files.map(_.name).toSet))
+    assert(ds.df.count() == 60)
+  }
+
+  test("overlapping upsert with keep-last dedup") {
+    val dir = tmpDir("opd")
+    val ds = new OrderedDataset(spark, s"$dir/d1")
+    ds.write(tsDf((1L to 20L).map(i => (i, 1.0))), WriteOpts("t", NRows(10)))
+    // correction batch: overwrite t in 8..12, plus new t=21
+    val rep = ds.write(tsDf((8L to 12L).map(i => (i, 99.0)) :+ (21L, 99.0)),
+      WriteOpts("t", NRows(10), duplicatesOn = Some(Seq("t"))))
+    assert(ds.df.count() == 21)
+    val vals = ds.orderedDf.select("v").as[Double].collect()
+    assert((8 to 12).forall(i => vals(i - 1) == 99.0))
+    assert(vals(0) == 1.0 && vals(19) == 1.0 && vals(20) == 99.0)
+    assert(rep.filesRewritten >= 1 && rep.filesKept >= 0)
+  }
+
+  test("keep-last dedup prefers later batch rows on equal keys") {
+    val dir = tmpDir("opd")
+    val ds = new OrderedDataset(spark, s"$dir/d1")
+    // duplicate ordered values WITHIN one batch: last occurrence wins
+    val batch = Seq((1L, 1.0), (2L, 1.0), (2L, 2.0), (3L, 1.0)).toDF("t", "v")
+      .coalesce(1)
+    ds.write(batch, WriteOpts("t", NRows(100), duplicatesOn = Some(Seq("t"))))
+    assert(ds.orderedDf.select("v").as[Double].collect().toSeq ==
+      Seq(1.0, 2.0, 1.0))
+  }
+
+  test("off-target compaction absorbs small neighbor files") {
+    val dir = tmpDir("opd")
+    val ds = new OrderedDataset(spark, s"$dir/d1")
+    val opts = WriteOpts("t", NRows(100), maxNOffTargetRgs = Some(3))
+    // 4 appends of 10 rows each: all off-target (10 < 80)
+    (0 until 4).foreach { i =>
+      ds.write(tsDf((i * 10 + 1 until i * 10 + 11).map(x => (x.toLong, 1.0))),
+        opts)
+    }
+    // after the 4th append the trailing off-target run (3 files) exceeds
+    // maxN and is absorbed into one rewrite
+    assert(ds.meta.files.size < 4, s"files: ${ds.meta.files}")
+    assert(ds.df.count() == 40)
+  }
+
+  test("time-period target splits files by period") {
+    val dir = tmpDir("opd")
+    val ds = new OrderedDataset(spark, s"$dir/d1")
+    val df = (0 until 48).map { h =>
+      (java.time.LocalDateTime.of(2024, 1, 1 + h / 24, h % 24, 30), h * 1.0)
+    }.toDF("ts", "v")
+    ds.write(df, WriteOpts("ts", TimePeriod("day")))
+    assert(ds.meta.files.size == 2, ds.meta.files)
+    assert(ds.df.count() == 48)
+  }
+
+  test("store discovery, get, delete") {
+    val base = tmpDir("store")
+    val st = new Store(spark, base, cityIdx)
+    assert(st.keys.isEmpty)
+    st.get(CityKey("de", "berlin")).write(tsDf(Seq((1L, 1.0))), WriteOpts("t"))
+    st.get(CityKey("fr", "paris")).write(tsDf(Seq((2L, 2.0))), WriteOpts("t"))
+    assert(st.keys.toSeq == Seq(CityKey("de", "berlin"), CityKey("fr", "paris")))
+    st.delete(CityKey("de", "berlin"))
+    assert(st.keys.toSeq == Seq(CityKey("fr", "paris")))
+  }
+
+  test("iterIntersections yields aligned slices covering the range") {
+    val base = tmpDir("store")
+    val st = new Store(spark, base, cityIdx)
+    val k1 = CityKey("a", "x"); val k2 = CityKey("a", "y")
+    st.get(k1).write(tsDf((1L to 30L).map(i => (i, 1.0))),
+      WriteOpts("t", NRows(10)))
+    st.get(k2).write(tsDf((15L to 40L).map(i => (i, 2.0))),
+      WriteOpts("t", NRows(8)))
+    val parts = st.iterIntersections(Seq(k1, k2),
+      Some(OrdLong(5)), Some(OrdLong(35))).toSeq
+    assert(parts.nonEmpty)
+    // each interval: both slices within [lo, hi); concatenation == range
+    val all1 = parts.flatMap(_.slices(k1).select("t").as[Long].collect())
+    val all2 = parts.flatMap(_.slices(k2).select("t").as[Long].collect())
+    assert(all1.sorted.toSeq == (5L to 30L)) // k1 holds 1..30 only
+    assert(all2.sorted.toSeq == (15L until 35L))
+    parts.foreach { p =>
+      p.slices.values.foreach { s =>
+        val ts = s.select("t").as[Long].collect()
+        assert(ts.forall(t => OrdLong(t) >= p.lo &&
+          p.hiExcl.forall(h => OrdLong(t) < h)))
+      }
+    }
+  }
+
+  test("kv metadata add/update/remove") {
+    val dir = tmpDir("opd")
+    val ds = new OrderedDataset(spark, s"$dir/d1")
+    ds.write(tsDf(Seq((1L, 1.0))), WriteOpts("t", kv = Map("a" -> "1")))
+    assert(ds.kv == Map("a" -> "1"))
+    ds.write(tsDf(Seq((2L, 1.0))),
+      WriteOpts("t", kv = Map("b" -> "2"), kvRemove = Seq("a")))
+    assert(ds.kv == Map("b" -> "2"))
+  }
+}

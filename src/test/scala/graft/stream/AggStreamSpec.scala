@@ -1,0 +1,92 @@
+package graft.stream
+
+import graft.SparkSpec
+import graft.agg.{AggFn, AggSpec, SegmentAgg}
+import graft.store._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The incremental-equals-batch contract — the reference's crown-jewel
+  * restart tests (SURVEY §5: test_cumsegagg_restart.py,
+  * test_aggstream_simple.py): the same seed split at different points,
+  * with restarts from persisted state, must equal the single-shot result.
+  */
+class AggStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  implicit val ord: Ordering[String] = Ordering.String
+  val idx: Indexer[String] =
+    Indexer.of[String](1)(k => Seq(Seq(k)))(l =>
+      if (l.head.size == 1) Some(l.head.head) else None)
+
+  val specs = Seq(
+    AggSpec("first_v", "v", AggFn.First), AggSpec("last_v", "v", AggFn.Last),
+    AggSpec("min_v", "v", AggFn.Min), AggSpec("max_v", "v", AggFn.Max),
+    AggSpec("sum_v", "v", AggFn.Sum))
+
+  // seed: 200 rows over ~2.8 h, several rows per 10-minute bin, dup ts
+  def tsSeed: DataFrame = (0 until 200).map { i =>
+    (java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusSeconds(i * 50L - (i % 3)),
+     i * 1.0 + (i % 7), i.toLong)
+  }.toDF("t", "v", "rid").orderBy("t", "rid")
+
+  def batchExpected(seed: DataFrame): Array[org.apache.spark.sql.Row] = {
+    val bin = SegmentAgg.timeBin(col("t"), "10 minutes")
+    SegmentAgg.aggregate(seed, bin, specs, col("rid"))
+      .orderBy("bin").collect()
+  }
+
+  def runSplits(splitAt: Seq[Int]): Array[org.apache.spark.sql.Row] = {
+    val base = tmpDir("aggstream")
+    val st = new Store(spark, base, idx)
+    val stream = new AggStream(st, "t", "rid",
+      Map("out" -> StreamKeyCfg(None, "10 minutes", aggs = specs)),
+      NRows(1000))
+    val rows = tsSeed.collect()
+    val bounds = (0 +: splitAt :+ rows.length).distinct.sorted
+    val chunks = bounds.sliding(2).map { case Seq(a, b) =>
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.slice(a, b).toSeq, 2),
+        tsSeed.schema)
+    }.toSeq
+    // two separate AggStream instances to also exercise restart-from-state
+    stream.agg(chunks.take(1).iterator)
+    val stream2 = new AggStream(st, "t", "rid",
+      Map("out" -> StreamKeyCfg(None, "10 minutes", aggs = specs)),
+      NRows(1000))
+    stream2.agg(chunks.drop(1).iterator)
+    stream2.results("out").orderBy("bin").collect()
+  }
+
+  test("single chunk equals batch") {
+    val got = runSplits(Nil)
+    val exp = batchExpected(tsSeed)
+    assert(got.toSeq == exp.toSeq)
+  }
+
+  test("incremental splits equal batch (several split points)") {
+    val exp = batchExpected(tsSeed).toSeq
+    for (splits <- Seq(Seq(50), Seq(13), Seq(40, 41), Seq(25, 100, 150),
+        Seq(1, 2, 3, 199))) {
+      val got = runSplits(splits).toSeq
+      assert(got == exp, s"splits=$splits")
+    }
+  }
+
+  test("filter fan-out applies per key") {
+    val base = tmpDir("aggstream")
+    val st = new Store(spark, base, idx)
+    val stream = new AggStream(st, "t", "rid",
+      Map("all" -> StreamKeyCfg(None, "10 minutes", aggs = specs),
+          "high" -> StreamKeyCfg(Some(col("v") > 100), "10 minutes",
+            aggs = specs)),
+      NRows(1000))
+    stream.agg(Iterator(tsSeed))
+    val all = stream.results("all").agg(sum("sum_v")).head.getDouble(0)
+    val high = stream.results("high").agg(sum("sum_v")).head.getDouble(0)
+    val expHigh = tsSeed.filter(col("v") > 100)
+      .agg(sum("v")).head.getDouble(0)
+    assert(math.abs(high - expHigh) < 1e-6)
+    assert(all > high)
+  }
+}
