@@ -15,8 +15,15 @@ object Bench {
       System.err.println(s"[bench] prepare failed: ${e.getMessage}") }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // noop sink: forces full computation of every output column
+      // (count() would let Catalyst prune the projections away)
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release per-query persisted frames so queries don't contend
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

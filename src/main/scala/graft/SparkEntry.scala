@@ -15,12 +15,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RefQueries.queries ++ StoreQueries.queries
+    RefQueries.queries ++ StoreQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RefQueries.oracleSql ++ StoreQueries.oracleSql
+    RefQueries.oracleSql ++ StoreQueries.oracleSql ++ PipelineQueries.oracleSql
 
   /** One-time fixture build (store datasets under /tmp) so benchmark
     * timings measure queries, not setup. */

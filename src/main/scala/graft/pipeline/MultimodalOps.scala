@@ -1,0 +1,57 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads are opaque
+  * `binary` columns with typed metadata; decode / feature-extraction
+  * runs as a partition-wise batch transform (`mapPartitions` over a
+  * typed Dataset — the Scala analog of `mapInPandas`): the executor-side
+  * schema, batching and partitioning are real, while the actual media
+  * decoder is pluggable.
+  *
+  * The media libraries are not available in this environment, so
+  * `realDecoder` is a clearly-marked stub (`???`) and tests/queries use
+  * `fakeDecoder` — a deterministic byte-level featurizer — to exercise
+  * the full distributed path.
+  */
+object MultimodalOps {
+
+  final case class MediaFeatures(id: Long, n_bytes: Long, checksum: Long,
+                                 head_byte: Long)
+
+  type Decoder = Array[Byte] => (Long, Long, Long)
+
+  /** Deterministic fake decode: (n_bytes, byte-sum mod 997, first byte).
+    * Stands in for image resize / audio feature-extract / frame-sample.
+    */
+  val fakeDecoder: Decoder = bytes => {
+    var sum = 0L
+    var k = 0
+    while (k < bytes.length) { sum += (bytes(k) & 0xff); k += 1 }
+    (bytes.length.toLong, sum % 997,
+      if (bytes.isEmpty) -1L else (bytes(0) & 0xff).toLong)
+  }
+
+  /** Real decoder entry point — requires media libs absent here. */
+  val realDecoder: Decoder = _ => ???
+
+  /** Decode a binary payload column partition-wise. Input: (id, payload);
+    * output one feature row per media object. The decoder runs once per
+    * row inside a partition iterator — batch-shaped like an Arrow-based
+    * `mapInPandas` worker, with no per-row task overhead.
+    */
+  def decodeFeatures(spark: SparkSession, df: DataFrame, idCol: String,
+      payloadCol: String, decoder: Decoder = fakeDecoder)
+      : Dataset[MediaFeatures] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (n, checksum, head) = decoder(bytes)
+          MediaFeatures(id, n, checksum, head)
+        }
+      }
+  }
+}

@@ -1,0 +1,102 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and sign-random-
+  * projection LSH bucketing as the scale path (candidates come from a
+  * banded bucket equi-join, never an n² cross join).
+  *
+  * Dot products use `zip_with` + `aggregate` — a sequential codegen'd
+  * fold, no UDF. Cosines are rounded to 6 decimals before thresholding
+  * or ranking so results are reproducible across engines and partition
+  * orders.
+  */
+object SimilarityOps {
+
+  /** Sequential fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** (id, vec, norm) with vec cast to double and L2 norm precomputed. */
+  def withNorm(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = asDouble(col(vecCol))
+    df.select(col(idCol).as("id"), v.as("vec"))
+      .withColumn("norm", sqrt(dot(col("vec"), col("vec"))))
+  }
+
+  def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
+    round(dot(va, vb) / (na * nb), 6)
+
+  /** Exact top-k neighbors for each query id (queries × corpus — use for
+    * small query sets or as the per-bucket step after LSH).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int)
+      : DataFrame = {
+    // query side is the small side by construction — broadcast it so the
+    // corpus streams once with no shuffle
+    val q = broadcast(queries).as("q"); val c = corpus.as("c")
+    val scored = q.join(c, col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("q_id"), col("c.id").as("vec_id"),
+        cosine(col("q.vec"), col("c.vec"), col("q.norm"), col("c.norm"))
+          .as("cos"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "cos")
+  }
+
+  /** Deterministic ±1 hyperplanes (fixed seed), used by both the Spark
+    * plan and the generated oracle SQL. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Sign-bit LSH bucket ids, banded: bit per plane, `planesPerBand`
+    * bits concatenated into a band key; returns a slim (id, band_id,
+    * bucket) table — candidates are pairs sharing any (band_id, bucket).
+    */
+  def lshBands(df: DataFrame, planes: Seq[Seq[Double]], planesPerBand: Int)
+      : DataFrame = {
+    val bits: Seq[Column] = planes.map { p =>
+      val pv = array(p.map(lit(_)): _*)
+      when(dot(col("vec"), pv) >= 0, lit(1)).otherwise(lit(0))
+    }
+    val bands = bits.grouped(planesPerBand).toSeq.map(g =>
+      concat(g.map(_.cast("string")): _*))
+    df.select(col("id"),
+      posexplode(array(bands: _*)).as(Seq("band_id", "bucket")))
+  }
+
+  /** Near-duplicate pairs: LSH-banded candidates verified by exact
+    * cosine >= threshold. Pairs are deduplicated across bands BEFORE the
+    * cosine step and vectors join in afterwards, so each candidate pair
+    * costs exactly one 64-dim dot product and the band explode never
+    * replicates vector payloads.
+    */
+  def lshNearDupPairs(df: DataFrame, planes: Seq[Seq[Double]],
+      planesPerBand: Int, threshold: Double): DataFrame = {
+    val banded = lshBands(df, planes, planesPerBand)
+    val a = banded.as("a"); val b = banded.as("b")
+    val cand = a.join(b, col("a.band_id") === col("b.band_id") &&
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
+      .distinct()
+    // the (id, vec, norm) side is tiny relative to the candidate pairs —
+    // broadcast it so the verification never shuffles the pair table
+    cand
+      .join(broadcast(df.select(col("id"), col("vec").as("va"),
+        col("norm").as("na"))), col("i") === col("id")).drop("id")
+      .join(broadcast(df.select(col("id"), col("vec").as("vb"),
+        col("norm").as("nb"))), col("j") === col("id")).drop("id")
+      .select(col("i"), col("j"),
+        cosine(col("va"), col("vb"), col("na"), col("nb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

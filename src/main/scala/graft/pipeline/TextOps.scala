@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, shingling, quality signals, n-gram language ID and
+  * document fingerprinting. Everything is built from codegen'd
+  * `functions._` expressions (no UDFs) and uses only arithmetic that is
+  * bit-reproducible across engines (integer counts, md5 hex strings),
+  * so every operator has an exact DuckDB oracle.
+  */
+object TextOps {
+
+  /** Whitespace tokens. */
+  def wsTokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish regex tokens: runs of letters, digits, or single other
+    * non-space chars. */
+  val TokenRegex = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit(TokenRegex), lit(0))
+
+  /** Distinct word n-gram shingles (space-joined). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ws = wsTokens(text)
+    array_distinct(
+      transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => array_join(slice(ws, i, lit(n)), " ")))
+  }
+
+  /** All character n-gram shingles (stride 1). */
+  def charShingles(text: Column, n: Int): Column =
+    transform(sequence(lit(1), length(text) - (n - 1)),
+      i => text.substr(i, lit(n)))
+
+  /** Occurrences of a literal marker inside text — the
+    * length/replace trick, exact integer math in any engine. */
+  def occurrences(text: Column, marker: String): Column =
+    ((length(text) - length(regexp_replace(text,
+      java.util.regex.Pattern.quote(marker), ""))) / marker.length)
+      .cast("long")
+
+  /** Character-n-gram language-ID profiles: fixed marker n-grams per
+    * language. The heuristic is score = Σ marker occurrences; argmax
+    * with alphabetical tie-break.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("ch", "er ", " de", "sch"),
+    "en" -> Seq("th", " th", "ing", "he "),
+    "es" -> Seq(" el", "os ", "ar ", "ci"),
+    "fr" -> Seq(" le", "es ", " de ", "ou"),
+    "zh" -> Seq("zh", "sh", "ng ", " xi"))
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    LangProfiles.map { case (lang, markers) =>
+      lang -> markers.map(m => occurrences(text, m))
+        .reduce(_ + _)
+    }
+
+  /** argmax language with deterministic alphabetical tie-break. */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best, lit(lang)).otherwise(acc)
+    }
+  }
+  // NOTE foldRight + overwrite-on-match order: the FIRST profile in
+  // LangProfiles (alphabetical) wins ties because later `when`s are in
+  // the else branch of earlier ones.
+
+  /** Quality signals: exact integer counts + one rounded ratio. */
+  val Stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+  def qualityCols(text: Column): Seq[Column] = {
+    val ws = wsTokens(text)
+    val stop = filter(ws, w => w.isin(Stopwords.map(lit(_)): _*))
+    Seq(
+      length(text).cast("long").as("n_chars"),
+      size(ws).cast("long").as("n_words"),
+      size(array_distinct(ws)).cast("long").as("n_distinct_words"),
+      size(stop).cast("long").as("n_stopwords"),
+      round(size(stop).cast("double") / size(ws), 6).as("stopword_ratio"),
+      round(length(text).cast("double") / size(ws), 6).as("avg_token_len"))
+  }
+
+  /** Rolling-hash-style document fingerprint (winnowing-lite): the
+    * lexicographic min/max md5 of all 8-char shingles. Equal-length
+    * lowercase hex compares lexicographically == numerically, so this
+    * is engine-portable without any int conversion.
+    */
+  def fingerprintCols(text: Column, n: Int = 8): Seq[Column] = {
+    val hashes = transform(sequence(lit(1), length(text) - (n - 1)),
+      i => md5(text.substr(i, lit(n))))
+    Seq(array_min(hashes).as("fp_min"), array_max(hashes).as("fp_max"))
+  }
+
+  /** Same fingerprint as a whole-DataFrame op: explode + partial-agg
+    * min/max, so each shingle is hashed exactly once (the array form
+    * evaluates the md5 array once per consuming expression) and the
+    * reduction is map-side combined — the shape that scales.
+    */
+  def fingerprintDF(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int = 8): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), col(textCol),
+      explode(sequence(lit(1), length(col(textCol)) - (n - 1))).as("__i"))
+      .select(col(idCol),
+        md5(col(textCol).substr(col("__i"), lit(n))).as("__h"))
+      .groupBy(idCol)
+      .agg(min("__h").as("fp_min"), max("__h").as("fp_max"))
+}

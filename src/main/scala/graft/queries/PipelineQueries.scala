@@ -1,0 +1,342 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.pipeline._
+
+/** Training-data pipeline operators over the documents/embeddings
+  * tables: deduplication (exact, MinHash+LSH, SimHash, exact n-gram
+  * Jaccard, embedding-LSH near-dup), similarity search (brute-force
+  * cosine top-k), text analysis (language ID, quality, tokens,
+  * fingerprints) and multimodal binary-column decode plumbing.
+  *
+  * Every query has an exact DuckDB oracle; the approximate methods'
+  * oracles replicate the same bucketing/hashing (md5-string minima,
+  * integer bit votes, fixed hyperplanes embedded as literals in both
+  * plans), so hash-equality checks the full algorithm, not just shapes.
+  */
+object PipelineQueries {
+
+  private val NumHashes = 12
+  private val MinhashBands = 4
+  private val JaccardThreshold = 0.8
+  private val ExactJaccardThreshold = 0.5
+  private val SimhashMaxDist = 3
+  private val NPlanes = 16
+  private val PlanesPerBand = 4
+  private val CosThreshold = 0.4
+  private val TopK = 5
+  private val NQueryVecs = 20
+
+  // The test tables arrive as a single parquet file = ONE input split;
+  // repartition so the hash/shingle work uses every core (on a real
+  // corpus the source would already be many splits).
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select("doc_id", "text")
+      .repartition(s.sparkContext.defaultParallelism)
+
+  private def embs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: hash-groupBy on content digest, keep-min-id winner.
+    "p_dedup_exact" -> { (s, d) =>
+      val base = docs(s, d)
+      val dup = base.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("text"))
+      DedupOps.exactDedup(base.unionByName(dup), "text", "doc_id")
+        .select(col("doc_id"), md5(col("text")).as("digest"))
+        .orderBy("doc_id")
+    },
+
+    // MinHash + LSH: shingle → signature → banded buckets → candidate
+    // pairs → exact-Jaccard verification. The shingle table feeds three
+    // plan branches (signature + both verify sides) → persist it.
+    "p_dedup_minhash_lsh" -> { (s, d) =>
+      val sh = DedupOps.shingleTable(docs(s, d), "doc_id", "text", 3)
+        .persist()
+      val sig = DedupOps.minhashSignature(sh, NumHashes)
+      val cand = DedupOps.lshCandidates(sig, NumHashes, MinhashBands)
+      DedupOps.jaccardVerify(cand, sh, JaccardThreshold)
+        .orderBy("i", "j")
+    },
+
+    // SimHash: 32-bit majority fingerprint, pigeonhole-banded Hamming join.
+    "p_dedup_simhash" -> { (s, d) =>
+      val sim = DedupOps.simhash(docs(s, d), "doc_id", "text")
+      DedupOps.simhashPairs(sim, SimhashMaxDist).orderBy("i", "j")
+    },
+
+    // Exact n-gram Jaccard baseline (distinct-shingle equi-join).
+    "p_dedup_ngram_jaccard" -> { (s, d) =>
+      val sh = DedupOps.shingleTable(docs(s, d), "doc_id", "text", 3)
+        .persist()
+      DedupOps.exactJaccardPairs(sh, ExactJaccardThreshold)
+        .orderBy("i", "j")
+    },
+
+    // Embedding near-dup: sign-random-projection LSH bands + exact
+    // cosine verification of candidates.
+    "p_dedup_embedding_lsh" -> { (s, d) =>
+      val v = SimilarityOps.withNorm(embs(s, d), "vec_id", "embedding")
+        .persist()
+      val planes = SimilarityOps.hyperplanes(NPlanes, 64)
+      SimilarityOps.lshNearDupPairs(v, planes, PlanesPerBand, CosThreshold)
+        .orderBy("i", "j")
+    },
+
+    // Brute-force cosine top-k for a query subset (the exact ANN baseline).
+    "p_ann_topk" -> { (s, d) =>
+      val v = SimilarityOps.withNorm(embs(s, d), "vec_id", "embedding")
+        .persist()
+      SimilarityOps.bruteForceTopK(
+        v.filter(col("id") < NQueryVecs), v, TopK)
+        .orderBy("q_id", "rank")
+    },
+
+    // n-gram-profile language ID (deterministic heuristic + tie-break).
+    "p_text_langid" -> { (s, d) =>
+      val scores = TextOps.langScores(col("text"))
+      docs(s, d).select(
+        col("doc_id"),
+        TextOps.langId(col("text")).as("lang_guess"),
+        scores.map(_._2).reduce((a, b) => greatest(a, b)).as("best_score"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: exact counts + rounded ratios.
+    "p_text_quality" -> { (s, d) =>
+      docs(s, d).select(col("doc_id") +: TextOps.qualityCols(col("text")): _*)
+        .orderBy("doc_id")
+    },
+
+    // Token counting: whitespace + BPE-ish regex tokens.
+    "p_text_tokens" -> { (s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        size(TextOps.wsTokens(col("text"))).cast("long").as("n_ws_tokens"),
+        size(TextOps.regexTokens(col("text"))).cast("long")
+          .as("n_regex_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Rolling 8-gram fingerprint (min/max md5 shingle).
+    "p_text_fingerprint" -> { (s, d) =>
+      TextOps.fingerprintDF(docs(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Multimodal: opaque binary payload → partition-wise decode (fake
+    // deterministic decoder; real decoder is a pluggable stub).
+    "p_multimodal_decode" -> { (s, d) =>
+      val bin = docs(s, d).select(col("doc_id"),
+        col("text").cast("binary").as("payload"))
+      MultimodalOps.decodeFeatures(s, bin, "doc_id", "payload")
+        .toDF().withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }
+  )
+
+  // ---------------- DuckDB oracles ----------------
+
+  /** Distinct word-3-gram shingle CTE body. */
+  private val ShingleCte =
+    """sh AS (SELECT DISTINCT doc_id AS id,
+              ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+         FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+              unnest(generate_series(1, len(ws) - 2)) t(i))"""
+
+  private def minhashOracle: String = {
+    val sigExprs = (0 until NumHashes)
+      .map(i => s"min(md5('$i|' || g)) AS s$i").mkString(", ")
+    val rows = NumHashes / MinhashBands
+    val bandSelects = (0 until MinhashBands).map { b =>
+      val cc = (b * rows until (b + 1) * rows).map(i => s"s$i")
+        .mkString(" || ")
+      s"SELECT id, $b AS band_id, $cc AS sig FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH $ShingleCte,
+       sig AS (SELECT id, $sigExprs FROM sh GROUP BY id),
+       banded AS ($bandSelects),
+       cand AS (SELECT DISTINCT a.id AS i, b.id AS j
+                FROM banded a JOIN banded b
+                  ON a.band_id = b.band_id AND a.sig = b.sig AND a.id < b.id),
+       cnt AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+       inter AS (SELECT c.i, c.j, count(*) AS inter
+                 FROM cand c
+                 JOIN sh sa ON sa.id = c.i
+                 JOIN sh sb ON sb.id = c.j AND sa.g = sb.g
+                 GROUP BY c.i, c.j)
+     SELECT inter.i, inter.j,
+            inter * 1.0 / (ca.n + cb.n - inter) AS jac
+     FROM inter JOIN cnt ca ON ca.id = inter.i
+                JOIN cnt cb ON cb.id = inter.j
+     WHERE inter * 1.0 / (ca.n + cb.n - inter) >= $JaccardThreshold
+     ORDER BY i, j"""
+  }
+
+  private def simhashOracle: String = {
+    val bits = DedupOps.SimhashBits
+    val bandBits = bits / DedupOps.SimhashBands
+    val digits = (0 until bits / 4).map(p =>
+      s"(strpos('0123456789abcdef', substr(h, ${p + 1}, 1)) - 1) AS d$p")
+      .mkString(", ")
+    val votes = (0 until bits).map { bit =>
+      val p = bit / 4; val b = bit % 4
+      s"SUM((d$p // ${1L << b}) % 2) AS v$bit"
+    }.mkString(", ")
+    val simbits = (0 until bits).map { bit =>
+      s"(CASE WHEN 2 * v$bit >= nw THEN ${1L << bit} ELSE 0 END)"
+    }.mkString(" + ")
+    val bandSelects = (0 until DedupOps.SimhashBands).map(b =>
+      s"SELECT id, simhash, $b AS band_id, " +
+        s"(simhash // ${1L << (bandBits * b)}) % ${1L << bandBits}" +
+        s" AS band_val FROM sim")
+      .mkString(" UNION ALL ")
+    s"""WITH words AS (SELECT DISTINCT doc_id AS id,
+              unnest(string_split(text, ' ')) AS w FROM documents),
+       h AS (SELECT id, md5(w) AS h FROM words),
+       digits AS (SELECT id, $digits FROM h),
+       voted AS (SELECT id, count(*) AS nw, $votes FROM digits GROUP BY id),
+       sim AS (SELECT id, $simbits AS simhash FROM voted),
+       banded AS ($bandSelects),
+       cand AS (SELECT DISTINCT a.id AS i, b.id AS j,
+                       a.simhash AS sa, b.simhash AS sb
+                FROM banded a JOIN banded b
+                  ON a.band_id = b.band_id AND a.band_val = b.band_val
+                 AND a.id < b.id)
+     SELECT i, j, CAST(bit_count(xor(sa, sb)) AS INT) AS dist
+     FROM cand WHERE bit_count(xor(sa, sb)) <= $SimhashMaxDist
+     ORDER BY i, j"""
+  }
+
+  private def planeLiteral(p: Seq[Double]): String =
+    p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+
+  private def embeddingLshOracle: String = {
+    val planes = SimilarityOps.hyperplanes(NPlanes, 64)
+    val bitExprs = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(vec, ${planeLiteral(p)}) >= 0 " +
+        s"THEN 1 ELSE 0 END) AS b$i"
+    }.mkString(", ")
+    val nBands = NPlanes / PlanesPerBand
+    val bandSelects = (0 until nBands).map { b =>
+      val cc = (b * PlanesPerBand until (b + 1) * PlanesPerBand)
+        .map(i => s"b$i::VARCHAR").mkString(" || ")
+      s"SELECT id, vec, norm, $b AS band_id, $cc AS bucket FROM bits"
+    }.mkString(" UNION ALL ")
+    s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+              FROM embeddings),
+       n AS (SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM v),
+       bits AS (SELECT id, vec, norm, $bitExprs FROM n),
+       banded AS ($bandSelects),
+       cand AS (SELECT DISTINCT a.id AS i, b.id AS j,
+              round(list_dot_product(a.vec, b.vec) / (a.norm * b.norm), 6)
+                AS cos
+              FROM banded a JOIN banded b
+                ON a.band_id = b.band_id AND a.bucket = b.bucket
+               AND a.id < b.id)
+     SELECT i, j, cos FROM cand WHERE cos >= $CosThreshold
+     ORDER BY i, j"""
+  }
+
+  private def annTopkOracle: String =
+    s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+              FROM embeddings),
+       n AS (SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM v),
+       scored AS (SELECT q.id AS q_id, c.id AS vec_id,
+              round(list_dot_product(q.vec, c.vec) / (q.norm * c.norm), 6)
+                AS cos
+              FROM n q JOIN n c ON q.id < $NQueryVecs AND q.id <> c.id),
+       ranked AS (SELECT *, row_number() OVER (
+              PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+              FROM scored)
+     SELECT q_id, CAST(rank AS INT) AS rank, vec_id, cos
+     FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank"""
+
+  private def langidOracle: String = {
+    def occ(m: String): String = {
+      val esc = m.replace("'", "''")
+      s"((len(text) - len(replace(text, '$esc', ''))) // ${m.length})"
+    }
+    val scores = TextOps.LangProfiles.map { case (lang, markers) =>
+      s"(${markers.map(occ).mkString(" + ")}) AS s_$lang"
+    }.mkString(", ")
+    val langs = TextOps.LangProfiles.map(_._1)
+    val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val caseExpr = langs.map(l => s"WHEN s_$l = best THEN '$l'")
+      .mkString("CASE ", " ", " ELSE 'und' END")
+    s"""WITH s AS (SELECT doc_id, $scores FROM documents),
+       b AS (SELECT *, $best AS best FROM s)
+     SELECT doc_id, $caseExpr AS lang_guess, CAST(best AS BIGINT)
+       AS best_score
+     FROM b ORDER BY doc_id"""
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "p_dedup_exact" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+                UNION ALL SELECT doc_id + 1000000, text FROM documents),
+         dd AS (SELECT doc_id, md5(text) AS digest, row_number() OVER (
+                  PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM u)
+         SELECT doc_id, digest FROM dd WHERE rn = 1 ORDER BY doc_id""",
+
+    "p_dedup_minhash_lsh" -> minhashOracle,
+    "p_dedup_simhash" -> simhashOracle,
+
+    "p_dedup_ngram_jaccard" ->
+      s"""WITH $ShingleCte,
+         cnt AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+         pairs AS (SELECT a.id AS i, b.id AS j, count(*) AS inter
+                   FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
+                   GROUP BY 1, 2)
+       SELECT pairs.i, pairs.j,
+              inter * 1.0 / (ca.n + cb.n - inter) AS jac
+       FROM pairs JOIN cnt ca ON ca.id = pairs.i
+                  JOIN cnt cb ON cb.id = pairs.j
+       WHERE inter * 1.0 / (ca.n + cb.n - inter) >= $ExactJaccardThreshold
+       ORDER BY i, j""",
+
+    "p_dedup_embedding_lsh" -> embeddingLshOracle,
+    "p_ann_topk" -> annTopkOracle,
+    "p_text_langid" -> langidOracle,
+
+    "p_text_quality" -> {
+      val stop = TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""SELECT doc_id,
+            CAST(len(text) AS BIGINT) AS n_chars,
+            CAST(len(ws) AS BIGINT) AS n_words,
+            CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+            CAST(len(list_filter(ws, w -> w IN ($stop))) AS BIGINT)
+              AS n_stopwords,
+            round(len(list_filter(ws, w -> w IN ($stop))) * 1.0 / len(ws), 6)
+              AS stopword_ratio,
+            round(len(text) * 1.0 / len(ws), 6) AS avg_token_len
+         FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+               FROM documents)
+         ORDER BY doc_id"""
+    },
+
+    "p_text_tokens" ->
+      s"""SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+            CAST(len(regexp_extract_all(text, '${TextOps.TokenRegex}'))
+              AS BIGINT) AS n_regex_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "p_text_fingerprint" ->
+      """SELECT doc_id, min(md5(substr(text, i, 8))) AS fp_min,
+              max(md5(substr(text, i, 8))) AS fp_max
+         FROM documents, unnest(generate_series(1, len(text) - 7)) t(i)
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    "p_multimodal_decode" ->
+      """SELECT doc_id, CAST(len(text) AS BIGINT) AS n_bytes,
+              CAST(list_sum(list_transform(string_split_regex(text, ''),
+                c -> unicode(c))) % 997 AS BIGINT) AS checksum,
+              CAST(unicode(substr(text, 1, 1)) AS BIGINT) AS head_byte
+         FROM documents ORDER BY doc_id"""
+  )
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.agg.SegmentAgg
 
 /** Queries covering the reference's own operator surface (SURVEY.md §2):
   * scans (S1), DNF filters (F1), range trim (F3), keep-last dedup (W1),
@@ -183,6 +184,21 @@ object RefQueries {
         .orderBy("bin", "snap")
     },
 
+    // G2 calendar (non-fixed) frequency: monthly bins, right label —
+    // months cannot use window(), they go through date_trunc/add_months
+    // (SURVEY §7.5 risk 5).
+    "g2_month_bins" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(SegmentAgg.timeBin(col("l_shipdate"), "month",
+          closed = "left", label = "right").as("bin_end"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          min("l_extendedprice").as("min_price"),
+          max("l_extendedprice").as("max_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("bin_end")
+    },
+
     // Headline: TPC-H Q1-style pricing summary (benchmark flagship).
     "q1_pricing_summary" -> { (s, d) =>
       Tables.lineitem(s, d)
@@ -304,6 +320,16 @@ object RefQueries {
          WINDOW w AS (PARTITION BY bin ORDER BY snap
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          ORDER BY bin, snap""",
+
+    "g2_month_bins" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) + INTERVAL 1 MONTH
+                AS TIMESTAMP) AS bin_end,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                AS sum_qty,
+              min(l_extendedprice) AS min_price,
+              max(l_extendedprice) AS max_price,
+              count(*) AS n_rows
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

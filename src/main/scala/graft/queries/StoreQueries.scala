@@ -122,14 +122,9 @@ object StoreQueries {
         .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L)
       val hi = OrdTs(java.time.LocalDateTime.of(2024, 1, 25, 0, 0)
         .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L)
-      val parts = st.iterIntersections(Seq("clicks", "purchases"),
-        Some(lo), Some(hi)).toSeq
-      parts.map { p =>
-        p.slices.map { case (k, df) =>
-          df.select(lit(k).as("ds_key"), col("event_id"), col("ts"),
-            col("value"))
-        }.reduce(_ unionByName _)
-      }.reduce(_ unionByName _)
+      st.intersectionsDF(Seq("clicks", "purchases"), Some(lo), Some(hi),
+          identity)
+        .select("ds_key", "event_id", "ts", "value")
         .orderBy("ds_key", "event_id")
     },
 

@@ -65,6 +65,22 @@ final class Store[K](val spark: SparkSession, val basepath: String,
     * DataFrame, so only the row groups overlapping the interval are read
     * when a slice is consumed.
     */
+  /** Set-oriented form of the synchronized range scan (SURVEY §2.5
+    * option A): ONE zone-map-pruned read per key tagged with the key
+    * name — the same rows the zipper yields, in a 2-branch plan instead
+    * of #intervals × #keys branches. Use this when downstream processing
+    * is relational; use iterIntersections when interval-at-a-time
+    * iteration is required.
+    */
+  def intersectionsDF(ks: Seq[K], start: Option[OrdVal],
+      endExcl: Option[OrdVal], keyName: K => String): DataFrame = {
+    require(ks.nonEmpty, "no keys")
+    ks.map { k =>
+      get(k).rangeDF(start, endExcl)
+        .withColumn("ds_key", org.apache.spark.sql.functions.lit(keyName(k)))
+    }.reduce(_ unionByName _)
+  }
+
   def iterIntersections(ks: Seq[K], start: Option[OrdVal] = None,
       endExcl: Option[OrdVal] = None): Iterator[Intersection[K]] = {
     require(ks.nonEmpty, "no keys")

@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"),
+    (2L, "completely different text with other words entirely"),
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (4L, "one two three four five six seven eight nine"))
+    .toDF("doc_id", "text")
+
+  test("exactDedup keeps the smallest id per digest") {
+    val out = DedupOps.exactDedup(docs, "text", "doc_id")
+    assert(out.count() == 4)
+    assert(out.filter($"doc_id" === 3L).count() == 0)
+    assert(out.filter($"doc_id" === 0L).count() == 1)
+  }
+
+  test("minhash LSH finds near and exact dups, not unrelated docs") {
+    val sh = DedupOps.shingleTable(docs, "doc_id", "text", 3)
+    val sig = DedupOps.minhashSignature(sh, 12)
+    val cand = DedupOps.lshCandidates(sig, 12, 4)
+    val pairs = DedupOps.jaccardVerify(cand, sh, 0.5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L))) // exact dup, jac = 1
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash is invariant to partitioning and finds the exact dup") {
+    val s1 = DedupOps.simhash(docs.repartition(7), "doc_id", "text")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val s2 = DedupOps.simhash(docs.coalesce(1), "doc_id", "text")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(s1 == s2)
+    val m = s1.toMap
+    assert(m(0L) == m(3L))
+    val pairs = DedupOps.simhashPairs(
+      DedupOps.simhash(docs, "doc_id", "text"), 3)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)))
+  }
+
+  test("brute-force top-k ranks an identical vector first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // identical to 0
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val v = SimilarityOps.withNorm(vecs, "vec_id", "embedding")
+    val top = SimilarityOps.bruteForceTopK(v.filter($"id" === 0L), v, 3)
+      .orderBy("rank").as[(Long, Int, Long, Double)].collect()
+    assert(top.head._3 == 1L && top.head._4 == 1.0)
+    assert(top(1)._3 == 2L)
+    assert(top(2)._3 == 3L)
+  }
+
+  test("langId picks a deterministic language with tie-break") {
+    val out = docs.select(TextOps.langId($"text").as("lang"))
+      .as[String].collect()
+    assert(out.forall(Set("de", "en", "es", "fr", "zh", "und").contains))
+    // 'the ... the ...' text has strong en-profile markers
+    val en = docs.filter($"doc_id" === 0L)
+      .select(TextOps.langId($"text")).as[String].head()
+    assert(en == "en")
+  }
+
+  test("fingerprintDF equals the array-expression form") {
+    val a = TextOps.fingerprintDF(docs, "doc_id", "text").orderBy("doc_id")
+      .as[(Long, String, String)].collect().toSeq
+    val b = docs.select($"doc_id" +: TextOps.fingerprintCols($"text"): _*)
+      .orderBy("doc_id").as[(Long, String, String)].collect().toSeq
+    assert(a == b)
+  }
+
+  test("multimodal fake decode features match byte arithmetic") {
+    val bin = docs.select($"doc_id", $"text".cast("binary").as("payload"))
+    val out = MultimodalOps.decodeFeatures(spark, bin, "doc_id", "payload")
+      .orderBy("id").collect()
+    val texts = docs.orderBy("doc_id").as[(Long, String)].collect()
+    out.zip(texts).foreach { case (f, (_, t)) =>
+      assert(f.n_bytes == t.length)
+      assert(f.checksum == t.map(_.toLong).sum % 997)
+      assert(f.head_byte == t.head.toLong)
+    }
+  }
+}
