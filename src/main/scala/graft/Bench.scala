@@ -13,6 +13,13 @@ object Bench {
     try SparkEntry.prepare(spark, sfDir)
     catch { case e: Throwable =>
       System.err.println(s"[bench] prepare failed: ${e.getMessage}") }
+    // warm up JIT/codegen and the scan path so the first timed query
+    // isn't charged for JVM startup (run order is map-order-dependent)
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .write.mode("overwrite").format("noop").save()
+      SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: forces full computation of every output column

@@ -50,8 +50,8 @@ object SegmentAgg {
     val cal = Set("week", "month", "quarter", "year")
     val f = freq.trim.toLowerCase
     val eps = expr("INTERVAL 1 MICROSECOND")
+    val x = if (closed == "left") ordered else ordered - eps
     if (cal.contains(f)) {
-      val x = if (closed == "left") ordered else ordered - eps
       val start = date_trunc(f, x).cast("timestamp_ntz")
       if (label == "left") start
       else f match {
@@ -61,9 +61,35 @@ object SegmentAgg {
         case "week"    => start + expr("INTERVAL 7 DAYS")
       }
     } else {
-      val x = if (closed == "left") ordered else ordered - eps
-      val win = window(x, freq)
-      if (label == "left") win.getField("start") else win.getField("end")
+      // fixed durations: epoch-aligned arithmetic (identical to
+      // window(col, freq).start but composable — Spark forbids multiple
+      // window() expressions in one aggregate, which bins+snapshots need)
+      val step = fixedFreqMicros(f)
+      // explicit LTZ cast: plain "timestamp" resolves to the session's
+      // spark.sql.timestampType (NTZ here), which unix_micros rejects
+      val us = unix_micros(x.cast("timestamp_ltz"))
+      val startUs = us - pmod(us, lit(step))
+      val start = timestamp_micros(startUs).cast("timestamp_ntz")
+      if (label == "left") start
+      else timestamp_micros(startUs + lit(step)).cast("timestamp_ntz")
+    }
+  }
+
+  /** Parse "5 minutes" / "1 hour" / "2 days" … to microseconds. */
+  def fixedFreqMicros(freq: String): Long = {
+    val m = "^(\\d+)\\s*(second|minute|hour|day|week)s?$".r
+    freq.trim.toLowerCase match {
+      case m(n, unit) =>
+        val u = unit match {
+          case "second" => 1000000L
+          case "minute" => 60L * 1000000L
+          case "hour"   => 3600L * 1000000L
+          case "day"    => 86400L * 1000000L
+          case "week"   => 7L * 86400L * 1000000L
+        }
+        n.toLong * u
+      case other =>
+        throw new IllegalArgumentException(s"unsupported frequency '$other'")
     }
   }
 
@@ -107,17 +133,29 @@ object SegmentAgg {
   /** Count-based bins of exactly n rows in stream order (ref
     * segmentby.py:371-520 by_x_rows), labeled by the first ordered value
     * of the bin. `carryIn` continues a partial bin from a previous call.
-    * NOTE: global row numbering — a single-partition window; acceptable
-    * at parity scale (SURVEY §7.5 risk 6); the distributed alternative is
-    * a two-pass per-partition-offset computation.
+    *
+    * Distributed two-pass implementation (SURVEY §7.5 risk 6 resolved):
+    * range-repartition + within-partition sort on (ordered, tie) gives a
+    * total order across partitions; `zipWithIndex` then computes global
+    * row numbers with one per-partition count pass and per-partition
+    * offsets — no single-partition window anywhere. Deterministic
+    * because the sort key (ordered, tie) is total.
     */
   def xRowsBins(df: DataFrame, orderedOn: String, n: Int, tie: Column,
       carryIn: Long = 0L): DataFrame = {
-    val w = Window.orderBy(col(orderedOn), tie)
-    df.withColumn("__rn", row_number().over(w))
-      .withColumn("bin_id",
-        ((col("__rn") - 1 + lit(carryIn)) / n).cast("long"))
-      .drop("__rn")
+    val spark = df.sparkSession
+    val parts = spark.sparkContext.defaultParallelism
+    val sorted = df
+      .repartitionByRange(parts, col(orderedOn), tie)
+      .sortWithinPartitions(col(orderedOn), tie)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "bin_id", org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(
+        row.toSeq :+ (i + carryIn) / n)
+    }
+    spark.createDataFrame(rdd, schema)
   }
 
   /** Snapshots: running aggregates of the in-progress bin sampled at a

@@ -115,13 +115,9 @@ object RefQueries {
 
     // G3: by_x_rows — bins of exactly N rows in stream order, labeled by
     // the first ordered_on value of the bin (ref segmentby.py:371-520).
-    // Global row numbering = single-partition window; acceptable at parity
-    // scale, the distributed path is graft.agg.SegmentAgg.xRowsBins.
+    // Distributed two-pass row numbering (no single-partition window).
     "g3_by_x_rows" -> { (s, d) =>
-      val w = Window.orderBy(col("ts"), col("event_id"))
-      Tables.events(s, d)
-        .withColumn("rn", row_number().over(w))
-        .withColumn("bin_id", ((col("rn") - 1) / 500).cast("long"))
+      SegmentAgg.xRowsBins(Tables.events(s, d), "ts", 500, col("event_id"))
         .groupBy("bin_id")
         .agg(
           min("ts").as("bin_label"),

@@ -75,7 +75,11 @@ object StoreQueries {
     // t3 fixture: AggStream over three seed chunks with a restart between
     // them (a fresh AggStream instance resuming from persisted state)
     val mk = () => new AggStream(st, "ts", "event_id",
-      Map("hourly" -> StreamKeyCfg(None, "1 hour", aggs = aggSpecs)),
+      Map(
+        "hourly" -> StreamKeyCfg(None, "1 hour", aggs = aggSpecs),
+        // T6: day bins observed at 6-hour snapshot points, incremental
+        "daily_snap" -> StreamKeyCfg(None, "1 day", aggs = aggSpecs,
+          snapFreq = Some("6 hours"))),
       NRows(5000))
     val chunks = Seq(
       e.filter(col("event_id") < 3000),
@@ -137,6 +141,19 @@ object StoreQueries {
         NRows(5000))
         .results("hourly")
         .orderBy("bin")
+    },
+
+    // T6 incrementally: running within-bin values at snapshot points,
+    // accumulated across 3 chunks + a restart, must equal the one-shot
+    // snapshot aggregation.
+    "t6_aggstream_snapshots" -> { (s, d) =>
+      val st = ensure(s, d)
+      new AggStream(st, "ts", "event_id",
+        Map("daily_snap" -> StreamKeyCfg(None, "1 day", aggs = aggSpecs,
+          snapFreq = Some("6 hours"))),
+        NRows(5000))
+        .results("daily_snap")
+        .orderBy("bin", "snap")
     }
   )
 
@@ -178,6 +195,24 @@ object StoreQueries {
               max_by(value, event_id) AS last_v,
               min(value) AS min_v, max(value) AS max_v,
               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
-         FROM e GROUP BY 1 ORDER BY 1"""
+         FROM e GROUP BY 1 ORDER BY 1""",
+
+    "t6_aggstream_snapshots" -> s"""$EV
+         SELECT bin, snap,
+              first_value(c_first) OVER w AS first_v,
+              last_value(c_last) OVER w AS last_v,
+              min(c_min) OVER w AS min_v,
+              max(c_max) OVER w AS max_v,
+              CAST(sum(c_sum) OVER w AS DOUBLE) AS sum_v
+         FROM (SELECT date_trunc('day', ts) AS bin,
+                      time_bucket(INTERVAL '6 hours', ts) AS snap,
+                      min_by(value, event_id) AS c_first,
+                      max_by(value, event_id) AS c_last,
+                      min(value) AS c_min, max(value) AS c_max,
+                      SUM(CAST(value AS DECIMAL(38,6))) AS c_sum
+               FROM e GROUP BY 1, 2)
+         WINDOW w AS (PARTITION BY bin ORDER BY snap
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY bin, snap"""
   )
 }

@@ -15,7 +15,12 @@ final case class StreamKeyCfg(
     closed: String = "left",
     label: String = "left",
     aggs: Seq[AggSpec],
-    post: Option[DataFrame => DataFrame] = None)
+    post: Option[DataFrame => DataFrame] = None,
+    /** Optional snapshot grid finer than the bin (ref T6 snap_by): the
+      * result dataset then stores one mergeable partial per (bin, snap)
+      * cell and `results` emits the running within-bin value at each
+      * non-empty snapshot point. */
+    snapFreq: Option[String] = None)
 
 /** Restartable, out-of-core streamed segment aggregation — the
   * batch-incremental port of the reference's AggStream
@@ -88,7 +93,11 @@ final class AggStream[K](
     val data = cfg.filter.map(chunk.filter).getOrElse(chunk)
     val bin = SegmentAgg.timeBin(col(orderedOn), cfg.binFreq, cfg.closed,
       cfg.label)
-    val partial = data.groupBy(bin.as(BinCol))
+    val groupCols = bin.as(BinCol) +: cfg.snapFreq.toSeq.map(f =>
+      SegmentAgg.timeBin(col(orderedOn), f, cfg.closed, cfg.label)
+        .as(SnapCol))
+    val keyCols = BinCol +: cfg.snapFreq.toSeq.map(_ => SnapCol)
+    val partial = data.groupBy(groupCols: _*)
       .agg(partialExprs(cfg).head, partialExprs(cfg).tail: _*)
       .persist()
     try {
@@ -106,13 +115,13 @@ final class AggStream[K](
           val old = ds.rangeDF(Some(minBin), None)
             .select(partial.columns.map(col): _*)
           old.unionByName(partial)
-            .groupBy(BinCol)
+            .groupBy(keyCols.map(col): _*)
             .agg(combineExprs(cfg).head, combineExprs(cfg).tail: _*)
         }
       ds.write(merged, WriteOpts(
         orderedOn = BinCol,
         target = target,
-        duplicatesOn = Some(Seq(BinCol)),
+        duplicatesOn = Some(keyCols),
         kv = Map(StateKey -> restart.toJson)))
     } finally partial.unpersist()
   }
@@ -182,23 +191,47 @@ final class AggStream[K](
   }
 
   /** User-facing results: post hook applied, internal columns dropped,
-    * decimal partial sums cast back to double.
+    * decimal partial sums cast back to double. With snapshots, each
+    * (bin, snap) row carries the running within-bin value up to that
+    * snapshot (ref jcumsegagg.py preserve_res), computed by an ordered
+    * window combine over the stored cells.
     */
   def results(k: K): DataFrame = {
     val cfg = keys(k)
     val ds = store.get(k)
     val raw = ds.df
-    val casts = cfg.aggs.map { s =>
-      if (s.fn == AggFn.Sum) col(s.out).cast("double").as(s.out)
-      else col(s.out)
+    val out = cfg.snapFreq match {
+      case None =>
+        val casts = cfg.aggs.map { s =>
+          if (s.fn == AggFn.Sum) col(s.out).cast("double").as(s.out)
+          else col(s.out)
+        }
+        raw.select(col(BinCol) +: casts: _*)
+      case Some(_) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(BinCol).orderBy(SnapCol)
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val running = cfg.aggs.map { s =>
+          val c = col(s.out)
+          (s.fn match {
+            case AggFn.First => min_by(c, col(tbMin)).over(w)
+            case AggFn.Last  => max_by(c, col(tbMax)).over(w)
+            case AggFn.Min   => min(c).over(w)
+            case AggFn.Max   => max(c).over(w)
+            case AggFn.Sum   => sum(c).over(w).cast("double")
+          }).as(s.out)
+        }
+        raw.select(Seq(col(BinCol), col(SnapCol)) ++ running: _*)
     }
-    val out = raw.select(col(BinCol) +: casts: _*)
     cfg.post.map(_(out)).getOrElse(out)
   }
 }
 
 object AggStream {
   val BinCol = "bin"
+  val SnapCol = "snap"
   val StateKey = "aggstream.restart"
 
   /** Restart index: seed replays from here (ref aggstream.py:274-369).
