@@ -46,6 +46,22 @@ object Tables {
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def events(s: SparkSession, d: String): DataFrame =
     nanosToNtz(load(s, d, "events"), "ts")
+
+  /** events with a time-range predicate applied to the RAW int64-nanos
+    * column BEFORE the timestamp conversion: a predicate on the
+    * converted column (`timestamp_micros(ts div 1000)`) cannot be pushed
+    * into the parquet scan, one on the raw int64 prunes row groups via
+    * min/max stats. Exact because the data is µs-aligned. Bounds in
+    * epoch micros, [lo, hiExcl).
+    */
+  def eventsRange(s: SparkSession, d: String, loUs: Option[Long],
+      hiUs: Option[Long]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    var raw = load(s, d, "events")
+    loUs.foreach(us => raw = raw.filter(col("ts") >= us * 1000L))
+    hiUs.foreach(us => raw = raw.filter(col("ts") < us * 1000L))
+    nanosToNtz(raw, "ts")
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -51,6 +51,56 @@ object SimilarityOps {
       .select("q_id", "rank", "vec_id", "cos")
   }
 
+  /** IVF (inverted-file) index: a deterministic coarse quantizer (the
+    * centroid subset), each corpus vector assigned to its nearest
+    * centroid — the inverted lists. Assignment is a broadcast of the
+    * centroid set against the streamed corpus: the standard IVF build
+    * shape, linear in |corpus| × |centroids| with no shuffle of the
+    * corpus.
+    */
+  def ivfAssign(corpus: DataFrame, centroidFilter: Column): DataFrame = {
+    val cents = broadcast(corpus.filter(centroidFilter).select(
+      col("id").as("cid"), col("vec").as("cvec"), col("norm").as("cnorm")))
+    val w = Window.partitionBy("id")
+      .orderBy(col("ccos").desc, col("cid"))
+    corpus.join(cents)
+      .withColumn("ccos",
+        cosine(col("vec"), col("cvec"), col("norm"), col("cnorm")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col("id"), col("vec"), col("norm"), col("cid"))
+  }
+
+  /** IVF top-k: rank centroids per query, probe the nProbe nearest
+    * inverted lists, exact-search only those lists. Trades recall for a
+    * |corpus|/|centroids|·nProbe-fold reduction in scored pairs.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      centroidFilter: Column, nProbe: Int, k: Int): DataFrame = {
+    val assigned = ivfAssign(corpus, centroidFilter)
+    val cents = broadcast(corpus.filter(centroidFilter).select(
+      col("id").as("cid"), col("vec").as("cvec"), col("norm").as("cnorm")))
+    val wp = Window.partitionBy("q_id")
+      .orderBy(col("pcos").desc, col("cid"))
+    val probes = queries.select(col("id").as("q_id"), col("vec").as("qvec"),
+        col("norm").as("qnorm"))
+      .join(cents)
+      .withColumn("pcos",
+        cosine(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")))
+      .withColumn("prank", row_number().over(wp))
+      .filter(col("prank") <= nProbe)
+      .select("q_id", "qvec", "qnorm", "cid")
+    val wk = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    probes.join(assigned, Seq("cid"))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id").as("vec_id"),
+        cosine(col("qvec"), col("vec"), col("qnorm"), col("norm")).as("cos"))
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "cos")
+  }
+
   /** Deterministic ±1 hyperplanes (fixed seed), used by both the Spark
     * plan and the generated oracle SQL. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {

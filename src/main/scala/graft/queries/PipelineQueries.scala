@@ -96,6 +96,17 @@ object PipelineQueries {
         .orderBy("q_id", "rank")
     },
 
+    // IVF ANN: deterministic coarse quantizer (vec_id % 25 == 0),
+    // nearest-centroid inverted lists, probe the 4 nearest lists.
+    "p_ann_ivf" -> { (s, d) =>
+      val v = SimilarityOps.withNorm(embs(s, d), "vec_id", "embedding")
+        .persist()
+      SimilarityOps.ivfTopK(
+        v.filter(col("id") < NQueryVecs), v,
+        col("id") % 25 === 0, nProbe = 4, k = TopK)
+        .orderBy("q_id", "rank")
+    },
+
     // n-gram-profile language ID (deterministic heuristic + tie-break).
     "p_text_langid" -> { (s, d) =>
       val scores = TextOps.langScores(col("text"))
@@ -256,6 +267,37 @@ object PipelineQueries {
      SELECT q_id, CAST(rank AS INT) AS rank, vec_id, cos
      FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank"""
 
+  private def annIvfOracle: String =
+    s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+              FROM embeddings),
+       n AS (SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM v),
+       cents AS (SELECT id AS cid, vec AS cvec, norm AS cnorm FROM n
+                 WHERE id % 25 = 0),
+       assigned AS (SELECT id, vec, norm, cid FROM (
+              SELECT n.id, n.vec, n.norm, cents.cid, row_number() OVER (
+                PARTITION BY n.id ORDER BY
+                  round(list_dot_product(n.vec, cents.cvec)
+                    / (n.norm * cents.cnorm), 6) DESC, cents.cid) AS crank
+              FROM n CROSS JOIN cents) WHERE crank = 1),
+       probes AS (SELECT q_id, qvec, qnorm, cid FROM (
+              SELECT q.id AS q_id, q.vec AS qvec, q.norm AS qnorm,
+                cents.cid, row_number() OVER (
+                PARTITION BY q.id ORDER BY
+                  round(list_dot_product(q.vec, cents.cvec)
+                    / (q.norm * cents.cnorm), 6) DESC, cents.cid) AS prank
+              FROM n q CROSS JOIN cents WHERE q.id < $NQueryVecs)
+              WHERE prank <= 4),
+       scored AS (SELECT p.q_id, a.id AS vec_id,
+              round(list_dot_product(p.qvec, a.vec)
+                / (p.qnorm * a.norm), 6) AS cos
+              FROM probes p JOIN assigned a ON p.cid = a.cid
+              WHERE a.id <> p.q_id),
+       ranked AS (SELECT *, row_number() OVER (
+              PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+              FROM scored)
+     SELECT q_id, CAST(rank AS INT) AS rank, vec_id, cos
+     FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank"""
+
   private def langidOracle: String = {
     def occ(m: String): String = {
       val esc = m.replace("'", "''")
@@ -301,6 +343,7 @@ object PipelineQueries {
 
     "p_dedup_embedding_lsh" -> embeddingLshOracle,
     "p_ann_topk" -> annTopkOracle,
+    "p_ann_ivf" -> annIvfOracle,
     "p_text_langid" -> langidOracle,
 
     "p_text_quality" -> {

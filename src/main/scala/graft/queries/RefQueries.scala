@@ -59,10 +59,15 @@ object RefQueries {
     },
 
     // F3: range trim on the ordered column (ref aggstream.py:553-569).
+    // The predicate goes onto the raw int64 column so parquet row-group
+    // stats prune (see Tables.eventsRange — a filter on the converted
+    // timestamp pushes nothing).
     "f3_range_trim" -> { (s, d) =>
-      Tables.events(s, d)
-        .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp_ntz")
-          && col("ts") < lit("2024-01-20 00:00:00").cast("timestamp_ntz"))
+      def us(date: String): Long =
+        java.time.LocalDateTime.parse(date)
+          .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+      Tables.eventsRange(s, d,
+          Some(us("2024-01-10T00:00:00")), Some(us("2024-01-20T00:00:00")))
         .select("event_id", "ts", "user_id", "value")
         .orderBy("event_id")
     },
