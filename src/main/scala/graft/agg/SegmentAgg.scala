@@ -75,6 +75,25 @@ object SegmentAgg {
     }
   }
 
+  /** Explicit bin edges (ref segmentby.py by_scale with a Series of bin
+    * ends): the bin label of v is the greatest edge <= v (left-closed)
+    * or the least edge >= v's predecessor for right-closed. Values below
+    * the first edge get a null bin. Implemented as a descending
+    * when-chain over the sorted literal edges (driver-side searchsorted
+    * compiled into the expression — fine for the bounded edge counts
+    * custom bins are used with).
+    */
+  def edgeBin(ordered: Column, edges: Seq[Any],
+      closed: String = "left"): Column = {
+    val eps = expr("INTERVAL 1 MICROSECOND")
+    val x = if (closed == "left") ordered else ordered - eps
+    // edges must be ascending; folding ascending leaves the LARGEST edge
+    // as the outermost `when`, i.e. the chain tests edges descending
+    edges.foldLeft(lit(null): Column) {
+      (acc, e) => when(x >= lit(e), lit(e)).otherwise(acc)
+    }
+  }
+
   /** Parse "5 minutes" / "1 hour" / "2 days" … to microseconds. */
   def fixedFreqMicros(freq: String): Long = {
     val m = "^(\\d+)\\s*(second|minute|hour|day|week)s?$".r

@@ -125,12 +125,14 @@ object DedupOps {
     val nDigits = SimhashBits / 4
     val words = df.select(col(idCol).as("id"),
       explode(array_distinct(TextOps.wsTokens(col(textCol)))).as("w"))
-      .withColumn("h", md5(col("w")))
-    // per word: hex digit value at position p
-    val withDigits = (0 until nDigits).foldLeft(words) { (d, p) =>
+    // hash each DISTINCT word once and broadcast-join the digit table —
+    // md5+hex-conv runs |vocabulary| times, not |corpus × words| times
+    val wh = words.select("w").distinct().withColumn("h", md5(col("w")))
+    val digitTable = (0 until nDigits).foldLeft(wh) { (d, p) =>
       d.withColumn(s"d$p",
         conv(substring(col("h"), p + 1, 1), 16, 10).cast("long"))
-    }
+    }.drop("h")
+    val withDigits = words.join(broadcast(digitTable), "w")
     // per id: vote for each bit, then majority → simhash int
     val bitSums = (0 until SimhashBits).map { bit =>
       val p = bit / 4; val b = bit % 4
@@ -154,12 +156,18 @@ object DedupOps {
         (col("simhash").divide(lit(1L << (bandBits * b))).cast("long"))
           % (1L << bandBits)): _*))
         .as(Seq("band_id", "band_val")))
+    // dedup bare (i, j) pairs first, then broadcast-join the hashes
+    // back — the distinct never carries payload columns
     val a = banded.as("a"); val b = banded.as("b")
-    a.join(b, col("a.band_id") === col("b.band_id") &&
+    val cand = a.join(b, col("a.band_id") === col("b.band_id") &&
         col("a.band_val") === col("b.band_val") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("i"), col("b.id").as("j"),
-        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
       .distinct()
+    cand
+      .join(broadcast(sim.select(col("id"), col("simhash").as("sa"))),
+        col("i") === col("id")).drop("id")
+      .join(broadcast(sim.select(col("id"), col("simhash").as("sb"))),
+        col("j") === col("id")).drop("id")
       .withColumn("dist", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("dist") <= maxDist)
       .select("i", "j", "dist")

@@ -63,9 +63,11 @@ object PipelineQueries {
         .orderBy("i", "j")
     },
 
-    // SimHash: 32-bit majority fingerprint, pigeonhole-banded Hamming join.
+    // SimHash: 32-bit majority fingerprint, pigeonhole-banded Hamming
+    // join. The signature table feeds three branches (bands + two hash
+    // joins) → persist it.
     "p_dedup_simhash" -> { (s, d) =>
-      val sim = DedupOps.simhash(docs(s, d), "doc_id", "text")
+      val sim = DedupOps.simhash(docs(s, d), "doc_id", "text").persist()
       DedupOps.simhashPairs(sim, SimhashMaxDist).orderBy("i", "j")
     },
 

@@ -72,6 +72,43 @@ object RefQueries {
         .orderBy("event_id")
     },
 
+    // F2: per-filter-id seed fan-out — one shared scan routed through
+    // several named filter sets (ref aggstream.py:571-591, 1254-1328).
+    "f2_filter_fanout" -> { (s, d) =>
+      val e = Tables.events(s, d)
+      val fanout = Seq(
+        "clicks_hi" -> (col("event_type") === "click"
+          && col("value") > 200.0),
+        "errors" -> (col("event_type") === "error"))
+      fanout.map { case (fid, f) =>
+        e.filter(f)
+          .groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz")
+            .as("bin"))
+          .agg(dsum(col("value")).as("sum_value"),
+            count(lit(1)).as("n_rows"))
+          .select(lit(fid).as("filter_id"), col("bin"), col("sum_value"),
+            col("n_rows"))
+      }.reduce(_ unionByName _).orderBy("filter_id", "bin")
+    },
+
+    // G2 with an explicit Series of bin edges (ref by_scale with a
+    // DatetimeIndex of ends): custom, irregular bins.
+    "g2_custom_edges" -> { (s, d) =>
+      val edges = Seq("2024-01-01", "2024-01-05", "2024-01-12",
+        "2024-01-20", "2024-01-27")
+        .map(x => java.time.LocalDate.parse(x).atStartOfDay())
+      Tables.events(s, d)
+        .groupBy(SegmentAgg.edgeBin(col("ts"), edges).as("bin"))
+        .agg(
+          min_by(col("value"), col("event_id")).as("first_value"),
+          max_by(col("value"), col("event_id")).as("last_value"),
+          min("value").as("min_value"),
+          max("value").as("max_value"),
+          dsum(col("value")).as("sum_value"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("bin")
+    },
+
     // W1: keep-last dedup on a subset ∪ {ordered_on}
     // (ref write.py:199-203, iter_merge_split_data.py:113-119): last row
     // per user_id in (ts, event_id) order wins.
@@ -247,6 +284,33 @@ object RefQueries {
          WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
            AND ts <  TIMESTAMP '2024-01-20 00:00:00'
          ORDER BY event_id""",
+
+    "f2_filter_fanout" -> s"""$EV
+         SELECT 'clicks_hi' AS filter_id, date_trunc('day', ts) AS bin,
+              CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+              count(*) AS n_rows
+         FROM e WHERE event_type = 'click' AND value > 200.0 GROUP BY 2
+         UNION ALL
+         SELECT 'errors' AS filter_id, date_trunc('day', ts) AS bin,
+              CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+              count(*) AS n_rows
+         FROM e WHERE event_type = 'error' GROUP BY 2
+         ORDER BY filter_id, bin""",
+
+    "g2_custom_edges" -> s"""$EV
+         SELECT CASE
+                WHEN ts >= TIMESTAMP '2024-01-27' THEN TIMESTAMP '2024-01-27'
+                WHEN ts >= TIMESTAMP '2024-01-20' THEN TIMESTAMP '2024-01-20'
+                WHEN ts >= TIMESTAMP '2024-01-12' THEN TIMESTAMP '2024-01-12'
+                WHEN ts >= TIMESTAMP '2024-01-05' THEN TIMESTAMP '2024-01-05'
+                WHEN ts >= TIMESTAMP '2024-01-01' THEN TIMESTAMP '2024-01-01'
+                ELSE NULL END AS bin,
+              min_by(value, event_id) AS first_value,
+              max_by(value, event_id) AS last_value,
+              min(value) AS min_value, max(value) AS max_value,
+              CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+              count(*) AS n_rows
+         FROM e GROUP BY 1 ORDER BY 1""",
 
     "w1_dedup_keep_last" -> s"""$EV
          SELECT user_id, ts, event_id, event_type, value FROM (

@@ -1,0 +1,70 @@
+package graft.agg
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.time.LocalDateTime
+
+class SegmentAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  def ts(s: String): LocalDateTime = LocalDateTime.parse(s)
+
+  val df = Seq(
+    (ts("2024-01-01T00:00:00"), 1.0, 0L),
+    (ts("2024-01-01T00:04:59"), 2.0, 1L),
+    (ts("2024-01-01T00:05:00"), 3.0, 2L), // exactly on a 5-min edge
+    (ts("2024-01-01T00:09:59"), 4.0, 3L),
+    (ts("2024-01-01T00:10:00"), 5.0, 4L))
+    .toDF("t", "v", "rid")
+
+  test("timeBin closed/label semantics on exact edges") {
+    def bins(closed: String, label: String): Seq[LocalDateTime] =
+      df.select(SegmentAgg.timeBin($"t", "5 minutes", closed, label))
+        .as[LocalDateTime].collect().toSeq
+    // left-closed: edge value opens a NEW bin
+    assert(bins("left", "left").map(_.getMinute) == Seq(0, 0, 5, 5, 10))
+    assert(bins("left", "right").map(_.getMinute) == Seq(5, 5, 10, 10, 15))
+    // right-closed: edge value belongs to the bin ENDING there
+    assert(bins("right", "right").map(_.getMinute) == Seq(0, 5, 5, 10, 10))
+    assert(bins("right", "left").map(_.getMinute) ==
+      Seq(55, 0, 0, 5, 5)) // first bin starts at 23:55 of prev day
+  }
+
+  test("timeBin matches window() alignment for fixed durations") {
+    val a = df.select(SegmentAgg.timeBin($"t", "5 minutes")
+      .as("bin")).as[LocalDateTime].collect().toSeq
+    val b = df.select(window($"t", "5 minutes").getField("start")
+      .cast("timestamp_ntz").as("bin")).as[LocalDateTime].collect().toSeq
+    assert(a == b)
+  }
+
+  test("edgeBin assigns greatest edge <= value, null below first edge") {
+    val edges = Seq(ts("2024-01-01T00:03:00"), ts("2024-01-01T00:08:00"))
+    val out = df.select(SegmentAgg.edgeBin($"t", edges).as("bin"))
+      .collect().map(r => Option(r.get(0)))
+    assert(out(0).isEmpty)                       // before first edge
+    assert(out(1).contains(ts("2024-01-01T00:03:00")))
+    assert(out(2).contains(ts("2024-01-01T00:03:00")))
+    assert(out(3).contains(ts("2024-01-01T00:08:00")))
+    assert(out(4).contains(ts("2024-01-01T00:08:00")))
+  }
+
+  test("xRowsBins carry continues a partial bin across calls") {
+    val binned = SegmentAgg.xRowsBins(df, "t", 2, $"rid", carryIn = 1L)
+    val ids = binned.orderBy("t").select("bin_id").as[Long].collect().toSeq
+    // global idx 1,2,3,4,5 → /2 → 0,1,1,2,2
+    assert(ids == Seq(0L, 1L, 1L, 2L, 2L))
+  }
+
+  test("aggregateWithSpine materializes empty bins with nulls") {
+    val sparse = Seq((ts("2024-01-01T00:00:30"), 1.0, 0L),
+      (ts("2024-01-01T00:15:30"), 2.0, 1L)).toDF("t", "v", "rid")
+    val out = SegmentAgg.aggregateWithSpine(sparse,
+      SegmentAgg.timeBin($"t", "5 minutes"),
+      Seq(AggSpec("sum_v", "v", AggFn.Sum)), $"rid", "5 MINUTES")
+      .orderBy("bin").collect()
+    assert(out.length == 4) // 00:00, 00:05, 00:10, 00:15
+    assert(out(1).isNullAt(1) && out(2).isNullAt(1))
+    assert(out(0).getDouble(1) == 1.0 && out(3).getDouble(1) == 2.0)
+  }
+}

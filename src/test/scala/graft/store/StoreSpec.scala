@@ -155,6 +155,31 @@ class StoreSpec extends SparkSpec {
     }
   }
 
+  test("hierarchical (sublevel) indexer maps to nested directories") {
+    // HierarchicalIndex(symbol, DateInfo(year, month)) → AAPL/2023-01
+    // (ref indexer.py sublevel; tutorial.rst:188-206)
+    case class Hier(symbol: String, year: Int, month: Int)
+    val idx = Indexer.of[Hier](2)(
+      k => Seq(Seq(k.symbol), Seq(k.year.toString, f"${k.month}%02d")))(
+      l => (l(0), l(1)) match {
+        case (Seq(sym), Seq(y, m)) => Some(Hier(sym, y.toInt, m.toInt))
+        case _ => None
+      })
+    assert(idx.toPath(Hier("AAPL", 2023, 1)) == "AAPL/2023-01")
+    assert(idx.fromPath("AAPL/2023-01") == Some(Hier("AAPL", 2023, 1)))
+    implicit val ord: Ordering[Hier] =
+      Ordering.by(h => (h.symbol, h.year, h.month))
+    val base = tmpDir("hierstore")
+    val st = new Store(spark, base, idx)
+    st.get(Hier("AAPL", 2023, 1)).write(tsDf(Seq((1L, 1.0))), WriteOpts("t"))
+    st.get(Hier("MSFT", 2024, 12)).write(tsDf(Seq((2L, 2.0))), WriteOpts("t"))
+    assert(st.keys.toSeq == Seq(Hier("AAPL", 2023, 1), Hier("MSFT", 2024, 12)))
+    st.delete(Hier("AAPL", 2023, 1))
+    assert(st.keys.toSeq == Seq(Hier("MSFT", 2024, 12)))
+    // parent dir AAPL pruned after its last dataset is deleted
+    assert(!new java.io.File(s"$base/AAPL").exists())
+  }
+
   test("kv metadata add/update/remove") {
     val dir = tmpDir("opd")
     val ds = new OrderedDataset(spark, s"$dir/d1")
