@@ -252,6 +252,43 @@ object RefQueries {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // Headline: TPC-H Q5-style multi-join — every dimension chain
+    // (region→nation→customer) broadcasts; only the fact-side
+    // lineitem⋈orders pair shuffles (and AQE may broadcast orders too).
+    "j5_multi_join" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      val dims = c
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select(col("c_custkey"), col("n_name"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(dims), o("o_custkey") === dims("c_custkey"))
+        .groupBy("n_name")
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+
+    // Headline: TPC-H Q18-style semi-join — orders restricted to the
+    // grouped-HAVING key set via left_semi (no row duplication).
+    "j18_semi_join" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val big = li.groupBy("l_orderkey")
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 150.0)
+      o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy("o_orderkey")
+    },
+
     // Headline: join + aggregation; orders is broadcast-able at any SF
     // where it fits (dim side), lineitem is the fact side.
     "j1_join_agg" -> { (s, d) =>
@@ -408,6 +445,28 @@ object RefQueries {
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "j5_multi_join" ->
+      """SELECT n_name,
+              CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+              count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY 1 ORDER BY 1""",
+
+    "j18_semi_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+              CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
+         FROM orders
+         WHERE o_orderkey IN (
+           SELECT l_orderkey FROM lineitem
+           GROUP BY 1 HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 150.0)
+         ORDER BY o_orderkey""",
 
     "j1_join_agg" ->
       """SELECT o_orderpriority,

@@ -113,7 +113,31 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     * plan on the driver from sidecar stats, run ONE Spark job over the
     * overlapping slice ∪ batch, commit via atomic sidecar swap.
     */
-  def write(batch: DataFrame, opts: WriteOpts): UpsertReport = {
+  /** Advisory exclusive write lock (ref base.py:240-255 flufl lock):
+    * single-writer discipline; a lock older than `LockStaleMs` is
+    * considered abandoned and broken.
+    */
+  private def withWriteLock[T](f: => T): T = {
+    val lockPath = new HPath(s"$dir/$LockName")
+    val fsys = fs
+    fsys.mkdirs(new HPath(dir))
+    val fresh =
+      try {
+        val st = fsys.getFileStatus(lockPath)
+        System.currentTimeMillis() - st.getModificationTime < LockStaleMs
+      } catch { case _: java.io.FileNotFoundException => false }
+    if (fresh)
+      throw new IllegalStateException(
+        s"dataset $dir is locked by another writer")
+    try fsys.create(lockPath, true).close()
+    catch { case _: java.io.IOException => () }
+    try f finally fsys.delete(lockPath, false)
+  }
+
+  def write(batch: DataFrame, opts: WriteOpts): UpsertReport =
+    withWriteLock { writeLocked(batch, opts) }
+
+  private def writeLocked(batch: DataFrame, opts: WriteOpts): UpsertReport = {
     val m0: Option[DatasetMeta] = if (exists) Some(meta) else None
     m0.foreach { m =>
       require(m.orderedOn == opts.orderedOn,
@@ -272,6 +296,8 @@ object OrderedDataset {
   val SeqCol = "__graft_seq"
   val RidCol = "__graft_rid"
   val TmpDirName = "_tmp_write"
+  val LockName = ".lock"
+  val LockStaleMs = 120000L
   /** ≥80 % of target counts as on-target (ref n_rows_strategy.py:33). */
   val OnTargetFraction = 0.8
 

@@ -1,0 +1,122 @@
+package graft.store
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests of the upsert contract (SURVEY §5 port implication):
+  * however an ordered dataset is assembled — one batch, many batches,
+  * overlapping corrections, repeated writes — the final content equals
+  * the relational keep-last-dedup of the concatenated batches, and
+  * upserts are idempotent. Generators are driven directly (fixed seeds,
+  * deterministic) — no scalatest-scalacheck bridge needed.
+  */
+class UpsertPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  /** One batch: sorted keys (with duplicates) and a value tag. */
+  val batchGen: Gen[Seq[(Long, Double)]] = for {
+    n <- Gen.choose(1, 40)
+    keys <- Gen.listOfN(n, Gen.choose(0L, 60L))
+    tag <- Gen.choose(0, 1000)
+  } yield keys.sorted.zipWithIndex.map { case (k, i) =>
+    (k, tag * 1000.0 + i)
+  }
+
+  val scenarioGen: Gen[(List[Seq[(Long, Double)]], Long, Option[Int])] = for {
+    batches <- Gen.choose(1, 5).flatMap(Gen.listOfN(_, batchGen))
+    target <- Gen.choose(5L, 25L)
+    maxOff <- Gen.oneOf(None, Some(2))
+  } yield (batches, target, maxOff)
+
+  def toDf(b: Seq[(Long, Double)]): DataFrame =
+    b.toDF("t", "v").coalesce(1)
+
+  /** Reference model: keep-last on t over the concatenation, in batch
+    * order then intra-batch order.
+    */
+  def model(batches: Seq[Seq[(Long, Double)]]): Seq[(Long, Double)] =
+    batches.flatten.zipWithIndex
+      .groupBy(_._1._1).view
+      .mapValues(_.maxBy(_._2)._1._2)
+      .toSeq.sortBy(_._1)
+
+  test("any sequence of ordered upserts equals keep-last of the concat") {
+    (1 to 10).foreach { i =>
+      val (batches, target, maxOff) = sample(scenarioGen, 1000L + i)
+      val dir = tmpDir("prop")
+      val ds = new OrderedDataset(spark, s"$dir/d")
+      val opts = WriteOpts("t", NRows(target),
+        duplicatesOn = Some(Seq("t")), maxNOffTargetRgs = maxOff)
+      batches.foreach(b => ds.write(toDf(b), opts))
+      val got = ds.orderedDf.as[(Long, Double)].collect().toSeq
+      val exp = model(batches)
+      assert(got == exp, s"\nseed=${1000 + i} batches=$batches target=$target")
+      // sidecar stats are exact and files non-overlapping (t is unique
+      // after keep-last dedup, so boundaries cannot even touch)
+      val m = ds.meta
+      assert(m.totalRows == exp.size)
+      m.files.foreach(f => assert(f.min <= f.max))
+      m.files.sliding(2).foreach {
+        case Seq(a, b) => assert(a.max < b.min,
+          s"overlapping files: $a / $b")
+        case _ =>
+      }
+    }
+  }
+
+  test("re-upserting the same batch is idempotent") {
+    (1 to 6).foreach { i =>
+      val b = sample(batchGen, 2000L + i)
+      val dir = tmpDir("idem")
+      val ds = new OrderedDataset(spark, s"$dir/d")
+      val opts = WriteOpts("t", NRows(10), duplicatesOn = Some(Seq("t")))
+      ds.write(toDf(b), opts)
+      val first = ds.orderedDf.as[(Long, Double)].collect().toSeq
+      ds.write(toDf(b), opts)
+      val second = ds.orderedDf.as[(Long, Double)].collect().toSeq
+      assert(first == second, s"seed=${2000 + i}")
+    }
+  }
+
+  /** The AggStream equivalence as a property: random chunkings of a
+    * random seed all converge to the same bins.
+    */
+  test("incremental aggregation is chunking-invariant (property)") {
+    import graft.agg.{AggFn, AggSpec}
+    import graft.stream.{AggStream, StreamKeyCfg}
+    import org.apache.spark.sql.functions.col
+    implicit val ord: Ordering[String] = Ordering.String
+    val idx = Indexer.of[String](1)(k => Seq(Seq(k)))(l =>
+      if (l.head.size == 1) Some(l.head.head) else None)
+    val specs = Seq(AggSpec("s", "v", AggFn.Sum),
+      AggSpec("mn", "v", AggFn.Min), AggSpec("f", "v", AggFn.First))
+    val rows = (0 until 120).map { i =>
+      (java.time.LocalDateTime.of(2024, 2, 1, 0, 0)
+        .plusSeconds(i * 97L), i * 1.0, i.toLong)
+    }
+    val seedDf = rows.toDF("t", "v", "rid")
+    def run(cuts: Seq[Int]): Seq[org.apache.spark.sql.Row] = {
+      val st = new Store(spark, tmpDir("propagg"), idx)
+      val stream = new AggStream(st, "t", "rid",
+        Map("o" -> StreamKeyCfg(None, "15 minutes", aggs = specs)),
+        NRows(1000))
+      val bounds = (0 +: cuts :+ rows.length).distinct.sorted
+      stream.agg(bounds.sliding(2).map { case Seq(a, b) =>
+        rows.slice(a, b).toDF("t", "v", "rid")
+      }.toSeq.iterator)
+      stream.results("o").orderBy("bin").collect().toSeq
+    }
+    val expected = run(Nil)
+    val cutsGen = Gen.choose(0, 4)
+      .flatMap(Gen.listOfN(_, Gen.choose(1, 119)))
+    (1 to 5).foreach { i =>
+      val cuts = sample(cutsGen, 3000L + i)
+      assert(run(cuts) == expected, s"cuts=$cuts")
+    }
+  }
+}
