@@ -16,8 +16,16 @@ import org.apache.spark.sql.expressions.Window
   */
 object SimilarityOps {
 
-  /** Sequential fold dot product of two double arrays. */
+  /** Dot product of two double arrays: native codegen'd Expression
+    * (single fused loop, no intermediate array — see
+    * graft.functions.DotProduct). Same sequential accumulation order as
+    * the builtin composition below, so results are bit-identical.
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.DotProduct.dot_product(a, b)
+
+  /** Builtin-only composition (reference implementation for the spec). */
+  def dotBuiltin(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def asDouble(a: Column): Column = transform(a, x => x.cast("double"))

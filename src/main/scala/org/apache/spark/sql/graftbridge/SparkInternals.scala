@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to `private[sql]` Column ↔ Expression conversions — the
+  * standard glue any Spark 4 extension needs to expose a custom
+  * Catalyst Expression as a user-facing Column (Column wraps a
+  * ColumnNode in 4.x; the classic converters are sql-private).
+  */
+object SparkInternals {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

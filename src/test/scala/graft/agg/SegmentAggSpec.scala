@@ -56,6 +56,23 @@ class SegmentAggSpec extends SparkSpec {
     assert(ids == Seq(0L, 1L, 1L, 2L, 2L))
   }
 
+  test("salted aggregation equals direct aggregation on skewed keys") {
+    // 90% of rows share one hot key
+    val skewed = (0 until 2000).map { i =>
+      val key = if (i % 10 == 0) s"k${i % 7}" else "hot"
+      (key, i * 1.0, i.toLong)
+    }.toDF("k", "v", "rid")
+    val specs = Seq(
+      AggSpec("f", "v", AggFn.First), AggSpec("l", "v", AggFn.Last),
+      AggSpec("mn", "v", AggFn.Min), AggSpec("mx", "v", AggFn.Max),
+      AggSpec("s", "v", AggFn.Sum))
+    val direct = SegmentAgg.aggregate(skewed, $"k", specs, $"rid")
+      .orderBy("bin").collect().toSeq
+    val salted = SaltedAgg.aggregate(skewed, $"k", specs, $"rid", 16)
+      .orderBy("bin").collect().toSeq
+    assert(salted == direct)
+  }
+
   test("aggregateWithSpine materializes empty bins with nulls") {
     val sparse = Seq((ts("2024-01-01T00:00:30"), 1.0, 0L),
       (ts("2024-01-01T00:15:30"), 2.0, 1L)).toDF("t", "v", "rid")

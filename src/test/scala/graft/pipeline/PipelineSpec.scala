@@ -61,6 +61,20 @@ class PipelineSpec extends SparkSpec {
     assert(top(2)._3 == 3L)
   }
 
+  test("native dot_product expression matches the builtin composition") {
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(64)(j => ((i * 31 + j * 7) % 13 - 6) * 0.25f))
+    }.toDF("vec_id", "embedding")
+    val v = SimilarityOps.asDouble($"embedding")
+    val both = vecs.crossJoin(vecs.select($"embedding".as("e2")))
+      .select(
+        SimilarityOps.dot(v, SimilarityOps.asDouble($"e2")).as("native"),
+        SimilarityOps.dotBuiltin(v, SimilarityOps.asDouble($"e2"))
+          .as("builtin"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("langId picks a deterministic language with tie-break") {
     val out = docs.select(TextOps.langId($"text").as("lang"))
       .as[String].collect()
