@@ -79,7 +79,10 @@ object StoreQueries {
         "hourly" -> StreamKeyCfg(None, "1 hour", aggs = aggSpecs),
         // T6: day bins observed at 6-hour snapshot points, incremental
         "daily_snap" -> StreamKeyCfg(None, "1 day", aggs = aggSpecs,
-          snapFreq = Some("6 hours"))),
+          snapFreq = Some("6 hours")),
+        // G3 incrementally: 500-row count bins continuing across chunks
+        "xrows" -> StreamKeyCfg(None, "", aggs = aggSpecs,
+          xRows = Some(500))),
       NRows(5000))
     val chunks = Seq(
       e.filter(col("event_id") < 3000),
@@ -143,6 +146,18 @@ object StoreQueries {
         .orderBy("bin")
     },
 
+    // G3/T1 incrementally: count-based bins accumulated across 3 chunks
+    // + a restart equal the one-shot 500-row binning.
+    "t7_aggstream_xrows" -> { (s, d) =>
+      val st = ensure(s, d)
+      new AggStream(st, "ts", "event_id",
+        Map("xrows" -> StreamKeyCfg(None, "", aggs = aggSpecs,
+          xRows = Some(500))),
+        NRows(5000))
+        .results("xrows")
+        .orderBy("bin")
+    },
+
     // T6 incrementally: running within-bin values at snapshot points,
     // accumulated across 3 chunks + a restart, must equal the one-shot
     // snapshot aggregation.
@@ -196,6 +211,18 @@ object StoreQueries {
               min(value) AS min_v, max(value) AS max_v,
               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
          FROM e GROUP BY 1 ORDER BY 1""",
+
+    "t7_aggstream_xrows" -> s"""$EV
+         SELECT CAST(floor((rn - 1) / 500) AS BIGINT) AS bin,
+              min(ts) AS bin_label,
+              count(*) AS n_rows,
+              min_by(value, event_id) AS first_v,
+              max_by(value, event_id) AS last_v,
+              min(value) AS min_v, max(value) AS max_v,
+              CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
+         FROM (SELECT *, row_number() OVER (ORDER BY ts, event_id) AS rn
+               FROM e)
+         GROUP BY 1 ORDER BY 1""",
 
     "t6_aggstream_snapshots" -> s"""$EV
          SELECT bin, snap,

@@ -20,7 +20,12 @@ final case class StreamKeyCfg(
       * result dataset then stores one mergeable partial per (bin, snap)
       * cell and `results` emits the running within-bin value at each
       * non-empty snapshot point. */
-    snapFreq: Option[String] = None)
+    snapFreq: Option[String] = None,
+    /** Count-based bins of exactly N rows (ref by_x_rows as a stream
+      * bin_by, segmentby.py:371-520): bins continue across chunks via a
+      * persisted processed-row count; bin label = first ordered value.
+      * Mutually exclusive with snapFreq; binFreq is ignored. */
+    xRows: Option[Int] = None)
 
 /** Restartable, out-of-core streamed segment aggregation — the
   * batch-incremental port of the reference's AggStream
@@ -90,7 +95,58 @@ final class AggStream[K](
     */
   private def processKey(k: K, cfg: StreamKeyCfg, chunk: DataFrame,
       restart: Restart): Unit = {
+    require(cfg.snapFreq.isEmpty || cfg.xRows.isEmpty,
+      "snapFreq and xRows are mutually exclusive")
     val data = cfg.filter.map(chunk.filter).getOrElse(chunk)
+    cfg.xRows match {
+      case Some(n) => processKeyXRows(k, cfg, data, n, restart)
+      case None    => processKeyTime(k, cfg, data, restart)
+    }
+  }
+
+  /** Count-based bins: global row numbering continues from the persisted
+    * processed-row count; each bin's partial merges like time bins, with
+    * the label (first ordered value) merged via min.
+    */
+  private def processKeyXRows(k: K, cfg: StreamKeyCfg, data: DataFrame,
+      n: Int, restart: Restart): Unit = {
+    val ds = store.get(k)
+    val rowsSeen =
+      if (ds.exists) ds.kv.get(RowsKey).map(_.toLong).getOrElse(0L) else 0L
+    val binned = SegmentAgg.xRowsBins(data, orderedOn, n, col(tieCol),
+      carryIn = rowsSeen)
+    val exprs = partialExprs(cfg) ++ Seq(
+      min(col(orderedOn)).as(LabelCol), sum(lit(1L)).as(NCol))
+    val partial = binned.groupBy(col("bin_id").as(BinCol))
+      .agg(exprs.head, exprs.tail: _*).persist()
+    try {
+      if (partial.isEmpty) {
+        if (ds.exists) ds.updateKv(Map(StateKey -> restart.toJson))
+        return
+      }
+      val stats = partial.agg(min(BinCol), sum(NCol)).head()
+      val minBin = OrdVal.fromAny(stats.get(0))
+      val chunkRows = stats.getLong(1)
+      val merged =
+        if (!ds.exists) partial
+        else {
+          val old = ds.rangeDF(Some(minBin), None)
+            .select(partial.columns.map(col): _*)
+          val ce = combineExprs(cfg) ++ Seq(
+            min(LabelCol).as(LabelCol), sum(NCol).as(NCol))
+          old.unionByName(partial).groupBy(BinCol)
+            .agg(ce.head, ce.tail: _*)
+        }
+      ds.write(merged, WriteOpts(
+        orderedOn = BinCol, target = target,
+        duplicatesOn = Some(Seq(BinCol)),
+        kv = Map(StateKey -> restart.toJson,
+          RowsKey -> (rowsSeen + chunkRows).toString)))
+    } finally partial.unpersist()
+  }
+
+  private def processKeyTime(k: K, cfg: StreamKeyCfg, data: DataFrame,
+      restart: Restart): Unit = {
     val bin = SegmentAgg.timeBin(col(orderedOn), cfg.binFreq, cfg.closed,
       cfg.label)
     val groupCols = bin.as(BinCol) +: cfg.snapFreq.toSeq.map(f =>
@@ -200,14 +256,17 @@ final class AggStream[K](
     val cfg = keys(k)
     val ds = store.get(k)
     val raw = ds.df
-    val out = cfg.snapFreq match {
-      case None =>
-        val casts = cfg.aggs.map { s =>
-          if (s.fn == AggFn.Sum) col(s.out).cast("double").as(s.out)
-          else col(s.out)
-        }
+    val casts = cfg.aggs.map { s =>
+      if (s.fn == AggFn.Sum) col(s.out).cast("double").as(s.out)
+      else col(s.out)
+    }
+    val out = (cfg.snapFreq, cfg.xRows) match {
+      case (None, Some(_)) =>
+        raw.select(Seq(col(BinCol), col(LabelCol),
+          col(NCol).cast("long").as(NCol)) ++ casts: _*)
+      case (None, None) =>
         raw.select(col(BinCol) +: casts: _*)
-      case Some(_) =>
+      case (Some(_), _) =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(BinCol).orderBy(SnapCol)
           .rowsBetween(org.apache.spark.sql.expressions.Window
@@ -232,7 +291,10 @@ final class AggStream[K](
 object AggStream {
   val BinCol = "bin"
   val SnapCol = "snap"
+  val LabelCol = "bin_label"
+  val NCol = "n_rows"
   val StateKey = "aggstream.restart"
+  val RowsKey = "aggstream.rows"
 
   /** Restart index: seed replays from here (ref aggstream.py:274-369).
     * `exclusive=true` means rows == v were fully processed; `false`

@@ -73,6 +73,29 @@ class AggStreamSpec extends SparkSpec {
     }
   }
 
+  test("count-based bins are chunking-invariant with restart") {
+    def run(splitAt: Seq[Int]): Seq[org.apache.spark.sql.Row] = {
+      val st = new Store(spark, tmpDir("xrows"), idx)
+      val rows = tsSeed.collect()
+      val bounds = (0 +: splitAt :+ rows.length).distinct.sorted
+      val chunks = bounds.sliding(2).map { case Seq(a, b) =>
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.slice(a, b).toSeq, 2),
+          tsSeed.schema)
+      }.toSeq
+      val mk = () => new AggStream(st, "t", "rid",
+        Map("o" -> StreamKeyCfg(None, "", aggs = specs, xRows = Some(30))),
+        NRows(1000))
+      mk().agg(chunks.take(1).iterator)
+      mk().agg(chunks.drop(1).iterator) // restart from persisted state
+      mk().results("o").orderBy("bin").collect().toSeq
+    }
+    val oneShot = run(Nil)
+    assert(oneShot.map(_.getLong(2)).init.forall(_ == 30L)) // full bins
+    for (splits <- Seq(Seq(45), Seq(29, 31), Seq(10, 100, 150)))
+      assert(run(splits) == oneShot, s"splits=$splits")
+  }
+
   test("filter fan-out applies per key") {
     val base = tmpDir("aggstream")
     val st = new Store(spark, base, idx)
