@@ -73,15 +73,20 @@ object DedupOps {
     */
   def jaccardVerify(cand: DataFrame, shingles: DataFrame, threshold: Double)
       : DataFrame = {
+    // candidates are tiny relative to the shingle table (that's the
+    // point of LSH) — broadcast them so the shingle table streams
+    // through both verification joins without ever shuffling
     val counts = shingles.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(shingles.as("sa"), col("i") === col("sa.id"))
-      .join(shingles.as("sb"), col("j") === col("sb.id") &&
-        col("sa.g") === col("sb.g"))
+    val aSide = shingles.as("sa")
+      .join(broadcast(cand), col("sa.id") === col("i"))
+      .select(col("i"), col("j"), col("sa.g").as("__ga"))
+    val inter = shingles.as("sb")
+      .join(broadcast(aSide), col("sb.id") === col("j") &&
+        col("sb.g") === col("__ga"))
       .groupBy("i", "j").agg(count(lit(1)).as("inter"))
     inter
-      .join(counts.as("ca"), col("i") === col("ca.id"))
-      .join(counts.as("cb"), col("j") === col("cb.id"))
+      .join(broadcast(counts).as("ca"), col("i") === col("ca.id"))
+      .join(broadcast(counts).as("cb"), col("j") === col("cb.id"))
       .select(col("i"), col("j"),
         (col("inter").cast("double") /
           (col("ca.n") + col("cb.n") - col("inter"))).as("jac"))

@@ -226,14 +226,19 @@ object RefQueries {
     // months cannot use window(), they go through date_trunc/add_months
     // (SURVEY §7.5 risk 5).
     "g2_month_bins" -> { (s, d) =>
+      // group by the left edge (one calendar-trunc per row), apply the
+      // right-label transform AFTER aggregation — per bin, not per row
       Tables.lineitem(s, d)
-        .groupBy(SegmentAgg.timeBin(col("l_shipdate"), "month",
-          closed = "left", label = "right").as("bin_end"))
+        .groupBy(SegmentAgg.timeBin(col("l_shipdate"), "month")
+          .as("bin_start"))
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           min("l_extendedprice").as("min_price"),
           max("l_extendedprice").as("max_price"),
           count(lit(1)).as("n_rows"))
+        .select(add_months(col("bin_start"), 1).cast("timestamp_ntz")
+          .as("bin_end"), col("sum_qty"), col("min_price"),
+          col("max_price"), col("n_rows"))
         .orderBy("bin_end")
     },
 
