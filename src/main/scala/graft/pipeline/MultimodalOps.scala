@@ -36,6 +36,29 @@ object MultimodalOps {
   /** Real decoder entry point — requires media libs absent here. */
   val realDecoder: Decoder = _ => ???
 
+  final case class FrameSample(id: Long, n_frames: Long, digest: String)
+
+  /** Frame sampling stub: keep every k-th byte of the payload (the
+    * video-frame-sampling analog) and fingerprint the sampled stream.
+    * The MessageDigest instance is reused across a partition's rows —
+    * the batch-amortized pattern a real decoder would use.
+    */
+  def frameSample(spark: SparkSession, df: DataFrame, idCol: String,
+      payloadCol: String, k: Int): Dataset[FrameSample] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          val sampled = Array.range(0, bytes.length, k).map(bytes(_))
+          md.reset()
+          val hex = md.digest(sampled).map("%02x".format(_)).mkString
+          FrameSample(id, sampled.length.toLong, hex)
+        }
+      }
+  }
+
   /** Decode a binary payload column partition-wise. Input: (id, payload);
     * output one feature row per media object. The decoder runs once per
     * row inside a partition iterator — batch-shaped like an Arrow-based

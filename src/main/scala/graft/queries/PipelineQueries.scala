@@ -141,6 +141,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Multimodal frame sampling: every 7th payload byte, fingerprinted —
+    // the video-frame-sample analog over opaque binary columns.
+    "p_multimodal_framesample" -> { (s, d) =>
+      val bin = docs(s, d).select(col("doc_id"),
+        col("text").cast("binary").as("payload"))
+      MultimodalOps.frameSample(s, bin, "doc_id", "payload", 7)
+        .toDF().withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // Multimodal: opaque binary payload → partition-wise decode (fake
     // deterministic decoder; real decoder is a pluggable stub).
     "p_multimodal_decode" -> { (s, d) =>
@@ -376,6 +386,16 @@ object PipelineQueries {
               max(md5(substr(text, i, 8))) AS fp_max
          FROM documents, unnest(generate_series(1, len(text) - 7)) t(i)
          GROUP BY doc_id ORDER BY doc_id""",
+
+    "p_multimodal_framesample" ->
+      """SELECT doc_id,
+              CAST(len(sampled) AS BIGINT) AS n_frames,
+              md5(array_to_string(sampled, '')) AS digest
+         FROM (SELECT doc_id,
+                 list_transform(generate_series(1, len(text), 7),
+                   i -> substr(text, i, 1)) AS sampled
+               FROM documents)
+         ORDER BY doc_id""",
 
     "p_multimodal_decode" ->
       """SELECT doc_id, CAST(len(text) AS BIGINT) AS n_bytes,

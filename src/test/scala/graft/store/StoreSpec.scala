@@ -155,6 +155,40 @@ class StoreSpec extends SparkSpec {
     }
   }
 
+  test("intersections handle duplicate boundary values across files") {
+    // FIXTURES.md §1.2 "hours" shape: tiny row groups with duplicate
+    // ordered values spanning file boundaries
+    val base = tmpDir("dupbound")
+    val st = new Store(spark, base, cityIdx)
+    val k = CityKey("a", "x")
+    // duplicate t=10 four times, t=22 three times; rg target 2 forces
+    // the duplicates across file boundaries (no dedup on write)
+    val vals = Seq(1L, 5L, 10L, 10L, 10L, 10L, 15L, 22L, 22L, 22L, 30L)
+    st.get(k).write(
+      vals.zipWithIndex.map { case (t, i) => (t, i.toDouble) }.toDF("t", "v")
+        .coalesce(1),
+      WriteOpts("t", NRows(2)))
+    val m = st.get(k).meta
+    assert(m.files.size >= 5)
+    assert(m.files.sliding(2).exists {
+      case Seq(a, b) => a.max == b.min // a dup value spans a boundary
+      case _ => false
+    })
+    // every intersection slice is value-consistent and the union is exact
+    val parts = st.iterIntersections(Seq(k), None, None).toSeq
+    val all = parts.flatMap(_.slices(k).select("t").as[Long].collect())
+    assert(all.sorted.toSeq == vals)
+    parts.foreach { p =>
+      p.slices(k).select("t").as[Long].collect().foreach { t =>
+        assert(OrdLong(t) >= p.lo && p.hiExcl.forall(h => OrdLong(t) < h))
+      }
+    }
+    // range query cutting THROUGH the duplicate run
+    val cut = st.get(k).rangeDF(Some(OrdLong(10)), Some(OrdLong(22)))
+      .select("t").as[Long].collect().sorted.toSeq
+    assert(cut == Seq(10L, 10L, 10L, 10L, 15L))
+  }
+
   test("hierarchical (sublevel) indexer maps to nested directories") {
     // HierarchicalIndex(symbol, DateInfo(year, month)) → AAPL/2023-01
     // (ref indexer.py sublevel; tutorial.rst:188-206)

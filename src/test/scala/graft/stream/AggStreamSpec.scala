@@ -96,6 +96,39 @@ class AggStreamSpec extends SparkSpec {
       assert(run(splits) == oneShot, s"splits=$splits")
   }
 
+  test("a failing pre hook keeps prior chunks' results and allows resume") {
+    // ref SeedPreException semantics (aggstream.py:539-546, 1505-1528):
+    // results of chunks processed before the failure are flushed and the
+    // stream resumes from persisted state afterwards.
+    val st = new Store(spark, tmpDir("prefail"), idx)
+    def mk() = new AggStream(st, "t", "rid",
+      Map("o" -> StreamKeyCfg(None, "10 minutes", aggs = specs)),
+      NRows(1000))
+    val rows = tsSeed.collect()
+    def chunk(a: Int, b: Int) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.slice(a, b).toSeq, 2),
+      tsSeed.schema)
+    var calls = 0
+    val failingPre: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame = { df =>
+      calls += 1
+      if (calls == 2) throw new RuntimeException("pre boom")
+      df
+    }
+    intercept[RuntimeException] {
+      mk().agg(Iterator(chunk(0, 100), chunk(100, 200)), pre = Some(failingPre))
+    }
+    // chunk 1 (minus the withheld tail, flushed on nothing — the failure
+    // aborted before final flush) is persisted and restartable
+    val partial = mk().results("o").count()
+    assert(partial > 0)
+    // resume: replay the seed from the start — the restart trim skips
+    // what chunk 1 already aggregated
+    mk().agg(Iterator(chunk(0, 200)))
+    val got = mk().results("o").orderBy("bin").collect().toSeq
+    assert(got == batchExpected(tsSeed).toSeq)
+  }
+
   test("filter fan-out applies per key") {
     val base = tmpDir("aggstream")
     val st = new Store(spark, base, idx)
