@@ -198,53 +198,102 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
       }
 
       val totalIn = rewrite.map(_.rows).sum + batchRows
-      val tmpDir = s"$dir/$TmpDirName"
-      fs.delete(new HPath(tmpDir), true)
-      val ord = col(opts.orderedOn)
-      val sized = opts.target match {
-        case NRows(n) =>
-          val nOut = math.max(1L, math.ceil(totalIn.toDouble / n).toLong).toInt
-          deduped
-            .repartitionByRange(nOut, ord, col(SeqCol), col(RidCol))
-            .sortWithinPartitions(ord, col(SeqCol), col(RidCol))
-        case TimePeriod(unit) =>
-          val p = date_trunc(unit, ord)
-          val nPeriods = math.max(1L,
-            deduped.select(p.as("__p")).distinct().count()).toInt
-          deduped
-            .repartitionByRange(nPeriods, p, ord, col(SeqCol), col(RidCol))
-            .sortWithinPartitions(ord, col(SeqCol), col(RidCol))
-      }
-      sized.drop(SeqCol, RidCol)
-        .write.mode("overwrite").parquet(tmpDir)
-
-      // ---- stats of the written files (one cheap pruned job) ----
-      val written = spark.read.parquet(tmpDir)
-        .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("f"))
-        .agg(count(lit(1)).as("rows"),
-          min(opts.orderedOn).as("mn"), max(opts.orderedOn).as("mx"))
-        .collect()
-        .sortBy(r => OrdVal.fromAny(r.getAs[Any]("mn")))
-
-      // ---- commit: move files in, swap sidecar, delete replaced ----
-      var nextId = m0.map(_.nextFileId).getOrElse(0L)
-      val newStats = written.map { r =>
-        val id = nextId; nextId += 1
-        val newName = f"f$id%08d.parquet"
-        fs.rename(new HPath(s"$tmpDir/${r.getAs[String]("f")}"),
-          new HPath(s"$dir/$newName"))
-        FileStat(id, newName, r.getAs[Long]("rows"),
-          OrdVal.fromAny(r.getAs[Any]("mn")), OrdVal.fromAny(r.getAs[Any]("mx")))
-      }.toSeq
-      val allStats = (kept ++ newStats).sortBy(f => (f.min, f.id))
-      val newKv = m0.map(_.kv).getOrElse(Map.empty) ++ opts.kv -- opts.kvRemove
-      Sidecar.write(dir,
-        DatasetMeta(opts.orderedOn, ordType, allStats, newKv, nextId))
-      rewrite.foreach(f => fs.delete(new HPath(s"$dir/${f.name}"), false))
-      fs.delete(new HPath(tmpDir), true)
-      UpsertReport(rewrite.size, kept.size, newStats.size,
-        newStats.map(_.rows).sum)
+      materialize(deduped, totalIn, rewrite, kept, m0, opts, ordType,
+        hasProvenance = true)
     } finally cached.unpersist()
+  }
+
+  /** Shared execution tail of upsert and compaction: size into range
+    * partitions, write one file per partition to a tmp dir, collect
+    * stats, then commit (move files in, swap sidecar atomically, delete
+    * the replaced files).
+    */
+  private def materialize(data: DataFrame, totalIn: Long,
+      rewrite: Seq[FileStat], kept: Seq[FileStat],
+      m0: Option[DatasetMeta], opts: WriteOpts, ordType: String,
+      hasProvenance: Boolean): UpsertReport = {
+    val tmpDir = s"$dir/$TmpDirName"
+    fs.delete(new HPath(tmpDir), true)
+    val ord = col(opts.orderedOn)
+    val tieCols =
+      if (hasProvenance) Seq(ord, col(SeqCol), col(RidCol)) else Seq(ord)
+    val sized = opts.target match {
+      case NRows(n) =>
+        val nOut = math.max(1L, math.ceil(totalIn.toDouble / n).toLong).toInt
+        data.repartitionByRange(nOut, tieCols: _*)
+          .sortWithinPartitions(tieCols: _*)
+      case TimePeriod(unit) =>
+        val p = date_trunc(unit, ord)
+        val nPeriods = math.max(1L,
+          data.select(p.as("__p")).distinct().count()).toInt
+        data.repartitionByRange(nPeriods, p +: tieCols: _*)
+          .sortWithinPartitions(tieCols: _*)
+    }
+    (if (hasProvenance) sized.drop(SeqCol, RidCol) else sized)
+      .write.mode("overwrite").parquet(tmpDir)
+
+    // ---- stats of the written files (one cheap pruned job) ----
+    val written = spark.read.parquet(tmpDir)
+      .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("f"))
+      .agg(count(lit(1)).as("rows"),
+        min(opts.orderedOn).as("mn"), max(opts.orderedOn).as("mx"))
+      .collect()
+      .sortBy(r => OrdVal.fromAny(r.getAs[Any]("mn")))
+
+    // ---- commit: move files in, swap sidecar, delete replaced ----
+    var nextId = m0.map(_.nextFileId).getOrElse(0L)
+    val newStats = written.map { r =>
+      val id = nextId; nextId += 1
+      val newName = f"f$id%08d.parquet"
+      fs.rename(new HPath(s"$tmpDir/${r.getAs[String]("f")}"),
+        new HPath(s"$dir/$newName"))
+      FileStat(id, newName, r.getAs[Long]("rows"),
+        OrdVal.fromAny(r.getAs[Any]("mn")), OrdVal.fromAny(r.getAs[Any]("mx")))
+    }.toSeq
+    val allStats = (kept ++ newStats).sortBy(f => (f.min, f.id))
+    val newKv = m0.map(_.kv).getOrElse(Map.empty) ++ opts.kv -- opts.kvRemove
+    Sidecar.write(dir,
+      DatasetMeta(opts.orderedOn, ordType, allStats, newKv, nextId))
+    rewrite.foreach(f => fs.delete(new HPath(s"$dir/${f.name}"), false))
+    fs.delete(new HPath(tmpDir), true)
+    UpsertReport(rewrite.size, kept.size, newStats.size,
+      newStats.map(_.rows).sum)
+  }
+
+  /** Explicit compaction (the standalone analog of the upsert's
+    * off-target coalescing, ref base.py:505-633 / Delta OPTIMIZE):
+    * rewrite every contiguous run of ≥2 off-target files to target
+    * size. No-op for an already-compacted dataset. Each run is one
+    * bounded Spark job touching only that run's files; the rest of the
+    * dataset is never read.
+    */
+  def optimize(target: RowGroupTarget): Int = withWriteLock {
+    val m = meta
+    val onTargetRows = target match {
+      case NRows(n) => (n * OnTargetFraction).toLong
+      case TimePeriod(_) =>
+        throw new IllegalArgumentException(
+          "optimize() supports NRows targets")
+    }
+    // contiguous runs of off-target files, in stats order, tracked by
+    // file identity (positions shift as each run is rewritten)
+    val runs = scala.collection.mutable.ListBuffer.empty[Seq[FileStat]]
+    val cur = scala.collection.mutable.ListBuffer.empty[FileStat]
+    m.files.foreach { f =>
+      if (f.rows < onTargetRows) cur += f
+      else { if (cur.size >= 2) runs += cur.toSeq; cur.clear() }
+    }
+    if (cur.size >= 2) runs += cur.toSeq
+    runs.foreach { runFiles =>
+      val mNow = meta
+      val runNames = runFiles.map(_.name).toSet
+      val keptFiles = mNow.files.filterNot(f => runNames.contains(f.name))
+      val df = spark.read.parquet(runFiles.map(f => s"$dir/${f.name}"): _*)
+      materialize(df, runFiles.map(_.rows).sum, runFiles, keptFiles,
+        Some(mNow), WriteOpts(mNow.orderedOn, target), mNow.orderedType,
+        hasProvenance = false)
+    }
+    runs.size
   }
 
   /** Driver-side rewrite planner: overlap detection (ref

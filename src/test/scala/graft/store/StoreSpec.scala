@@ -108,6 +108,24 @@ class StoreSpec extends SparkSpec {
     assert(ds.df.count() == 40)
   }
 
+  test("optimize compacts off-target runs without changing content") {
+    val dir = tmpDir("opt")
+    val ds = new OrderedDataset(spark, s"$dir/d1")
+    // 6 tiny appends, no auto-compaction → 6 off-target files
+    (0 until 6).foreach { i =>
+      ds.write(tsDf((i * 10 + 1 until i * 10 + 11).map(x => (x.toLong, 1.0))),
+        WriteOpts("t", NRows(100)))
+    }
+    assert(ds.meta.files.size == 6)
+    val before = ds.orderedDf.collect().toSeq
+    val runs = ds.optimize(NRows(100))
+    assert(runs == 1)
+    assert(ds.meta.files.size == 1, ds.meta.files)
+    assert(ds.orderedDf.collect().toSeq == before)
+    // idempotent: nothing left to compact
+    assert(ds.optimize(NRows(100)) == 0)
+  }
+
   test("time-period target splits files by period") {
     val dir = tmpDir("opd")
     val ds = new OrderedDataset(spark, s"$dir/d1")
