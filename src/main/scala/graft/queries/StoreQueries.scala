@@ -6,6 +6,7 @@ import graft.Tables
 import graft.agg.{AggFn, AggSpec}
 import graft.store._
 import graft.stream.{AggStream, StreamKeyCfg}
+import graft.streaming.StreamingAgg
 
 /** Queries exercising the store layer end-to-end: ordered upsert with
   * keep-last dedup (M1-M6, W1), zone-map-pruned range scans (S2), the
@@ -90,6 +91,24 @@ object StoreQueries {
       e.filter(col("event_id") >= 6500))
     mk().agg(chunks.take(2).iterator)   // stops mid-stream…
     mk().agg(chunks.drop(2).iterator)   // …and restarts from stored state
+
+    // t8 fixture: the NATIVE Structured Streaming path — readStream over
+    // the events parquet, event-time hourly windows in update mode,
+    // foreachBatch keep-last upsert into the store (T2/T3 via the state
+    // store + checkpoint instead of our batch-incremental machinery).
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    val seedStream = s.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      // int64-nanos → µs LTZ timestamp (watermarks want TIMESTAMP)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "ts", "value")
+    val q = StreamingAgg.run(seedStream, "ts", "event_id", "1 hour",
+      aggSpecs, s"$base/streaming_hourly", s"$base/_ckpt_t8",
+      NRows(5000))
+    q.awaitTermination()
+
     marker.getParentFile.mkdirs()
     marker.createNewFile()
     st
@@ -158,6 +177,16 @@ object StoreQueries {
         .orderBy("bin")
     },
 
+    // T2/T3 natively: the Structured Streaming hourly aggregation
+    // (state store + checkpoint) must equal the same one-shot oracle as
+    // the batch-incremental path.
+    "t8_streaming_native" -> { (s, d) =>
+      ensure(s, d)
+      StreamingAgg.results(s, s"${baseDir(d)}/streaming_hourly", aggSpecs)
+        .withColumn("bin", col("bin").cast("timestamp_ntz"))
+        .orderBy("bin")
+    },
+
     // T6 incrementally: running within-bin values at snapshot points,
     // accumulated across 3 chunks + a restart, must equal the one-shot
     // snapshot aggregation.
@@ -223,6 +252,14 @@ object StoreQueries {
          FROM (SELECT *, row_number() OVER (ORDER BY ts, event_id) AS rn
                FROM e)
          GROUP BY 1 ORDER BY 1""",
+
+    "t8_streaming_native" -> s"""$EV
+         SELECT date_trunc('hour', ts) AS bin,
+              min_by(value, event_id) AS first_v,
+              max_by(value, event_id) AS last_v,
+              min(value) AS min_v, max(value) AS max_v,
+              CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
+         FROM e GROUP BY 1 ORDER BY 1""",
 
     "t6_aggstream_snapshots" -> s"""$EV
          SELECT bin, snap,
