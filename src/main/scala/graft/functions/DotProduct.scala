@@ -16,8 +16,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * whole-stage codegen (SURVEY §7.4: the one place a custom Expression
   * pays — everything else stays on builtins).
   *
-  * Accumulation order is the same sequential left-to-right fold as the
-  * builtin composition, so results are bit-identical.
+  * Semantics match the builtin composition exactly, including the edge
+  * cases: length-mismatched arrays yield NULL (zip_with pads the shorter
+  * side with null, and `null * x` then `null + s` propagate), and a null
+  * element on either side yields NULL. Accumulation is the same
+  * sequential left-to-right fold, so non-null results are bit-identical.
+  * The per-element null branch is only generated when an input's array
+  * type admits null elements (`containsNull`), so the hot
+  * `containsNull=false` path stays a pure fused multiply-add loop.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -32,13 +38,26 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // even non-null inputs produce NULL on length mismatch
+  override def nullable: Boolean = true
+
+  private def elementsNullable: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val checkNulls = elementsNullable
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -48,13 +67,24 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val nullCheck =
+        if (elementsNullable)
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) {
+             |    ${ev.isNull} = true; break;
+             |  }
+             |  """.stripMargin
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck$s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

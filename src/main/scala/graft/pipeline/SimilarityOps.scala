@@ -18,8 +18,9 @@ object SimilarityOps {
 
   /** Dot product of two double arrays: native codegen'd Expression
     * (single fused loop, no intermediate array — see
-    * graft.functions.DotProduct). Same sequential accumulation order as
-    * the builtin composition below, so results are bit-identical.
+    * graft.functions.DotProduct). Same sequential accumulation order and
+    * null semantics (NULL on length mismatch or null element) as the
+    * builtin composition below, so results are bit-identical.
     */
   def dot(a: Column, b: Column): Column =
     graft.functions.DotProduct.dot_product(a, b)

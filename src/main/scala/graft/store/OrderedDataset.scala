@@ -48,11 +48,12 @@ final case class UpsertReport(filesRewritten: Int, filesKept: Int,
 final class OrderedDataset(val spark: SparkSession, val dir: String) {
   import OrderedDataset._
 
-  def exists: Boolean = Sidecar.exists(dir)
-  def meta: DatasetMeta = Sidecar.read(dir)
+  private def conf = spark.sparkContext.hadoopConfiguration
 
-  private def fs: FileSystem =
-    new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  def exists: Boolean = Sidecar.exists(conf, dir)
+  def meta: DatasetMeta = Sidecar.read(conf, dir)
+
+  private def fs: FileSystem = new HPath(dir).getFileSystem(conf)
 
   private def filePaths(m: DatasetMeta): Seq[String] =
     m.files.map(f => s"$dir/${f.name}")
@@ -68,8 +69,16 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
 
   def orderedDf: DataFrame = { val m = meta; df.orderBy(m.orderedOn) }
 
+  /** Empty frame that keeps the dataset's columns: the schema is
+    * persisted in the sidecar at every write, so a dataset created via
+    * an empty/fully-deduped first batch still resolves column
+    * references (orderedDf, AggStream.results, selections).
+    */
   private def emptyLike(m: DatasetMeta): DataFrame =
-    spark.emptyDataFrame
+    if (m.schemaJson.isEmpty) spark.emptyDataFrame
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
 
   /** Zone-map-pruned range scan [lo, hiExcl) — files are selected from
     * sidecar stats without touching parquet footers
@@ -104,7 +113,7 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
 
   def updateKv(add: Map[String, String], remove: Seq[String] = Nil): Unit = {
     val m = meta
-    Sidecar.write(dir, m.copy(kv = m.kv ++ add -- remove))
+    Sidecar.write(conf, dir, m.copy(kv = m.kv ++ add -- remove))
   }
 
   def removeFromDisk(): Unit = fs.delete(new HPath(dir), true)
@@ -113,25 +122,81 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     * plan on the driver from sidecar stats, run ONE Spark job over the
     * overlapping slice ∪ batch, commit via atomic sidecar swap.
     */
-  /** Advisory exclusive write lock (ref base.py:240-255 flufl lock):
-    * single-writer discipline; a lock older than `LockStaleMs` is
-    * considered abandoned and broken.
+  /** Advisory exclusive write lock (ref base.py:240-255 flufl lock).
+    * Acquisition is atomic (`FileSystem.create` with overwrite=false —
+    * fails if the lock exists); while held, a daemon heartbeat refreshes
+    * the lock mtime every `LockRefreshMs`, so a healthy long-running
+    * write never looks stale (the reference refreshes its flufl lock the
+    * same way, ref base.py:728-735). Only a lock whose mtime is older
+    * than `LockStaleMs` — several missed heartbeats — is broken.
     */
   private def withWriteLock[T](f: => T): T = {
     val lockPath = new HPath(s"$dir/$LockName")
     val fsys = fs
     fsys.mkdirs(new HPath(dir))
-    val fresh =
+    var acquired = false
+    var attempts = 0
+    while (!acquired) {
+      val staleMtime =
+        try {
+          val st = fsys.getFileStatus(lockPath)
+          if (System.currentTimeMillis() - st.getModificationTime < LockStaleMs)
+            throw new IllegalStateException(
+              s"dataset $dir is locked by another writer")
+          Some(st.getModificationTime)
+        } catch { case _: java.io.FileNotFoundException => None }
+      staleMtime.foreach(_ => fsys.delete(lockPath, false)) // abandoned lock
       try {
-        val st = fsys.getFileStatus(lockPath)
-        System.currentTimeMillis() - st.getModificationTime < LockStaleMs
-      } catch { case _: java.io.FileNotFoundException => false }
-    if (fresh)
-      throw new IllegalStateException(
-        s"dataset $dir is locked by another writer")
-    try fsys.create(lockPath, true).close()
-    catch { case _: java.io.IOException => () }
-    try f finally fsys.delete(lockPath, false)
+        val out = fsys.create(lockPath, false) // atomic: fails if exists
+        try out.write(
+          java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+            .getBytes("UTF-8"))
+        finally out.close()
+        acquired = true
+      } catch {
+        case _: java.io.IOException => // raced another writer
+          attempts += 1
+          if (attempts >= 3) throw new IllegalStateException(
+            s"dataset $dir is locked by another writer")
+      }
+    }
+    val heartbeat = new Thread(() => {
+      try {
+        while (!Thread.interrupted()) {
+          Thread.sleep(LockRefreshMs)
+          fs.setTimes(lockPath, System.currentTimeMillis(), -1)
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-lock-heartbeat-$dir")
+    heartbeat.setDaemon(true)
+    heartbeat.start()
+    try {
+      cleanOrphans(fsys)
+      f
+    } finally {
+      heartbeat.interrupt()
+      fsys.delete(lockPath, false)
+    }
+  }
+
+  /** Under the lock: remove leftovers of crashed commits — tmp write
+    * dirs of dead writers, and data files not referenced by the current
+    * sidecar (a crash between file renames and the sidecar swap leaves
+    * such orphans; file ids are then reused, and a rename onto an orphan
+    * would corrupt the dataset — see ADVICE r1).
+    */
+  private def cleanOrphans(fsys: FileSystem): Unit = {
+    val d = new HPath(dir)
+    if (!fsys.exists(d)) return
+    val referenced: Set[String] =
+      if (exists) meta.files.map(_.name).toSet else Set.empty
+    fsys.listStatus(d).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith(TmpDirPrefix))
+        fsys.delete(st.getPath, true)
+      else if (st.isFile && DataFileRe.matches(n) && !referenced.contains(n))
+        fsys.delete(st.getPath, false)
+    }
   }
 
   def write(batch: DataFrame, opts: WriteOpts): UpsertReport =
@@ -154,8 +219,9 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
       val batchRows = bStats.getLong(2)
       if (batchRows == 0) {
         val m = m0.getOrElse(DatasetMeta(opts.orderedOn, ordType, Nil,
-          Map.empty, 0L))
-        Sidecar.write(dir, m.copy(kv = m.kv ++ opts.kv -- opts.kvRemove))
+          Map.empty, 0L, batch.schema.json))
+        Sidecar.write(conf, dir,
+          m.copy(kv = m.kv ++ opts.kv -- opts.kvRemove))
         return UpsertReport(0, m.files.size, 0, 0)
       }
       val bMin = OrdVal.fromAny(bStats.get(0))
@@ -212,8 +278,10 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
       rewrite: Seq[FileStat], kept: Seq[FileStat],
       m0: Option[DatasetMeta], opts: WriteOpts, ordType: String,
       hasProvenance: Boolean): UpsertReport = {
-    val tmpDir = s"$dir/$TmpDirName"
-    fs.delete(new HPath(tmpDir), true)
+    // unique per-writer tmp dir: concurrent or crashed writers never
+    // share (or clobber) each other's in-flight output
+    val tmpDir =
+      s"$dir/$TmpDirPrefix${java.util.UUID.randomUUID().toString.take(12)}"
     val ord = col(opts.orderedOn)
     val tieCols =
       if (hasProvenance) Seq(ord, col(SeqCol), col(RidCol)) else Seq(ord)
@@ -245,15 +313,22 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     val newStats = written.map { r =>
       val id = nextId; nextId += 1
       val newName = f"f$id%08d.parquet"
-      fs.rename(new HPath(s"$tmpDir/${r.getAs[String]("f")}"),
-        new HPath(s"$dir/$newName"))
+      if (!fs.rename(new HPath(s"$tmpDir/${r.getAs[String]("f")}"),
+        new HPath(s"$dir/$newName")))
+        throw new java.io.IOException(
+          s"commit failed: rename of ${r.getAs[String]("f")} to " +
+            s"$dir/$newName returned false; dataset unchanged " +
+            "(sidecar not yet swapped)")
       FileStat(id, newName, r.getAs[Long]("rows"),
         OrdVal.fromAny(r.getAs[Any]("mn")), OrdVal.fromAny(r.getAs[Any]("mx")))
     }.toSeq
     val allStats = (kept ++ newStats).sortBy(f => (f.min, f.id))
     val newKv = m0.map(_.kv).getOrElse(Map.empty) ++ opts.kv -- opts.kvRemove
-    Sidecar.write(dir,
-      DatasetMeta(opts.orderedOn, ordType, allStats, newKv, nextId))
+    val schemaJson =
+      (if (hasProvenance) data.drop(SeqCol, RidCol) else data).schema.json
+    Sidecar.write(conf, dir,
+      DatasetMeta(opts.orderedOn, ordType, allStats, newKv, nextId,
+        schemaJson))
     rewrite.foreach(f => fs.delete(new HPath(s"$dir/${f.name}"), false))
     fs.delete(new HPath(tmpDir), true)
     UpsertReport(rewrite.size, kept.size, newStats.size,
@@ -344,9 +419,11 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
 object OrderedDataset {
   val SeqCol = "__graft_seq"
   val RidCol = "__graft_rid"
-  val TmpDirName = "_tmp_write"
+  val TmpDirPrefix = "_tmp_write-"
+  val DataFileRe = "f\\d{8}\\.parquet".r
   val LockName = ".lock"
   val LockStaleMs = 120000L
+  val LockRefreshMs = 15000L
   /** ≥80 % of target counts as on-target (ref n_rows_strategy.py:33). */
   val OnTargetFraction = 0.8
 

@@ -1,6 +1,7 @@
 package graft.store
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, Options, Path => HPath}
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import scala.jdk.CollectionConverters._
@@ -15,11 +16,13 @@ final case class FileStat(id: Long, name: String, rows: Long,
 /** Dataset-level metadata: the enforced `ordered_on` column
   * (ref base.py:103-114), file stats sorted by min, a free-form kv map
   * (carries user metadata and AggStream restart state, ref
-  * base.py:144-146), and a monotonically increasing file-id counter.
+  * base.py:144-146), a monotonically increasing file-id counter, and the
+  * dataset schema (Spark StructType json) so an empty dataset keeps its
+  * columns.
   */
 final case class DatasetMeta(orderedOn: String, orderedType: String,
                              files: Seq[FileStat], kv: Map[String, String],
-                             nextFileId: Long) {
+                             nextFileId: Long, schemaJson: String = "") {
   def totalRows: Long = files.map(_.rows).sum
 }
 
@@ -32,17 +35,29 @@ final case class DatasetMeta(orderedOn: String, orderedType: String,
   * The sidecar is the planner's source of truth: the upsert planner and
   * the intersection planner read min/max per file from here without
   * opening any parquet footer (SURVEY.md §4 zone-map row).
+  *
+  * All IO goes through the Hadoop FileSystem of the dataset path — the
+  * same one the data files use — so non-local schemes (hdfs://, s3a://)
+  * see one consistent view. The commit is create-tmp + FileContext
+  * rename(OVERWRITE), atomic on HDFS and the local FS.
   */
 object Sidecar {
   val FileName = "_graftmd.json"
   private val mapper = new ObjectMapper()
 
-  def path(datasetDir: String): Path = Paths.get(datasetDir, FileName)
+  def path(datasetDir: String): HPath = new HPath(datasetDir, FileName)
 
-  def exists(datasetDir: String): Boolean = Files.exists(path(datasetDir))
+  def exists(conf: Configuration, datasetDir: String): Boolean = {
+    val p = path(datasetDir)
+    p.getFileSystem(conf).exists(p)
+  }
 
-  def read(datasetDir: String): DatasetMeta = {
-    val root = mapper.readTree(Files.readAllBytes(path(datasetDir)))
+  def read(conf: Configuration, datasetDir: String): DatasetMeta = {
+    val p = path(datasetDir)
+    val in = p.getFileSystem(conf).open(p)
+    val root =
+      try mapper.readTree(in)
+      finally in.close()
     val files = root.get("files").elements().asScala.map { f =>
       FileStat(f.get("id").asLong(), f.get("name").asText(),
         f.get("rows").asLong(),
@@ -51,19 +66,22 @@ object Sidecar {
     val kv = Option(root.get("kv")).map { k =>
       k.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty)
+    val schemaJson = Option(root.get("schema")).map(_.asText()).getOrElse("")
     DatasetMeta(root.get("orderedOn").asText(),
       root.get("orderedType").asText(), files, kv,
-      root.get("nextFileId").asLong())
+      root.get("nextFileId").asLong(), schemaJson)
   }
 
-  /** Write-tmp-then-rename commit (the port of the reference's
+  /** Write-tmp-then-atomic-rename commit (the port of the reference's
     * metadata-last commit discipline, ref write.py:247-271).
     */
-  def write(datasetDir: String, meta: DatasetMeta): Unit = {
+  def write(conf: Configuration, datasetDir: String, meta: DatasetMeta)
+      : Unit = {
     val root = mapper.createObjectNode()
     root.put("orderedOn", meta.orderedOn)
     root.put("orderedType", meta.orderedType)
     root.put("nextFileId", meta.nextFileId)
+    if (meta.schemaJson.nonEmpty) root.put("schema", meta.schemaJson)
     val arr = root.putArray("files")
     meta.files.sortBy(f => (f.min, f.id)).foreach { f =>
       val n = arr.addObject()
@@ -72,11 +90,17 @@ object Sidecar {
     }
     val kvn = root.putObject("kv")
     meta.kv.foreach { case (k, v) => kvn.put(k, v) }
-    Files.createDirectories(Paths.get(datasetDir))
-    val tmp = Paths.get(datasetDir, FileName + ".tmp")
-    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter()
+
+    val dir = new HPath(datasetDir)
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    val tmp = new HPath(dir, FileName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter()
       .writeValueAsBytes(root))
-    Files.move(tmp, path(datasetDir), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    finally out.close()
+    val fc = FileContext.getFileContext(fs.getUri, conf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(path(datasetDir)),
+      Options.Rename.OVERWRITE)
   }
 }

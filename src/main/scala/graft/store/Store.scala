@@ -40,7 +40,8 @@ final class Store[K](val spark: SparkSession, val basepath: String,
     val baseUri = base.toUri.getPath.stripSuffix("/")
     TreeSet.from(dirs.flatMap { d =>
       val rel = d.toUri.getPath.stripPrefix(baseUri).stripPrefix("/")
-      if (Sidecar.exists(d.toUri.getPath)) indexer.fromPath(rel) else None
+      if (Sidecar.exists(spark.sparkContext.hadoopConfiguration,
+        d.toUri.getPath)) indexer.fromPath(rel) else None
     })
   }
 

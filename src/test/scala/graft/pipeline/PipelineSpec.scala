@@ -75,6 +75,26 @@ class PipelineSpec extends SparkSpec {
     both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("dot_product matches builtin on length-mismatch and null elements") {
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),
+      (2L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0)),
+      (3L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)),
+      (4L, Seq[java.lang.Double](), Seq[java.lang.Double]()))
+      .toDF("id", "a", "b")
+    val rows = df.select($"id",
+        SimilarityOps.dot($"a", $"b").as("native"),
+        SimilarityOps.dotBuiltin($"a", $"b").as("builtin"))
+      .orderBy($"id").collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"null mismatch at id=${r.get(0)}")
+      if (!r.isNullAt(1)) assert(r.getDouble(1) == r.getDouble(2))
+    }
+    assert(rows(1).isNullAt(1)) // length mismatch -> NULL
+    assert(rows(2).isNullAt(1)) // null element -> NULL
+    assert(rows(3).getDouble(1) == 0.0)
+  }
+
   test("langId picks a deterministic language with tie-break") {
     val out = docs.select(TextOps.langId($"text").as("lang"))
       .as[String].collect()

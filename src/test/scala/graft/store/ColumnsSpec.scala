@@ -34,4 +34,51 @@ class ColumnsSpec extends SparkSpec {
     ds.write(Seq((2L, 2.0)).toDF("t", "v"), WriteOpts("t"))
     assert(ds.df.count() == 2)
   }
+
+  test("stale lock is broken; fresh lock survives heartbeat window") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val dir = tmpDir("stale-lock")
+    val ds = new OrderedDataset(spark, s"$dir/d")
+    ds.write(Seq((1L, 1.0)).toDF("t", "v"), WriteOpts("t"))
+    // plant an abandoned lock (mtime beyond the staleness cutoff)
+    val lock = Paths.get(s"$dir/d/${OrderedDataset.LockName}")
+    Files.createFile(lock)
+    Files.setLastModifiedTime(lock, FileTime.fromMillis(
+      System.currentTimeMillis() - OrderedDataset.LockStaleMs - 1000))
+    ds.write(Seq((2L, 2.0)).toDF("t", "v"), WriteOpts("t")) // breaks it
+    assert(ds.df.count() == 2)
+    assert(!Files.exists(lock))
+  }
+
+  test("orphans of a crashed commit are cleaned on next write") {
+    import java.nio.file.{Files, Paths}
+    val dir = tmpDir("orphans")
+    val ds = new OrderedDataset(spark, s"$dir/d")
+    ds.write(Seq((1L, 1.0)).toDF("t", "v"), WriteOpts("t"))
+    // simulate a crash: an unreferenced data file + a leftover tmp dir
+    val orphan = Paths.get(s"$dir/d/f00000099.parquet")
+    Files.write(orphan, Array[Byte](1, 2, 3))
+    val tmp = Paths.get(s"$dir/d/${OrderedDataset.TmpDirPrefix}deadbeef")
+    Files.createDirectories(tmp)
+    Files.write(tmp.resolve("part-x.parquet"), Array[Byte](9))
+    ds.write(Seq((2L, 2.0)).toDF("t", "v"), WriteOpts("t"))
+    assert(!Files.exists(orphan), "unreferenced data file must be deleted")
+    assert(!Files.exists(tmp), "leftover tmp dir must be deleted")
+    assert(ds.df.count() == 2)
+  }
+
+  test("empty first batch keeps the schema; dataset stays queryable") {
+    val dir = tmpDir("empty-schema")
+    val ds = new OrderedDataset(spark, s"$dir/d")
+    val empty = Seq.empty[(Long, Double)].toDF("t", "v")
+    ds.write(empty, WriteOpts("t"))
+    assert(ds.exists)
+    assert(ds.df.columns.toSeq == Seq("t", "v"))
+    assert(ds.orderedDf.select("v").count() == 0) // column resolves
+    assert(ds.rangeDF(None, None).columns.toSeq == Seq("t", "v"))
+    // and a later real write still works
+    ds.write(Seq((1L, 1.0)).toDF("t", "v"), WriteOpts("t"))
+    assert(ds.orderedDf.select("v").as[Double].collect().toSeq == Seq(1.0))
+  }
 }

@@ -35,8 +35,9 @@ class StoreSpec extends SparkSpec {
       Seq(FileStat(0, "f0.parquet", 10, OrdLong(1), OrdLong(9)),
           FileStat(1, "f1.parquet", 5, OrdLong(10), OrdLong(20))),
       Map("k" -> "v"), 2)
-    Sidecar.write(dir, meta)
-    assert(Sidecar.read(dir) == meta)
+    val conf = spark.sparkContext.hadoopConfiguration
+    Sidecar.write(conf, dir, meta)
+    assert(Sidecar.read(conf, dir) == meta)
   }
 
   test("create + full scan + pruned range scan") {
