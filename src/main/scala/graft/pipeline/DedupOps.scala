@@ -30,26 +30,45 @@ object DedupOps {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** (id, shingle) exploded distinct word-ngram shingles. */
+  /** (id, gs) per-document DISTINCT shingle array — computed entirely
+    * map-side (tokenize + slice + distinct inside one projection, no
+    * explode, no shuffle). This is the working representation of the
+    * minhash family: signatures and candidate verification both derive
+    * from it without ever shuffling shingle rows.
+    */
+  def shingleArrays(df: DataFrame, idCol: String, textCol: String, n: Int)
+      : DataFrame =
+    df.select(col(idCol).as("id"),
+      TextOps.wordShingles(col(textCol), n).as("gs"))
+
+  /** (id, shingle) exploded distinct word-ngram shingles (the relational
+    * form — used where a shingle equi-join is genuinely needed, e.g. the
+    * exact all-pairs Jaccard baseline).
+    */
   def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int)
       : DataFrame =
+    // generator expression kept INLINE: Generate(explode(<expr>)) is
+    // measurably faster than Project(arr) + Generate(explode(arr))
+    // (~5× at sf0.1 — the split shape forces an UnsafeRow copy of the
+    // whole array per input row)
     df.select(col(idCol).as("id"),
       explode(TextOps.wordShingles(col(textCol), n)).as("g"))
 
-  /** MinHash signature columns s0..s(k-1): per-seed min over shingles of
-    * md5(seed|shingle). The seed hashes are computed once per DISTINCT
-    * shingle and joined back — identical minima, ~|corpus|/|vocab| fewer
-    * md5 evaluations (the shingle vocabulary is far smaller than the
-    * exploded (doc, shingle) table at corpus scale).
+  /** MinHash signature columns s0..s(k-1): per-seed min over the doc's
+    * shingle set of md5(seed|shingle). Entirely map-side — one
+    * projection per document over its shingle array; signature
+    * computation is embarrassingly parallel and never shuffles, which is
+    * the shape that survives a 100 TB corpus (the previous
+    * vocabulary-join formulation needed a distinct + join, and a
+    * broadcast vocabulary cannot scale with the corpus). Duplicate
+    * shingles cannot change a min, so the distinct array gives identical
+    * signatures to the exploded-distinct formulation.
     */
-  def minhashSignature(shingles: DataFrame, numHashes: Int): DataFrame = {
-    val gh = shingles.select("g").distinct().select(
-      col("g") +: (0 until numHashes).map(i =>
-        md5(concat(lit(s"$i|"), col("g"))).as(s"h$i")): _*)
-    val aggs = (0 until numHashes).map(i => min(col(s"h$i")).as(s"s$i"))
-    shingles.join(broadcast(gh), "g").groupBy("id")
-      .agg(aggs.head, aggs.tail: _*)
-  }
+  def minhashSignature(shingled: DataFrame, numHashes: Int): DataFrame =
+    shingled.select(col("id") +:
+      (0 until numHashes).map(i =>
+        array_min(transform(col("gs"), g => md5(concat(lit(s"$i|"), g))))
+          .as(s"s$i")): _*)
 
   /** LSH candidate pairs from banded minhash signatures. */
   def lshCandidates(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
@@ -68,28 +87,28 @@ object DedupOps {
       .distinct()
   }
 
-  /** Exact Jaccard for given (i, j) candidate pairs over a shingle
-    * table; output keeps pairs with jac >= threshold.
+  /** Exact Jaccard for given (i, j) candidate pairs over per-document
+    * shingle arrays; output keeps pairs with jac >= threshold.
+    * Candidates are tiny relative to the corpus (that's the point of
+    * LSH) — broadcast them through two joins that attach both docs'
+    * shingle arrays, then intersection/union sizes are a single
+    * map-side `array_intersect` per pair: no aggregation, no shuffle.
+    * (If a corpus ever yields a non-broadcastable candidate set, swap
+    * the broadcasts for shuffle joins on id — the rest is unchanged.)
     */
-  def jaccardVerify(cand: DataFrame, shingles: DataFrame, threshold: Double)
+  def jaccardVerify(cand: DataFrame, shingled: DataFrame, threshold: Double)
       : DataFrame = {
-    // candidates are tiny relative to the shingle table (that's the
-    // point of LSH) — broadcast them so the shingle table streams
-    // through both verification joins without ever shuffling
-    val counts = shingles.groupBy("id").agg(count(lit(1)).as("n"))
-    val aSide = shingles.as("sa")
-      .join(broadcast(cand), col("sa.id") === col("i"))
-      .select(col("i"), col("j"), col("sa.g").as("__ga"))
-    val inter = shingles.as("sb")
-      .join(broadcast(aSide), col("sb.id") === col("j") &&
-        col("sb.g") === col("__ga"))
-      .groupBy("i", "j").agg(count(lit(1)).as("inter"))
-    inter
-      .join(broadcast(counts).as("ca"), col("i") === col("ca.id"))
-      .join(broadcast(counts).as("cb"), col("j") === col("cb.id"))
+    val withA = shingled
+      .join(broadcast(cand), col("id") === col("i"))
+      .select(col("i"), col("j"), col("gs").as("__ga"))
+    val pairs = shingled
+      .join(broadcast(withA), col("id") === col("j"))
       .select(col("i"), col("j"),
+        size(array_intersect(col("__ga"), col("gs"))).as("inter"),
+        size(col("__ga")).as("na"), size(col("gs")).as("nb"))
+    pairs.select(col("i"), col("j"),
         (col("inter").cast("double") /
-          (col("ca.n") + col("cb.n") - col("inter"))).as("jac"))
+          (col("na") + col("nb") - col("inter"))).as("jac"))
       .filter(col("jac") >= threshold)
   }
 
@@ -125,31 +144,40 @@ object DedupOps {
   /** SimHash over distinct words: bit (4p+b) is the majority vote of
     * bit b of hex digit p of md5(word). Pure integer arithmetic →
     * engine-portable.
+    *
+    * Entirely map-side: each document folds over its distinct-word
+    * array, accumulating all 32 bit-votes in 8 packed longs (the 4 votes
+    * of hex digit p spread at 16-bit offsets — a vote count fits 16 bits
+    * for any document under 65k distinct words), and the aggregate's
+    * finish lambda turns votes into the fingerprint. No explode, no
+    * vocabulary join, no groupBy — signature computation never shuffles,
+    * regardless of corpus size.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val nDigits = SimhashBits / 4
-    val words = df.select(col(idCol).as("id"),
-      explode(array_distinct(TextOps.wsTokens(col(textCol)))).as("w"))
-    // hash each DISTINCT word once and broadcast-join the digit table —
-    // md5+hex-conv runs |vocabulary| times, not |corpus × words| times
-    val wh = words.select("w").distinct().withColumn("h", md5(col("w")))
-    val digitTable = (0 until nDigits).foldLeft(wh) { (d, p) =>
-      d.withColumn(s"d$p",
-        conv(substring(col("h"), p + 1, 1), 16, 10).cast("long"))
-    }.drop("h")
-    val withDigits = words.join(broadcast(digitTable), "w")
-    // per id: vote for each bit, then majority → simhash int
-    val bitSums = (0 until SimhashBits).map { bit =>
-      val p = bit / 4; val b = bit % 4
-      sum((col(s"d$p").divide(lit(1L << b)).cast("long")) % 2)
-        .as(s"v$bit")
-    }
-    val voted = withDigits.groupBy("id")
-      .agg(count(lit(1)).as("nw"), bitSums: _*)
-    val sh = (0 until SimhashBits).map { bit =>
-      when(col(s"v$bit") * 2 >= col("nw"), lit(1L << bit)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    voted.select(col("id"), sh.as("simhash"))
+    val ws = array_distinct(TextOps.wsTokens(col(textCol)))
+    val hs = transform(ws, w => md5(w))
+    // per word-hash: 8 packed longs, digit p's 4 bit-votes at offsets
+    // 0/16/32/48
+    def packArray(h: Column): Column = array((0 until nDigits).map { p =>
+      val v = conv(substring(h, p + 1, 1), 16, 10).cast("long")
+      (0 until 4).map(b =>
+        shiftleft(shiftright(v, b).bitwiseAND(lit(1L)), 16 * b))
+        .reduce(_ + _)
+    }: _*)
+    val nw = size(ws)
+    def fingerprint(votes: Column): Column =
+      (0 until SimhashBits).map { bit =>
+        val p = bit / 4; val b = bit % 4
+        val vote = shiftright(element_at(votes, p + 1), 16 * b)
+          .bitwiseAND(lit(0xFFFFL))
+        when(vote * 2 >= nw, lit(1L << bit)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val sh = aggregate(hs,
+      array_repeat(lit(0L), nDigits),
+      (acc, h) => zip_with(acc, packArray(h), (a, b) => a + b),
+      votes => fingerprint(votes))
+    df.select(col(idCol).as("id"), sh.as("simhash"))
   }
 
   /** Near-dup pairs at Hamming distance <= maxDist via pigeonhole bands.

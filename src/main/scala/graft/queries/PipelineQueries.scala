@@ -51,11 +51,12 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
-    // MinHash + LSH: shingle → signature → banded buckets → candidate
-    // pairs → exact-Jaccard verification. The shingle table feeds three
-    // plan branches (signature + both verify sides) → persist it.
+    // MinHash + LSH: per-doc shingle arrays (map-side) → map-side
+    // signatures → banded buckets → candidate pairs → array_intersect
+    // Jaccard verification. The shingle-array table feeds three plan
+    // branches (signature + both verify sides) → persist it.
     "p_dedup_minhash_lsh" -> { (s, d) =>
-      val sh = DedupOps.shingleTable(docs(s, d), "doc_id", "text", 3)
+      val sh = DedupOps.shingleArrays(docs(s, d), "doc_id", "text", 3)
         .persist()
       val sig = DedupOps.minhashSignature(sh, NumHashes)
       val cand = DedupOps.lshCandidates(sig, NumHashes, MinhashBands)
@@ -63,9 +64,9 @@ object PipelineQueries {
         .orderBy("i", "j")
     },
 
-    // SimHash: 32-bit majority fingerprint, pigeonhole-banded Hamming
-    // join. The signature table feeds three branches (bands + two hash
-    // joins) → persist it.
+    // SimHash: map-side 32-bit majority fingerprint, pigeonhole-banded
+    // Hamming join. The signature table feeds three branches (bands +
+    // two hash joins) → persist it.
     "p_dedup_simhash" -> { (s, d) =>
       val sim = DedupOps.simhash(docs(s, d), "doc_id", "text").persist()
       DedupOps.simhashPairs(sim, SimhashMaxDist).orderBy("i", "j")

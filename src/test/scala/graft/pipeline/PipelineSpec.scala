@@ -22,7 +22,7 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("minhash LSH finds near and exact dups, not unrelated docs") {
-    val sh = DedupOps.shingleTable(docs, "doc_id", "text", 3)
+    val sh = DedupOps.shingleArrays(docs, "doc_id", "text", 3)
     val sig = DedupOps.minhashSignature(sh, 12)
     val cand = DedupOps.lshCandidates(sig, 12, 4)
     val pairs = DedupOps.jaccardVerify(cand, sh, 0.5)
