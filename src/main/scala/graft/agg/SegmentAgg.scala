@@ -37,6 +37,37 @@ final case class AggSpec(out: String, in: String, fn: AggFn)
   * distributed analog of the reference's single-threaded deterministic
   * sums — and cast back to double on output.
   */
+/** User-extensible segmentation contract — the port of the reference's
+  * `bin_by` Callable (ref segmentby.py:735-800): a BinBy maps the
+  * ordered column to a bin-label column. The reference's built-in
+  * policies are provided (time scale, explicit edges); `ByExpr` is the
+  * "segmentation UDF" — any user column function participates in
+  * `SegmentAgg.aggregate`/`aggregateWithSpine`/`snapshots` identically,
+  * stays codegen'd, and shuffles once on its bin label like every
+  * built-in policy. (Count-based by_x_rows is stateful across rows and
+  * lives in `SegmentAgg.xRowsBins` / `StreamKeyCfg.xRows`.)
+  */
+trait BinBy { def apply(ordered: Column): Column }
+object BinBy {
+  /** Tumbling time bins (G2). */
+  final case class ByTime(freq: String, closed: String = "left",
+      label: String = "left") extends BinBy {
+    def apply(ordered: Column): Column =
+      SegmentAgg.timeBin(ordered, freq, closed, label)
+  }
+  /** Explicit ascending bin edges (G2 Series form). */
+  final case class ByEdges(edges: Seq[Any], closed: String = "left")
+      extends BinBy {
+    def apply(ordered: Column): Column =
+      SegmentAgg.edgeBin(ordered, edges, closed)
+  }
+  /** User-supplied segmentation: any Column function of the ordered
+    * column. */
+  final case class ByExpr(f: Column => Column) extends BinBy {
+    def apply(ordered: Column): Column = f(ordered)
+  }
+}
+
 object SegmentAgg {
 
   /** Tumbling time-bin label (ref segmentby.py:141-368 by_scale with a
@@ -135,6 +166,12 @@ object SegmentAgg {
     val es = aggExprs(specs, tie)
     df.groupBy(bin.as("bin")).agg(es.head, es.tail: _*)
   }
+
+  /** Same, with the bin given as a BinBy policy over the ordered
+    * column (the reference's segmentby orchestration entry, G5). */
+  def aggregate(df: DataFrame, bin: BinBy, orderedOn: String,
+      specs: Seq[AggSpec], tie: Column): DataFrame =
+    aggregate(df, bin(col(orderedOn)), specs, tie)
 
   /** Segmented aggregation with empty bins materialized as typed nulls
     * (ref cumsegagg.py:532-569): joins the result against a generated

@@ -109,6 +109,37 @@ object RefQueries {
         .orderBy("bin")
     },
 
+    // §2.11 scalar functions: floor_ts / ceil_ts to a fixed and a
+    // calendar frequency (ref date_utils.py:13-62). Ceil is identity on
+    // boundary values.
+    "x_floor_ceil_ts" -> { (s, d) =>
+      import graft.functions.TimeFns._
+      Tables.events(s, d).select(
+        col("event_id"),
+        floor_ts(col("ts"), "1 hour").as("floor_hour"),
+        ceil_ts(col("ts"), "1 hour").as("ceil_hour"),
+        floor_ts(col("ts"), "month").as("floor_month"),
+        ceil_ts(col("ts"), "month").as("ceil_month"))
+        .orderBy("event_id")
+    },
+
+    // §2.13 user-supplied segmentation (the bin_by Callable contract):
+    // an arbitrary user column function — here day-of-week — drives the
+    // same aggregate machinery as the built-in time/edge policies.
+    "g6_user_bin" -> { (s, d) =>
+      import graft.agg.{AggFn, AggSpec, BinBy}
+      val byDow = BinBy.ByExpr(o => (dayofweek(o) - 1).cast("long"))
+      val specs = Seq(
+        AggSpec("first_value", "value", AggFn.First),
+        AggSpec("last_value", "value", AggFn.Last),
+        AggSpec("min_value", "value", AggFn.Min),
+        AggSpec("max_value", "value", AggFn.Max),
+        AggSpec("sum_value", "value", AggFn.Sum))
+      SegmentAgg.aggregate(Tables.events(s, d), byDow, "ts", specs,
+        col("event_id"))
+        .orderBy("bin")
+    },
+
     // W1: keep-last dedup on a subset ∪ {ordered_on}
     // (ref write.py:199-203, iter_merge_split_data.py:113-119): last row
     // per user_id in (ts, event_id) order wins.
@@ -352,6 +383,26 @@ object RefQueries {
               min(value) AS min_value, max(value) AS max_value,
               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
               count(*) AS n_rows
+         FROM e GROUP BY 1 ORDER BY 1""",
+
+    "x_floor_ceil_ts" -> s"""$EV
+         SELECT event_id,
+              time_bucket(INTERVAL '1 hour', ts) AS floor_hour,
+              CASE WHEN time_bucket(INTERVAL '1 hour', ts) = ts THEN ts
+                   ELSE time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR
+                   END AS ceil_hour,
+              date_trunc('month', ts) AS floor_month,
+              CASE WHEN date_trunc('month', ts) = ts THEN ts
+                   ELSE date_trunc('month', ts) + INTERVAL 1 MONTH
+                   END AS ceil_month
+         FROM e ORDER BY event_id""",
+
+    "g6_user_bin" -> s"""$EV
+         SELECT dayofweek(ts) AS bin,
+              min_by(value, event_id) AS first_value,
+              max_by(value, event_id) AS last_value,
+              min(value) AS min_value, max(value) AS max_value,
+              CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
          FROM e GROUP BY 1 ORDER BY 1""",
 
     "w1_dedup_keep_last" -> s"""$EV

@@ -17,6 +17,40 @@ class SegmentAggSpec extends SparkSpec {
     (ts("2024-01-01T00:10:00"), 5.0, 4L))
     .toDF("t", "v", "rid")
 
+  test("floor_ts/ceil_ts: boundary identity, fixed and calendar freqs") {
+    import graft.functions.TimeFns._
+    val rows = df.select(
+      floor_ts($"t", "5 minutes").as("fl"),
+      ceil_ts($"t", "5 minutes").as("ce"),
+      floor_ts($"t", "month").as("flm"),
+      ceil_ts($"t", "month").as("cem"))
+      .as[(LocalDateTime, LocalDateTime, LocalDateTime, LocalDateTime)]
+      .collect().toSeq
+    assert(rows.map(_._1.getMinute) == Seq(0, 0, 5, 5, 10))
+    // ceil: identity on the 0/5/10-minute edges, next edge otherwise
+    assert(rows.map(_._2.getMinute) == Seq(0, 5, 5, 10, 10))
+    assert(rows.map(_._3).forall(_ == ts("2024-01-01T00:00:00")))
+    // all five values are past the Jan-1 boundary except the first
+    assert(rows.head._4 == ts("2024-01-01T00:00:00"))
+    assert(rows.tail.map(_._4).forall(_ == ts("2024-02-01T00:00:00")))
+  }
+
+  test("BinBy policies: ByTime/ByEdges match raw fns; ByExpr is the UDF") {
+    val byTime = BinBy.ByTime("5 minutes")
+    assert(df.select(byTime($"t")).collect().toSeq ==
+      df.select(SegmentAgg.timeBin($"t", "5 minutes")).collect().toSeq)
+    val edges = Seq(ts("2024-01-01T00:00:00"), ts("2024-01-01T00:10:00"))
+    val byEdges = BinBy.ByEdges(edges)
+    assert(df.select(byEdges($"t")).collect().toSeq ==
+      df.select(SegmentAgg.edgeBin($"t", edges)).collect().toSeq)
+    // user-defined segmentation through the shared aggregate entry
+    val byParity = BinBy.ByExpr(o => pmod(minute(o), lit(2)))
+    val out = SegmentAgg.aggregate(df, byParity, "t",
+      Seq(AggSpec("sum_v", "v", AggFn.Sum)), $"rid")
+      .orderBy("bin").as[(Int, Double)].collect().toSeq
+    assert(out == Seq((0, 8.0), (1, 7.0))) // even minutes 0,4,10; odd 5,9
+  }
+
   test("timeBin closed/label semantics on exact edges") {
     def bins(closed: String, label: String): Seq[LocalDateTime] =
       df.select(SegmentAgg.timeBin($"t", "5 minutes", closed, label))
