@@ -180,6 +180,48 @@ object DedupOps {
     df.select(col(idCol).as("id"), sh.as("simhash"))
   }
 
+  /** Connected components over an undirected duplicate-pair graph:
+    * every doc appearing in a pair gets the smallest doc id reachable
+    * from it as its cluster id — the step that turns pairwise near-dup
+    * verdicts into "keep one per cluster" decisions in a training-data
+    * pipeline.
+    *
+    * Min-label propagation, the standard DataFrame formulation of
+    * iterative CC (the same driver-coordinated loop MLlib/GraphFrames
+    * use): each round every node adopts the min of its own and its
+    * neighbors' labels; rounds needed = graph diameter, and near-dup
+    * components are tiny (pairs/triples), so this converges in 2-3
+    * rounds in practice. Each round is one shuffle join + aggregation;
+    * the driver only checks the (scalar) changed-count per round.
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
+      .unionByName(pairs.select(col("j").as("a"), col("i").as("b")))
+      .persist()
+    // localCheckpoint each round: truncates the iterative lineage so
+    // plan size stays constant across rounds
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("cluster", col("id")).localCheckpoint()
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      val prop = edges
+        .join(labels.withColumnRenamed("id", "b2"), col("b") === col("b2"))
+        .groupBy(col("a").as("id")).agg(min("cluster").as("nbr"))
+      val next = labels.withColumnRenamed("cluster", "old")
+        .join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("old"), coalesce(col("nbr"), col("old"))).as("cluster"),
+          col("old"))
+        .localCheckpoint()
+      done = next.filter(col("cluster") =!= col("old")).isEmpty
+      labels = next.select("id", "cluster")
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Near-dup pairs at Hamming distance <= maxDist via pigeonhole bands.
     */
   def simhashPairs(sim: DataFrame, maxDist: Int): DataFrame = {

@@ -80,6 +80,16 @@ object PipelineQueries {
         .orderBy("i", "j")
     },
 
+    // Near-dup cluster resolution: pairwise Jaccard verdicts → connected
+    // components (min-label propagation) → cluster id per involved doc.
+    "p_dedup_clusters" -> { (s, d) =>
+      val sh = DedupOps.shingleTable(docs(s, d), "doc_id", "text", 3)
+        .persist()
+      val pairs = DedupOps.exactJaccardPairs(sh, ExactJaccardThreshold)
+        .select("i", "j")
+      DedupOps.dupClusters(pairs).orderBy("id")
+    },
+
     // Embedding near-dup: sign-random-projection LSH bands + exact
     // cosine verification of candidates.
     "p_dedup_embedding_lsh" -> { (s, d) =>
@@ -353,6 +363,25 @@ object PipelineQueries {
                   JOIN cnt cb ON cb.id = pairs.j
        WHERE inter * 1.0 / (ca.n + cb.n - inter) >= $ExactJaccardThreshold
        ORDER BY i, j""",
+
+    "p_dedup_clusters" ->
+      s"""WITH RECURSIVE $ShingleCte,
+         cnt AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+         prs AS (SELECT a.id AS i, b.id AS j, count(*) AS inter
+                 FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
+                 GROUP BY 1, 2),
+         pe AS (SELECT prs.i, prs.j FROM prs
+                JOIN cnt ca ON ca.id = prs.i
+                JOIN cnt cb ON cb.id = prs.j
+                WHERE inter * 1.0 / (ca.n + cb.n - inter)
+                      >= $ExactJaccardThreshold),
+         edges AS (SELECT i AS a, j AS b FROM pe
+                   UNION SELECT j, i FROM pe),
+         reach AS (SELECT a AS id, a AS r FROM edges
+                   UNION
+                   SELECT e.a, reach.r FROM edges e
+                   JOIN reach ON reach.id = e.b)
+       SELECT id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id""",
 
     "p_dedup_embedding_lsh" -> embeddingLshOracle,
     "p_ann_topk" -> annTopkOracle,

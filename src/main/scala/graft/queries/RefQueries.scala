@@ -140,6 +140,17 @@ object RefQueries {
         .orderBy("bin")
     },
 
+    // Session windows (beyond-reference T5): 30-minute-gap sessions per
+    // user — one shuffle on the key, two window passes on the same sort.
+    "g7_sessions" -> { (s, d) =>
+      import graft.agg.Sessionize
+      Sessionize.sessions(Tables.events(s, d), Seq("user_id"), col("ts"),
+        col("event_id"), "30 minutes",
+        Seq(dsum(col("value")).as("sum_value"),
+          count(lit(1)).as("n_events")))
+        .orderBy("user_id", "session_idx")
+    },
+
     // W1: keep-last dedup on a subset ∪ {ordered_on}
     // (ref write.py:199-203, iter_merge_split_data.py:113-119): last row
     // per user_id in (ts, event_id) order wins.
@@ -404,6 +415,26 @@ object RefQueries {
               min(value) AS min_value, max(value) AS max_value,
               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
          FROM e GROUP BY 1 ORDER BY 1""",
+
+    "g7_sessions" -> s"""$EV
+         SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+              min(ts) AS session_start, max(ts) AS session_end,
+              CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                AS sum_value,
+              count(*) AS n_events
+         FROM (
+           SELECT *, SUM(is_new) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+           FROM (
+             SELECT *, CASE WHEN lag(ts) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR ts > lag(ts) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id)
+                     + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+             FROM e))
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "w1_dedup_keep_last" -> s"""$EV
          SELECT user_id, ts, event_id, event_type, value FROM (

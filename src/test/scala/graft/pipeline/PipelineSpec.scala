@@ -32,6 +32,31 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("dupClusters: transitive pairs collapse to one min-id cluster") {
+    // chain 1-2, 2-3 plus isolated pair 10-11: {1,2,3} and {10,11}
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("i", "j")
+    val out = DedupOps.dupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("sessionize splits on gap and aggregates per session") {
+    import graft.agg.Sessionize
+    import java.time.LocalDateTime
+    def t(s: String) = LocalDateTime.parse(s)
+    val ev = Seq(
+      (1L, t("2024-01-01T00:00:00"), 1.0, 0L),
+      (1L, t("2024-01-01T00:10:00"), 2.0, 1L),
+      (1L, t("2024-01-01T01:00:00"), 3.0, 2L), // 50-min gap -> new session
+      (2L, t("2024-01-01T00:00:00"), 4.0, 3L))
+      .toDF("user_id", "ts", "value", "event_id")
+    val out = Sessionize.sessions(ev, Seq("user_id"), $"ts", $"event_id",
+        "30 minutes", Seq(count(lit(1)).as("n")))
+      .select("user_id", "session_idx", "n")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 0L, 2L), (1L, 1L, 1L), (2L, 0L, 1L)))
+  }
+
   test("simhash is invariant to partitioning and finds the exact dup") {
     val s1 = DedupOps.simhash(docs.repartition(7), "doc_id", "text")
       .orderBy("id").as[(Long, Long)].collect().toSeq
