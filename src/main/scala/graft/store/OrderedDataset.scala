@@ -291,11 +291,34 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
         data.repartitionByRange(nOut, tieCols: _*)
           .sortWithinPartitions(tieCols: _*)
       case TimePeriod(unit) =>
-        val p = date_trunc(unit, ord)
-        val nPeriods = math.max(1L,
-          data.select(p.as("__p")).distinct().count()).toInt
-        data.repartitionByRange(nPeriods, p +: tieCols: _*)
-          .sortWithinPartitions(tieCols: _*)
+        // EXACT one-partition-per-period (ref time_period_strategy):
+        // collect the (bounded — one per hour/day/week/month in range)
+        // distinct period set on the driver, map period → partition id,
+        // and place rows with an identity partitioner. Unlike
+        // repartitionByRange, no sampling is involved, so a file never
+        // spans periods and each period lands in exactly one file. The
+        // RDD hop is the one place Spark has no declarative equivalent
+        // (a user-defined exact partitioner).
+        val p = date_trunc(unit, ord).cast("timestamp_ntz")
+        val periods = data.select(p.as("__p")).distinct().collect()
+          .map(r => OrdVal.fromAny(r.get(0))).sorted
+        require(periods.nonEmpty, "no rows to materialize")
+        val pidEntries = periods.zipWithIndex.flatMap { case (pv, i) =>
+          Seq(lit(pv.toLiteral), lit(i))
+        }
+        val withPid = data.withColumn("__pid",
+          element_at(map(pidEntries.toSeq: _*), p))
+        val schema = withPid.schema
+        val n = periods.length
+        val rdd = withPid.rdd
+          .map(r => (r.getAs[Int]("__pid"), r))
+          .partitionBy(new org.apache.spark.Partitioner {
+            def numPartitions: Int = n
+            def getPartition(key: Any): Int = key.asInstanceOf[Int]
+          })
+          .map(_._2)
+        spark.createDataFrame(rdd, schema)
+          .sortWithinPartitions(tieCols: _*).drop("__pid")
     }
     (if (hasProvenance) sized.drop(SeqCol, RidCol) else sized)
       .write.mode("overwrite").parquet(tmpDir)
@@ -344,21 +367,44 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     */
   def optimize(target: RowGroupTarget): Int = withWriteLock {
     val m = meta
-    val onTargetRows = target match {
-      case NRows(n) => (n * OnTargetFraction).toLong
-      case TimePeriod(_) =>
-        throw new IllegalArgumentException(
-          "optimize() supports NRows targets")
-    }
-    // contiguous runs of off-target files, in stats order, tracked by
+    // contiguous runs of files to rewrite, in stats order, tracked by
     // file identity (positions shift as each run is rewritten)
-    val runs = scala.collection.mutable.ListBuffer.empty[Seq[FileStat]]
-    val cur = scala.collection.mutable.ListBuffer.empty[FileStat]
-    m.files.foreach { f =>
-      if (f.rows < onTargetRows) cur += f
-      else { if (cur.size >= 2) runs += cur.toSeq; cur.clear() }
+    val runs = target match {
+      case NRows(n) =>
+        // runs of >=2 off-target (undersized) neighbors
+        val onTargetRows = (n * OnTargetFraction).toLong
+        val rs = scala.collection.mutable.ListBuffer.empty[Seq[FileStat]]
+        val cur = scala.collection.mutable.ListBuffer.empty[FileStat]
+        m.files.foreach { f =>
+          if (f.rows < onTargetRows) cur += f
+          else { if (cur.size >= 2) rs += cur.toSeq; cur.clear() }
+        }
+        if (cur.size >= 2) rs += cur.toSeq
+        rs.toSeq
+      case TimePeriod(unit) =>
+        // normalize to one-file-per-period: group files whose period
+        // intervals [period(min), period(max)] touch (files sorted by
+        // min, so overlap means sharing a period with the previous
+        // file); rewrite any group with >1 file or a period-spanning
+        // single file — the exact partitioner then splits per period.
+        val rs = scala.collection.mutable.ListBuffer.empty[Seq[FileStat]]
+        val cur = scala.collection.mutable.ListBuffer.empty[FileStat]
+        var curMaxP = Long.MinValue
+        def flush(): Unit = {
+          if (cur.size >= 2 ||
+              cur.toSeq.exists(f => truncPeriod(f.min, unit)
+                != truncPeriod(f.max, unit)))
+            rs += cur.toSeq
+          cur.clear()
+        }
+        m.files.foreach { f =>
+          if (cur.nonEmpty && truncPeriod(f.min, unit) > curMaxP) flush()
+          cur += f
+          curMaxP = math.max(curMaxP, truncPeriod(f.max, unit))
+        }
+        flush()
+        rs.toSeq
     }
-    if (cur.size >= 2) runs += cur.toSeq
     runs.foreach { runFiles =>
       val mNow = meta
       val runNames = runFiles.map(_.name).toSet
@@ -369,6 +415,28 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
         hasProvenance = false)
     }
     runs.size
+  }
+
+  /** Driver-side period truncation of a sidecar stat, µs epoch — must
+    * agree with `date_trunc(unit, …)` (UTC, ISO Monday weeks). */
+  private def truncPeriod(v: OrdVal, unit: String): Long = v match {
+    case OrdTs(us) =>
+      val ldt = java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(us, 1000000L),
+        (Math.floorMod(us, 1000000L) * 1000).toInt,
+        java.time.ZoneOffset.UTC)
+      val t = unit.toLowerCase match {
+        case "hour" => ldt.truncatedTo(java.time.temporal.ChronoUnit.HOURS)
+        case "day"  => ldt.truncatedTo(java.time.temporal.ChronoUnit.DAYS)
+        case "week" =>
+          ldt.toLocalDate.`with`(java.time.DayOfWeek.MONDAY).atStartOfDay()
+        case "month" => ldt.toLocalDate.withDayOfMonth(1).atStartOfDay()
+        case other => throw new IllegalArgumentException(
+          s"unsupported period unit $other")
+      }
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000
+    case other => throw new IllegalArgumentException(
+      s"TimePeriod requires a timestamp ordered_on, got ${other.typeTag}")
   }
 
   /** Driver-side rewrite planner: overlap detection (ref

@@ -127,15 +127,48 @@ class StoreSpec extends SparkSpec {
     assert(ds.optimize(NRows(100)) == 0)
   }
 
-  test("time-period target splits files by period") {
+  test("time-period target: EXACTLY one file per period, none spanning") {
     val dir = tmpDir("opd")
     val ds = new OrderedDataset(spark, s"$dir/d1")
-    val df = (0 until 48).map { h =>
+    // 7 days x 24 rows, deliberately many input partitions
+    val df = (0 until 168).map { h =>
       (java.time.LocalDateTime.of(2024, 1, 1 + h / 24, h % 24, 30), h * 1.0)
-    }.toDF("ts", "v")
+    }.toDF("ts", "v").repartition(13)
     ds.write(df, WriteOpts("ts", TimePeriod("day")))
-    assert(ds.meta.files.size == 2, ds.meta.files)
-    assert(ds.df.count() == 48)
+    val m = ds.meta
+    assert(m.files.size == 7, m.files)
+    m.files.foreach { f =>
+      (f.min, f.max) match {
+        case (OrdTs(a), OrdTs(b)) =>
+          assert(a / 86400000000L == b / 86400000000L,
+            s"file ${f.name} spans days")
+        case other => fail(s"unexpected stat types $other")
+      }
+    }
+    assert(ds.df.count() == 168)
+  }
+
+  test("optimize(TimePeriod) normalizes multiple files per period") {
+    val dir = tmpDir("opd")
+    val ds = new OrderedDataset(spark, s"$dir/d1")
+    def day(d: Int, h: Int, v: Double) =
+      (java.time.LocalDateTime.of(2024, 1, d, h, 0), v)
+    // appends with NRows targets: several small files inside day 1 plus
+    // a file SPANNING days 1-2
+    ds.write(Seq(day(1, 1, 1.0), day(1, 5, 2.0))
+      .toDF("ts", "v"), WriteOpts("ts", NRows(1)))
+    ds.write(Seq(day(1, 9, 4.0), day(2, 1, 3.0), day(2, 9, 5.0),
+        day(3, 1, 6.0))
+      .toDF("ts", "v"), WriteOpts("ts", NRows(2)))
+    assert(ds.meta.files.size == 4, ds.meta.files)
+    val before = ds.orderedDf.collect().toSeq
+    val rewritten = ds.optimize(TimePeriod("day"))
+    assert(rewritten >= 1)
+    val m = ds.meta
+    assert(m.files.size == 3, m.files) // one per day
+    assert(ds.orderedDf.collect().toSeq == before)
+    // second optimize is a no-op
+    assert(ds.optimize(TimePeriod("day")) == 0)
   }
 
   test("store discovery, get, delete") {
