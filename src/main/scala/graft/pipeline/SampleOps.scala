@@ -1,0 +1,47 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines. Membership is a
+  * pure function of the row's id — `md5(id)` prefix compared against a
+  * rate threshold — so samples are reproducible across runs, engines,
+  * partitionings and cluster sizes (unlike `df.sample`, whose output
+  * depends on partition layout), rows can be re-derived cheaply, and
+  * the predicate is codegen'd and fully parallel (no shuffle, no state).
+  *
+  * The comparison is done on the 8-char lowercase-hex md5 prefix as a
+  * STRING: equal-length hex compares lexicographically == numerically
+  * in every engine, which makes the DuckDB oracle exact.
+  */
+object SampleOps {
+
+  /** First 8 hex chars of md5 of the id rendered as a string. */
+  def hashBucket(id: Column): Column =
+    substring(md5(id.cast("string").cast("binary")), 1, 8)
+
+  /** `rate` in [0,1] → inclusive-exclusive hex threshold on 2^32. */
+  def thresholdHex(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate out of range: $rate")
+    val t = math.min((rate * 4294967296.0).toLong, 0xFFFFFFFFL)
+    f"$t%08x"
+  }
+
+  /** Uniform deterministic sample: keep ~rate of rows. */
+  def hashSample(df: DataFrame, idCol: String, rate: Double): DataFrame =
+    df.filter(hashBucket(col(idCol)) < lit(thresholdHex(rate)))
+
+  /** Stratified deterministic sample: per-stratum rates (e.g. keep 50%
+    * of English, 25% of everything else) — the standard language/domain
+    * rebalancing step of corpus construction. Unlisted strata get
+    * `defaultRate`.
+    */
+  def stratifiedSample(df: DataFrame, stratum: Column, idCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(
+      lit(thresholdHex(defaultRate))) { case (acc, (k, r)) =>
+      when(stratum === lit(k), lit(thresholdHex(r))).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol)) < threshold)
+  }
+}

@@ -28,6 +28,8 @@ object PipelineQueries {
   private val CosThreshold = 0.4
   private val TopK = 5
   private val NQueryVecs = 20
+  private val SampleRateEn = 0.5
+  private val SampleRateDefault = 0.25
 
   // The test tables arrive as a single parquet file = ONE input split;
   // repartition so the hash/shingle work uses every core (on a real
@@ -127,6 +129,18 @@ object PipelineQueries {
         col("doc_id"),
         TextOps.langId(col("text")).as("lang_guess"),
         scores.map(_._2).reduce((a, b) => greatest(a, b)).as("best_score"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic stratified sampling: md5-prefix membership with a
+    // per-language rate (50% en, 25% rest) — reproducible across runs,
+    // engines and partitionings; map-side predicate, no shuffle.
+    "p_sample_stratified" -> { (s, d) =>
+      val withLang = docs(s, d)
+        .withColumn("lang_guess", TextOps.langId(col("text")))
+      SampleOps.stratifiedSample(withLang, col("lang_guess"), "doc_id",
+        Map("en" -> SampleRateEn), SampleRateDefault)
+        .select("doc_id", "lang_guess")
         .orderBy("doc_id")
     },
 
@@ -321,7 +335,9 @@ object PipelineQueries {
      SELECT q_id, CAST(rank AS INT) AS rank, vec_id, cos
      FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank"""
 
-  private def langidOracle: String = {
+  /** (scores select-list, best expr, lang CASE expr) shared by the
+    * langid and stratified-sample oracles. */
+  private def langSqlParts: (String, String, String) = {
     def occ(m: String): String = {
       val esc = m.replace("'", "''")
       s"((len(text) - len(replace(text, '$esc', ''))) // ${m.length})"
@@ -333,11 +349,29 @@ object PipelineQueries {
     val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
     val caseExpr = langs.map(l => s"WHEN s_$l = best THEN '$l'")
       .mkString("CASE ", " ", " ELSE 'und' END")
+    (scores, best, caseExpr)
+  }
+
+  private def langidOracle: String = {
+    val (scores, best, caseExpr) = langSqlParts
     s"""WITH s AS (SELECT doc_id, $scores FROM documents),
        b AS (SELECT *, $best AS best FROM s)
      SELECT doc_id, $caseExpr AS lang_guess, CAST(best AS BIGINT)
        AS best_score
      FROM b ORDER BY doc_id"""
+  }
+
+  private def sampleOracle: String = {
+    val (scores, best, caseExpr) = langSqlParts
+    s"""WITH s AS (SELECT doc_id, text, $scores FROM documents),
+       b AS (SELECT *, $best AS best FROM s),
+       l AS (SELECT doc_id, $caseExpr AS lang_guess FROM b)
+     SELECT doc_id, lang_guess FROM l
+     WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+           CASE WHEN lang_guess = 'en'
+                THEN '${SampleOps.thresholdHex(SampleRateEn)}'
+                ELSE '${SampleOps.thresholdHex(SampleRateDefault)}' END
+     ORDER BY doc_id"""
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -387,6 +421,7 @@ object PipelineQueries {
     "p_ann_topk" -> annTopkOracle,
     "p_ann_ivf" -> annIvfOracle,
     "p_text_langid" -> langidOracle,
+    "p_sample_stratified" -> sampleOracle,
 
     "p_text_quality" -> {
       val stop = TextOps.Stopwords.map(w => s"'$w'").mkString(", ")

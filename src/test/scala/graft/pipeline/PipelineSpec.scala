@@ -32,6 +32,25 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("hashSample is deterministic across partitionings, rate-accurate") {
+    val ids = (0L until 4000L).toDF("id")
+    val a = SampleOps.hashSample(ids.repartition(7), "id", 0.25)
+      .as[Long].collect().toSet
+    val b = SampleOps.hashSample(ids.coalesce(1), "id", 0.25)
+      .as[Long].collect().toSet
+    assert(a == b)
+    assert(math.abs(a.size / 4000.0 - 0.25) < 0.05)
+    // stratified: different strata get different rates
+    val strat = ids.withColumn("s",
+      when($"id" % 2 === 0, "keep_more").otherwise("other"))
+    val out = SampleOps.stratifiedSample(strat, $"s", "id",
+      Map("keep_more" -> 0.8), 0.1)
+    val byStratum = out.groupBy("s").count()
+      .as[(String, Long)].collect().toMap
+    assert(math.abs(byStratum("keep_more") / 2000.0 - 0.8) < 0.1)
+    assert(math.abs(byStratum("other") / 2000.0 - 0.1) < 0.1)
+  }
+
   test("dupClusters: transitive pairs collapse to one min-id cluster") {
     // chain 1-2, 2-3 plus isolated pair 10-11: {1,2,3} and {10,11}
     val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("i", "j")
