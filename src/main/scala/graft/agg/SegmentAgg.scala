@@ -249,4 +249,30 @@ object SegmentAgg {
     }
     partial.select(outCols: _*)
   }
+
+  /** Snapshots with the reference's empty-snapshot semantics (ref
+    * jcumsegagg.py:350-415 preserve_res; SURVEY T6): every snapshot
+    * point of the grid inside a non-empty bin gets a row — points where
+    * nothing arrived FORWARD the running value of the bin so far, and
+    * points before the bin's first data emit typed nulls. The spine is
+    * generated per bin (`sequence` + explode) and the forwarding is a
+    * `last(…, ignoreNulls)` running window over the same (bin → snap)
+    * partitioning the running combine already uses — one extra window
+    * pass on one row per grid cell, no extra shuffle of the data.
+    */
+  def snapshotsWithSpine(df: DataFrame, bin: Column, snap: Column,
+      specs: Seq[AggSpec], tie: Column, binWidth: String, snapStep: String)
+      : DataFrame = {
+    val base = snapshots(df, bin, snap, specs, tie)
+    val spine = base.select(col("bin")).distinct()
+      .select(col("bin"), explode(expr(
+        s"sequence(bin, bin + INTERVAL $binWidth - INTERVAL $snapStep," +
+          s" INTERVAL $snapStep)")).as("snap"))
+    val joined = spine.join(base, Seq("bin", "snap"), "left")
+    val w = Window.partitionBy("bin").orderBy("snap")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined.select(col("bin") +: col("snap") +:
+      specs.map(s => last(col(s.out), ignoreNulls = true).over(w)
+        .as(s.out)): _*)
+  }
 }

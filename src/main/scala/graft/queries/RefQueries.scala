@@ -140,6 +140,27 @@ object RefQueries {
         .orderBy("bin")
     },
 
+    // A6 with the reference's empty-snapshot forwarding (ref
+    // jcumsegagg.py preserve_res): every 6h snapshot point of each
+    // non-empty day gets a row; empty points forward the bin's running
+    // value, points before the bin's first data stay null.
+    "a8_snapshot_spine" -> { (s, d) =>
+      import graft.agg.{AggFn, AggSpec}
+      val specs = Seq(
+        AggSpec("first_value", "value", AggFn.First),
+        AggSpec("last_value", "value", AggFn.Last),
+        AggSpec("min_value", "value", AggFn.Min),
+        AggSpec("max_value", "value", AggFn.Max),
+        AggSpec("sum_value", "value", AggFn.Sum))
+      SegmentAgg.snapshotsWithSpine(
+        Tables.events(s, d)
+          .filter(col("event_type") === "purchase" && col("value") > 180.0),
+        date_trunc("day", col("ts")).cast("timestamp_ntz"),
+        SegmentAgg.timeBin(col("ts"), "6 hours"),
+        specs, col("event_id"), "1 DAY", "6 HOURS")
+        .orderBy("bin", "snap")
+    },
+
     // Session windows (beyond-reference T5): 30-minute-gap sessions per
     // user — one shuffle on the key, two window passes on the same sort.
     "g7_sessions" -> { (s, d) =>
@@ -415,6 +436,39 @@ object RefQueries {
               min(value) AS min_value, max(value) AS max_value,
               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
          FROM e GROUP BY 1 ORDER BY 1""",
+
+    "a8_snapshot_spine" -> s"""$EV,
+         base AS (
+           SELECT bin, snap,
+                first_value(c_first) OVER w AS first_value,
+                last_value(c_last) OVER w AS last_value,
+                min(c_min) OVER w AS min_value,
+                max(c_max) OVER w AS max_value,
+                CAST(sum(c_sum) OVER w AS DOUBLE) AS sum_value
+           FROM (SELECT date_trunc('day', ts) AS bin,
+                        time_bucket(INTERVAL '6 hours', ts) AS snap,
+                        min_by(value, event_id) AS c_first,
+                        max_by(value, event_id) AS c_last,
+                        min(value) AS c_min, max(value) AS c_max,
+                        SUM(CAST(value AS DECIMAL(38,6))) AS c_sum
+                 FROM e WHERE event_type = 'purchase' AND value > 180.0
+                 GROUP BY 1, 2)
+           WINDOW w AS (PARTITION BY bin ORDER BY snap
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         bins AS (SELECT DISTINCT bin FROM base),
+         spine AS (SELECT bin, unnest(generate_series(bin,
+                        bin + INTERVAL 18 HOUR, INTERVAL 6 HOUR)) AS snap
+                   FROM bins)
+       SELECT spine.bin, spine.snap,
+            last_value(first_value IGNORE NULLS) OVER w2 AS first_value,
+            last_value(last_value IGNORE NULLS) OVER w2 AS last_value,
+            last_value(min_value IGNORE NULLS) OVER w2 AS min_value,
+            last_value(max_value IGNORE NULLS) OVER w2 AS max_value,
+            last_value(sum_value IGNORE NULLS) OVER w2 AS sum_value
+       FROM spine LEFT JOIN base USING (bin, snap)
+       WINDOW w2 AS (PARTITION BY spine.bin ORDER BY spine.snap
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       ORDER BY bin, snap""",
 
     "g7_sessions" -> s"""$EV
          SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,

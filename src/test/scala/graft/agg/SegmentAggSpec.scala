@@ -51,6 +51,30 @@ class SegmentAggSpec extends SparkSpec {
     assert(out == Seq((0, 8.0), (1, 7.0))) // even minutes 0,4,10; odd 5,9
   }
 
+  test("snapshotsWithSpine forwards running values; nulls before data") {
+    // one 10-min bin, 2-min snaps; data only at minutes 2-3 and 9
+    val ev = Seq(
+      (ts("2024-01-01T00:02:00"), 10.0, 0L),
+      (ts("2024-01-01T00:03:00"), 20.0, 1L),
+      (ts("2024-01-01T00:09:00"), 5.0, 2L))
+      .toDF("t", "v", "rid")
+    val out = SegmentAgg.snapshotsWithSpine(ev,
+        SegmentAgg.timeBin($"t", "10 minutes"),
+        SegmentAgg.timeBin($"t", "2 minutes"),
+        Seq(AggSpec("sum_v", "v", AggFn.Sum),
+          AggSpec("min_v", "v", AggFn.Min)),
+        $"rid", "10 MINUTES", "2 MINUTES")
+      .orderBy("snap")
+      .select("sum_v", "min_v")
+      .collect().toSeq
+    assert(out.size == 5) // full grid despite 2 non-empty cells
+    assert(out(0).isNullAt(0)) // snap 00:00: before first data
+    assert(out(1).getDouble(0) == 30.0) // 00:02-04: both rows
+    assert(out(2).getDouble(0) == 30.0) // 00:04: forwarded
+    assert(out(3).getDouble(0) == 30.0) // 00:06: forwarded
+    assert(out(4).getDouble(0) == 35.0 && out(4).getDouble(1) == 5.0)
+  }
+
   test("timeBin closed/label semantics on exact edges") {
     def bins(closed: String, label: String): Seq[LocalDateTime] =
       df.select(SegmentAgg.timeBin($"t", "5 minutes", closed, label))
