@@ -12,4 +12,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object SparkInternals {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eager ColumnNode → Expression conversion: unlike `expression`
+    * (which wraps lazily and only unwraps during DataFrame analysis),
+    * this returns a real Catalyst tree, required when splicing a
+    * Column-composed function into a SQL FunctionBuilder.
+    */
+  def expressionEager(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

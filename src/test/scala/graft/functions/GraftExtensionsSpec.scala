@@ -18,6 +18,26 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("floor_ts/ceil_ts are callable from SQL with literal freqs") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT floor_ts(TIMESTAMP_NTZ '2024-03-05 10:47:13', '15 minutes')
+              AS fl,
+            ceil_ts(TIMESTAMP_NTZ '2024-03-05 10:47:13', '15 minutes')
+              AS ce,
+            ceil_ts(TIMESTAMP_NTZ '2024-03-01 00:00:00', 'month') AS cem""")
+      .as[(java.time.LocalDateTime, java.time.LocalDateTime,
+        java.time.LocalDateTime)].head()
+    assert(r._1 == java.time.LocalDateTime.parse("2024-03-05T10:45:00"))
+    assert(r._2 == java.time.LocalDateTime.parse("2024-03-05T11:00:00"))
+    assert(r._3 == java.time.LocalDateTime.parse("2024-03-01T00:00:00"))
+    // non-literal freq is rejected with a clear error
+    intercept[Exception] {
+      spark.sql("SELECT floor_ts(TIMESTAMP_NTZ '2024-01-01', ts_col)")
+        .collect()
+    }
+  }
+
   test("extensions class injects the function into a new session") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
