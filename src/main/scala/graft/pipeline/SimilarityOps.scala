@@ -41,6 +41,27 @@ object SimilarityOps {
   def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
     round(dot(va, vb) / (na * nb), 6)
 
+  /** L2-normalized copy of a double vector (zero vectors pass through).
+    * Map-side, codegen'd; no shuffle. */
+  def l2Normalize(vec: Column): Column = {
+    val n = sqrt(dot(vec, vec))
+    when(n === 0.0, vec).otherwise(transform(vec, x => x / n))
+  }
+
+  /** Symmetric int8 quantization scale for a vector: max|x| / 127. */
+  def int8Scale(vec: Column): Column =
+    array_max(transform(vec, x => abs(x))) / 127.0
+
+  /** Symmetric int8 quantization: q_i = floor(x_i/scale + 0.5). The
+    * explicit floor(+0.5) avoids engine-specific ROUND half-way modes,
+    * keeping results bit-reproducible (and DuckDB-oracle exact). The
+    * 4x-smaller vectors are the standard memory/IO lever for ANN
+    * serving over large corpora; |x - q*scale| <= scale/2.
+    */
+  def int8Quantize(vec: Column, scale: Column): Column =
+    when(scale === 0.0, transform(vec, _ => lit(0L)))
+      .otherwise(transform(vec, x => floor(x / scale + 0.5).cast("long")))
+
   /** Exact top-k neighbors for each query id (queries × corpus — use for
     * small query sets or as the per-bucket step after LSH).
     */

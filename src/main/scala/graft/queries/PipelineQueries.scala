@@ -122,6 +122,22 @@ object PipelineQueries {
         .orderBy("q_id", "rank")
     },
 
+    // Embedding normalization + symmetric int8 quantization (map-side,
+    // no shuffle): the standard 4x compression step before ANN serving.
+    "p_embed_quantize" -> { (s, d) =>
+      val v = SimilarityOps.asDouble(col("embedding"))
+      val vn = SimilarityOps.l2Normalize(v)
+      val sc = SimilarityOps.int8Scale(vn)
+      val q = SimilarityOps.int8Quantize(vn, sc)
+      embs(s, d).select(
+        col("vec_id"),
+        round(sc, 6).as("scale6"),
+        aggregate(q, lit(0L), (a, x) => a + x).as("q_sum"),
+        md5(array_join(transform(q, _.cast("string")), ",")
+          .cast("binary")).as("q_digest"))
+        .orderBy("vec_id")
+    },
+
     // n-gram-profile language ID (deterministic heuristic + tie-break).
     "p_text_langid" -> { (s, d) =>
       val scores = TextOps.langScores(col("text"))
@@ -422,6 +438,29 @@ object PipelineQueries {
     "p_ann_ivf" -> annIvfOracle,
     "p_text_langid" -> langidOracle,
     "p_sample_stratified" -> sampleOracle,
+
+    "p_embed_quantize" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+              FROM embeddings),
+         n AS (SELECT vec_id,
+                 CASE WHEN sqrt(list_dot_product(vec, vec)) = 0 THEN vec
+                      ELSE list_transform(vec,
+                        x -> x / sqrt(list_dot_product(vec, vec))) END
+                   AS vn
+               FROM v),
+         s AS (SELECT vec_id, vn,
+                 list_max(list_transform(vn, x -> abs(x))) / 127.0 AS sc
+               FROM n),
+         q AS (SELECT vec_id, sc,
+                 CASE WHEN sc = 0
+                      THEN list_transform(vn, x -> CAST(0 AS BIGINT))
+                      ELSE list_transform(vn,
+                        x -> CAST(floor(x / sc + 0.5) AS BIGINT)) END AS qv
+               FROM s)
+       SELECT vec_id, round(sc, 6) AS scale6,
+            CAST(list_sum(qv) AS BIGINT) AS q_sum,
+            md5(array_to_string(qv, ',')) AS q_digest
+       FROM q ORDER BY vec_id""",
 
     "p_text_quality" -> {
       val stop = TextOps.Stopwords.map(w => s"'$w'").mkString(", ")

@@ -32,6 +32,25 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("int8 quantization: unit norm, bounded roundtrip error") {
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(16)(j => ((i * 13 + j * 7) % 9 - 4) * 0.5))
+    }.toDF("id", "v")
+    val vn = SimilarityOps.l2Normalize($"v")
+    val sc = SimilarityOps.int8Scale(vn)
+    val out = vecs.select(
+      SimilarityOps.dot(vn, vn).as("n2"),
+      sc.as("s"),
+      zip_with(vn, SimilarityOps.int8Quantize(vn, sc),
+        (x, q) => abs(x - q * sc)).as("err"))
+      .collect()
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12) // unit norm
+      val s = r.getDouble(1)
+      assert(r.getSeq[Double](2).forall(_ <= s / 2 + 1e-12))
+    }
+  }
+
   test("hashSample is deterministic across partitionings, rate-accurate") {
     val ids = (0L until 4000L).toDF("id")
     val a = SampleOps.hashSample(ids.repartition(7), "id", 0.25)
