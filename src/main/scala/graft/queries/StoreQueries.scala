@@ -49,7 +49,9 @@ object StoreQueries {
   def ensure(s: SparkSession, d: String): Store[String] = synchronized {
     val base = baseDir(d)
     val st = new Store(s, base, idx)
-    val marker = new java.io.File(s"$base/_BUILT")
+    // version-suffixed: bump when the fixture set changes so stale
+    // /tmp caches rebuild
+    val marker = new java.io.File(s"$base/_BUILT_v2")
     if (marker.exists()) return st
     // wipe any partial build
     deleteRec(new java.io.File(base))
@@ -108,6 +110,20 @@ object StoreQueries {
       aggSpecs, s"$base/streaming_hourly", s"$base/_ckpt_t8",
       NRows(5000))
     q.awaitTermination()
+
+    // t9 fixture: T6 natively — snapshot cells from a second streaming
+    // pass (fresh readStream over the same source), day bins observed
+    // at the 6-hour grid, read-time running combine.
+    val seedStream2 = s.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "ts", "value")
+    val q2 = StreamingAgg.runSnapshots(seedStream2, "ts", "event_id",
+      "1 day", "6 hours", aggSpecs, s"$base/streaming_snap",
+      s"$base/_ckpt_t9", NRows(5000))
+    q2.awaitTermination()
 
     marker.getParentFile.mkdirs()
     marker.createNewFile()
@@ -187,6 +203,18 @@ object StoreQueries {
         .orderBy("bin")
     },
 
+    // T6 natively: Structured Streaming snapshot cells (state store +
+    // checkpoint) + read-time running combine must equal the one-shot
+    // snapshot oracle.
+    "t9_streaming_snapshots" -> { (s, d) =>
+      ensure(s, d)
+      StreamingAgg.resultsSnapshots(s, s"${baseDir(d)}/streaming_snap",
+          aggSpecs)
+        .withColumn("bin", col("bin").cast("timestamp_ntz"))
+        .withColumn("snap", col("snap").cast("timestamp_ntz"))
+        .orderBy("bin", "snap")
+    },
+
     // T6 incrementally: running within-bin values at snapshot points,
     // accumulated across 3 chunks + a restart, must equal the one-shot
     // snapshot aggregation.
@@ -260,6 +288,24 @@ object StoreQueries {
               min(value) AS min_v, max(value) AS max_v,
               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
          FROM e GROUP BY 1 ORDER BY 1""",
+
+    "t9_streaming_snapshots" -> s"""$EV
+         SELECT bin, snap,
+              first_value(c_first) OVER w AS first_v,
+              last_value(c_last) OVER w AS last_v,
+              min(c_min) OVER w AS min_v,
+              max(c_max) OVER w AS max_v,
+              CAST(sum(c_sum) OVER w AS DOUBLE) AS sum_v
+         FROM (SELECT date_trunc('day', ts) AS bin,
+                      time_bucket(INTERVAL '6 hours', ts) AS snap,
+                      min_by(value, event_id) AS c_first,
+                      max_by(value, event_id) AS c_last,
+                      min(value) AS c_min, max(value) AS c_max,
+                      SUM(CAST(value AS DECIMAL(38,6))) AS c_sum
+               FROM e GROUP BY 1, 2)
+         WINDOW w AS (PARTITION BY bin ORDER BY snap
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY bin, snap""",
 
     "t6_aggstream_snapshots" -> s"""$EV
          SELECT bin, snap,

@@ -80,4 +80,77 @@ object StreamingAgg {
     }
     ds.df.select(col("bin") +: casts: _*)
   }
+
+  /** T6 natively: snapshot (observation-point) aggregation as a
+    * Structured Streaming job. One `window()` expression carries the
+    * watermark (the fine snapshot grid); the coarse bin label is epoch
+    * arithmetic (`SegmentAgg.timeBin`) — Spark forbids two window()
+    * exprs per aggregate, which is exactly why timeBin exists. The
+    * state store keeps one mergeable partial per (bin, snap) cell;
+    * update mode re-emits each cell a batch touches and the keep-last
+    * upsert on (bin, snap) converges the stored table; the running
+    * within-bin combine happens at READ time (`resultsSnapshots`), so
+    * restarts never need to rewind finalized cells (same two-phase
+    * shape as `SegmentAgg.snapshots` and the batch-incremental
+    * `StreamKeyCfg.snapFreq` path).
+    */
+  def runSnapshots(seed: DataFrame, orderedOn: String, tieCol: String,
+      binFreq: String, snapFreq: String, specs: Seq[AggSpec],
+      targetDir: String, checkpointDir: String,
+      target: RowGroupTarget = NRows(6345000L)): StreamingQuery = {
+    val spark = seed.sparkSession
+    val partials = specs.map { s =>
+      val c = col(s.in)
+      (s.fn match {
+        case AggFn.First => min_by(c, col(tieCol))
+        case AggFn.Last  => max_by(c, col(tieCol))
+        case AggFn.Min   => min(c)
+        case AggFn.Max   => max(c)
+        case AggFn.Sum   => sum(c.cast("decimal(38,6)"))
+      }).as(s.out)
+    }
+    val agg = seed
+      .withWatermark(orderedOn, "0 seconds")
+      .groupBy(window(col(orderedOn), snapFreq).as("w"),
+        graft.agg.SegmentAgg.timeBin(col(orderedOn), binFreq).as("bin"))
+      .agg(partials.head, partials.tail: _*)
+      .select(col("bin") +: col("w").getField("start").as("snap") +:
+        specs.map(s => col(s.out)): _*)
+
+    agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val ds = new OrderedDataset(spark, targetDir)
+          ds.write(batch, WriteOpts("snap", target,
+            duplicatesOn = Some(Seq("bin"))))
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Batch view of the streamed snapshot cells: running within-bin
+    * combine over the stored per-cell partials (one row per grid cell —
+    * the window never sees raw data).
+    */
+  def resultsSnapshots(spark: SparkSession, targetDir: String,
+      specs: Seq[AggSpec]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ds = new OrderedDataset(spark, targetDir)
+    val w = Window.partitionBy("bin").orderBy("snap")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ds.df.select(col("bin") +: col("snap") +: specs.map { s =>
+      val p = col(s.out)
+      (s.fn match {
+        case AggFn.First => first(p).over(w)
+        case AggFn.Last  => last(p).over(w)
+        case AggFn.Min   => min(p).over(w)
+        case AggFn.Max   => max(p).over(w)
+        case AggFn.Sum   => sum(p).over(w).cast("double")
+      }).as(s.out)
+    }: _*)
+  }
 }

@@ -60,4 +60,35 @@ class StreamingAggSpec extends SparkSpec {
       .orderBy("bin").collect().toSeq
     assert(got == batch)
   }
+
+  test("streamed snapshots with mid-stream restart equal one-shot snapshots") {
+    val dir = tmpDir("streamsnap")
+    val target = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    val events = mkEvents(200)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val m1 = MemoryStream[Ev]
+    m1.addData(events.slice(0, 90))
+    val q1 = StreamingAgg.runSnapshots(m1.toDF(), "t", "rid",
+      "30 minutes", "10 minutes", specs, target, ckpt)
+    q1.awaitTermination()
+
+    val m2 = MemoryStream[Ev]
+    m2.addData(events.slice(0, 90))
+    m2.addData(events.slice(90, 200))
+    val q2 = StreamingAgg.runSnapshots(m2.toDF(), "t", "rid",
+      "30 minutes", "10 minutes", specs, target, ckpt)
+    q2.awaitTermination()
+
+    val got = StreamingAgg.resultsSnapshots(spark, target, specs)
+      .withColumn("bin", col("bin").cast("timestamp_ntz"))
+      .withColumn("snap", col("snap").cast("timestamp_ntz"))
+      .orderBy("bin", "snap").collect().toSeq
+    val batch = SegmentAgg.snapshots(events.toDF(),
+      SegmentAgg.timeBin(col("t"), "30 minutes"),
+      SegmentAgg.timeBin(col("t"), "10 minutes"), specs, col("rid"))
+      .withColumn("snap", col("snap").cast("timestamp_ntz"))
+      .orderBy("bin", "snap").collect().toSeq
+    assert(got == batch)
+  }
 }
