@@ -125,16 +125,13 @@ object PipelineQueries {
     // Embedding normalization + symmetric int8 quantization (map-side,
     // no shuffle): the standard 4x compression step before ANN serving.
     "p_embed_quantize" -> { (s, d) =>
-      val v = SimilarityOps.asDouble(col("embedding"))
-      val vn = SimilarityOps.l2Normalize(v)
-      val sc = SimilarityOps.int8Scale(vn)
-      val q = SimilarityOps.int8Quantize(vn, sc)
-      embs(s, d).select(
-        col("vec_id"),
-        round(sc, 6).as("scale6"),
-        aggregate(q, lit(0L), (a, x) => a + x).as("q_sum"),
-        md5(array_join(transform(q, _.cast("string")), ",")
-          .cast("binary")).as("q_digest"))
+      SimilarityOps.normalizeQuantize(embs(s, d), "vec_id", "embedding")
+        .select(
+          col("id").as("vec_id"),
+          round(col("sc"), 6).as("scale6"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          md5(array_join(transform(col("q"), _.cast("string")), ",")
+            .cast("binary")).as("q_digest"))
         .orderBy("vec_id")
     },
 
