@@ -155,8 +155,6 @@ object DedupOps {
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val nDigits = SimhashBits / 4
-    val ws = array_distinct(TextOps.wsTokens(col(textCol)))
-    val hs = transform(ws, w => md5(w))
     // per word-hash: 8 packed longs, digit p's 4 bit-votes at offsets
     // 0/16/32/48
     def packArray(h: Column): Column = array((0 until nDigits).map { p =>
@@ -165,19 +163,28 @@ object DedupOps {
         shiftleft(shiftright(v, b).bitwiseAND(lit(1L)), 16 * b))
         .reduce(_ + _)
     }: _*)
-    val nw = size(ws)
-    def fingerprint(votes: Column): Column =
+    def fingerprint(votes: Column, nw: Column): Column =
       (0 until SimhashBits).map { bit =>
         val p = bit / 4; val b = bit % 4
         val vote = shiftright(element_at(votes, p + 1), 16 * b)
           .bitwiseAND(lit(0xFFFFL))
         when(vote * 2 >= nw, lit(1L << bit)).otherwise(lit(0L))
       }.reduce(_ + _)
-    val sh = aggregate(hs,
-      array_repeat(lit(0L), nDigits),
-      (acc, h) => zip_with(acc, packArray(h), (a, b) => a + b),
-      votes => fingerprint(votes))
-    df.select(col(idCol).as("id"), sh.as("simhash"))
+    // staged projections: `ws`/`nw` become ATTRIBUTES before any lambda
+    // references them (an outer non-attribute expression inside a
+    // higher-order lambda is re-evaluated per use — see
+    // SimilarityOps.normalizeQuantize), and each alias keeps >=2
+    // references so CollapseProject cannot inline it back
+    df.select(col(idCol).as("id"),
+        array_distinct(TextOps.wsTokens(col(textCol))).as("ws"))
+      .select(col("id"), size(col("ws")).as("nw"),
+        transform(col("ws"), w => md5(w)).as("hs"))
+      .select(col("id"), col("nw"),
+        aggregate(col("hs"),
+          array_repeat(lit(0L), nDigits),
+          (acc, h) => zip_with(acc, packArray(h), (a, b) => a + b),
+          votes => fingerprint(votes, col("nw"))).as("simhash"))
+      .select(col("id"), col("simhash"))
   }
 
   /** Connected components over an undirected duplicate-pair graph:
