@@ -146,18 +146,12 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
           Some(st.getModificationTime)
         } catch { case _: java.io.FileNotFoundException => None }
       staleMtime.foreach(_ => fsys.delete(lockPath, false)) // abandoned lock
-      try {
-        val out = fsys.create(lockPath, false) // atomic: fails if exists
-        try out.write(
-          java.lang.management.ManagementFactory.getRuntimeMXBean.getName
-            .getBytes("UTF-8"))
-        finally out.close()
-        acquired = true
-      } catch {
-        case _: java.io.IOException => // raced another writer
-          attempts += 1
-          if (attempts >= 3) throw new IllegalStateException(
-            s"dataset $dir is locked by another writer")
+      if (atomicCreateLock(fsys, lockPath)) acquired = true
+      else { // raced another writer
+        attempts += 1
+        if (attempts >= 3) throw new IllegalStateException(
+          s"dataset $dir is locked by another writer")
+        Thread.sleep(50L * attempts)
       }
     }
     val heartbeat = new Thread(() => {
@@ -176,6 +170,37 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     } finally {
       heartbeat.interrupt()
       fsys.delete(lockPath, false)
+    }
+  }
+
+  /** Create the lock file atomically, failing if it exists. Hadoop's
+    * local create(overwrite=false) is check-then-act (NOT atomic — two
+    * racing writers both pass the exists check; caught by the racing-
+    * writers spec), so the file scheme uses java.nio CREATE_NEW
+    * (O_CREAT|O_EXCL). Other schemes rely on FileSystem.create's
+    * overwrite=false contract, which HDFS implements atomically on the
+    * NameNode.
+    */
+  private def atomicCreateLock(fsys: FileSystem, lockPath: HPath): Boolean = {
+    val payload = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getName.getBytes("UTF-8")
+    if (fsys.getScheme == "file") {
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(lockPath.toUri.getPath), payload,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.io.IOException => false
+      }
+    } else {
+      try {
+        val out = fsys.create(lockPath, false)
+        try out.write(payload) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
     }
   }
 

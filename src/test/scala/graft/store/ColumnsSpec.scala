@@ -68,6 +68,48 @@ class ColumnsSpec extends SparkSpec {
     assert(ds.df.count() == 2)
   }
 
+  test("racing writers serialize through the lock; dataset stays sane") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val dir = tmpDir("race")
+    val ds = new OrderedDataset(spark, s"$dir/d")
+    ds.write(Seq((0L, 0.0)).toDF("t", "v"), WriteOpts("t"))
+    val pool = Executors.newFixedThreadPool(4)
+    val start = new CountDownLatch(1)
+    val results = (1 to 4).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Either[Throwable, Unit]] {
+        def call(): Either[Throwable, Unit] = {
+          start.await()
+          try Right {
+            // retry on lock contention like a real writer would
+            var done = false
+            var attempts = 0
+            while (!done) {
+              try {
+                ds.write(Seq((i.toLong, i * 1.0)).toDF("t", "v"),
+                  WriteOpts("t"))
+                done = true
+              } catch {
+                case _: IllegalStateException if attempts < 60 =>
+                  attempts += 1; Thread.sleep(200)
+              }
+            }
+          } catch { case t: Throwable => Left(t) }
+        }
+      })
+    }
+    start.countDown()
+    val outcomes = results.map(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    outcomes.foreach(o => assert(o.isRight, o))
+    // every writer eventually committed; all 5 rows present, sidecar
+    // stats consistent with the data
+    assert(ds.orderedDf.select("t").as[Long].collect().toSeq ==
+      (0L to 4L))
+    assert(ds.meta.totalRows == 5)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/d/${OrderedDataset.LockName}")))
+  }
+
   test("empty first batch keeps the schema; dataset stays queryable") {
     val dir = tmpDir("empty-schema")
     val ds = new OrderedDataset(spark, s"$dir/d")
