@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.store.{NRows, OrdLong, OrderedDataset, WriteOpts}
+
+/** Store-backed IVF index: the inverted lists persisted as an
+  * OrderedDataset ORDERED ON the centroid id. Ordering by cid gives
+  * list locality on disk, so the sidecar zone map turns "probe these
+  * nProbe lists" into pruned range reads — unprobed lists are never
+  * opened, without any footer IO. This is where the engine's two halves
+  * meet: the ordered store is the ANN index format, and search cost is
+  * (lists read ÷ total lists) of the corpus, the IVF contract.
+  */
+object IvfIndex {
+
+  /** Assign every corpus vector to its nearest centroid and persist the
+    * inverted lists ordered on cid. `corpus` is (id, vec, norm) — see
+    * SimilarityOps.withNorm. Rebuild = call again (ordinary upsert).
+    */
+  def build(spark: SparkSession, dir: String, corpus: DataFrame,
+      centroidFilter: Column, rowsPerFile: Long = 1000000L): Unit = {
+    val assigned = SimilarityOps.ivfAssign(corpus, centroidFilter)
+      .select(col("cid"), col("id"), col("vec"), col("norm"))
+    new OrderedDataset(spark, dir)
+      .write(assigned, WriteOpts("cid", NRows(rowsPerFile)))
+  }
+
+  /** Probe the nProbe nearest lists per query against the stored index.
+    * The probed cid set (≤ |queries| × nProbe, driver-bounded by the
+    * query-batch contract) is collapsed into contiguous ranges and read
+    * through the zone map; scoring/ranking then touches only those
+    * lists.
+    */
+  def search(spark: SparkSession, dir: String, queries: DataFrame,
+      centroids: DataFrame, nProbe: Int, k: Int): DataFrame = {
+    val cents = broadcast(centroids.select(
+      col("id").as("cid"), col("vec").as("cvec"), col("norm").as("cnorm")))
+    val wp = Window.partitionBy("q_id")
+      .orderBy(col("pcos").desc, col("cid"))
+    val probes = queries.select(col("id").as("q_id"), col("vec").as("qvec"),
+        col("norm").as("qnorm"))
+      .join(cents)
+      .withColumn("pcos", SimilarityOps.cosine(
+        col("qvec"), col("cvec"), col("qnorm"), col("cnorm")))
+      .withColumn("prank", row_number().over(wp))
+      .filter(col("prank") <= nProbe)
+      .select("q_id", "qvec", "qnorm", "cid")
+      .persist()
+
+    val probedCids = probes.select("cid").distinct()
+      .orderBy("cid").collect().map(_.getLong(0))
+    // contiguous cid runs -> one pruned range read per run
+    val ranges = probedCids.foldLeft(List.empty[(Long, Long)]) {
+      case ((lo, hi) :: rest, c) if c == hi => (lo, c + 1) :: rest
+      case (acc, c) => (c, c + 1) :: acc
+    }.reverse
+    val ds = new OrderedDataset(spark, dir)
+    val lists = ranges.map { case (lo, hiExcl) =>
+      ds.rangeDF(Some(OrdLong(lo)), Some(OrdLong(hiExcl)))
+    }.reduce(_ unionByName _)
+
+    val wk = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id").as("vec_id"),
+        SimilarityOps.cosine(col("qvec"), col("vec"), col("qnorm"),
+          col("norm")).as("cos"))
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "cos")
+  }
+}

@@ -31,6 +31,20 @@ object PipelineQueries {
   private val SampleRateEn = 0.5
   private val SampleRateDefault = 0.25
 
+  /** Build the store-backed IVF index once per scale dir (idempotent,
+    * sidecar-guarded). Small rowsPerFile so the sf0.01/0.1 fixtures get
+    * several files and the range-read pruning is actually exercised. */
+  private def ensureIvfIndex(s: SparkSession, d: String): String =
+    synchronized {
+      val dir = s"/tmp/graft_ivf_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val ds = new graft.store.OrderedDataset(s, dir)
+      if (!ds.exists) {
+        val v = SimilarityOps.withNorm(embs(s, d), "vec_id", "embedding")
+        IvfIndex.build(s, dir, v, col("id") % 25 === 0, rowsPerFile = 200)
+      }
+      dir
+    }
+
   // The test tables arrive as a single parquet file = ONE input split;
   // repartition so the hash/shingle work uses every core (on a real
   // corpus the source would already be many splits).
@@ -119,6 +133,20 @@ object PipelineQueries {
       SimilarityOps.ivfTopK(
         v.filter(col("id") < NQueryVecs), v,
         col("id") % 25 === 0, nProbe = 4, k = TopK)
+        .orderBy("q_id", "rank")
+    },
+
+    // IVF against the STORE-BACKED index: inverted lists persisted as
+    // an OrderedDataset ordered on cid, probes become zone-map-pruned
+    // range reads — same results as p_ann_ivf, different (serving)
+    // plumbing.
+    "p_ann_ivf_indexed" -> { (s, d) =>
+      val dir = ensureIvfIndex(s, d)
+      val v = SimilarityOps.withNorm(embs(s, d), "vec_id", "embedding")
+        .persist()
+      IvfIndex.search(s, dir,
+        v.filter(col("id") < NQueryVecs),
+        v.filter(col("id") % 25 === 0), nProbe = 4, k = TopK)
         .orderBy("q_id", "rank")
     },
 
@@ -433,6 +461,7 @@ object PipelineQueries {
     "p_dedup_embedding_lsh" -> embeddingLshOracle,
     "p_ann_topk" -> annTopkOracle,
     "p_ann_ivf" -> annIvfOracle,
+    "p_ann_ivf_indexed" -> annIvfOracle,
     "p_text_langid" -> langidOracle,
     "p_sample_stratified" -> sampleOracle,
 

@@ -32,6 +32,28 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("store-backed IVF search reads only probed lists; matches ivfTopK") {
+    val dir = tmpDir("ivfidx")
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 0.37 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val v = SimilarityOps.withNorm(vecs, "vec_id", "embedding").persist()
+    val isCent = $"id" % 20 === 0
+    IvfIndex.build(spark, s"$dir/idx", v, isCent, rowsPerFile = 20)
+    val ds = new graft.store.OrderedDataset(spark, s"$dir/idx")
+    assert(ds.meta.files.size >= 5) // several list files on disk
+    val queries = v.filter($"id" < 5)
+    val got = IvfIndex.search(spark, s"$dir/idx", queries,
+      v.filter(isCent), nProbe = 2, k = 3)
+    // pruned read: the search plan touches fewer files than the dataset
+    val filesRead = got.select(input_file_name()).distinct().count()
+    assert(filesRead < ds.meta.files.size,
+      s"expected pruning: $filesRead vs ${ds.meta.files.size}")
+    val expect = SimilarityOps.ivfTopK(queries, v, isCent, 2, 3)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(got.orderBy("q_id", "rank").collect().toSeq == expect)
+  }
+
   test("int8 quantization: unit norm, bounded roundtrip error") {
     val vecs = (0 until 20).map { i =>
       (i.toLong, Array.tabulate(16)(j => ((i * 13 + j * 7) % 9 - 4) * 0.5))
