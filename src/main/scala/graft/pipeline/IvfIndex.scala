@@ -51,15 +51,11 @@ object IvfIndex {
 
     val probedCids = probes.select("cid").distinct()
       .orderBy("cid").collect().map(_.getLong(0))
-    // contiguous cid runs -> one pruned range read per run
-    val ranges = probedCids.foldLeft(List.empty[(Long, Long)]) {
-      case ((lo, hi) :: rest, c) if c == hi => (lo, c + 1) :: rest
-      case (acc, c) => (c, c + 1) :: acc
-    }.reverse
+    // ONE scan branch over the zone-map-selected files; the exact list
+    // membership is an isin residual that parquet row-group stats prune
     val ds = new OrderedDataset(spark, dir)
-    val lists = ranges.map { case (lo, hiExcl) =>
-      ds.rangeDF(Some(OrdLong(lo)), Some(OrdLong(hiExcl)))
-    }.reduce(_ unionByName _)
+    val lists = ds.multiPointDF(probedCids.toSeq.map(OrdLong))
+      .filter(col("cid").isin(probedCids.toSeq: _*))
 
     val wk = Window.partitionBy("q_id")
       .orderBy(col("cos").desc, col("vec_id"))

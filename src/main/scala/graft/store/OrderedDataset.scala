@@ -99,6 +99,23 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     }
   }
 
+  /** Zone-map-pruned multi-point scan: ONE scan branch over exactly the
+    * files whose [min, max] contains any of the given ordered values.
+    * The point-membership residual (e.g. an isin) is the caller's to
+    * add — it pushes down to parquet row-group stats. Use instead of
+    * unioning many rangeDF branches (N scans, N× planning) when the
+    * point set is driver-bounded.
+    */
+  def multiPointDF(points: Seq[OrdVal]): DataFrame = {
+    val m = meta
+    val sel = m.files.filter(f =>
+      points.exists(p => f.min <= p && p <= f.max))
+    if (sel.isEmpty) {
+      if (m.files.isEmpty) emptyLike(m)
+      else spark.read.parquet(filePaths(m): _*).limit(0)
+    } else spark.read.parquet(sel.map(f => s"$dir/${f.name}"): _*)
+  }
+
   /** Row-group-slice view by position in min-order, the analog of
     * `opd[i:j]` (ref base.py:297-330, read_only.py:52-168).
     */
