@@ -58,7 +58,10 @@ object TextOps {
         .reduce(_ + _)
     }
 
-  /** argmax language with deterministic alphabetical tie-break. */
+  /** argmax language with deterministic alphabetical tie-break.
+    * CAUTION: inlines every score expression ~2× per profile into one
+    * projection (each is a regexp chain) — prefer `withLangId` for
+    * whole-table work, which stages scores as attributes. */
   def langId(text: Column): Column = {
     val scores = langScores(text)
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
@@ -69,6 +72,34 @@ object TextOps {
   // NOTE foldRight + overwrite-on-match order: the FIRST profile in
   // LangProfiles (alphabetical) wins ties because later `when`s are in
   // the else branch of earlier ones.
+
+  /** Staged whole-DataFrame language ID: the per-profile score
+    * expressions (regexp chains) are materialized as attributes ONCE
+    * per row, then argmax/tie-break reference only attributes — each
+    * intermediate projection keeps ≥2 references to its expensive
+    * aliases so CollapseProject cannot inline them back. Adds
+    * `lang_guess` (string) and `best_score` (long); drops the
+    * scratch columns.
+    */
+  def withLangId(df: org.apache.spark.sql.DataFrame, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val scoreCols = LangProfiles.map { case (lang, markers) =>
+      markers.map(m => occurrences(col(textCol), m)).reduce(_ + _)
+        .as(s"__s_$lang")
+    }
+    val names = LangProfiles.map(l => s"__s_${l._1}")
+    val scored = df.select(col("*") +: scoreCols: _*)
+    val withBest = scored.select(col("*"),
+      greatest(names.map(col): _*).as("__best"))
+    val langCase = LangProfiles.foldRight(lit("und"): Column) {
+      case ((lang, _), acc) =>
+        when(col(s"__s_$lang") === col("__best"), lit(lang)).otherwise(acc)
+    }
+    withBest
+      .withColumn("lang_guess", langCase)
+      .withColumn("best_score", col("__best").cast("long"))
+      .drop(names :+ "__best": _*)
+  }
 
   /** Quality signals: exact integer counts + one rounded ratio. */
   val Stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it")

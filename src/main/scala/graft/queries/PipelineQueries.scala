@@ -165,11 +165,8 @@ object PipelineQueries {
 
     // n-gram-profile language ID (deterministic heuristic + tie-break).
     "p_text_langid" -> { (s, d) =>
-      val scores = TextOps.langScores(col("text"))
-      docs(s, d).select(
-        col("doc_id"),
-        TextOps.langId(col("text")).as("lang_guess"),
-        scores.map(_._2).reduce((a, b) => greatest(a, b)).as("best_score"))
+      TextOps.withLangId(docs(s, d), "text")
+        .select("doc_id", "lang_guess", "best_score")
         .orderBy("doc_id")
     },
 
@@ -177,8 +174,7 @@ object PipelineQueries {
     // per-language rate (50% en, 25% rest) — reproducible across runs,
     // engines and partitionings; map-side predicate, no shuffle.
     "p_sample_stratified" -> { (s, d) =>
-      val withLang = docs(s, d)
-        .withColumn("lang_guess", TextOps.langId(col("text")))
+      val withLang = TextOps.withLangId(docs(s, d), "text")
       SampleOps.stratifiedSample(withLang, col("lang_guess"), "doc_id",
         Map("en" -> SampleRateEn), SampleRateDefault)
         .select("doc_id", "lang_guess")
