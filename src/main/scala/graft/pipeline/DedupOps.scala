@@ -206,9 +206,13 @@ object DedupOps {
       .unionByName(pairs.select(col("j").as("a"), col("i").as("b")))
       .persist()
     // localCheckpoint each round: truncates the iterative lineage so
-    // plan size stays constant across rounds
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("cluster", col("id")).localCheckpoint()
+    // plan size stays constant across rounds. Seeding with the
+    // neighbor-min (one aggregation, replacing the plain distinct)
+    // performs round 1 for free: diameter-1 components (plain pairs —
+    // the bulk of near-dup graphs) are already converged.
+    var labels = edges.groupBy(col("a").as("id"))
+      .agg(least(min(col("a")), min(col("b"))).as("cluster"))
+      .localCheckpoint()
     var it = 0
     var done = false
     while (!done && it < maxIter) {
