@@ -24,6 +24,8 @@ object SparkEntry {
 
   /** One-time fixture build (store datasets under /tmp) so benchmark
     * timings measure queries, not setup. */
-  def prepare(spark: SparkSession, sfDir: String): Unit =
+  def prepare(spark: SparkSession, sfDir: String): Unit = {
     StoreQueries.ensure(spark, sfDir): Unit
+    PipelineQueries.prepare(spark, sfDir)
+  }
 }

@@ -31,6 +31,10 @@ object PipelineQueries {
   private val SampleRateEn = 0.5
   private val SampleRateDefault = 0.25
 
+  /** One-time fixture build (see SparkEntry.prepare). */
+  def prepare(s: SparkSession, d: String): Unit =
+    ensureIvfIndex(s, d): Unit
+
   /** Build the store-backed IVF index once per scale dir (idempotent,
     * sidecar-guarded). Small rowsPerFile so the sf0.01/0.1 fixtures get
     * several files and the range-read pruning is actually exercised. */

@@ -161,6 +161,23 @@ object RefQueries {
         .orderBy("bin", "snap")
     },
 
+    // Sliding (hopping) windows, beyond-reference: 1-day windows every
+    // 12 hours via the built-in window(); each row lands in W/H
+    // windows map-side, then one shuffle on the window start.
+    "g8_sliding" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 day", "12 hours")
+          .getField("start").cast("timestamp_ntz").as("win_start"))
+        .agg(
+          min_by(col("value"), col("event_id")).as("first_value"),
+          max_by(col("value"), col("event_id")).as("last_value"),
+          min("value").as("min_value"),
+          max("value").as("max_value"),
+          dsum(col("value")).as("sum_value"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("win_start")
+    },
+
     // Session windows (beyond-reference T5): 30-minute-gap sessions per
     // user — one shuffle on the key, two window passes on the same sort.
     "g7_sessions" -> { (s, d) =>
@@ -469,6 +486,18 @@ object RefQueries {
        WINDOW w2 AS (PARTITION BY spine.bin ORDER BY spine.snap
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        ORDER BY bin, snap""",
+
+    "g8_sliding" -> s"""$EV
+         SELECT time_bucket(INTERVAL '12 hours', ts)
+                  - k * (INTERVAL '12 hours') AS win_start,
+              min_by(value, event_id) AS first_value,
+              max_by(value, event_id) AS last_value,
+              min(value) AS min_value, max(value) AS max_value,
+              CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                AS sum_value,
+              count(*) AS n_rows
+         FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
+         GROUP BY 1 ORDER BY 1""",
 
     "g7_sessions" -> s"""$EV
          SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
