@@ -63,4 +63,62 @@ class TutorialSpec extends SparkSpec {
     assert(hourly(8).getDouble(1) == -5.0) // corrected hour
     assert(hourly(9).getDouble(1) > 0)     // untouched hour
   }
+
+  /** The training-data pipeline as one narrative: raw corpus → near-dup
+    * detection → cluster resolution → keep-one-per-cluster → stratified
+    * sampling → embed, quantize, index → similarity search. Every step
+    * is a map-side or banded-join operator from graft.pipeline.
+    */
+  test("corpus: dedup, cluster, sample, quantize, index, search") {
+    import graft.pipeline._
+    // a corpus with one exact dup pair (0,40) and one near-dup of 1
+    val base = (0L until 40L).map { i =>
+      (i, s"the quick document number $i talks about topic ${i % 5} " +
+        s"and repeats words ${(0 to 6).map(j => s"w${(i + j) % 11}").mkString(" ")}")
+    }
+    val docs = (base :+ (40L, base(0)._2) :+
+      (41L, base(1)._2.replace("talks", "speaks")))
+      .toDF("doc_id", "text")
+
+    // 1. near-dup pairs (3-gram Jaccard >= 0.5) and cluster resolution
+    val sh = DedupOps.shingleTable(docs, "doc_id", "text", 3).persist()
+    val pairs = DedupOps.exactJaccardPairs(sh, 0.5).select("i", "j")
+    val clusters = DedupOps.dupClusters(pairs)
+    val c = clusters.as[(Long, Long)].collect().toMap
+    assert(c(40L) == 0L)            // exact dup joins doc 0's cluster
+    assert(c(41L) == 1L)            // near dup joins doc 1's cluster
+
+    // 2. keep one doc per cluster (the min id = the cluster label)
+    val keep = docs.join(clusters, docs("doc_id") === clusters("id"),
+        "left")
+      .filter(col("id").isNull || col("doc_id") === col("cluster"))
+      .select("doc_id", "text")
+    assert(keep.count() == 40)      // 42 docs - 2 cluster losers
+
+    // 3. deterministic sample (reproducible across partitionings)
+    val sampled = SampleOps.hashSample(keep, "doc_id", 0.5)
+    assert(sampled.count() ==
+      SampleOps.hashSample(keep.repartition(7), "doc_id", 0.5).count())
+
+    // 4. embed (fake deterministic), quantize, store-backed IVF index
+    val embedded = sampled.select(col("doc_id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        j => (pmod(col("doc_id") * 31 + j * 7, lit(13)) - 6)
+          .cast("float")).as("embedding"))
+    val nq = SimilarityOps.normalizeQuantize(embedded, "vec_id",
+      "embedding")
+    assert(nq.columns.toSeq == Seq("id", "vn", "sc", "q"))
+    val v = SimilarityOps.withNorm(embedded, "vec_id", "embedding")
+      .persist()
+    val idxDir = s"${tmpDir("corpus")}/ivf"
+    IvfIndex.build(spark, idxDir, v, col("id") % 7 === 0,
+      rowsPerFile = 10)
+
+    // 5. search the index for the first sampled doc's neighbors
+    val q = v.limit(1)
+    val hits = IvfIndex.search(spark, idxDir, q,
+      v.filter(col("id") % 7 === 0), nProbe = 2, k = 3).collect()
+    assert(hits.length <= 3 && hits.nonEmpty)
+    assert(hits.map(_.getInt(1)).toSeq == (1 to hits.length)) // ranks
+  }
 }
