@@ -289,8 +289,8 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
         .withColumn(SeqCol, lit(Long.MaxValue))
         .withColumn(RidCol, monotonically_increasing_id())
       val unioned = existing match {
-        case Some(e) => e.select(dataCols.map(col) ++ Seq(col(SeqCol), col(RidCol)): _*)
-          .unionByName(incoming.select(dataCols.map(col) ++ Seq(col(SeqCol), col(RidCol)): _*))
+        case Some(e) => e.select(dataCols.toSeq.map(col) ++ Seq(col(SeqCol), col(RidCol)): _*)
+          .unionByName(incoming.select(dataCols.toSeq.map(col) ++ Seq(col(SeqCol), col(RidCol)): _*))
         case None => incoming
       }
       val deduped = opts.duplicatesOn match {

@@ -131,7 +131,7 @@ final class AggStream[K](
         if (!ds.exists) partial
         else {
           val old = ds.rangeDF(Some(minBin), None)
-            .select(partial.columns.map(col): _*)
+            .select(partial.columns.toSeq.map(col): _*)
           val ce = combineExprs(cfg) ++ Seq(
             min(LabelCol).as(LabelCol), sum(NCol).as(NCol))
           old.unionByName(partial).groupBy(BinCol)
@@ -163,13 +163,13 @@ final class AggStream[K](
         if (ds.exists) ds.updateKv(Map(StateKey -> restart.toJson))
         return
       }
-      val minBin = OrdVal.fromAny(partial.agg(min(BinCol)).head.get(0))
+      val minBin = OrdVal.fromAny(partial.agg(min(BinCol)).head().get(0))
       val ds = store.get(k)
       val merged =
         if (!ds.exists) partial
         else {
           val old = ds.rangeDF(Some(minBin), None)
-            .select(partial.columns.map(col): _*)
+            .select(partial.columns.toSeq.map(col): _*)
           old.unionByName(partial)
             .groupBy(keyCols.map(col): _*)
             .agg(combineExprs(cfg).head, combineExprs(cfg).tail: _*)
@@ -234,7 +234,7 @@ final class AggStream[K](
       // withheld remainder (ref `pre` contract, aggstream.py:539-546)
       val fresh = pre.map(_(chunk)).getOrElse(chunk)
       val d = remainder match {
-        case Some(r) => r.unionByName(fresh.select(r.columns.map(col): _*))
+        case Some(r) => r.unionByName(fresh.select(r.columns.toSeq.map(col): _*))
         case None => fresh
       }
       runChunk(d, isFinal = false)
