@@ -502,6 +502,34 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
       while (i > 0 && files(i - 1).max == files(i).min) i -= 1
       while (j + 1 < files.size && files(j + 1).min == files(j).max) j += 1
     }
+    // TimePeriod targets: absorb kept neighbors sharing a period with
+    // the written range, else a batch landing in an already-covered
+    // period (without overlapping its file's value range) would leave
+    // two files in one period. Fixpoint loop: an absorbed spanning file
+    // can widen the range into further periods (caught by the
+    // TimePeriod upsert property test).
+    opts.target match {
+      case TimePeriod(unit) =>
+        def rangeMin =
+          if (i <= j && i >= 0 && i < files.size) Seq(files(i).min, bMin).min
+          else bMin
+        def rangeMax =
+          if (i <= j && j >= 0 && j < files.size) Seq(files(j).max, bMax).max
+          else bMax
+        var changed = true
+        while (changed) {
+          changed = false
+          if (i > 0 && truncPeriod(files(i - 1).max, unit)
+              == truncPeriod(rangeMin, unit)) {
+            i -= 1; if (j < i) j = i; changed = true
+          }
+          if (j + 1 < files.size && truncPeriod(files(j + 1).min, unit)
+              == truncPeriod(rangeMax, unit)) {
+            j += 1; if (i > j) i = j; changed = true
+          }
+        }
+      case _ => ()
+    }
     // off-target neighbor coalescing: absorb a contiguous run of
     // off-target files adjacent to the merge region once the run is
     // longer than maxNOffTargetRgs — the compaction trigger that stops

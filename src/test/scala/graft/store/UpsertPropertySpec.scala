@@ -69,6 +69,47 @@ class UpsertPropertySpec extends SparkSpec {
     }
   }
 
+  test("TimePeriod upserts: content keeps-last, EXACTLY one file/day") {
+    val t0 = java.time.LocalDateTime.of(2024, 4, 1, 0, 0)
+    val tsBatchGen: Gen[Seq[(Long, Double)]] = for {
+      n <- Gen.choose(1, 50)
+      mins <- Gen.listOfN(n, Gen.choose(0L, 5L * 1440 - 1)) // 5 days
+      tag <- Gen.choose(0, 1000)
+    } yield mins.sorted.zipWithIndex.map { case (m, i) =>
+      (m, tag * 1000.0 + i)
+    }
+    (1 to 6).foreach { i =>
+      val batches = sample(
+        Gen.choose(1, 4).flatMap(Gen.listOfN(_, tsBatchGen)), 3000L + i)
+      val dir = tmpDir("period-prop")
+      val ds = new OrderedDataset(spark, s"$dir/d")
+      val opts = WriteOpts("t", TimePeriod("day"),
+        duplicatesOn = Some(Seq("t")))
+      batches.foreach { b =>
+        ds.write(b.map { case (m, v) => (t0.plusMinutes(m), v) }
+          .toDF("t", "v").coalesce(1), opts)
+      }
+      val got = ds.orderedDf
+        .as[(java.time.LocalDateTime, Double)].collect().toSeq
+        .map { case (t, v) =>
+          (java.time.Duration.between(t0, t).toMinutes, v) }
+      val exp = model(batches)
+      assert(got == exp, s"seed=${3000 + i}")
+      // exactly one file per day present in the data, none spanning
+      val m = ds.meta
+      val days = exp.map(_._1 / 1440).distinct.size
+      assert(m.files.size == days, s"seed=${3000 + i} files=${m.files}")
+      m.files.foreach { f =>
+        (f.min, f.max) match {
+          case (OrdTs(a), OrdTs(b)) =>
+            assert(a / 86400000000L == b / 86400000000L,
+              s"seed=${3000 + i} file spans days: $f")
+          case other => fail(s"unexpected stats $other")
+        }
+      }
+    }
+  }
+
   test("re-upserting the same batch is idempotent") {
     (1 to 6).foreach { i =>
       val b = sample(batchGen, 2000L + i)
