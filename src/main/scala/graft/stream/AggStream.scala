@@ -94,13 +94,13 @@ final class AggStream[K](
     * open-bin partials, upsert keep-last on bin.
     */
   private def processKey(k: K, cfg: StreamKeyCfg, chunk: DataFrame,
-      restart: Restart): Unit = {
+      restart: Restart, extraKv: Map[String, String]): Unit = {
     require(cfg.snapFreq.isEmpty || cfg.xRows.isEmpty,
       "snapFreq and xRows are mutually exclusive")
     val data = cfg.filter.map(chunk.filter).getOrElse(chunk)
     cfg.xRows match {
-      case Some(n) => processKeyXRows(k, cfg, data, n, restart)
-      case None    => processKeyTime(k, cfg, data, restart)
+      case Some(n) => processKeyXRows(k, cfg, data, n, restart, extraKv)
+      case None    => processKeyTime(k, cfg, data, restart, extraKv)
     }
   }
 
@@ -109,7 +109,7 @@ final class AggStream[K](
     * the label (first ordered value) merged via min.
     */
   private def processKeyXRows(k: K, cfg: StreamKeyCfg, data: DataFrame,
-      n: Int, restart: Restart): Unit = {
+      n: Int, restart: Restart, extraKv: Map[String, String]): Unit = {
     val ds = store.get(k)
     val rowsSeen =
       if (ds.exists) ds.kv.get(RowsKey).map(_.toLong).getOrElse(0L) else 0L
@@ -140,13 +140,13 @@ final class AggStream[K](
       ds.write(merged, WriteOpts(
         orderedOn = BinCol, target = target,
         duplicatesOn = Some(Seq(BinCol)),
-        kv = Map(StateKey -> restart.toJson,
+        kv = extraKv ++ Map(StateKey -> restart.toJson,
           RowsKey -> (rowsSeen + chunkRows).toString)))
     } finally partial.unpersist()
   }
 
   private def processKeyTime(k: K, cfg: StreamKeyCfg, data: DataFrame,
-      restart: Restart): Unit = {
+      restart: Restart, extraKv: Map[String, String]): Unit = {
     val bin = SegmentAgg.timeBin(col(orderedOn), cfg.binFreq, cfg.closed,
       cfg.label)
     val groupCols = bin.as(BinCol) +: cfg.snapFreq.toSeq.map(f =>
@@ -178,7 +178,7 @@ final class AggStream[K](
         orderedOn = BinCol,
         target = target,
         duplicatesOn = Some(keyCols),
-        kv = Map(StateKey -> restart.toJson)))
+        kv = extraKv ++ Map(StateKey -> restart.toJson)))
     } finally partial.unpersist()
   }
 
@@ -189,11 +189,24 @@ final class AggStream[K](
     * (ref aggstream.py:566-569; T2).
     */
   def agg(seed: Iterator[DataFrame], discardLast: Boolean = true,
-      pre: Option[DataFrame => DataFrame] = None): Unit = {
+      pre: Option[DataFrame => DataFrame] = None,
+      statefulPre: Option[AggStream.StatefulPre] = None): Unit = {
     var restart: Option[Restart] =
       keys.keys.flatMap(readState).reduceOption { (a, b) =>
         require(a == b, s"keys disagree on restart state: $a vs $b"); a
       }
+    // pre-hook buffer (ref pre_buffer, aggstream.py:799-806): restored
+    // from the result datasets' kv, persisted atomically with each data
+    // write, so a restarted stream's pre hook resumes where it left off
+    var preState: Option[String] = {
+      val states = keys.keys.flatMap { k =>
+        val ds = store.get(k)
+        if (ds.exists) ds.kv.get(PreKey) else None
+      }
+      states.reduceOption { (a, b) =>
+        require(a == b, s"keys disagree on pre state: $a vs $b"); a
+      }
+    }
     var remainder: Option[DataFrame] = None
     var cachedPrev: Option[DataFrame] = None // backing cache of `remainder`
 
@@ -219,7 +232,9 @@ final class AggStream[K](
         } else (data, None, Restart(mx, exclusive = true))
       val hasRows = !process.isEmpty
       if (hasRows) {
-        keys.foreach { case (k, cfg) => processKey(k, cfg, process, newRestart) }
+        val extraKv = preState.map(PreKey -> _).toMap
+        keys.foreach { case (k, cfg) =>
+          processKey(k, cfg, process, newRestart, extraKv) }
         restart = Some(newRestart)
       }
       // release the cache backing the previous remainder, now consumed
@@ -232,7 +247,14 @@ final class AggStream[K](
     seed.foreach { chunk =>
       // pre hook applies to fresh seed rows only, never re-applied to the
       // withheld remainder (ref `pre` contract, aggstream.py:539-546)
-      val fresh = pre.map(_(chunk)).getOrElse(chunk)
+      val preApplied = pre.map(_(chunk)).getOrElse(chunk)
+      val fresh = statefulPre match {
+        case Some(sp) =>
+          val (df, st) = sp(preApplied, preState)
+          preState = st
+          df
+        case None => preApplied
+      }
       val d = remainder match {
         case Some(r) => r.unionByName(fresh.select(r.columns.toSeq.map(col): _*))
         case None => fresh
@@ -289,12 +311,21 @@ final class AggStream[K](
 }
 
 object AggStream {
+  /** Stateful pre hook (ref `pre(on, buffer)`): transforms a fresh seed
+    * chunk given the persisted buffer string, returning the transformed
+    * chunk and the new buffer — which is written to the result
+    * datasets' kv atomically with the data, so restarts resume it.
+    */
+  type StatefulPre =
+    (DataFrame, Option[String]) => (DataFrame, Option[String])
+
   val BinCol = "bin"
   val SnapCol = "snap"
   val LabelCol = "bin_label"
   val NCol = "n_rows"
   val StateKey = "aggstream.restart"
   val RowsKey = "aggstream.rows"
+  val PreKey = "aggstream.pre"
 
   /** Restart index: seed replays from here (ref aggstream.py:274-369).
     * `exclusive=true` means rows == v were fully processed; `false`

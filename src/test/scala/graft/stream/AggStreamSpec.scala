@@ -129,6 +129,46 @@ class AggStreamSpec extends SparkSpec {
     assert(got == batchExpected(tsSeed).toSeq)
   }
 
+  test("stateful pre buffer persists across restart (pre_buffer)") {
+    // ref pre(on, buffer) with pre_buffer persisted in kv
+    // (aggstream.py:799-806, _init_buffers :274-369): the hook's state
+    // survives a new AggStream instance.
+    val st = new Store(spark, tmpDir("prebuf"), idx)
+    def mk() = new AggStream(st, "t", "rid",
+      Map("o" -> StreamKeyCfg(None, "10 minutes", aggs = specs)),
+      NRows(1000))
+    val rows = tsSeed.collect()
+    def chunk(a: Int, b: Int) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.slice(a, b).toSeq, 2),
+      tsSeed.schema)
+    // pre: number the chunks (buffer = count so far) and shift values by
+    // chunkIdx * 10000 — results only match the model if the counter
+    // continues across the restart
+    val numberingPre: AggStream.StatefulPre = { (df, state) =>
+      val n = state.map(_.toLong).getOrElse(0L)
+      (df.withColumn("v", col("v") + lit(n * 10000.0)),
+        Some((n + 1).toString))
+    }
+    mk().agg(Iterator(chunk(0, 70), chunk(70, 140)),
+      statefulPre = Some(numberingPre))
+    // RESTART: fresh instance, third chunk — pre state must resume at 2
+    mk().agg(Iterator(chunk(140, 200)), statefulPre = Some(numberingPre))
+
+    // model: same shifts applied chunk-wise, one-shot aggregation.
+    // discardLast withholds each chunk's max-t rows and re-presents them
+    // with the NEXT chunk — but the pre shift was already applied at
+    // first presentation, so the model shifts by original chunk index.
+    val shifted = Seq((0, 70, 0L), (70, 140, 1L), (140, 200, 2L))
+      .flatMap { case (a, b, n) =>
+        rows.slice(a, b).map(r => (
+          r.getAs[java.time.LocalDateTime]("t"),
+          r.getAs[Double]("v") + n * 10000.0,
+          r.getAs[Long]("rid")))
+      }
+    val got = mk().results("o").orderBy("bin").collect().toSeq
+    assert(got == batchExpected(shifted.toDF("t", "v", "rid")).toSeq)
+  }
+
   test("filter fan-out applies per key") {
     val base = tmpDir("aggstream")
     val st = new Store(spark, base, idx)
