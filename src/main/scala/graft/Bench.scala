@@ -20,12 +20,19 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
       SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional subsetting for local iteration: SPARK_GRAFT_QUERIES is a
+    // comma-separated allowlist; SPARK_GRAFT_REPS overrides min-of-n.
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val selected = SparkEntry.queries.filter { case (n, _) =>
+      only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       // noop sink: forces full computation of every output column
       // (count() would let Catalyst prune the projections away).
       // Best of 2 runs: the shared host shows ±50% scheduling noise and
       // min-of-n is the standard steady-state estimator.
-      val times = (1 to 2).map { _ =>
+      val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable =>

@@ -242,17 +242,20 @@ object DedupOps {
         (col("simhash").divide(lit(1L << (bandBits * b))).cast("long"))
           % (1L << bandBits)): _*))
         .as(Seq("band_id", "band_val")))
-    // dedup bare (i, j) pairs first, then broadcast-join the hashes
-    // back — the distinct never carries payload columns
+    // dedup bare (i, j) pairs first, then join the hashes back — the
+    // distinct never carries payload columns. No broadcast hint on the
+    // signature table: it is O(corpus) and past ~1e8 docs would exceed
+    // broadcast limits; both join sides are slim (id + one long), so
+    // the shuffle join is cheap, and AQE still broadcasts at small SF.
     val a = banded.as("a"); val b = banded.as("b")
     val cand = a.join(b, col("a.band_id") === col("b.band_id") &&
         col("a.band_val") === col("b.band_val") && col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"))
       .distinct()
     cand
-      .join(broadcast(sim.select(col("id"), col("simhash").as("sa"))),
+      .join(sim.select(col("id"), col("simhash").as("sa")),
         col("i") === col("id")).drop("id")
-      .join(broadcast(sim.select(col("id"), col("simhash").as("sb"))),
+      .join(sim.select(col("id"), col("simhash").as("sb")),
         col("j") === col("id")).drop("id")
       .withColumn("dist", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("dist") <= maxDist)

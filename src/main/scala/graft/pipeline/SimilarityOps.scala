@@ -195,13 +195,17 @@ object SimilarityOps {
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"))
       .distinct()
-    // the (id, vec, norm) side is tiny relative to the candidate pairs —
-    // broadcast it so the verification never shuffles the pair table
+    // Verification joins vectors back by id with NO broadcast hint: the
+    // (id, vec, norm) side is the full corpus (a 64-dim vector per row)
+    // and would blow the broadcast limit long before the signature
+    // table. The candidate-pair side is the bounded one — AQE broadcasts
+    // it at runtime when it is small, and a shuffle hash join on id is
+    // the safe shape when it is not.
     cand
-      .join(broadcast(df.select(col("id"), col("vec").as("va"),
-        col("norm").as("na"))), col("i") === col("id")).drop("id")
-      .join(broadcast(df.select(col("id"), col("vec").as("vb"),
-        col("norm").as("nb"))), col("j") === col("id")).drop("id")
+      .join(df.select(col("id"), col("vec").as("va"),
+        col("norm").as("na")), col("i") === col("id")).drop("id")
+      .join(df.select(col("id"), col("vec").as("vb"),
+        col("norm").as("nb")), col("j") === col("id")).drop("id")
       .select(col("i"), col("j"),
         cosine(col("va"), col("vb"), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= threshold)

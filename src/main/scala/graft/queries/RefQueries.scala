@@ -337,9 +337,10 @@ object RefQueries {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
-    // Headline: TPC-H Q5-style multi-join — every dimension chain
-    // (region→nation→customer) broadcasts; only the fact-side
-    // lineitem⋈orders pair shuffles (and AQE may broadcast orders too).
+    // Headline: TPC-H Q5-style multi-join. nation/region are
+    // constant-size (25/5 rows) so their broadcasts are always safe;
+    // the customer-derived dims side scales with SF, so it carries NO
+    // hint — AQE broadcasts it while it fits and shuffle-joins beyond.
     "j5_multi_join" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
       val o = Tables.orders(s, d)
@@ -352,7 +353,7 @@ object RefQueries {
         .filter(col("r_name") === "ASIA")
         .select(col("c_custkey"), col("n_name"))
       li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(dims), o("o_custkey") === dims("c_custkey"))
+        .join(dims, o("o_custkey") === dims("c_custkey"))
         .groupBy("n_name")
         .agg(
           dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
@@ -374,12 +375,14 @@ object RefQueries {
         .orderBy("o_orderkey")
     },
 
-    // Headline: join + aggregation; orders is broadcast-able at any SF
-    // where it fits (dim side), lineitem is the fact side.
+    // Headline: join + aggregation. orders is a fact table (~1/4 of
+    // lineitem's rows), so no broadcast hint: AQE broadcasts it at small
+    // SF where it fits and falls back to a shuffle join at scale, where
+    // a forced broadcast build side would exceed executor memory.
     "j1_join_agg" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
       val o = Tables.orders(s, d)
-      li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
         .groupBy(col("o_orderpriority"),
           date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month"))
         .agg(
