@@ -96,15 +96,37 @@ object SegmentAgg {
       // window(col, freq).start but composable — Spark forbids multiple
       // window() expressions in one aggregate, which bins+snapshots need)
       val step = fixedFreqMicros(f)
-      // explicit LTZ cast: plain "timestamp" resolves to the session's
-      // spark.sql.timestampType (NTZ here), which unix_micros rejects
-      val us = unix_micros(x.cast("timestamp_ltz"))
-      val startUs = us - pmod(us, lit(step))
-      val start = timestamp_micros(startUs).cast("timestamp_ntz")
-      if (label == "left") start
-      else timestamp_micros(startUs + lit(step)).cast("timestamp_ntz")
+      val offset = pmod(wallClockMicros(x), lit(step))
+      if (label == "left") addMicros(lit(0L) - offset, x)
+      else addMicros(lit(step) - offset, x)
     }
   }
+
+  /** `ts + quantity µs` preserving the input timestamp type. On NTZ this
+    * is pure wall-clock arithmetic (no session-zone involvement). The
+    * SQL `timestampadd` has no Scala-API/`call_function` form (the unit
+    * is a parser keyword), so build the Catalyst node directly.
+    */
+  def addMicros(quantity: Column, ts: Column): Column = {
+    import org.apache.spark.sql.graftbridge.SparkInternals
+    SparkInternals.column(
+      org.apache.spark.sql.catalyst.expressions.TimestampAdd("MICROSECOND",
+        SparkInternals.expression(quantity), SparkInternals.expression(ts)))
+  }
+
+  /** Wall-clock µs since epoch of a TIMESTAMP_NTZ column, independent of
+    * the session timezone. A `cast("timestamp_ltz")` + `unix_micros`
+    * round-trip would interpret the wall clock in the session zone, so a
+    * +05:30 session would shift every fixed-frequency boundary by the
+    * zone offset (ADVICE r2); field extraction on NTZ is zone-free.
+    * `date_part(SECOND)` is DECIMAL(8,6) including the fraction, so ×1e6
+    * covers seconds + sub-second exactly.
+    */
+  def wallClockMicros(ts: Column): Column =
+    unix_date(to_date(ts)).cast("long") * lit(86400000000L) +
+      hour(ts).cast("long") * lit(3600000000L) +
+      minute(ts).cast("long") * lit(60000000L) +
+      (date_part(lit("SECOND"), ts) * lit(1000000)).cast("long")
 
   /** Explicit bin edges (ref segmentby.py by_scale with a Series of bin
     * ends): the bin label of v is the greatest edge <= v (left-closed)

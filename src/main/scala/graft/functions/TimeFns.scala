@@ -37,10 +37,11 @@ object TimeFns {
       }
       when(ts === start, ts).otherwise(next)
     } else {
+      // zone-free wall-clock alignment (see SegmentAgg.wallClockMicros):
+      // pmod(-us, step) is 0 on a boundary, so this is the identity there
       val step = SegmentAgg.fixedFreqMicros(f)
-      val us = unix_micros(ts.cast("timestamp_ltz"))
-      timestamp_micros(us + pmod(lit(0L) - us, lit(step)))
-        .cast("timestamp_ntz")
+      val us = SegmentAgg.wallClockMicros(ts)
+      SegmentAgg.addMicros(pmod(lit(0L) - us, lit(step)), ts)
     }
   }
 }

@@ -151,6 +151,10 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     val lockPath = new HPath(s"$dir/$LockName")
     val fsys = fs
     fsys.mkdirs(new HPath(dir))
+    // unique per-acquisition token: pid@host alone would collide for two
+    // writers in the same JVM, letting one delete the other's live lock
+    val token = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getName + ":" + java.util.UUID.randomUUID().toString
     var acquired = false
     var attempts = 0
     while (!acquired) {
@@ -162,8 +166,15 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
               s"dataset $dir is locked by another writer")
           Some(st.getModificationTime)
         } catch { case _: java.io.FileNotFoundException => None }
-      staleMtime.foreach(_ => fsys.delete(lockPath, false)) // abandoned lock
-      if (atomicCreateLock(fsys, lockPath)) acquired = true
+      staleMtime.foreach { mt =>
+        // re-stat before breaking: if another writer already broke the
+        // stale lock and created its own (fresh mtime), leave it alone
+        try {
+          if (fsys.getFileStatus(lockPath).getModificationTime == mt)
+            fsys.delete(lockPath, false)
+        } catch { case _: java.io.FileNotFoundException => () }
+      }
+      if (atomicCreateLock(fsys, lockPath, token)) acquired = true
       else { // raced another writer
         attempts += 1
         if (attempts >= 3) throw new IllegalStateException(
@@ -175,7 +186,10 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
       try {
         while (!Thread.interrupted()) {
           Thread.sleep(LockRefreshMs)
-          fs.setTimes(lockPath, System.currentTimeMillis(), -1)
+          // transient FS hiccups must not kill the heartbeat: a silently
+          // dead heartbeat lets a healthy long write be broken as stale
+          try fs.setTimes(lockPath, System.currentTimeMillis(), -1)
+          catch { case scala.util.control.NonFatal(_) => () }
         }
       } catch { case _: InterruptedException => () }
     }, s"graft-lock-heartbeat-$dir")
@@ -186,9 +200,26 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
       f
     } finally {
       heartbeat.interrupt()
-      fsys.delete(lockPath, false)
+      // delete only OUR lock: if a second writer (wrongly or rightly)
+      // broke this one as stale and created its own, an unconditional
+      // delete here would readmit a third concurrent writer
+      if (readLockToken(fsys, lockPath).contains(token))
+        fsys.delete(lockPath, false)
     }
   }
+
+  private def readLockToken(fsys: FileSystem, lockPath: HPath)
+      : Option[String] =
+    try {
+      val in = fsys.open(lockPath)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](256)
+        var n = in.read(tmp)
+        while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        Some(new String(buf.toByteArray, "UTF-8"))
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
 
   /** Create the lock file atomically, failing if it exists. Hadoop's
     * local create(overwrite=false) is check-then-act (NOT atomic — two
@@ -198,9 +229,9 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     * overwrite=false contract, which HDFS implements atomically on the
     * NameNode.
     */
-  private def atomicCreateLock(fsys: FileSystem, lockPath: HPath): Boolean = {
-    val payload = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getName.getBytes("UTF-8")
+  private def atomicCreateLock(fsys: FileSystem, lockPath: HPath,
+      token: String): Boolean = {
+    val payload = token.getBytes("UTF-8")
     if (fsys.getScheme == "file") {
       try {
         java.nio.file.Files.write(
@@ -221,23 +252,43 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     }
   }
 
-  /** Under the lock: remove leftovers of crashed commits — tmp write
-    * dirs of dead writers, and data files not referenced by the current
-    * sidecar (a crash between file renames and the sidecar swap leaves
-    * such orphans; file ids are then reused, and a rename onto an orphan
-    * would corrupt the dataset — see ADVICE r1).
+  /** Under the lock: remove leftovers — tmp write dirs of dead writers,
+    * plus unreferenced data files. Unreferenced files split into two
+    * generations by file id against the sidecar's `nextFileId`:
+    *
+    *  - id >= nextFileId: a crashed commit renamed files in but never
+    *    swapped the sidecar. Those ids WILL be reused by the next commit
+    *    and a rename onto them would fail, so they are deleted
+    *    immediately (ADVICE r1).
+    *  - id < nextFileId: files RETIRED by a completed commit (their
+    *    replacement swap advanced nextFileId past them). Ids are never
+    *    reused, so they conflict with nothing; they are kept for
+    *    `retireGraceMs` after retirement (the commit touches their
+    *    mtime) so concurrent readers holding a plan against the previous
+    *    sidecar can still finish — the Spark-native analog of the
+    *    reference holding its lock across reads (ref base.py:240-255).
     */
   private def cleanOrphans(fsys: FileSystem): Unit = {
     val d = new HPath(dir)
     if (!fsys.exists(d)) return
-    val referenced: Set[String] =
-      if (exists) meta.files.map(_.name).toSet else Set.empty
+    val m = if (exists) Some(meta) else None
+    val referenced: Set[String] = m.map(_.files.map(_.name).toSet)
+      .getOrElse(Set.empty)
+    val nextId = m.map(_.nextFileId).getOrElse(0L)
+    val now = System.currentTimeMillis()
     fsys.listStatus(d).foreach { st =>
       val n = st.getPath.getName
       if (st.isDirectory && n.startsWith(TmpDirPrefix))
         fsys.delete(st.getPath, true)
-      else if (st.isFile && DataFileRe.matches(n) && !referenced.contains(n))
-        fsys.delete(st.getPath, false)
+      else if (st.isFile && !referenced.contains(n)) {
+        n match {
+          case DataFileRe(idDigits) =>
+            if (idDigits.toLong >= nextId ||
+                now - st.getModificationTime > retireGraceMs)
+              fsys.delete(st.getPath, false)
+          case _ => ()
+        }
+      }
     }
   }
 
@@ -373,7 +424,24 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
       .collect()
       .sortBy(r => OrdVal.fromAny(r.getAs[Any]("mn")))
 
-    // ---- commit: move files in, swap sidecar, delete replaced ----
+    // stats-dtype guards (ref base.py:338-357): fail BEFORE any rename,
+    // leaving the dataset untouched (tmp dir removed here, and swept by
+    // cleanOrphans anyway)
+    if (kept.size + written.length > MaxFilesPerDataset) {
+      fs.delete(new HPath(tmpDir), true)
+      throw new IllegalStateException(
+        s"dataset $dir would hold ${kept.size + written.length} files, " +
+          s"over the $MaxFilesPerDataset-file stats limit; raise the " +
+          "row-group target or compact")
+    }
+    written.find(_.getAs[Long]("rows") > MaxRowsPerFile).foreach { r =>
+      fs.delete(new HPath(tmpDir), true)
+      throw new IllegalStateException(
+        s"row group would hold ${r.getAs[Long]("rows")} rows, over the " +
+          s"$MaxRowsPerFile-row stats limit; lower the row-group target")
+    }
+
+    // ---- commit: move files in, swap sidecar, retire replaced ----
     var nextId = m0.map(_.nextFileId).getOrElse(0L)
     val newStats = written.map { r =>
       val id = nextId; nextId += 1
@@ -394,8 +462,19 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     Sidecar.write(conf, dir,
       DatasetMeta(opts.orderedOn, ordType, allStats, newKv, nextId,
         schemaJson))
-    rewrite.foreach(f => fs.delete(new HPath(s"$dir/${f.name}"), false))
+    // RETIRE replaced files instead of deleting them: readers that
+    // resolved their file list against the previous sidecar keep reading
+    // until the grace window passes (cleanOrphans reaps them under a
+    // later writer's lock). Touching mtime stamps the retirement time.
+    rewrite.foreach { f =>
+      try fs.setTimes(new HPath(s"$dir/${f.name}"),
+        System.currentTimeMillis(), -1)
+      catch { case _: java.io.FileNotFoundException => () }
+    }
     fs.delete(new HPath(tmpDir), true)
+    // reap retirees whose grace window has already passed (bounds disk
+    // growth under steady writes without waiting for the next writer)
+    cleanOrphans(fs)
     UpsertReport(rewrite.size, kept.size, newStats.size,
       newStats.map(_.rows).sum)
   }
@@ -493,8 +572,16 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     if (files.isEmpty) return (Nil, Nil)
     var i = files.indexWhere(f => f.max >= bMin)
     var j = files.lastIndexWhere(f => f.min <= bMax)
-    if (i == -1 || j < i) { // pure append before head or after tail
-      i = if (files.head.min > bMax) 0 else files.size
+    if (i == -1 || j < i) {
+      // pure insert, no value-range overlap: point i at the TRUE
+      // insertion position (first file strictly after the batch), j at
+      // its predecessor, so the neighbor-sensitive logic below (period
+      // absorption, off-target runs) sees the actual neighbors. ADVICE
+      // r2: collapsing to head/tail here made the period fixpoint
+      // compare the LAST file's period to a batch inserted in the
+      // middle, leaving two files in one period.
+      i = files.indexWhere(f => f.min > bMax)
+      if (i == -1) i = files.size
       j = i - 1
     }
     // equal-boundary chains (split-point protection, only matters with dedup)
@@ -508,7 +595,15 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     // two files in one period. Fixpoint loop: an absorbed spanning file
     // can widen the range into further periods (caught by the
     // TimePeriod upsert property test).
+    //
+    // With `maxNOffTargetRgs` set, absorption is LAZY instead (the
+    // reference's semantics, ref time_period_strategy.py:164-221):
+    // small same-period appends are allowed to accumulate and only
+    // coalesce once the adjacent off-target run reaches the threshold —
+    // steady appends then cost O(appended) instead of rewriting the
+    // whole period file every time.
     opts.target match {
+      case TimePeriod(_) if opts.maxNOffTargetRgs.isDefined => ()
       case TimePeriod(unit) =>
         def rangeMin =
           if (i <= j && i >= 0 && i < files.size) Seq(files(i).min, bMin).min
@@ -537,7 +632,21 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     opts.maxNOffTargetRgs.foreach { maxN =>
       val offTarget: Int => Boolean = opts.target match {
         case NRows(n) => idx => files(idx).rows < (n * OnTargetFraction).toLong
-        case TimePeriod(_) => _ => false
+        case TimePeriod(unit) =>
+          // reference on-target predicate (time_period_strategy.py:
+          // 164-221): a row group is on target iff it fits in a single
+          // period AND is alone in that period. A file sharing the
+          // incoming batch's period is counted off-target too — after
+          // this write its period would hold two files.
+          val pMin = files.map(f => truncPeriod(f.min, unit))
+          val pMax = files.map(f => truncPeriod(f.max, unit))
+          val bLo = truncPeriod(bMin, unit)
+          val bHi = truncPeriod(bMax, unit)
+          idx =>
+            pMin(idx) != pMax(idx) ||
+              (idx > 0 && pMax(idx - 1) == pMin(idx)) ||
+              (idx + 1 < files.size && pMin(idx + 1) == pMax(idx)) ||
+              (pMax(idx) >= bLo && pMin(idx) <= bHi)
       }
       var lo = i - 1
       while (lo >= 0 && offTarget(lo)) lo -= 1
@@ -558,10 +667,24 @@ object OrderedDataset {
   val SeqCol = "__graft_seq"
   val RidCol = "__graft_rid"
   val TmpDirPrefix = "_tmp_write-"
-  val DataFileRe = "f\\d{8}\\.parquet".r
+  val DataFileRe = "f(\\d{8,})\\.parquet".r
   val LockName = ".lock"
   val LockStaleMs = 120000L
   val LockRefreshMs = 15000L
+
+  /** How long a commit keeps the files it replaced on disk so that
+    * concurrent readers holding a plan from the previous sidecar can
+    * finish (see cleanOrphans). Library-level policy knob.
+    */
+  @volatile var retireGraceMs: Long = 600000L
+
+  /** Sidecar-stats bounds (ref base.py:338-357: the reference's stats
+    * dtypes cap at uint16 files / uint32 rows; enforced here as explicit
+    * limits so a runaway ingest fails loudly instead of corrupting
+    * planning).
+    */
+  val MaxFilesPerDataset = 65535
+  val MaxRowsPerFile = 4294967295L
   /** ≥80 % of target counts as on-target (ref n_rows_strategy.py:33). */
   val OnTargetFraction = 0.8
 

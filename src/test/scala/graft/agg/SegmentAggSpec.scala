@@ -35,6 +35,23 @@ class SegmentAggSpec extends SparkSpec {
     assert(rows.tail.map(_._4).forall(_ == ts("2024-02-01T00:00:00")))
   }
 
+  test("fixed-freq bins are session-timezone independent (ADVICE r2)") {
+    import graft.functions.TimeFns._
+    def run(): Seq[Seq[LocalDateTime]] =
+      df.select(
+        floor_ts($"t", "1 hour").as("fl"),
+        ceil_ts($"t", "1 hour").as("ce"),
+        SegmentAgg.timeBin($"t", "5 minutes", "right", "right").as("b"))
+        .as[(LocalDateTime, LocalDateTime, LocalDateTime)]
+        .collect().toSeq.map(t => Seq(t._1, t._2, t._3))
+    val utc = run()
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    // +05:30: a half-hour offset shifts any epoch-based hourly alignment
+    try { spark.conf.set(tzKey, "Asia/Kolkata"); assert(run() == utc) }
+    finally spark.conf.set(tzKey, saved)
+  }
+
   test("BinBy policies: ByTime/ByEdges match raw fns; ByExpr is the UDF") {
     val byTime = BinBy.ByTime("5 minutes")
     assert(df.select(byTime($"t")).collect().toSeq ==

@@ -94,6 +94,81 @@ class StoreSpec extends SparkSpec {
       Seq(1.0, 2.0, 1.0))
   }
 
+  test("concurrent reader survives an overlapping upsert (retire grace)") {
+    val dir = tmpDir("grace")
+    val ds = new OrderedDataset(spark, s"$dir/d1")
+    ds.write(tsDf((1L to 100L).map(i => (i, 1.0))), WriteOpts("t", NRows(30)))
+    // a reader resolves its file list against the current sidecar...
+    val plan = ds.rangeDF(Some(OrdLong(10)), Some(OrdLong(91)))
+    // ...then an overlapping upsert commits, retiring the old files
+    ds.write(tsDf((10L to 90L).map(i => (i, 2.0))),
+      WriteOpts("t", NRows(30), duplicatesOn = Some(Seq("t"))))
+    // the pre-upsert plan still reads its snapshot: replaced files are
+    // retired for the grace window, not deleted at commit
+    assert(plan.count() == 81)
+    assert(plan.select("v").distinct().as[Double].collect().toSeq == Seq(1.0))
+    // and the new sidecar serves the new data
+    assert(ds.rangeDF(Some(OrdLong(10)), Some(OrdLong(91)))
+      .select("v").distinct().as[Double].collect().toSeq == Seq(2.0))
+  }
+
+  test("retired files are reaped once the grace window passes") {
+    val dir = tmpDir("reap")
+    val ds = new OrderedDataset(spark, s"$dir/d1")
+    def onDisk: Set[String] =
+      new java.io.File(s"$dir/d1").listFiles().map(_.getName)
+        .filter(n => OrderedDataset.DataFileRe.matches(n)).toSet
+    ds.write(tsDf((1L to 20L).map(i => (i, 1.0))), WriteOpts("t", NRows(10)))
+    ds.write(tsDf((5L to 15L).map(i => (i, 2.0))),
+      WriteOpts("t", NRows(10), duplicatesOn = Some(Seq("t"))))
+    // within the grace window the replaced files are still on disk
+    assert(onDisk.size > ds.meta.files.size)
+    val saved = OrderedDataset.retireGraceMs
+    try {
+      OrderedDataset.retireGraceMs = 0L
+      Thread.sleep(10)
+      ds.write(tsDf(Seq((30L, 1.0))), WriteOpts("t", NRows(10)))
+      assert(onDisk == ds.meta.files.map(_.name).toSet)
+    } finally OrderedDataset.retireGraceMs = saved
+  }
+
+  test("N small same-period appends collapse at write (lazy TimePeriod)") {
+    val t0 = java.time.LocalDateTime.of(2024, 4, 1, 0, 0)
+    val dir = tmpDir("lazyperiod")
+    val ds = new OrderedDataset(spark, s"$dir/d1")
+    val opts = WriteOpts("t", TimePeriod("day"), maxNOffTargetRgs = Some(2))
+    def batch(mins: Seq[Long], v: Double) =
+      mins.map(m => (t0.plusMinutes(m), v)).toDF("t", "v").coalesce(1)
+    ds.write(batch(Seq(0L, 10L), 1.0), opts)
+    // lazy mode: a small same-period append does NOT rewrite the period
+    ds.write(batch(Seq(20L, 30L), 2.0), opts)
+    assert(ds.meta.files.size == 2, s"files: ${ds.meta.files}")
+    // the adjacent off-target run reaches maxN → collapses at write
+    ds.write(batch(Seq(40L), 3.0), opts)
+    assert(ds.meta.files.size == 1, s"files: ${ds.meta.files}")
+    assert(ds.df.count() == 5)
+    assert(ds.orderedDf.select("v").as[Double].collect().toSeq ==
+      Seq(1.0, 1.0, 2.0, 2.0, 3.0))
+  }
+
+  test("middle insert absorbs its true period neighbors (ADVICE r2)") {
+    val t0 = java.time.LocalDateTime.of(2024, 4, 1, 0, 0)
+    val dir = tmpDir("midinsert")
+    val ds = new OrderedDataset(spark, s"$dir/d1")
+    val opts = WriteOpts("t", TimePeriod("day"))
+    // 5 one-day files
+    ds.write((0 until 5).flatMap(d => Seq(
+        (t0.plusDays(d), 1.0), (t0.plusDays(d).plusHours(1), 1.0)))
+      .toDF("t", "v").coalesce(1), opts)
+    assert(ds.meta.files.size == 5)
+    // one row in day 1, strictly after that day's file max, before day 2:
+    // no value-range overlap, so the old head/tail collapse compared the
+    // LAST file's period and left two files in day 1
+    ds.write(Seq((t0.plusHours(2), 9.0)).toDF("t", "v"), opts)
+    assert(ds.meta.files.size == 5, s"files: ${ds.meta.files}")
+    assert(ds.df.count() == 11)
+  }
+
   test("off-target compaction absorbs small neighbor files") {
     val dir = tmpDir("opd")
     val ds = new OrderedDataset(spark, s"$dir/d1")
