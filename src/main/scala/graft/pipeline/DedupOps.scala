@@ -201,35 +201,49 @@ object DedupOps {
     * rounds in practice. Each round is one shuffle join + aggregation;
     * the driver only checks the (scalar) changed-count per round.
     */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20,
+      reliable: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.graftbridge.SparkInternals
     val edges = pairs.select(col("i").as("a"), col("j").as("b"))
       .unionByName(pairs.select(col("j").as("a"), col("i").as("b")))
       .persist()
-    // localCheckpoint each round: truncates the iterative lineage so
-    // plan size stays constant across rounds. Seeding with the
-    // neighbor-min (one aggregation, replacing the plain distinct)
-    // performs round 1 for free: diameter-1 components (plain pairs —
-    // the bulk of near-dup graphs) are already converged.
-    var labels = edges.groupBy(col("a").as("id"))
-      .agg(least(min(col("a")), min(col("b"))).as("cluster"))
-      .localCheckpoint()
+    // Checkpoint each round: truncates the iterative lineage so plan
+    // size stays constant across rounds. `reliable=true` uses
+    // fault-tolerant checkpoints (requires sc.setCheckpointDir) — at
+    // cluster scale a localCheckpoint block dies with its executor and
+    // kills the job. Seeding with the neighbor-min (one aggregation,
+    // replacing the plain distinct) performs round 1 for free:
+    // diameter-1 components (plain pairs — the bulk of near-dup
+    // graphs) are already converged.
+    def chk(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    var labels = chk(edges.groupBy(col("a").as("id"))
+      .agg(least(min(col("a")), min(col("b"))).as("cluster")))
     var it = 0
     var done = false
     while (!done && it < maxIter) {
       val prop = edges
         .join(labels.withColumnRenamed("id", "b2"), col("b") === col("b2"))
         .groupBy(col("a").as("id")).agg(min("cluster").as("nbr"))
-      val next = labels.withColumnRenamed("cluster", "old")
+      val next = chk(labels.withColumnRenamed("cluster", "old")
         .join(prop, Seq("id"), "left")
         .select(col("id"),
           least(col("old"), coalesce(col("nbr"), col("old"))).as("cluster"),
-          col("old"))
-        .localCheckpoint()
+          col("old")))
       done = next.filter(col("cluster") =!= col("old")).isEmpty
+      // the superseded round's checkpoint blocks are dead the moment
+      // `next` materializes — release them now instead of waiting for
+      // the ContextCleaner to notice the GC'd RDD (ADVICE r2)
+      SparkInternals.unpersistCheckpoint(labels)
       labels = next.select("id", "cluster")
       it += 1
     }
     edges.unpersist()
+    if (!done)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dupClusters exited after maxIter=$maxIter with labels still " +
+          "changing — a component's diameter exceeds the iteration " +
+          "budget and its cluster ids are NOT converged; raise maxIter")
     labels
   }
 

@@ -39,18 +39,24 @@ object IvfIndex {
       col("id").as("cid"), col("vec").as("cvec"), col("norm").as("cnorm")))
     val wp = Window.partitionBy("q_id")
       .orderBy(col("pcos").desc, col("cid"))
-    val probes = queries.select(col("id").as("q_id"), col("vec").as("qvec"),
-        col("norm").as("qnorm"))
+    // The probe table is driver-bounded (≤ |queries| × nProbe rows) by
+    // the query-batch contract, so collect it once instead of persisting
+    // a lazy frame that would be computed twice and whose cache would
+    // outlive the call (ADVICE r2 leak): the collected rows feed both
+    // the probed-cid planning and the broadcast side of the scoring join.
+    val probePlan = queries.select(col("id").as("q_id"),
+        col("vec").as("qvec"), col("norm").as("qnorm"))
       .join(cents)
       .withColumn("pcos", SimilarityOps.cosine(
         col("qvec"), col("cvec"), col("qnorm"), col("cnorm")))
       .withColumn("prank", row_number().over(wp))
       .filter(col("prank") <= nProbe)
       .select("q_id", "qvec", "qnorm", "cid")
-      .persist()
+    val probeRows = probePlan.collect()
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probePlan.schema)
 
-    val probedCids = probes.select("cid").distinct()
-      .orderBy("cid").collect().map(_.getLong(0))
+    val probedCids = probeRows.map(_.getLong(3)).distinct.sorted
     // ONE scan branch over the zone-map-selected files; the exact list
     // membership is an isin residual that parquet row-group stats prune
     val ds = new OrderedDataset(spark, dir)

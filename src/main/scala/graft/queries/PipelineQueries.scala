@@ -148,10 +148,14 @@ object PipelineQueries {
       val dir = ensureIvfIndex(s, d)
       val v = SimilarityOps.withNorm(embs(s, d), "vec_id", "embedding")
         .persist()
-      IvfIndex.search(s, dir,
+      // search() collects the (bounded) probe table eagerly, so the
+      // returned plan no longer references v — release the cache here
+      // rather than leaking it for the session (ADVICE r2)
+      try IvfIndex.search(s, dir,
         v.filter(col("id") < NQueryVecs),
         v.filter(col("id") % 25 === 0), nProbe = 4, k = TopK)
         .orderBy("q_id", "rank")
+      finally v.unpersist()
     },
 
     // Embedding normalization + symmetric int8 quantization (map-side,

@@ -30,4 +30,37 @@ object Columns {
     }
     df.select(cols: _*)
   }
+
+  /** Inverse of [[flatten]]: re-nest `parent_sep_child` top-level names
+    * into struct columns — the read-side half of the reference's cmidx
+    * round-trip (`conform_cmidx`, ref parquet_adapter.py:20-85). Every
+    * occurrence of `sep` nests one level (the cmidx convention: level
+    * labels themselves do not contain the separator), so
+    * `flatten(unflatten(df)) == df` and, for frames whose leaf names are
+    * sep-free, `unflatten(flatten(df)) == df`. Sibling order follows
+    * first occurrence, matching what flatten emits. A name that is both
+    * a leaf and a prefix of nested names (`x` next to `x_y`) is
+    * ambiguous and rejected.
+    */
+  def unflatten(df: DataFrame, sep: String = "_"): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.struct
+    // (path, flatName) leaves in frame order
+    val leaves = df.columns.toSeq.map(n => (n.split(sep, -1).toSeq, n))
+    def build(group: Seq[(Seq[String], String)]): Seq[Column] = {
+      val heads = group.map(_._1.head).distinct
+      heads.map { h =>
+        val sub = group.filter(_._1.head == h)
+        val (leaf, nested) = sub.partition(_._1.size == 1)
+        if (leaf.nonEmpty && nested.nonEmpty)
+          throw new IllegalArgumentException(
+            s"ambiguous column '$h': appears both as a leaf and as a " +
+              s"struct prefix of ${nested.map(_._2).mkString(", ")}")
+        if (nested.isEmpty) col(s"`${leaf.head._2}`").as(h)
+        else struct(build(nested.map { case (p, n) => (p.tail, n) }): _*)
+          .as(h)
+      }
+    }
+    df.select(build(leaves): _*)
+  }
 }

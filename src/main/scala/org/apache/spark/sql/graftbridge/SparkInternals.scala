@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, Dataset}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 
@@ -20,4 +20,18 @@ object SparkInternals {
     */
   def expressionEager(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Deterministically release the storage behind a
+    * `localCheckpoint()`ed DataFrame. `Dataset.unpersist` only consults
+    * the CacheManager, which does not track checkpoint blocks — they
+    * otherwise linger until the ContextCleaner notices the RDD was
+    * GC'd, accumulating executor storage across an iterative loop's
+    * rounds. No-op for non-checkpointed frames.
+    */
+  def unpersistCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -18,6 +18,64 @@ class ColumnsSpec extends SparkSpec {
       ((1L, 2.0, 3.0, "x")))
   }
 
+  test("unflatten re-nests parent_child names; flatten∘unflatten = id") {
+    val df = Seq((1L, 2.0, 3.0, "x", 7L))
+      .toDF("id", "a", "b", "tag", "k")
+      .select(col("id"),
+        struct(col("a"), struct(col("b").as("inner")).as("deep")).as("m"),
+        col("tag"), struct(col("k").as("kk")).as("n"))
+    val flat = Columns.flatten(df)
+    val back = Columns.unflatten(flat)
+    assert(back.schema == df.schema, s"\n${back.schema}\nvs\n${df.schema}")
+    assert(back.collect().toSeq == df.collect().toSeq)
+    // and the other direction: unflatten∘flatten over an already-flat
+    // frame with multi-level names
+    val flat2 = Seq((1L, 2L, 3L)).toDF("p_q", "p_r", "s")
+    assert(Columns.flatten(Columns.unflatten(flat2)).columns.toSeq ==
+      Seq("p_q", "p_r", "s"))
+  }
+
+  test("unflatten property: random nested schemas round-trip") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import org.apache.spark.sql.types._
+    val leafGen: Gen[DataType] =
+      Gen.oneOf(LongType, DoubleType, StringType, BooleanType)
+    def schemaGen(depth: Int, names: Iterator[String]): Gen[StructType] =
+      Gen.choose(1, 4).flatMap { n =>
+        Gen.sequence[Seq[StructField], StructField](Seq.fill(n) {
+          val nm = names.next()
+          if (depth <= 0) leafGen.map(t => StructField(nm, t))
+          else Gen.frequency(
+            3 -> leafGen.map(t => StructField(nm, t)),
+            1 -> schemaGen(depth - 1, names).map(s => StructField(nm, s)))
+        }).map(fs => StructType(fs))
+      }
+    // structs rebuilt by struct() are non-nullable containers — compare
+    // names + leaf types, not container nullability
+    def norm(s: StructType): StructType = StructType(s.fields.map { f =>
+      f.dataType match {
+        case st: StructType => StructField(f.name, norm(st))
+        case dt             => StructField(f.name, dt)
+      }
+    })
+    (1 to 8).foreach { i =>
+      val names = Iterator.from(0).map(j => s"c$j")
+      val schema = schemaGen(2, names)
+        .pureApply(Gen.Parameters.default, Seed(77L + i))
+      val df = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      val rt = Columns.unflatten(Columns.flatten(df))
+      assert(norm(rt.schema) == norm(schema),
+        s"seed=${77 + i}\n$schema\nvs\n${rt.schema}")
+    }
+  }
+
+  test("unflatten rejects a name that is both leaf and struct prefix") {
+    val flat = Seq((1L, 2L)).toDF("x", "x_y")
+    intercept[IllegalArgumentException] { Columns.unflatten(flat) }
+  }
+
   test("write lock blocks a second writer and clears on completion") {
     import java.nio.file.{Files, Paths}
     val dir = tmpDir("lock")

@@ -110,6 +110,26 @@ class UpsertPropertySpec extends SparkSpec {
     }
   }
 
+  test("TimePeriod middle insert with no range overlap stays one file/day") {
+    // ADVICE r2 repro: 5 one-day files, then one row INSIDE day 1 but
+    // strictly after that file's max — no value-range overlap with any
+    // file, so the planner's pure-insert branch must aim the period
+    // fixpoint at the true neighbors, not the tail.
+    val t0 = java.time.LocalDateTime.of(2024, 4, 1, 0, 0)
+    val dir = tmpDir("period-middle")
+    val ds = new OrderedDataset(spark, s"$dir/d")
+    val opts = WriteOpts("t", TimePeriod("day"), duplicatesOn = Some(Seq("t")))
+    val days = (0 until 5).flatMap { d =>
+      Seq((t0.plusDays(d), d * 10.0), (t0.plusDays(d).plusHours(12), d * 10.0 + 1))
+    }
+    ds.write(days.toDF("t", "v").coalesce(1), opts)
+    assert(ds.meta.files.size == 5, ds.meta.files)
+    ds.write(Seq((t0.plusDays(1).plusHours(18), 99.0)).toDF("t", "v"), opts)
+    assert(ds.meta.files.size == 5,
+      s"middle insert split a period: ${ds.meta.files}")
+    assert(ds.orderedDf.count() == 11)
+  }
+
   test("re-upserting the same batch is idempotent") {
     (1 to 6).foreach { i =>
       val b = sample(batchGen, 2000L + i)
