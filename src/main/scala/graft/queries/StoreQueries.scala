@@ -51,7 +51,7 @@ object StoreQueries {
     val st = new Store(s, base, idx)
     // version-suffixed: bump when the fixture set changes so stale
     // /tmp caches rebuild
-    val marker = new java.io.File(s"$base/_BUILT_v2")
+    val marker = new java.io.File(s"$base/_BUILT_v3")
     if (marker.exists()) return st
     // wipe any partial build
     deleteRec(new java.io.File(base))
@@ -85,7 +85,11 @@ object StoreQueries {
           snapFreq = Some("6 hours")),
         // G3 incrementally: 500-row count bins continuing across chunks
         "xrows" -> StreamKeyCfg(None, "", aggs = aggSpecs,
-          xRows = Some(500))),
+          xRows = Some(500)),
+        // snap_by composed with by_x_rows (ref segmentby.py:712-1028):
+        // 500-row bins observed at 12-hour snapshot points
+        "xrows_snap" -> StreamKeyCfg(None, "", aggs = aggSpecs,
+          snapFreq = Some("12 hours"), xRows = Some(500))),
       NRows(5000))
     val chunks = Seq(
       e.filter(col("event_id") < 3000),
@@ -226,6 +230,39 @@ object StoreQueries {
         NRows(5000))
         .results("daily_snap")
         .orderBy("bin", "snap")
+    },
+
+    // snap_by × by_x_rows (ref segmentby.py:712-1028): 500-row bins
+    // observed at 12-hour snapshot points, accumulated incrementally
+    // across 3 chunks + a restart.
+    "t10_xrows_snapshots" -> { (s, d) =>
+      val st = ensure(s, d)
+      new AggStream(st, "ts", "event_id",
+        Map("xrows_snap" -> StreamKeyCfg(None, "", aggs = aggSpecs,
+          snapFreq = Some("12 hours"), xRows = Some(500))),
+        NRows(5000))
+        .results("xrows_snap")
+        .orderBy("bin", "snap")
+    },
+
+    // T9 dual-frame post hook (ref post(buffer, bin_res, snap_res),
+    // aggstream.py:703-719, 750-782): the post receives the finalized
+    // per-bin frame AND the running snapshot frame, and grafts the
+    // bin-level value spread onto every snapshot row.
+    "t11_post_dual" -> { (s, d) =>
+      val st = ensure(s, d)
+      val post: (DataFrame, Option[DataFrame]) => DataFrame =
+        (bins, snaps) => snaps.get.join(
+          bins.select(col("bin"),
+            (col("max_v") - col("min_v")).as("bin_spread")),
+          Seq("bin"))
+          .select("bin", "snap", "sum_v", "bin_spread")
+      new AggStream(st, "ts", "event_id",
+        Map("daily_snap" -> StreamKeyCfg(None, "1 day", aggs = aggSpecs,
+          snapFreq = Some("6 hours"), post = Some(post))),
+        NRows(5000))
+        .results("daily_snap")
+        .orderBy("bin", "snap")
     }
   )
 
@@ -323,6 +360,48 @@ object StoreQueries {
                FROM e GROUP BY 1, 2)
          WINDOW w AS (PARTITION BY bin ORDER BY snap
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         ORDER BY bin, snap"""
+         ORDER BY bin, snap""",
+
+    "t10_xrows_snapshots" -> s"""$EV,
+         numbered AS (SELECT *,
+                row_number() OVER (ORDER BY ts, event_id) AS rn FROM e),
+         cells AS (SELECT CAST(floor((rn - 1) / 500) AS BIGINT) AS bin,
+                      time_bucket(INTERVAL '12 hours', ts) AS snap,
+                      min(ts) AS c_label, count(*) AS c_n,
+                      min_by(value, event_id) AS c_first,
+                      max_by(value, event_id) AS c_last,
+                      min(value) AS c_min, max(value) AS c_max,
+                      SUM(CAST(value AS DECIMAL(38,6))) AS c_sum
+               FROM numbered GROUP BY 1, 2)
+         SELECT bin,
+              min(c_label) OVER (PARTITION BY bin) AS bin_label,
+              snap,
+              CAST(sum(c_n) OVER w AS BIGINT) AS n_rows,
+              first_value(c_first) OVER w AS first_v,
+              last_value(c_last) OVER w AS last_v,
+              min(c_min) OVER w AS min_v,
+              max(c_max) OVER w AS max_v,
+              CAST(sum(c_sum) OVER w AS DOUBLE) AS sum_v
+         FROM cells
+         WINDOW w AS (PARTITION BY bin ORDER BY snap
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY bin, snap""",
+
+    "t11_post_dual" -> s"""$EV,
+         cells AS (SELECT date_trunc('day', ts) AS bin,
+                      time_bucket(INTERVAL '6 hours', ts) AS snap,
+                      min(value) AS c_min, max(value) AS c_max,
+                      SUM(CAST(value AS DECIMAL(38,6))) AS c_sum
+               FROM e GROUP BY 1, 2),
+         snaps AS (SELECT bin, snap,
+                      CAST(sum(c_sum) OVER w AS DOUBLE) AS sum_v
+               FROM cells
+               WINDOW w AS (PARTITION BY bin ORDER BY snap
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         bins AS (SELECT bin, max(c_max) - min(c_min) AS bin_spread
+               FROM cells GROUP BY 1)
+         SELECT s.bin, s.snap, s.sum_v, b.bin_spread
+         FROM snaps s JOIN bins b USING (bin)
+         ORDER BY s.bin, s.snap"""
   )
 }

@@ -15,16 +15,25 @@ final case class StreamKeyCfg(
     closed: String = "left",
     label: String = "left",
     aggs: Seq[AggSpec],
-    post: Option[DataFrame => DataFrame] = None,
+    /** Read-time post hook over BOTH result frames (ref
+      * `post(buffer, bin_res, snap_res)`, aggstream.py:703-719): the
+      * first argument is the finalized per-bin frame, the second the
+      * running snapshot frame when `snapFreq` is set (None otherwise).
+      * Returns the frame `results` emits. Per-bin and snapshot frames
+      * are also individually readable via `binResults`/`snapResults` —
+      * the analog of the reference's two-key recording (AggResType
+      * BOTH). */
+    post: Option[(DataFrame, Option[DataFrame]) => DataFrame] = None,
     /** Optional snapshot grid finer than the bin (ref T6 snap_by): the
       * result dataset then stores one mergeable partial per (bin, snap)
       * cell and `results` emits the running within-bin value at each
-      * non-empty snapshot point. */
+      * non-empty snapshot point. Composes with `xRows` (ref segmentby
+      * snap_by × by_x_rows, segmentby.py:712-1028). */
     snapFreq: Option[String] = None,
     /** Count-based bins of exactly N rows (ref by_x_rows as a stream
       * bin_by, segmentby.py:371-520): bins continue across chunks via a
       * persisted processed-row count; bin label = first ordered value.
-      * Mutually exclusive with snapFreq; binFreq is ignored. */
+      * binFreq is ignored. */
     xRows: Option[Int] = None)
 
 /** Restartable, out-of-core streamed segment aggregation — the
@@ -95,8 +104,6 @@ final class AggStream[K](
     */
   private def processKey(k: K, cfg: StreamKeyCfg, chunk: DataFrame,
       restart: Restart, extraKv: Map[String, String]): Unit = {
-    require(cfg.snapFreq.isEmpty || cfg.xRows.isEmpty,
-      "snapFreq and xRows are mutually exclusive")
     val data = cfg.filter.map(chunk.filter).getOrElse(chunk)
     cfg.xRows match {
       case Some(n) => processKeyXRows(k, cfg, data, n, restart, extraKv)
@@ -106,7 +113,9 @@ final class AggStream[K](
 
   /** Count-based bins: global row numbering continues from the persisted
     * processed-row count; each bin's partial merges like time bins, with
-    * the label (first ordered value) merged via min.
+    * the label (first ordered value) merged via min. With `snapFreq`
+    * set, one cell per (bin, snap) is stored instead (snap_by composed
+    * with by_x_rows, ref segmentby.py:712-1028).
     */
   private def processKeyXRows(k: K, cfg: StreamKeyCfg, data: DataFrame,
       n: Int, restart: Restart, extraKv: Map[String, String]): Unit = {
@@ -115,9 +124,13 @@ final class AggStream[K](
       if (ds.exists) ds.kv.get(RowsKey).map(_.toLong).getOrElse(0L) else 0L
     val binned = SegmentAgg.xRowsBins(data, orderedOn, n, col(tieCol),
       carryIn = rowsSeen)
+    val groupCols = col("bin_id").as(BinCol) +: cfg.snapFreq.toSeq.map(f =>
+      SegmentAgg.timeBin(col(orderedOn), f, cfg.closed, cfg.label)
+        .as(SnapCol))
+    val keyCols = BinCol +: cfg.snapFreq.toSeq.map(_ => SnapCol)
     val exprs = partialExprs(cfg) ++ Seq(
       min(col(orderedOn)).as(LabelCol), sum(lit(1L)).as(NCol))
-    val partial = binned.groupBy(col("bin_id").as(BinCol))
+    val partial = binned.groupBy(groupCols: _*)
       .agg(exprs.head, exprs.tail: _*).persist()
     try {
       if (partial.isEmpty) {
@@ -134,12 +147,12 @@ final class AggStream[K](
             .select(partial.columns.toSeq.map(col): _*)
           val ce = combineExprs(cfg) ++ Seq(
             min(LabelCol).as(LabelCol), sum(NCol).as(NCol))
-          old.unionByName(partial).groupBy(BinCol)
+          old.unionByName(partial).groupBy(keyCols.map(col): _*)
             .agg(ce.head, ce.tail: _*)
         }
       ds.write(merged, WriteOpts(
         orderedOn = BinCol, target = target,
-        duplicatesOn = Some(Seq(BinCol)),
+        duplicatesOn = Some(keyCols),
         kv = extraKv ++ Map(StateKey -> restart.toJson,
           RowsKey -> (rowsSeen + chunkRows).toString)))
     } finally partial.unpersist()
@@ -268,45 +281,87 @@ final class AggStream[K](
     cachedPrev = None
   }
 
-  /** User-facing results: post hook applied, internal columns dropped,
-    * decimal partial sums cast back to double. With snapshots, each
-    * (bin, snap) row carries the running within-bin value up to that
-    * snapshot (ref jcumsegagg.py preserve_res), computed by an ordered
-    * window combine over the stored cells.
-    */
-  def results(k: K): DataFrame = {
-    val cfg = keys(k)
-    val ds = store.get(k)
-    val raw = ds.df
-    val casts = cfg.aggs.map { s =>
+  private def aggCasts(cfg: StreamKeyCfg): Seq[Column] =
+    cfg.aggs.map { s =>
       if (s.fn == AggFn.Sum) col(s.out).cast("double").as(s.out)
       else col(s.out)
     }
-    val out = (cfg.snapFreq, cfg.xRows) match {
+
+  /** Finalized per-bin frame, whether or not snapshots are configured —
+    * the analog of the reference's `bin_res` (and of recording bins
+    * under the first key of a key tuple, aggstream.py:750-782). With
+    * snapshots the stored (bin, snap) cells are combined per bin; the
+    * tiebreak bounds make first/last exact across cells.
+    */
+  def binResults(k: K): DataFrame = {
+    val cfg = keys(k)
+    val raw = store.get(k).df
+    val hasLabel = cfg.xRows.isDefined
+    (cfg.snapFreq, cfg.xRows) match {
       case (None, Some(_)) =>
         raw.select(Seq(col(BinCol), col(LabelCol),
-          col(NCol).cast("long").as(NCol)) ++ casts: _*)
+          col(NCol).cast("long").as(NCol)) ++ aggCasts(cfg): _*)
       case (None, None) =>
-        raw.select(col(BinCol) +: casts: _*)
+        raw.select(col(BinCol) +: aggCasts(cfg): _*)
       case (Some(_), _) =>
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(BinCol).orderBy(SnapCol)
-          .rowsBetween(org.apache.spark.sql.expressions.Window
-            .unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)
-        val running = cfg.aggs.map { s =>
-          val c = col(s.out)
-          (s.fn match {
-            case AggFn.First => min_by(c, col(tbMin)).over(w)
-            case AggFn.Last  => max_by(c, col(tbMax)).over(w)
-            case AggFn.Min   => min(c).over(w)
-            case AggFn.Max   => max(c).over(w)
-            case AggFn.Sum   => sum(c).over(w).cast("double")
-          }).as(s.out)
-        }
-        raw.select(Seq(col(BinCol), col(SnapCol)) ++ running: _*)
+        val extra =
+          if (hasLabel) Seq(min(LabelCol).as(LabelCol),
+            sum(NCol).as(NCol))
+          else Nil
+        val ce = combineExprs(cfg) ++ extra
+        val front = col(BinCol) +:
+          (if (hasLabel) Seq(col(LabelCol), col(NCol).cast("long").as(NCol))
+           else Nil)
+        raw.groupBy(BinCol).agg(ce.head, ce.tail: _*)
+          .select(front ++ aggCasts(cfg): _*)
     }
-    cfg.post.map(_(out)).getOrElse(out)
+  }
+
+  /** Running snapshot frame (ref `snap_res`): one row per stored
+    * (bin, snap) cell carrying the within-bin value up to that snapshot
+    * (ref jcumsegagg.py preserve_res), computed by an ordered window
+    * combine over the cells. None when `snapFreq` is unset.
+    */
+  def snapResults(k: K): Option[DataFrame] = {
+    val cfg = keys(k)
+    cfg.snapFreq.map { _ =>
+      val raw = store.get(k).df
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy(BinCol).orderBy(SnapCol)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val running = cfg.aggs.map { s =>
+        val c = col(s.out)
+        (s.fn match {
+          case AggFn.First => min_by(c, col(tbMin)).over(w)
+          case AggFn.Last  => max_by(c, col(tbMax)).over(w)
+          case AggFn.Min   => min(c).over(w)
+          case AggFn.Max   => max(c).over(w)
+          case AggFn.Sum   => sum(c).over(w).cast("double")
+        }).as(s.out)
+      }
+      val front =
+        if (cfg.xRows.isDefined)
+          Seq(col(BinCol),
+            min(LabelCol).over(W.partitionBy(BinCol)).as(LabelCol),
+            col(SnapCol),
+            sum(NCol).over(w).cast("long").as(NCol))
+        else Seq(col(BinCol), col(SnapCol))
+      raw.select(front ++ running: _*)
+    }
+  }
+
+  /** User-facing results: post hook applied over (bins, snapshots),
+    * internal columns dropped, decimal partial sums cast back to
+    * double. Without a post hook this is the snapshot frame when
+    * `snapFreq` is set (ref AggResType.SNAPS), the per-bin frame
+    * otherwise.
+    */
+  def results(k: K): DataFrame = {
+    val cfg = keys(k)
+    cfg.post match {
+      case Some(p) => p(binResults(k), snapResults(k))
+      case None    => snapResults(k).getOrElse(binResults(k))
+    }
   }
 }
 

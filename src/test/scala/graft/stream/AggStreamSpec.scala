@@ -96,6 +96,89 @@ class AggStreamSpec extends SparkSpec {
       assert(run(splits) == oneShot, s"splits=$splits")
   }
 
+  test("xRows bins with snapshots are chunking-invariant with restart") {
+    // snap_by composed with by_x_rows (ref segmentby.py:712-1028)
+    def run(splitAt: Seq[Int]): Seq[org.apache.spark.sql.Row] = {
+      val st = new Store(spark, tmpDir("xrows-snap"), idx)
+      val rows = tsSeed.collect()
+      val bounds = (0 +: splitAt :+ rows.length).distinct.sorted
+      val chunks = bounds.sliding(2).map { case Seq(a, b) =>
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.slice(a, b).toSeq, 2),
+          tsSeed.schema)
+      }.toSeq
+      val mk = () => new AggStream(st, "t", "rid",
+        Map("o" -> StreamKeyCfg(None, "", aggs = specs, xRows = Some(30),
+          snapFreq = Some("30 minutes"))),
+        NRows(1000))
+      mk().agg(chunks.take(1).iterator)
+      mk().agg(chunks.drop(1).iterator) // restart from persisted state
+      mk().results("o").orderBy("bin", "snap").collect().toSeq
+    }
+    val oneShot = run(Nil)
+    // snapshot rows exist, n_rows runs up to the bin size within a bin,
+    // and the LAST snapshot of each full bin carries the full-bin value
+    assert(oneShot.nonEmpty)
+    val lastPerBin = oneShot.groupBy(_.getLong(0)).view
+      .mapValues(_.maxBy(_.getAs[java.time.LocalDateTime]("snap")
+        .toString)).values.toSeq
+    assert(lastPerBin.map(_.getAs[Long]("n_rows")).count(_ == 30L)
+      >= lastPerBin.size - 1)
+    for (splits <- Seq(Seq(45), Seq(29, 31), Seq(10, 100, 150)))
+      assert(run(splits) == oneShot, s"splits=$splits")
+    // the bins view agrees with the plain xRows stream (same bins)
+    val st2 = new Store(spark, tmpDir("xrows-plain"), idx)
+    val plain = new AggStream(st2, "t", "rid",
+      Map("o" -> StreamKeyCfg(None, "", aggs = specs, xRows = Some(30))),
+      NRows(1000))
+    plain.agg(Iterator(tsSeed))
+    val st3 = new Store(spark, tmpDir("xrows-snap2"), idx)
+    val combo = new AggStream(st3, "t", "rid",
+      Map("o" -> StreamKeyCfg(None, "", aggs = specs, xRows = Some(30),
+        snapFreq = Some("30 minutes"))),
+      NRows(1000))
+    combo.agg(Iterator(tsSeed))
+    assert(combo.binResults("o").orderBy("bin").collect().toSeq ==
+      plain.results("o").orderBy("bin").collect().toSeq)
+  }
+
+  test("dual-frame post hook receives bins AND snapshots") {
+    // ref post(buffer, bin_res, snap_res) (aggstream.py:703-719,
+    // exercised by test_aggstream_advanced post-with-snapshots): the
+    // post reshapes both frames into one output.
+    val st = new Store(spark, tmpDir("dualpost"), idx)
+    val post: (DataFrame, Option[DataFrame]) => DataFrame =
+      (bins, snaps) => snaps.get.join(
+        bins.select(col("bin"), col("sum_v").as("bin_total")), Seq("bin"))
+        .withColumn("share", col("sum_v") / col("bin_total"))
+    val stream = new AggStream(st, "t", "rid",
+      Map("o" -> StreamKeyCfg(None, "1 hour", aggs = specs,
+        snapFreq = Some("10 minutes"), post = Some(post))),
+      NRows(1000))
+    stream.agg(Iterator(tsSeed))
+    val got = stream.results("o").orderBy("bin", "snap").collect()
+    assert(got.nonEmpty)
+    // the last snapshot of every bin has share == 1 (running == total)
+    val lastPerBin = got.groupBy(_.get(0)).values
+      .map(_.maxBy(_.getAs[java.time.LocalDateTime]("snap").toString))
+    lastPerBin.foreach { r =>
+      assert(math.abs(r.getAs[Double]("share") - 1.0) < 1e-9, r)
+    }
+    // and binResults/snapResults stay individually readable (the
+    // reference's two-key recording analog)
+    assert(stream.binResults("o").columns.toSeq ==
+      Seq("bin", "first_v", "last_v", "min_v", "max_v", "sum_v"))
+    assert(stream.snapResults("o").get.columns.toSeq ==
+      Seq("bin", "snap", "first_v", "last_v", "min_v", "max_v", "sum_v"))
+    // bins equal the no-snapshot stream over the same seed
+    val st2 = new Store(spark, tmpDir("dualpost-plain"), idx)
+    val plain = new AggStream(st2, "t", "rid",
+      Map("o" -> StreamKeyCfg(None, "1 hour", aggs = specs)), NRows(1000))
+    plain.agg(Iterator(tsSeed))
+    assert(stream.binResults("o").orderBy("bin").collect().toSeq ==
+      plain.results("o").orderBy("bin").collect().toSeq)
+  }
+
   test("a failing pre hook keeps prior chunks' results and allows resume") {
     // ref SeedPreException semantics (aggstream.py:539-546, 1505-1528):
     // results of chunks processed before the failure are flushed and the
