@@ -24,7 +24,10 @@ object Bench {
     // comma-separated allowlist; SPARK_GRAFT_REPS overrides min-of-n.
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    // min-of-3 by default: r3's driver run showed ±5x outliers on a
+    // noisy shared host with min-of-2 (g7_sessions 5.04s there, 0.67s
+    // in every local rerun) — a third rep is cheap insurance
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>

@@ -50,13 +50,15 @@ class StreamingAggSpec extends SparkSpec {
       target, ckpt)
     q2.awaitTermination()
 
-    // normalize bin to NTZ: the streaming path keeps the input's LTZ
-    // type, the batch timeBin emits NTZ — same instants under UTC
+    // normalize bin to NTZ on BOTH sides: timeBin preserves its input's
+    // timestamp type since the zone-free rewrite (ADVICE r2), so the
+    // batch side is LTZ here too — same instants under UTC
     val got = StreamingAgg.results(spark, target, specs)
       .withColumn("bin", col("bin").cast("timestamp_ntz"))
       .orderBy("bin").collect().toSeq
     val batch = SegmentAgg.aggregate(events.toDF(),
       SegmentAgg.timeBin(col("t"), "10 minutes"), specs, col("rid"))
+      .withColumn("bin", col("bin").cast("timestamp_ntz"))
       .orderBy("bin").collect().toSeq
     assert(got == batch)
   }
@@ -87,6 +89,7 @@ class StreamingAggSpec extends SparkSpec {
     val batch = SegmentAgg.snapshots(events.toDF(),
       SegmentAgg.timeBin(col("t"), "30 minutes"),
       SegmentAgg.timeBin(col("t"), "10 minutes"), specs, col("rid"))
+      .withColumn("bin", col("bin").cast("timestamp_ntz"))
       .withColumn("snap", col("snap").cast("timestamp_ntz"))
       .orderBy("bin", "snap").collect().toSeq
     assert(got == batch)
