@@ -133,12 +133,17 @@ object DedupOps {
   }
 
   /** Simhash width in bits (hex digits of md5 consumed = SimhashBits/4)
-    * and its pigeonhole banding: 4 bands of 8 bits — any pair within
-    * Hamming distance 3 shares at least one intact band, and an 8-bit
-    * band key keeps random collisions at ~2^-8 so the candidate join
-    * stays sparse at corpus scale.
+    * and its pigeonhole banding: 4 bands of 15 bits — any pair within
+    * Hamming distance 3 shares at least one intact band. Width matters
+    * at corpus scale: the candidate join degenerates quadratically once
+    * buckets saturate, at ~n²/2^bandBits pairs. The original 32-bit/
+    * 8-bit-band config capped at 256 buckets per band and measured 65×
+    * on a 10× corpus (SCALE.md); 15-bit bands give 32768 buckets and
+    * restore ~linear growth through ~10⁷ docs. 60 bits (not 64) keeps
+    * the packed fingerprint positive, so band extraction and DuckDB's
+    * floor-division/modulo agree without unsigned gymnastics.
     */
-  val SimhashBits = 32
+  val SimhashBits = 60
   val SimhashBands = 4
 
   /** SimHash over distinct words: bit (4p+b) is the majority vote of
@@ -155,12 +160,16 @@ object DedupOps {
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val nDigits = SimhashBits / 4
-    // per word-hash: 8 packed longs, digit p's 4 bit-votes at offsets
-    // 0/16/32/48
-    def packArray(h: Column): Column = array((0 until nDigits).map { p =>
-      val v = conv(substring(h, p + 1, 1), 16, 10).cast("long")
+    // per word-hash VALUE (one 60-bit long per word — a single conv of
+    // the leading md5 nibbles, instead of nDigits conv+substring calls
+    // per word): nDigits packed longs, digit p's 4 bit-votes at offsets
+    // 0/16/32/48. Digit p is md5 hex position p+1 (most significant
+    // first), i.e. bits [4*(nDigits-1-p), +3] of the value — the same
+    // layout the DuckDB oracle computes digit-wise.
+    def packArray(v: Column): Column = array((0 until nDigits).map { p =>
+      val d = shiftright(v, 4 * (nDigits - 1 - p)).bitwiseAND(lit(15L))
       (0 until 4).map(b =>
-        shiftleft(shiftright(v, b).bitwiseAND(lit(1L)), 16 * b))
+        shiftleft(shiftright(d, b).bitwiseAND(lit(1L)), 16 * b))
         .reduce(_ + _)
     }: _*)
     def fingerprint(votes: Column, nw: Column): Column =
@@ -178,11 +187,13 @@ object DedupOps {
     df.select(col(idCol).as("id"),
         array_distinct(TextOps.wsTokens(col(textCol))).as("ws"))
       .select(col("id"), size(col("ws")).as("nw"),
-        transform(col("ws"), w => md5(w)).as("hs"))
+        transform(col("ws"), w =>
+          conv(substring(md5(w), 1, nDigits), 16, 10).cast("long"))
+          .as("hv"))
       .select(col("id"), col("nw"),
-        aggregate(col("hs"),
+        aggregate(col("hv"),
           array_repeat(lit(0L), nDigits),
-          (acc, h) => zip_with(acc, packArray(h), (a, b) => a + b),
+          (acc, v) => zip_with(acc, packArray(v), (a, b) => a + b),
           votes => fingerprint(votes, col("nw"))).as("simhash"))
       .select(col("id"), col("simhash"))
   }
@@ -251,10 +262,12 @@ object DedupOps {
     */
   def simhashPairs(sim: DataFrame, maxDist: Int): DataFrame = {
     val bandBits = SimhashBits / SimhashBands
+    // integer shift+mask, NOT divide: Column.divide is double division,
+    // which silently corrupts bits beyond 2^53 on a wide fingerprint
     val banded = sim.select(col("id"), col("simhash"),
       posexplode(array((0 until SimhashBands).map(b =>
-        (col("simhash").divide(lit(1L << (bandBits * b))).cast("long"))
-          % (1L << bandBits)): _*))
+        shiftright(col("simhash"), bandBits * b)
+          .bitwiseAND(lit((1L << bandBits) - 1))): _*))
         .as(Seq("band_id", "band_val")))
     // dedup bare (i, j) pairs first, then join the hashes back — the
     // distinct never carries payload columns. No broadcast hint on the
