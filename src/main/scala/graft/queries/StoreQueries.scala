@@ -51,7 +51,7 @@ object StoreQueries {
     val st = new Store(s, base, idx)
     // version-suffixed: bump when the fixture set changes so stale
     // /tmp caches rebuild
-    val marker = new java.io.File(s"$base/_BUILT_v3")
+    val marker = new java.io.File(s"$base/_BUILT_v4")
     if (marker.exists()) return st
     // wipe any partial build
     deleteRec(new java.io.File(base))
@@ -89,7 +89,13 @@ object StoreQueries {
         // snap_by composed with by_x_rows (ref segmentby.py:712-1028):
         // 500-row bins observed at 12-hour snapshot points
         "xrows_snap" -> StreamKeyCfg(None, "", aggs = aggSpecs,
-          snapFreq = Some("12 hours"), xRows = Some(500))),
+          snapFreq = Some("12 hours"), xRows = Some(500)),
+        // sparse filtered key for empty-snapshot forwarding (T6
+        // preserve_res in the incremental path): high-value purchases
+        // leave most hourly cells of a day empty
+        "purch_snap" -> StreamKeyCfg(
+          Some(col("event_type") === "purchase" && col("value") > 180.0),
+          "1 day", aggs = aggSpecs, snapFreq = Some("1 hour"))),
       NRows(5000))
     val chunks = Seq(
       e.filter(col("event_id") < 3000),
@@ -245,6 +251,20 @@ object StoreQueries {
         .orderBy("bin", "snap")
     },
 
+    // T6 empty-snapshot forwarding in the incremental path: running
+    // values forwarded through empty cells on the full per-bin snapshot
+    // grid, from partials accumulated across 3 chunks + a restart.
+    "t12_snapshot_spine_stream" -> { (s, d) =>
+      val st = ensure(s, d)
+      new AggStream(st, "ts", "event_id",
+        Map("purch_snap" -> StreamKeyCfg(
+          Some(col("event_type") === "purchase" && col("value") > 180.0),
+          "1 day", aggs = aggSpecs, snapFreq = Some("1 hour"))),
+        NRows(5000))
+        .snapResultsWithSpine("purch_snap").get
+        .orderBy("bin", "snap")
+    },
+
     // T9 dual-frame post hook (ref post(buffer, bin_res, snap_res),
     // aggstream.py:703-719, 750-782): the post receives the finalized
     // per-bin frame AND the running snapshot frame, and grafts the
@@ -386,6 +406,39 @@ object StoreQueries {
          WINDOW w AS (PARTITION BY bin ORDER BY snap
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          ORDER BY bin, snap""",
+
+    "t12_snapshot_spine_stream" -> s"""$EV,
+         base AS (
+           SELECT bin, snap,
+                first_value(c_first) OVER w AS first_v,
+                last_value(c_last) OVER w AS last_v,
+                min(c_min) OVER w AS min_v,
+                max(c_max) OVER w AS max_v,
+                CAST(sum(c_sum) OVER w AS DOUBLE) AS sum_v
+           FROM (SELECT date_trunc('day', ts) AS bin,
+                        time_bucket(INTERVAL '1 hour', ts) AS snap,
+                        min_by(value, event_id) AS c_first,
+                        max_by(value, event_id) AS c_last,
+                        min(value) AS c_min, max(value) AS c_max,
+                        SUM(CAST(value AS DECIMAL(38,6))) AS c_sum
+                 FROM e WHERE event_type = 'purchase' AND value > 180.0
+                 GROUP BY 1, 2)
+           WINDOW w AS (PARTITION BY bin ORDER BY snap
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         bins AS (SELECT DISTINCT bin FROM base),
+         spine AS (SELECT bin, unnest(generate_series(bin,
+                        bin + INTERVAL 23 HOUR, INTERVAL 1 HOUR)) AS snap
+                   FROM bins)
+       SELECT spine.bin, spine.snap,
+            last_value(first_v IGNORE NULLS) OVER w2 AS first_v,
+            last_value(last_v IGNORE NULLS) OVER w2 AS last_v,
+            last_value(min_v IGNORE NULLS) OVER w2 AS min_v,
+            last_value(max_v IGNORE NULLS) OVER w2 AS max_v,
+            last_value(sum_v IGNORE NULLS) OVER w2 AS sum_v
+       FROM spine LEFT JOIN base USING (bin, snap)
+       WINDOW w2 AS (PARTITION BY spine.bin ORDER BY spine.snap
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       ORDER BY spine.bin, spine.snap""",
 
     "t11_post_dual" -> s"""$EV,
          cells AS (SELECT date_trunc('day', ts) AS bin,

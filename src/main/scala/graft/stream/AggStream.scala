@@ -350,6 +350,52 @@ final class AggStream[K](
     }
   }
 
+  /** Snapshot frame on the FULL snapshot grid of each observed bin,
+    * forwarding the running value through empty snapshot points (ref
+    * empty-snapshot forwarding / preserve_res within a bin,
+    * segmentby.py:965-1012 — the incremental analog of
+    * SegmentAgg.snapshotsWithSpine). Time-binned keys get the full
+    * bin-width grid (requires the default left label, so the bin value
+    * is the grid start); count-binned keys get the bin's observed snap
+    * span. One extra window pass over one row per grid cell.
+    */
+  def snapResultsWithSpine(k: K): Option[DataFrame] = {
+    val cfg = keys(k)
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(BinCol).orderBy(SnapCol)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    def fill(spine: DataFrame, base: DataFrame, front: Seq[Column])
+        : DataFrame = {
+      val joined = spine.join(base, Seq(BinCol, SnapCol), "left")
+      joined.select(front ++ cfg.aggs.map(s =>
+        last(col(s.out), ignoreNulls = true).over(w).as(s.out)): _*)
+    }
+    cfg.snapFreq.map { sf =>
+      val base = snapResults(k).get
+      cfg.xRows match {
+        case None =>
+          require(cfg.label == "left",
+            "snapResultsWithSpine needs left-labeled bins (bin = grid start)")
+          val spine = base.select(col(BinCol)).distinct()
+            .select(col(BinCol), explode(expr(
+              s"sequence($BinCol, $BinCol + INTERVAL ${cfg.binFreq}" +
+                s" - INTERVAL $sf, INTERVAL $sf)")).as(SnapCol))
+          fill(spine, base, Seq(col(BinCol), col(SnapCol)))
+        case Some(_) =>
+          // count bins have no intrinsic time width: the grid is the
+          // bin's observed snap span (label/count forwarded per bin)
+          val spine = base.groupBy(BinCol)
+            .agg(min(SnapCol).as("__lo"), max(SnapCol).as("__hi"),
+              min(LabelCol).as(LabelCol))
+            .select(col(BinCol), col(LabelCol), explode(expr(
+              s"sequence(__lo, __hi, INTERVAL $sf)")).as(SnapCol))
+          fill(spine, base.drop(LabelCol),
+            Seq(col(BinCol), col(LabelCol), col(SnapCol),
+              last(col(NCol), ignoreNulls = true).over(w).as(NCol)))
+      }
+    }
+  }
+
   /** User-facing results: post hook applied over (bins, snapshots),
     * internal columns dropped, decimal partial sums cast back to
     * double. Without a post hook this is the snapshot frame when

@@ -142,6 +142,32 @@ class AggStreamSpec extends SparkSpec {
       plain.results("o").orderBy("bin").collect().toSeq)
   }
 
+  test("snapResultsWithSpine forwards running values through empty cells") {
+    // sparse seed: two clusters of rows inside one hour-bin, 10-minute
+    // snaps — the grid cells between/after them must carry the running
+    // value forward (ref preserve_res, segmentby.py:965-1012)
+    val st = new Store(spark, tmpDir("spine"), idx)
+    val rows = Seq(
+      (java.time.LocalDateTime.of(2024, 1, 1, 0, 1), 10.0, 1L),
+      (java.time.LocalDateTime.of(2024, 1, 1, 0, 2), 20.0, 2L),
+      (java.time.LocalDateTime.of(2024, 1, 1, 0, 41), 5.0, 3L))
+      .toDF("t", "v", "rid")
+    val stream = new AggStream(st, "t", "rid",
+      Map("o" -> StreamKeyCfg(None, "1 hour", aggs = specs,
+        snapFreq = Some("10 minutes"))),
+      NRows(1000))
+    stream.agg(Iterator(rows))
+    // sparse frame: only the 00:00 and 00:40 cells exist
+    assert(stream.snapResults("o").get.count() == 2)
+    val spine = stream.snapResultsWithSpine("o").get
+      .orderBy("bin", "snap").collect()
+    assert(spine.length == 6, spine.toSeq) // full hour grid
+    val sums = spine.map(_.getAs[Double]("sum_v")).toSeq
+    assert(sums == Seq(30.0, 30.0, 30.0, 30.0, 35.0, 35.0), sums)
+    val mins = spine.map(_.getAs[Double]("min_v")).toSeq
+    assert(mins == Seq(10.0, 10.0, 10.0, 10.0, 5.0, 5.0), mins)
+  }
+
   test("dual-frame post hook receives bins AND snapshots") {
     // ref post(buffer, bin_res, snap_res) (aggstream.py:703-719,
     // exercised by test_aggstream_advanced post-with-snapshots): the
