@@ -246,7 +246,19 @@ final class AggStream[K](
       val hasRows = !process.isEmpty
       if (hasRows) {
         val extraKv = preState.map(PreKey -> _).toMap
-        keys.foreach { case (k, cfg) =>
+        // thread-parallel per key (ref joblib fan-out, aggstream.py:83,
+        // 1309-1317): each key's partial-agg + merge + upsert touches
+        // only that key's dataset, and Spark's scheduler interleaves
+        // concurrently submitted jobs — serial submission would leave
+        // the cluster idle during each key's driver-side planning
+        if (keys.size > 1) {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration.Duration
+          Await.result(Future.sequence(keys.toSeq.map { case (k, cfg) =>
+            Future(processKey(k, cfg, process, newRestart, extraKv))
+          }), Duration.Inf): Unit
+        } else keys.foreach { case (k, cfg) =>
           processKey(k, cfg, process, newRestart, extraKv) }
         restart = Some(newRestart)
       }
