@@ -109,10 +109,16 @@ object StoreQueries {
     // foreachBatch keep-last upsert into the store (T2/T3 via the state
     // store + checkpoint instead of our batch-incremental machinery).
     val rawSchema = s.read.parquet(s"$d/events.parquet").schema
-    val seedStream = s.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
+    // the streaming file source needs a DIRECTORY: point at the table
+    // dir when events.parquet is Spark-written (ScaleData replicas),
+    // else at the parent with a glob for the driver's single-file shape
+    def eventsStream() = {
+      val base = s.readStream.schema(rawSchema)
+      if (new java.io.File(s"$d/events.parquet").isDirectory)
+        base.parquet(s"$d/events.parquet")
+      else base.option("pathGlobFilter", "events.parquet").parquet(d)
+    }
+    val seedStream = eventsStream()
       // int64-nanos → µs LTZ timestamp (watermarks want TIMESTAMP)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select("event_id", "ts", "value")
@@ -124,10 +130,7 @@ object StoreQueries {
     // t9 fixture: T6 natively — snapshot cells from a second streaming
     // pass (fresh readStream over the same source), day bins observed
     // at the 6-hour grid, read-time running combine.
-    val seedStream2 = s.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
+    val seedStream2 = eventsStream()
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select("event_id", "ts", "value")
     val q2 = StreamingAgg.runSnapshots(seedStream2, "ts", "event_id",
