@@ -10,9 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try SparkEntry.prepare(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] prepare failed: ${e.getMessage}") }
+    // SPARK_GRAFT_SKIP_PREPARE: skip the store-fixture build when
+    // benchmarking only pipeline queries (they ensure their own state)
+    if (!sys.env.contains("SPARK_GRAFT_SKIP_PREPARE"))
+      try SparkEntry.prepare(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] prepare failed: ${e.getMessage}") }
     // warm up JIT/codegen and the scan path so the first timed query
     // isn't charged for JVM startup (run order is map-order-dependent)
     try {

@@ -50,34 +50,47 @@ object ScaleData {
       println(s"[scale] wrote $name")
     }
 
-    // documents: ids shifted, per-replica letter rotation (applied
+    // documents: ids shifted, per-replica letter permutation (applied
     // uniformly within a replica, so within-replica dup structure is
-    // preserved while cross-replica shingles share nothing)
+    // preserved while cross-replica shingles share nothing). A plain
+    // rotation only has 26 members — at 100 copies every doc got ~4
+    // identical twins and the dedup ratios measured the artifact, not
+    // the plans. Two independent half-alphabet rotations give 169
+    // distinct permutations.
     val alphabet = "abcdefghijklmnopqrstuvwxyz"
-    def rot(i: Int): String =
-      alphabet.drop(i % 26) + alphabet.take(i % 26)
+    def perm(i: Int): String = {
+      val (h1, h2) = alphabet.splitAt(13)
+      def rotS(s: String, k: Int) = s.drop(k % 13) + s.take(k % 13)
+      rotS(h1, i % 13) + rotS(h2, (i / 13) % 13)
+    }
+    require(copies <= 169, "letter-permutation space is 169 replicas")
     val docs = Tables.documents(spark, src)
     val docShift = docs.agg(max("doc_id")).head().getLong(0) + 1
     write(replicate(docs) { (d, i) =>
       if (i == 0) d
       else d.select(
         (col("doc_id") + lit(i * docShift)).as("doc_id"),
-        translate(col("text"), alphabet, rot(i)).as("text"),
+        translate(col("text"), alphabet, perm(i)).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }, "documents")
 
-    // embeddings: ids shifted, circular component shift per replica
+    // embeddings: ids shifted, circular component shift per replica,
+    // sign-flipped once the shift space wraps (norm-preserving; 2×dim
+    // distinct transforms, cross-replica cosine ≈ random)
     val embs = Tables.embeddings(spark, src)
     val vecShift = embs.agg(max("vec_id")).head().getLong(0) + 1
     val dim = embs.select(size(col("embedding"))).head().getInt(0)
+    require(copies <= 2 * dim, s"embedding transform space is ${2 * dim}")
     write(replicate(embs) { (d, i) =>
       val k = i % dim
-      if (k == 0) d.withColumn("vec_id", col("vec_id") + lit(i * vecShift))
-      else d.select(
-        (col("vec_id") + lit(i * vecShift)).as("vec_id"),
-        concat(slice(col("embedding"), k + 1, dim - k),
-          slice(col("embedding"), 1, k)).as("embedding"),
-        col("label"))
+      val shifted =
+        if (k == 0) col("embedding")
+        else concat(slice(col("embedding"), k + 1, dim - k),
+          slice(col("embedding"), 1, k))
+      val vec =
+        if ((i / dim) % 2 == 1) transform(shifted, x => -x) else shifted
+      d.select((col("vec_id") + lit(i * vecShift)).as("vec_id"),
+        vec.as("embedding"), col("label"))
     }, "embeddings")
 
     // events: raw int64-nanos ts (nanosAsLong) shifted by one span per

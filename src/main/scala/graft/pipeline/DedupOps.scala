@@ -133,18 +133,27 @@ object DedupOps {
   }
 
   /** Simhash width in bits (hex digits of md5 consumed = SimhashBits/4)
-    * and its pigeonhole banding: 4 bands of 15 bits — any pair within
-    * Hamming distance 3 shares at least one intact band. Width matters
-    * at corpus scale: the candidate join degenerates quadratically once
-    * buckets saturate, at ~n²/2^bandBits pairs. The original 32-bit/
-    * 8-bit-band config capped at 256 buckets per band and measured 65×
-    * on a 10× corpus (SCALE.md); 15-bit bands give 32768 buckets and
-    * restore ~linear growth through ~10⁷ docs. 60 bits (not 64) keeps
-    * the packed fingerprint positive, so band extraction and DuckDB's
-    * floor-division/modulo agree without unsigned gymnastics.
+    * and its pigeonhole banding: 5 bands of 12 bits, keyed by PAIRS of
+    * bands (C(5,2) = 10 keys of 24 bits per doc). Hamming distance ≤ 3
+    * dirties at most 3 bands, leaving ≥ 2 intact — so at least one
+    * pair-key matches exactly (same recall guarantee as single-band
+    * keys over 4 bands). Key width is what bounds the random-collision
+    * floor of the candidate join, ~n²·keys/2^keyBits: single 8-bit
+    * bands measured 65× on a 10× corpus, single 15-bit bands hit a
+    * ~15M-candidate floor at 500k docs (measured, SCALE.md); 24-bit
+    * pair keys push the floor ~200× further out. 60 bits (not 64)
+    * keeps the packed fingerprint positive, so band arithmetic and
+    * DuckDB's floor-division/modulo agree without unsigned gymnastics.
     */
   val SimhashBits = 60
-  val SimhashBands = 4
+  val SimhashBands = 5
+
+  /** The C(SimhashBands, 2) band-pair index, shared with the oracle. */
+  val SimhashBandPairs: Seq[(Int, Int)] =
+    for {
+      a <- 0 until SimhashBands
+      b <- a + 1 until SimhashBands
+    } yield (a, b)
 
   /** SimHash over distinct words: bit (4p+b) is the majority vote of
     * bit b of hex digit p of md5(word). Pure integer arithmetic →
@@ -258,16 +267,20 @@ object DedupOps {
     labels
   }
 
-  /** Near-dup pairs at Hamming distance <= maxDist via pigeonhole bands.
+  /** Near-dup pairs at Hamming distance <= maxDist via pigeonhole
+    * band-pair keys (see SimhashBands).
     */
   def simhashPairs(sim: DataFrame, maxDist: Int): DataFrame = {
     val bandBits = SimhashBits / SimhashBands
     // integer shift+mask, NOT divide: Column.divide is double division,
     // which silently corrupts bits beyond 2^53 on a wide fingerprint
+    def bandVal(b: Int) =
+      shiftright(col("simhash"), bandBits * b)
+        .bitwiseAND(lit((1L << bandBits) - 1))
     val banded = sim.select(col("id"), col("simhash"),
-      posexplode(array((0 until SimhashBands).map(b =>
-        shiftright(col("simhash"), bandBits * b)
-          .bitwiseAND(lit((1L << bandBits) - 1))): _*))
+      posexplode(array(SimhashBandPairs.map { case (a, b) =>
+        bandVal(a) * lit(1L << bandBits) + bandVal(b)
+      }: _*))
         .as(Seq("band_id", "band_val")))
     // dedup bare (i, j) pairs first, then join the hashes back — the
     // distinct never carries payload columns. No broadcast hint on the

@@ -283,11 +283,16 @@ object PipelineQueries {
     val simbits = (0 until bits).map { bit =>
       s"(CASE WHEN 2 * v$bit >= nw THEN ${1L << bit} ELSE 0 END)"
     }.mkString(" + ")
-    val bandSelects = (0 until DedupOps.SimhashBands).map(b =>
-      s"SELECT id, simhash, $b AS band_id, " +
-        s"(simhash // ${1L << (bandBits * b)}) % ${1L << bandBits}" +
-        s" AS band_val FROM sim")
-      .mkString(" UNION ALL ")
+    // band-PAIR keys, mirroring DedupOps.SimhashBandPairs: key =
+    // bandVal(a) * 2^bandBits + bandVal(b) (fingerprint is positive, so
+    // floor division == logical shift)
+    def bv(b: Int) =
+      s"((simhash // ${1L << (bandBits * b)}) % ${1L << bandBits})"
+    val bandSelects = DedupOps.SimhashBandPairs.zipWithIndex.map {
+      case ((a, b), p) =>
+        s"SELECT id, simhash, $p AS band_id, " +
+          s"${bv(a)} * ${1L << bandBits} + ${bv(b)} AS band_val FROM sim"
+    }.mkString(" UNION ALL ")
     s"""WITH words AS (SELECT DISTINCT doc_id AS id,
               unnest(string_split(text, ' ')) AS w FROM documents),
        h AS (SELECT id, md5(w) AS h FROM words),
