@@ -6,6 +6,12 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // outDir is recursively DELETED below — refuse the read-only input
+    // trees so a swapped-argument invocation can never wipe test data
+    require(!outDir.startsWith("/root/testdata") &&
+        !outDir.startsWith("/root/reference"),
+      s"outDir '$outDir' points into a read-only input tree " +
+        "(args are sfDir THEN outDir; outDir is wiped before writing)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
