@@ -268,7 +268,27 @@ object DedupOps {
   }
 
   /** Near-dup pairs at Hamming distance <= maxDist via pigeonhole
-    * band-pair keys (see SimhashBands).
+    * band-pair keys (see SimhashBands) over DISTINCT fingerprints.
+    *
+    * Duplicate-heavy corpora concentrate fingerprints: a template
+    * cluster of s docs shares ONE fingerprint but would put s copies in
+    * every band bucket, so banding doc-level rows costs Σs²·keys join
+    * rows before the distinct — measured 219s at 500k docs (100×)
+    * vs 12s at 50k: super-linear purely from multiplicity. Instead:
+    *  1. candidate generation runs on the distinct-fingerprint table
+    *     (band-pair equi-join, fingerprint-ordered, Hamming-filtered,
+    *     then distinct on the FINGERPRINT pair — |D|² collision floor,
+    *     |D| ≤ corpus and typically far smaller);
+    *  2. dist-0 pairs come from an exact fingerprint self-join of the
+    *     doc table — an equi-join whose cost IS the output size;
+    *  3. cross-fingerprint candidates expand to doc pairs by joining
+    *     members on each side — also output-sized.
+    * The three parts are disjoint (strict fingerprint order in 1/3,
+    * equality in 2), so no doc-level distinct is ever needed, and the
+    * result set is identical to banding doc-level rows (equal
+    * fingerprints match every band, and band values are a function of
+    * the fingerprint). The oracle mirrors doc-level banding for exactly
+    * that reason.
     */
   def simhashPairs(sim: DataFrame, maxDist: Int): DataFrame = {
     val bandBits = SimhashBits / SimhashBands
@@ -277,28 +297,31 @@ object DedupOps {
     def bandVal(b: Int) =
       shiftright(col("simhash"), bandBits * b)
         .bitwiseAND(lit((1L << bandBits) - 1))
-    val banded = sim.select(col("id"), col("simhash"),
+    val fps = sim.select(col("simhash")).distinct()
+    val banded = fps.select(col("simhash"),
       posexplode(array(SimhashBandPairs.map { case (a, b) =>
         bandVal(a) * lit(1L << bandBits) + bandVal(b)
       }: _*))
         .as(Seq("band_id", "band_val")))
-    // dedup bare (i, j) pairs first, then join the hashes back — the
-    // distinct never carries payload columns. No broadcast hint on the
-    // signature table: it is O(corpus) and past ~1e8 docs would exceed
-    // broadcast limits; both join sides are slim (id + one long), so
-    // the shuffle join is cheap, and AQE still broadcasts at small SF.
+    // No broadcast hints anywhere: every side is either O(|D|) slim or
+    // output-sized; AQE still broadcasts the small sides at small SF.
     val a = banded.as("a"); val b = banded.as("b")
-    val cand = a.join(b, col("a.band_id") === col("b.band_id") &&
-        col("a.band_val") === col("b.band_val") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("i"), col("b.id").as("j"))
-      .distinct()
-    cand
-      .join(sim.select(col("id"), col("simhash").as("sa")),
-        col("i") === col("id")).drop("id")
-      .join(sim.select(col("id"), col("simhash").as("sb")),
-        col("j") === col("id")).drop("id")
-      .withColumn("dist", bit_count(col("sa").bitwiseXOR(col("sb"))))
+    val fpPairs = a.join(b, col("a.band_id") === col("b.band_id") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.simhash") < col("b.simhash"))
+      .select(col("a.simhash").as("fa"), col("b.simhash").as("fb"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("dist"))
       .filter(col("dist") <= maxDist)
-      .select("i", "j", "dist")
+      .distinct()
+    val within = sim.as("x").join(sim.as("y"),
+        col("x.simhash") === col("y.simhash") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("i"), col("y.id").as("j"),
+        lit(0).as("dist"))
+    val cross = fpPairs
+      .join(sim.select(col("id").as("ia"), col("simhash").as("fa")), "fa")
+      .join(sim.select(col("id").as("ib"), col("simhash").as("fb")), "fb")
+      .select(least(col("ia"), col("ib")).as("i"),
+        greatest(col("ia"), col("ib")).as("j"), col("dist"))
+    within.unionByName(cross)
   }
 }
