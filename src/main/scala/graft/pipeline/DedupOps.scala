@@ -88,21 +88,22 @@ object DedupOps {
   }
 
   /** Exact Jaccard for given (i, j) candidate pairs over per-document
-    * shingle arrays; output keeps pairs with jac >= threshold.
-    * Candidates are tiny relative to the corpus (that's the point of
-    * LSH) — broadcast them through two joins that attach both docs'
-    * shingle arrays, then intersection/union sizes are a single
-    * map-side `array_intersect` per pair: no aggregation, no shuffle.
-    * (If a corpus ever yields a non-broadcastable candidate set, swap
-    * the broadcasts for shuffle joins on id — the rest is unchanged.)
+    * shingle arrays; output keeps pairs with jac >= threshold. Two
+    * joins attach both docs' shingle arrays, then intersection/union
+    * sizes are a single map-side `array_intersect` per pair: no
+    * aggregation. No broadcast hints: boilerplate-heavy corpora yield
+    * candidate sets in the tens of millions (×a shingle array each —
+    * measured as the dominant spill at a 500k-doc corpus), far past any
+    * broadcast limit; AQE still broadcasts genuinely small candidate
+    * sets on its own.
     */
   def jaccardVerify(cand: DataFrame, shingled: DataFrame, threshold: Double)
       : DataFrame = {
     val withA = shingled
-      .join(broadcast(cand), col("id") === col("i"))
+      .join(cand, col("id") === col("i"))
       .select(col("i"), col("j"), col("gs").as("__ga"))
     val pairs = shingled
-      .join(broadcast(withA), col("id") === col("j"))
+      .join(withA, col("id") === col("j"))
       .select(col("i"), col("j"),
         size(array_intersect(col("__ga"), col("gs"))).as("inter"),
         size(col("__ga")).as("na"), size(col("gs")).as("nb"))
@@ -114,7 +115,14 @@ object DedupOps {
 
   /** Exact all-pairs n-gram Jaccard via the distinct-shingle equi-join
     * (no candidate pruning — the exact baseline the approximate methods
-    * are judged against).
+    * are judged against). Join volume is Σ df(shingle)², which scales
+    * linearly as long as per-shingle document frequency stays bounded
+    * (verified ×100.9 volume for ×100 docs on the 100× corpus); the
+    * count-based verification never materializes shingle arrays per
+    * pair. A rare-first prefix-filter variant (AllPairs/PPJoin) was
+    * measured strictly slower at thresholds this low (0.5): prefixes
+    * are half of every doc, candidates still ~1600× the output, and
+    * attaching arrays to candidates dwarfs the partial-agg count join.
     */
   def exactJaccardPairs(shingles: DataFrame, threshold: Double): DataFrame = {
     val pairs = shingles.as("sa")
@@ -224,6 +232,10 @@ object DedupOps {
   def dupClusters(pairs: DataFrame, maxIter: Int = 20,
       reliable: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graftbridge.SparkInternals
+    // Persisted un-partitioned: the propagation join's small side is
+    // the changed set, which AQE broadcasts — pre-shuffling the edge
+    // table by key measured strictly slower (the full-table exchange
+    // is paid even when every round's join is broadcast).
     val edges = pairs.select(col("i").as("a"), col("j").as("b"))
       .unionByName(pairs.select(col("j").as("a"), col("i").as("b")))
       .persist()
@@ -239,18 +251,27 @@ object DedupOps {
       if (reliable) df.checkpoint() else df.localCheckpoint()
     var labels = chk(edges.groupBy(col("a").as("id"))
       .agg(least(min(col("a")), min(col("b"))).as("cluster")))
+    // Delta propagation: only labels that CHANGED last round can lower
+    // a neighbor this round, so the propagation join streams the full
+    // edge table against the changed set only (vs all labels). Seed
+    // round: a node whose label is its own id offers nothing a
+    // neighbor's own seed aggregation didn't already see.
+    var changed = labels.filter(col("cluster") < col("id"))
     var it = 0
-    var done = false
+    var done = changed.isEmpty
     while (!done && it < maxIter) {
       val prop = edges
-        .join(labels.withColumnRenamed("id", "b2"), col("b") === col("b2"))
+        .join(changed.select(col("id").as("b2"), col("cluster")),
+          col("b") === col("b2"))
         .groupBy(col("a").as("id")).agg(min("cluster").as("nbr"))
       val next = chk(labels.withColumnRenamed("cluster", "old")
         .join(prop, Seq("id"), "left")
         .select(col("id"),
           least(col("old"), coalesce(col("nbr"), col("old"))).as("cluster"),
           col("old")))
-      done = next.filter(col("cluster") =!= col("old")).isEmpty
+      changed = next.filter(col("cluster") < col("old"))
+        .select("id", "cluster")
+      done = changed.isEmpty
       // the superseded round's checkpoint blocks are dead the moment
       // `next` materializes — release them now instead of waiting for
       // the ContextCleaner to notice the GC'd RDD (ADVICE r2)

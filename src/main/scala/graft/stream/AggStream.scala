@@ -34,7 +34,12 @@ final case class StreamKeyCfg(
       * bin_by, segmentby.py:371-520): bins continue across chunks via a
       * persisted processed-row count; bin label = first ordered value.
       * binFreq is ignored. */
-    xRows: Option[Int] = None)
+    xRows: Option[Int] = None,
+    /** When true, `results` and the post hook receive the FULL-grid
+      * snapshot frame (`snapResultsWithSpine` — empty snapshot points
+      * forwarded, ref preserve_res within a bin) instead of the sparse
+      * observed-cell frame. Requires `snapFreq`. */
+    spineSnaps: Boolean = false)
 
 /** Restartable, out-of-core streamed segment aggregation — the
   * batch-incremental port of the reference's AggStream
@@ -416,9 +421,11 @@ final class AggStream[K](
     */
   def results(k: K): DataFrame = {
     val cfg = keys(k)
+    val snaps =
+      if (cfg.spineSnaps) snapResultsWithSpine(k) else snapResults(k)
     cfg.post match {
-      case Some(p) => p(binResults(k), snapResults(k))
-      case None    => snapResults(k).getOrElse(binResults(k))
+      case Some(p) => p(binResults(k), snaps)
+      case None    => snaps.getOrElse(binResults(k))
     }
   }
 }

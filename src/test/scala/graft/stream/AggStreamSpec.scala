@@ -168,6 +168,38 @@ class AggStreamSpec extends SparkSpec {
     assert(mins == Seq(10.0, 10.0, 10.0, 10.0, 5.0, 5.0), mins)
   }
 
+  test("spineSnaps routes the full-grid snapshot frame through results/post") {
+    // same sparse seed as the spine test: results() and the post hook
+    // must see the 6-cell forwarded grid, not the 2 observed cells
+    val rows = Seq(
+      (java.time.LocalDateTime.of(2024, 1, 1, 0, 1), 10.0, 1L),
+      (java.time.LocalDateTime.of(2024, 1, 1, 0, 2), 20.0, 2L),
+      (java.time.LocalDateTime.of(2024, 1, 1, 0, 41), 5.0, 3L))
+      .toDF("t", "v", "rid")
+    val st = new Store(spark, tmpDir("spine-route"), idx)
+    val stream = new AggStream(st, "t", "rid",
+      Map("o" -> StreamKeyCfg(None, "1 hour", aggs = specs,
+        snapFreq = Some("10 minutes"), spineSnaps = true)),
+      NRows(1000))
+    stream.agg(Iterator(rows))
+    assert(stream.results("o").count() == 6)
+    val st2 = new Store(spark, tmpDir("spine-route-post"), idx)
+    val post: (DataFrame, Option[DataFrame]) => DataFrame =
+      (bins, snaps) => snaps.get.join(
+        bins.select(col("bin"), col("sum_v").as("bin_total")), Seq("bin"))
+    val withPost = new AggStream(st2, "t", "rid",
+      Map("o" -> StreamKeyCfg(None, "1 hour", aggs = specs,
+        snapFreq = Some("10 minutes"), spineSnaps = true,
+        post = Some(post))),
+      NRows(1000))
+    withPost.agg(Iterator(rows))
+    val got = withPost.results("o").orderBy("snap").collect()
+    assert(got.length == 6)
+    assert(got.map(_.getAs[Double]("sum_v")).toSeq ==
+      Seq(30.0, 30.0, 30.0, 30.0, 35.0, 35.0))
+    assert(got.forall(_.getAs[Double]("bin_total") == 35.0))
+  }
+
   test("dual-frame post hook receives bins AND snapshots") {
     // ref post(buffer, bin_res, snap_res) (aggstream.py:703-719,
     // exercised by test_aggstream_advanced post-with-snapshots): the
