@@ -1,0 +1,191 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.store.{NRows, OrdLong, OrderedDataset, WriteOpts}
+
+/** Store-backed deduplication indexes for INCREMENTAL pipelines: a
+  * daily crawl increment is deduplicated against a 100 TB corpus by
+  * probing a persisted index instead of recomputing hashes over the
+  * whole corpus (the cost model the reference's ordered store enables
+  * for time-series reads, applied to content-addressed dedup — cf. the
+  * IVF analog in [[IvfIndex]]).
+  *
+  * Two index kinds share one layout discipline:
+  *
+  *  - '''exact digest''': one row `(hkey, digest, id)` per corpus doc;
+  *  - '''MinHash LSH''': one row `(hkey, band_id, sig, id)` per corpus
+  *    doc × band (the banded signature table of [[DedupOps]], made
+  *    persistent).
+  *
+  * Both are `OrderedDataset`s ORDERED ON `hkey`, the md5 key's leading
+  * 60 bits as a positive long (strings aren't zone-map-comparable in
+  * the sidecar; a 60-bit prefix is, and 2^-60 collisions are handled by
+  * a residual equality on the full key, never trusted). Ordering by
+  * hkey gives the sidecar zone map a sorted keyspace, so a SMALL probe
+  * batch becomes a driver-planned multi-point read that opens only the
+  * files whose [min,max] cover a probed key.
+  *
+  * Probe cost at scale — the knob that matters at 100 TB:
+  *
+  *  - small increment (≤ `maxDriverKeys` distinct probe keys): collect
+  *    the key set, zone-map-prune, read only matching index files —
+  *    I/O ∝ increment, independent of corpus size;
+  *  - large increment: one shuffle equi-join on hkey against the FULL
+  *    index — I/O ∝ index size, which is ~0.1% of corpus bytes (16-byte
+  *    key + 8-byte id vs multi-KB documents), still a ~1000× win over
+  *    recomputing corpus signatures, and the sort-merge join on a
+  *    pre-sorted slim table is the shape AQE handles without skew.
+  *
+  * Verification never trusts hashes: exact probes re-check the full
+  * digest; LSH probes re-check exact Jaccard on the (bounded) candidate
+  * set, re-shingling ONLY candidate corpus docs (semi-join first — at
+  * scale the corpus text itself sits in an OrderedDataset ordered on
+  * doc id, so that fetch is a pruned range read too).
+  */
+object DedupIndex {
+
+  /** Leading 60 bits of an md5 hex string as a positive long (15
+    * nibbles; 60 not 64 keeps the value positive, see
+    * [[DedupOps.SimhashBits]]).
+    */
+  def hkey60(hexCol: Column): Column =
+    conv(substring(hexCol, 1, 15), 16, 10).cast("long")
+
+  // ---------------- exact digest index ----------------
+
+  /** Build (or upsert into) the digest index: `(hkey, digest, id)`
+    * ordered on hkey, deduplicated on (digest, id) so rebuilds are
+    * idempotent. Incremental corpus growth = call again with the new
+    * docs only; the ordered upsert merges them into place.
+    */
+  def buildDigest(spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: String, textCol: String, rowsPerFile: Long = 1000000L): Unit = {
+    val t = docs.select(md5(col(textCol)).as("digest"),
+        col(idCol).cast("long").as("id"))
+      .select(hkey60(col("digest")).as("hkey"), col("digest"), col("id"))
+    new OrderedDataset(spark, dir).write(t,
+      WriteOpts("hkey", NRows(rowsPerFile),
+        duplicatesOn = Some(Seq("digest", "id")))): Unit
+  }
+
+  /** Probe the digest index with a batch: returns one row per exact
+    * match `(new_id, corpus_id, digest)`. Choose the scan shape by
+    * probe cardinality (see class doc): ≤ `maxDriverKeys` distinct
+    * hkeys → driver-planned zone-map read; above → hkey equi-join
+    * against the full (slim) index.
+    */
+  def probeDigest(spark: SparkSession, dir: String, batch: DataFrame,
+      idCol: String, textCol: String, maxDriverKeys: Int = 65536)
+      : DataFrame = {
+    val b = batch.select(col(idCol).cast("long").as("new_id"),
+        md5(col(textCol)).as("bdigest"))
+      .withColumn("hkey", hkey60(col("bdigest")))
+    val ds = new OrderedDataset(spark, dir)
+    val index = scanForProbes(spark, ds, b.select("hkey"), maxDriverKeys)
+    // residual: full-digest equality — the hkey is only a router
+    index.join(b, Seq("hkey"))
+      .filter(col("digest") === col("bdigest"))
+      .select(col("new_id"), col("id").as("corpus_id"), col("digest"))
+  }
+
+  // ---------------- MinHash LSH band index ----------------
+
+  /** Banded minhash rows `(hkey, band_id, sig, id)` for a document set
+    * (entirely map-side: shingles → signature → bands in one lineage,
+    * cf. [[DedupOps.minhashSignature]]).
+    */
+  private def bandedRows(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
+    val sig = DedupOps.minhashSignature(
+      DedupOps.shingleArrays(docs, idCol, textCol, shingleN), numHashes)
+    val rows = numHashes / bands
+    val bandCols = (0 until bands).map(b =>
+      concat((b * rows until (b + 1) * rows).map(i => col(s"s$i")): _*)
+        .as(s"band$b"))
+    sig.select(col("id") +: bandCols: _*)
+      .select(col("id"),
+        posexplode(array((0 until bands).map(b => col(s"band$b")): _*))
+          .as(Seq("band_id", "sig")))
+      .select(
+        hkey60(md5(concat(col("band_id").cast("string"), lit("|"),
+          col("sig")))).as("hkey"),
+        col("band_id"), col("sig"), col("id"))
+  }
+
+  /** Build (or incrementally upsert into) the LSH band index for a
+    * corpus. One row per doc × band, ordered on the banded-signature
+    * hkey so same-bucket rows are physically adjacent.
+    */
+  def buildMinhash(spark: SparkSession, dir: String, corpus: DataFrame,
+      idCol: String, textCol: String, shingleN: Int, numHashes: Int,
+      bands: Int, rowsPerFile: Long = 1000000L): Unit =
+    new OrderedDataset(spark, dir).write(
+      bandedRows(corpus, idCol, textCol, shingleN, numHashes, bands),
+      WriteOpts("hkey", NRows(rowsPerFile),
+        duplicatesOn = Some(Seq("band_id", "sig", "id")))): Unit
+
+  /** Near-dup pairs between a new batch and the indexed corpus:
+    * `(i = corpus id, j = batch id, jac)` with exact Jaccard ≥
+    * `threshold`. Candidate generation probes the band index (scan
+    * shape by probe cardinality, see class doc); verification
+    * re-shingles ONLY candidate corpus docs (`corpusDocs` is the text
+    * source, semi-joined down to candidates before any shingle work).
+    * Batch ids must be disjoint from corpus ids (the verify union is
+    * keyed by id).
+    */
+  def probeMinhash(spark: SparkSession, dir: String, batch: DataFrame,
+      corpusDocs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int, threshold: Double,
+      maxDriverKeys: Int = 65536): DataFrame = {
+    // batch shingles feed signature AND verification → persist
+    val bsh = DedupOps.shingleArrays(batch, idCol, textCol, shingleN)
+      .persist()
+    try {
+      val bBanded = {
+        val sig = DedupOps.minhashSignature(bsh, numHashes)
+        val rows = numHashes / bands
+        val bandCols = (0 until bands).map(b =>
+          concat((b * rows until (b + 1) * rows).map(i => col(s"s$i")): _*)
+            .as(s"band$b"))
+        sig.select(col("id") +: bandCols: _*)
+          .select(col("id").as("bid"),
+            posexplode(array((0 until bands).map(b => col(s"band$b")): _*))
+              .as(Seq("bband_id", "bsig")))
+          .withColumn("hkey", hkey60(md5(concat(
+            col("bband_id").cast("string"), lit("|"), col("bsig")))))
+      }
+      val ds = new OrderedDataset(spark, dir)
+      val index = scanForProbes(spark, ds, bBanded.select("hkey"),
+        maxDriverKeys)
+      // residual (band_id, sig) equality behind the hkey equi-join
+      val cand = index.join(bBanded, Seq("hkey"))
+        .filter(col("band_id") === col("bband_id") &&
+          col("sig") === col("bsig"))
+        .select(col("id").as("i"), col("bid").as("j"))
+        .distinct()
+      // exact-Jaccard verify: corpus side re-shingled AFTER the
+      // semi-join down to candidate ids (bounded by LSH output)
+      val csh = DedupOps.shingleArrays(
+        corpusDocs.join(cand.select(col("i").as(idCol)).distinct(),
+          Seq(idCol), "left_semi"),
+        idCol, textCol, shingleN)
+      DedupOps.jaccardVerify(cand, csh.unionByName(bsh), threshold)
+    } finally { bsh.unpersist(): Unit }
+  }
+
+  /** The probe-cardinality dispatch shared by both indexes: collect up
+    * to `maxDriverKeys + 1` distinct probe keys in ONE job (the limit
+    * caps driver memory even when the dispatch loses); under the cap,
+    * let the sidecar zone map pick files from the collected set; over
+    * it, return the full index frame and let the equi-join stream it.
+    */
+  private def scanForProbes(spark: SparkSession, ds: OrderedDataset,
+      probeKeys: DataFrame, maxDriverKeys: Int): DataFrame = {
+    val keys = probeKeys.distinct().limit(maxDriverKeys + 1).collect()
+    if (keys.length <= maxDriverKeys) {
+      val pts = keys.map(r => OrdLong(r.getLong(0)))
+      ds.multiPointDF(pts.toSeq.sortBy(_.v))
+    } else ds.df
+  }
+}

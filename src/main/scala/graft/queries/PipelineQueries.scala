@@ -32,8 +32,11 @@ object PipelineQueries {
   private val SampleRateDefault = 0.25
 
   /** One-time fixture build (see SparkEntry.prepare). */
-  def prepare(s: SparkSession, d: String): Unit =
+  def prepare(s: SparkSession, d: String): Unit = {
     ensureIvfIndex(s, d): Unit
+    ensureDigestIndex(s, d): Unit
+    ensureLshIndex(s, d): Unit
+  }
 
   /** Build the store-backed IVF index once per scale dir (idempotent,
     * sidecar-guarded). Small rowsPerFile so the sf0.01/0.1 fixtures get
@@ -46,6 +49,32 @@ object PipelineQueries {
         val v = SimilarityOps.withNorm(embs(s, d), "vec_id", "embedding")
         IvfIndex.build(s, dir, v, col("id") % 25 === 0, rowsPerFile = 200)
       }
+      dir
+    }
+
+  /** Build the store-backed exact-digest dedup index over the full
+    * documents table (idempotent per scale dir; small rowsPerFile so
+    * the zone-map probe pruning is exercised across several files). */
+  private def ensureDigestIndex(s: SparkSession, d: String): String =
+    synchronized {
+      val dir = s"/tmp/graft_digest_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val ds = new graft.store.OrderedDataset(s, dir)
+      if (!ds.exists)
+        DedupIndex.buildDigest(s, dir, docs(s, d), "doc_id", "text",
+          rowsPerFile = 200)
+      dir
+    }
+
+  /** Build the store-backed MinHash LSH band index over the full
+    * documents table (one row per doc × band). */
+  private def ensureLshIndex(s: SparkSession, d: String): String =
+    synchronized {
+      val dir = s"/tmp/graft_lshband_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val ds = new graft.store.OrderedDataset(s, dir)
+      if (!ds.exists)
+        DedupIndex.buildMinhash(s, dir, docs(s, d), "doc_id", "text",
+          shingleN = 3, numHashes = NumHashes, bands = MinhashBands,
+          rowsPerFile = 800)
       dir
     }
 
@@ -108,6 +137,39 @@ object PipelineQueries {
       val pairs = DedupOps.exactJaccardPairs(sh, ExactJaccardThreshold)
         .select("i", "j")
       DedupOps.dupClusters(pairs).orderBy("id")
+    },
+
+    // INCREMENTAL exact dedup: a new batch (exact copies of corpus docs
+    // with shifted ids + perturbed non-dup decoys) probed against the
+    // STORE-BACKED digest index — the daily-crawl-vs-100TB-corpus shape:
+    // corpus hashing is done once at index build; the probe's I/O is
+    // zone-map-pruned to files whose hkey range covers a batch digest.
+    "p_dedup_inc_exact" -> { (s, d) =>
+      val dir = ensureDigestIndex(s, d)
+      val base = docs(s, d)
+      val batch = base.filter(col("doc_id") % 8 === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionByName(base.filter(col("doc_id") % 8 === 3)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" zq")).as("text")))
+      DedupIndex.probeDigest(s, dir, batch, "doc_id", "text")
+        .orderBy("new_id", "corpus_id")
+    },
+
+    // INCREMENTAL near-dup: a perturbed batch probed against the
+    // store-backed MinHash LSH band index; candidates from the banded
+    // probe, exact-Jaccard verification re-shingles only candidate
+    // corpus docs.
+    "p_dedup_inc_lsh" -> { (s, d) =>
+      val dir = ensureLshIndex(s, d)
+      val base = docs(s, d)
+      val batch = base.filter(col("doc_id") % 8 === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" zq zq zq")).as("text"))
+      DedupIndex.probeMinhash(s, dir, batch, base, "doc_id", "text",
+        shingleN = 3, numHashes = NumHashes, bands = MinhashBands,
+        threshold = JaccardThreshold)
+        .orderBy("i", "j")
     },
 
     // Embedding near-dup: sign-random-projection LSH bands + exact
@@ -266,6 +328,52 @@ object PipelineQueries {
             inter * 1.0 / (ca.n + cb.n - inter) AS jac
      FROM inter JOIN cnt ca ON ca.id = inter.i
                 JOIN cnt cb ON cb.id = inter.j
+     WHERE inter * 1.0 / (ca.n + cb.n - inter) >= $JaccardThreshold
+     ORDER BY i, j"""
+  }
+
+  /** Incremental-LSH oracle: the minhash pipeline run independently on
+    * the corpus (`sh`, from [[ShingleCte]]) and on the derived batch
+    * (`bsh`), banded candidates joined corpus × batch, exact Jaccard
+    * verified — the index-free restatement of probeMinhash (the stored
+    * band index IS the corpus side's banded table).
+    */
+  private def minhashIncOracle: String = {
+    val sigExprs = (0 until NumHashes)
+      .map(i => s"min(md5('$i|' || g)) AS s$i").mkString(", ")
+    val rows = NumHashes / MinhashBands
+    def bandSelects(src: String) = (0 until MinhashBands).map { b =>
+      val cc = (b * rows until (b + 1) * rows).map(i => s"s$i")
+        .mkString(" || ")
+      s"SELECT id, $b AS band_id, $cc AS sig FROM $src"
+    }.mkString(" UNION ALL ")
+    s"""WITH $ShingleCte,
+       bdocs AS (SELECT doc_id + 1000000 AS doc_id,
+                   text || ' zq zq zq' AS text
+                 FROM documents WHERE doc_id % 8 = 7),
+       bsh AS (SELECT DISTINCT doc_id AS id,
+                 ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+               FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                     FROM bdocs),
+                    unnest(generate_series(1, len(ws) - 2)) t(i)),
+       csig AS (SELECT id, $sigExprs FROM sh GROUP BY id),
+       bsig AS (SELECT id, $sigExprs FROM bsh GROUP BY id),
+       cband AS (${bandSelects("csig")}),
+       bband AS (${bandSelects("bsig")}),
+       cand AS (SELECT DISTINCT a.id AS i, b.id AS j
+                FROM cband a JOIN bband b
+                  ON a.band_id = b.band_id AND a.sig = b.sig),
+       ccnt AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+       bcnt AS (SELECT id, count(*) AS n FROM bsh GROUP BY id),
+       inter AS (SELECT c.i, c.j, count(*) AS inter
+                 FROM cand c
+                 JOIN sh sa ON sa.id = c.i
+                 JOIN bsh sb ON sb.id = c.j AND sa.g = sb.g
+                 GROUP BY c.i, c.j)
+     SELECT inter.i, inter.j,
+            inter * 1.0 / (ca.n + cb.n - inter) AS jac
+     FROM inter JOIN ccnt ca ON ca.id = inter.i
+                JOIN bcnt cb ON cb.id = inter.j
      WHERE inter * 1.0 / (ca.n + cb.n - inter) >= $JaccardThreshold
      ORDER BY i, j"""
   }
@@ -433,6 +541,19 @@ object PipelineQueries {
          SELECT doc_id, digest FROM dd WHERE rn = 1 ORDER BY doc_id""",
 
     "p_dedup_minhash_lsh" -> minhashOracle,
+
+    "p_dedup_inc_exact" ->
+      """WITH batch AS (
+           SELECT doc_id + 1000000 AS new_id, text FROM documents
+           WHERE doc_id % 8 = 7
+           UNION ALL
+           SELECT doc_id + 2000000 AS new_id, text || ' zq' FROM documents
+           WHERE doc_id % 8 = 3)
+         SELECT b.new_id, c.doc_id AS corpus_id, md5(b.text) AS digest
+         FROM batch b JOIN documents c ON md5(c.text) = md5(b.text)
+         ORDER BY new_id, corpus_id""",
+
+    "p_dedup_inc_lsh" -> minhashIncOracle,
     "p_dedup_simhash" -> simhashOracle,
 
     "p_dedup_ngram_jaccard" ->

@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = (0L until 60L).map { i =>
+    val fam = i % 6
+    (i, s"family $fam doc about topic $fam with shared phrasing " +
+      s"alpha beta gamma delta unique token u$i tail epsilon zeta")
+  }.toDF("doc_id", "text")
+
+  test("digest index: probe finds exact dups on both scan paths") {
+    val dir = tmpDir("digidx") + "/idx"
+    DedupIndex.buildDigest(spark, dir, corpus, "doc_id", "text",
+      rowsPerFile = 10)
+    val ds = new graft.store.OrderedDataset(spark, dir)
+    assert(ds.meta.files.size >= 4)
+    // batch: exact copies of docs 3 and 17 (shifted ids) + one novel doc
+    val batch = corpus.filter($"doc_id".isin(3L, 17L))
+      .select(($"doc_id" + 1000L).as("doc_id"), $"text")
+      .unionByName(Seq((2000L, "entirely novel text nothing shared"))
+        .toDF("doc_id", "text"))
+    val viaPoints = DedupIndex.probeDigest(spark, dir, batch,
+      "doc_id", "text")
+    val got = viaPoints.select("new_id", "corpus_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1003L, 3L), (1017L, 17L)))
+    // zone-map path: the probe touches fewer index files than exist
+    val filesRead = viaPoints.select(input_file_name()).distinct().count()
+    assert(filesRead < ds.meta.files.size,
+      s"expected pruning: $filesRead vs ${ds.meta.files.size}")
+    // large-batch path (maxDriverKeys = 0 forces the full equi-join)
+    val viaJoin = DedupIndex.probeDigest(spark, dir, batch,
+      "doc_id", "text", maxDriverKeys = 0)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(viaJoin == got)
+  }
+
+  test("digest index: incremental upsert extends the corpus") {
+    val dir = tmpDir("digidx2") + "/idx"
+    DedupIndex.buildDigest(spark, dir, corpus, "doc_id", "text",
+      rowsPerFile = 10)
+    // day 2: corpus grows by one new doc; only the delta is hashed
+    DedupIndex.buildDigest(spark, dir,
+      Seq((100L, "day two fresh document")).toDF("doc_id", "text"),
+      "doc_id", "text", rowsPerFile = 10)
+    val batch = Seq((5000L, "day two fresh document")).toDF("doc_id", "text")
+    val got = DedupIndex.probeDigest(spark, dir, batch, "doc_id", "text")
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((5000L, 100L)))
+  }
+
+  test("LSH band index: probe matches the index-free minhash pipeline") {
+    val dir = tmpDir("lshidx") + "/idx"
+    DedupIndex.buildMinhash(spark, dir, corpus, "doc_id", "text",
+      shingleN = 3, numHashes = 12, bands = 4, rowsPerFile = 30)
+    // batch: docs 7 and 23 with a short suffix (near-dups), disjoint ids
+    val batch = corpus.filter($"doc_id".isin(7L, 23L))
+      .select(($"doc_id" + 1000L).as("doc_id"),
+        concat($"text", lit(" zq zq zq")).as("text"))
+    val got = DedupIndex.probeMinhash(spark, dir, batch, corpus,
+      "doc_id", "text", shingleN = 3, numHashes = 12, bands = 4,
+      threshold = 0.5)
+    val pairs = got.select("i", "j").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((7L, 1007L)) && pairs.contains((23L, 1023L)))
+    // every verified pair is batch-vs-corpus with true Jaccard >= 0.5:
+    // cross-check against the index-free formulation over the union
+    val sh = DedupOps.shingleArrays(
+      corpus.unionByName(batch), "doc_id", "text", 3)
+    val sig = DedupOps.minhashSignature(sh, 12)
+    val cand = DedupOps.lshCandidates(sig, 12, 4)
+    val expect = DedupOps.jaccardVerify(cand, sh, 0.5)
+      .filter($"j" >= 1000L && $"i" < 1000L)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(pairs == expect)
+    // join path agrees
+    val viaJoin = DedupIndex.probeMinhash(spark, dir, batch, corpus,
+      "doc_id", "text", shingleN = 3, numHashes = 12, bands = 4,
+      threshold = 0.5, maxDriverKeys = 0)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(viaJoin == pairs)
+  }
+}
