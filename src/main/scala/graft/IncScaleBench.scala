@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.pipeline.{DedupIndex, DedupOps}
+
+/** Incremental-dedup economics experiment (SCALE.md): a FIXED-SIZE
+  * batch probed against a GROWING indexed corpus, vs the no-index
+  * alternative (recompute minhash over corpus ∪ batch each time).
+  * The claim under test: probe cost is bounded by the increment and
+  * the slim index, not by corpus text volume — the property that makes
+  * daily dedup of a 100 TB corpus affordable.
+  *
+  * Usage: runMain graft.IncScaleBench <corpusSfDir> <batchSfDir>
+  * The batch is always derived from `batchSfDir` (so it stays constant
+  * while `corpusSfDir` scales), perturbed the same way as query
+  * p_dedup_inc_lsh. Prints one JSON line.
+  */
+object IncScaleBench {
+  private val NumHashes = 12
+  private val Bands = 4
+  private val Threshold = 0.8
+
+  def main(args: Array[String]): Unit = {
+    val Array(corpusDir, batchDir) = args.take(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def docs(d: String) = Tables.documents(spark, d)
+      .select("doc_id", "text")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val corpus = docs(corpusDir)
+    val batch = docs(batchDir).filter(col("doc_id") % 8 === 7)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text"), lit(" zq zq zq")).as("text"))
+
+    val idxDir = "/tmp/graft_incscale_idx_" +
+      corpusDir.replaceAll("[^a-zA-Z0-9]", "_")
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def minOf(reps: Int)(f: => Unit): Double =
+      (1 to reps).map(_ => timed(f)).min
+
+    // one-time index build over the corpus (the amortized cost)
+    new graft.store.OrderedDataset(spark, idxDir).removeFromDisk()
+    val tBuild = timed {
+      DedupIndex.buildMinhash(spark, idxDir, corpus, "doc_id", "text",
+        shingleN = 3, numHashes = NumHashes, bands = Bands,
+        rowsPerFile = 8000)
+    }
+
+    // per-increment probe (what a daily run pays)
+    val tProbe = minOf(3) {
+      DedupIndex.probeMinhash(spark, idxDir, batch, corpus,
+        "doc_id", "text", shingleN = 3, numHashes = NumHashes,
+        bands = Bands, threshold = Threshold)
+        .write.mode("overwrite").format("noop").save()
+    }
+
+    // the no-index alternative: recompute the minhash pipeline over
+    // corpus ∪ batch, keep cross pairs only
+    val tFull = minOf(3) {
+      val sh = DedupOps.shingleArrays(
+        corpus.unionByName(batch), "doc_id", "text", 3).persist()
+      try {
+        val sig = DedupOps.minhashSignature(sh, NumHashes)
+        val cand = DedupOps.lshCandidates(sig, NumHashes, Bands)
+          .filter(col("j") >= 10000000L && col("i") < 10000000L)
+        DedupOps.jaccardVerify(cand, sh, Threshold)
+          .write.mode("overwrite").format("noop").save()
+      } finally sh.unpersist(): Unit
+    }
+
+    val nCorpus = corpus.count(); val nBatch = batch.count()
+    println(s"""{"corpus":$nCorpus,"batch":$nBatch,""" +
+      s""""build_s":$tBuild,"probe_s":$tProbe,"full_s":$tFull}""")
+    spark.stop()
+  }
+}

@@ -174,6 +174,91 @@ object DedupIndex {
     } finally { bsh.unpersist(): Unit }
   }
 
+  // ---------------- SimHash band-pair index ----------------
+
+  /** SimHash index = TWO ordered datasets under `dir` — the
+    * incremental form of [[DedupOps.simhashPairs]]' distinct-fingerprint
+    * design (dup-heavy corpora concentrate fingerprints; banding doc
+    * rows would pay Σs² join rows per bucket):
+    *
+    *  - `dir/bands`: `(hkey, simhash)` per DISTINCT fingerprint × band
+    *    pair, hkey = bandPairId·2²⁴ + bandPairVal (injective — both
+    *    fields are recovered from it, so the hkey equi-join needs no
+    *    residual), ordered on hkey;
+    *  - `dir/members`: `(simhash, id)` ordered on simhash (fingerprints
+    *    are positive 60-bit longs — directly zone-map-comparable).
+    *
+    * A probe matches batch fingerprints against `bands`, Hamming-
+    * filters (verification is self-contained: the fingerprint IS the
+    * evidence), then expands winning corpus fingerprints to doc ids by
+    * point-probing `members` — both levels driver-planned zone-map
+    * reads for small increments.
+    */
+  def buildSimhash(spark: SparkSession, dir: String, corpus: DataFrame,
+      idCol: String, textCol: String, rowsPerFile: Long = 1000000L)
+      : Unit = {
+    val sim = DedupOps.simhash(corpus, idCol, textCol).persist()
+    try {
+      new OrderedDataset(spark, s"$dir/bands").write(
+        simhashWithBands(sim, "simhash").select(col("hkey"), col("simhash")),
+        WriteOpts("hkey", NRows(rowsPerFile),
+          duplicatesOn = Some(Seq("simhash")))): Unit
+      new OrderedDataset(spark, s"$dir/members").write(
+        sim.select(col("simhash"), col("id")),
+        WriteOpts("simhash", NRows(rowsPerFile),
+          duplicatesOn = Some(Seq("id")))): Unit
+    } finally { sim.unpersist(): Unit }
+  }
+
+  /** `(hkey, <fpCol>, …)` band-pair rows for a fingerprint column (one
+    * row per band pair; hkey injective over (pair id, pair value)). */
+  private def simhashWithBands(sim: DataFrame, fpCol: String): DataFrame = {
+    val bandBits = DedupOps.SimhashBits / DedupOps.SimhashBands
+    def bandVal(b: Int) =
+      shiftright(col(fpCol), bandBits * b)
+        .bitwiseAND(lit((1L << bandBits) - 1))
+    sim.select(col("*"),
+      posexplode(array(DedupOps.SimhashBandPairs.map { case (a, b) =>
+        bandVal(a) * lit(1L << bandBits) + bandVal(b)
+      }: _*)).as(Seq("band_id", "band_val")))
+      .withColumn("hkey",
+        col("band_id") * lit(1L << (2 * bandBits)) + col("band_val"))
+      .drop("band_id", "band_val")
+  }
+
+  /** Near-dup pairs `(i = corpus id, j = batch id, dist)` at Hamming
+    * distance ≤ `maxDist` between a new batch and the indexed corpus.
+    */
+  def probeSimhash(spark: SparkSession, dir: String, batch: DataFrame,
+      idCol: String, textCol: String, maxDist: Int,
+      maxDriverKeys: Int = 65536): DataFrame = {
+    val bsim = DedupOps.simhash(batch, idCol, textCol)
+      .select(col("id").as("j"), col("simhash").as("bfp"))
+      .persist()
+    try {
+      val bBanded = simhashWithBands(bsim, "bfp")
+      val bands = new OrderedDataset(spark, s"$dir/bands")
+      val index = scanForProbes(spark, bands, bBanded.select("hkey"),
+        maxDriverKeys)
+      // fingerprint-level candidates: the hkey encodes (pair, value)
+      // injectively, so the equi-join needs no residual check
+      val fpCand = index.join(bBanded, Seq("hkey"))
+        .select(col("simhash"), col("j"), col("bfp"))
+        .distinct()
+        .filter(bit_count(col("simhash").bitwiseXOR(col("bfp")))
+          <= maxDist)
+      // expand winning corpus fingerprints to member doc ids — another
+      // bounded zone-map probe (candidate fingerprints ≪ corpus)
+      val members = new OrderedDataset(spark, s"$dir/members")
+      val mem = scanForProbes(spark, members,
+        fpCand.select(col("simhash").as("hkey")), maxDriverKeys)
+      mem.join(fpCand, Seq("simhash"))
+        .select(col("id").as("i"), col("j"),
+          bit_count(col("simhash").bitwiseXOR(col("bfp")))
+            .cast("int").as("dist"))
+    } finally { bsim.unpersist(): Unit }
+  }
+
   /** The probe-cardinality dispatch shared by both indexes: collect up
     * to `maxDriverKeys + 1` distinct probe keys in ONE job (the limit
     * caps driver memory even when the dispatch loses); under the cap,

@@ -36,6 +36,7 @@ object PipelineQueries {
     ensureIvfIndex(s, d): Unit
     ensureDigestIndex(s, d): Unit
     ensureLshIndex(s, d): Unit
+    ensureSimhashIndex(s, d): Unit
   }
 
   /** Build the store-backed IVF index once per scale dir (idempotent,
@@ -75,6 +76,18 @@ object PipelineQueries {
         DedupIndex.buildMinhash(s, dir, docs(s, d), "doc_id", "text",
           shingleN = 3, numHashes = NumHashes, bands = MinhashBands,
           rowsPerFile = 800)
+      dir
+    }
+
+  /** Build the store-backed SimHash two-level index (distinct
+    * fingerprints × band pairs + fingerprint members). */
+  private def ensureSimhashIndex(s: SparkSession, d: String): String =
+    synchronized {
+      val dir = s"/tmp/graft_simidx_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val ds = new graft.store.OrderedDataset(s, s"$dir/bands")
+      if (!ds.exists)
+        DedupIndex.buildSimhash(s, dir, docs(s, d), "doc_id", "text",
+          rowsPerFile = 2000)
       dir
     }
 
@@ -169,6 +182,21 @@ object PipelineQueries {
       DedupIndex.probeMinhash(s, dir, batch, base, "doc_id", "text",
         shingleN = 3, numHashes = NumHashes, bands = MinhashBands,
         threshold = JaccardThreshold)
+        .orderBy("i", "j")
+    },
+
+    // INCREMENTAL simhash near-dup: batch fingerprints probed against
+    // the two-level index (distinct-fingerprint band pairs, then
+    // member expansion) — verification is self-contained in the
+    // fingerprints, no text re-fetch at all.
+    "p_dedup_inc_simhash" -> { (s, d) =>
+      val dir = ensureSimhashIndex(s, d)
+      val base = docs(s, d)
+      val batch = base.filter(col("doc_id") % 8 === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" zq zq zq")).as("text"))
+      DedupIndex.probeSimhash(s, dir, batch, "doc_id", "text",
+        SimhashMaxDist)
         .orderBy("i", "j")
     },
 
@@ -378,36 +406,48 @@ object PipelineQueries {
      ORDER BY i, j"""
   }
 
-  private def simhashOracle: String = {
+  /** The word→digit→vote→fingerprint CTE chain of the simhash oracles,
+    * parameterized by source table and CTE-name prefix (so the
+    * incremental oracle can run it on two doc sets in one query);
+    * produces `<p>sim(id, simhash)`. */
+  private def simhashSimCtes(src: String, p: String): String = {
     val bits = DedupOps.SimhashBits
-    val bandBits = bits / DedupOps.SimhashBands
-    val digits = (0 until bits / 4).map(p =>
-      s"(strpos('0123456789abcdef', substr(h, ${p + 1}, 1)) - 1) AS d$p")
+    val digits = (0 until bits / 4).map(q =>
+      s"(strpos('0123456789abcdef', substr(h, ${q + 1}, 1)) - 1) AS d$q")
       .mkString(", ")
     val votes = (0 until bits).map { bit =>
-      val p = bit / 4; val b = bit % 4
-      s"SUM((d$p // ${1L << b}) % 2) AS v$bit"
+      val q = bit / 4; val b = bit % 4
+      s"SUM((d$q // ${1L << b}) % 2) AS v$bit"
     }.mkString(", ")
     val simbits = (0 until bits).map { bit =>
       s"(CASE WHEN 2 * v$bit >= nw THEN ${1L << bit} ELSE 0 END)"
     }.mkString(" + ")
-    // band-PAIR keys, mirroring DedupOps.SimhashBandPairs: key =
-    // bandVal(a) * 2^bandBits + bandVal(b) (fingerprint is positive, so
-    // floor division == logical shift)
+    s"""${p}words AS (SELECT DISTINCT doc_id AS id,
+              unnest(string_split(text, ' ')) AS w FROM $src),
+       ${p}h AS (SELECT id, md5(w) AS h FROM ${p}words),
+       ${p}digits AS (SELECT id, $digits FROM ${p}h),
+       ${p}voted AS (SELECT id, count(*) AS nw, $votes FROM ${p}digits
+                     GROUP BY id),
+       ${p}sim AS (SELECT id, $simbits AS simhash FROM ${p}voted)"""
+  }
+
+  /** Band-PAIR key selects over a sim table, mirroring
+    * DedupOps.SimhashBandPairs: key = bandVal(a)·2^bandBits + bandVal(b)
+    * (fingerprint is positive, so floor division == logical shift). */
+  private def simhashBandSelects(simTbl: String): String = {
+    val bandBits = DedupOps.SimhashBits / DedupOps.SimhashBands
     def bv(b: Int) =
       s"((simhash // ${1L << (bandBits * b)}) % ${1L << bandBits})"
-    val bandSelects = DedupOps.SimhashBandPairs.zipWithIndex.map {
+    DedupOps.SimhashBandPairs.zipWithIndex.map {
       case ((a, b), p) =>
         s"SELECT id, simhash, $p AS band_id, " +
-          s"${bv(a)} * ${1L << bandBits} + ${bv(b)} AS band_val FROM sim"
+          s"${bv(a)} * ${1L << bandBits} + ${bv(b)} AS band_val FROM $simTbl"
     }.mkString(" UNION ALL ")
-    s"""WITH words AS (SELECT DISTINCT doc_id AS id,
-              unnest(string_split(text, ' ')) AS w FROM documents),
-       h AS (SELECT id, md5(w) AS h FROM words),
-       digits AS (SELECT id, $digits FROM h),
-       voted AS (SELECT id, count(*) AS nw, $votes FROM digits GROUP BY id),
-       sim AS (SELECT id, $simbits AS simhash FROM voted),
-       banded AS ($bandSelects),
+  }
+
+  private def simhashOracle: String = {
+    s"""WITH ${simhashSimCtes("documents", "")},
+       banded AS (${simhashBandSelects("sim")}),
        cand AS (SELECT DISTINCT a.id AS i, b.id AS j,
                        a.simhash AS sa, b.simhash AS sb
                 FROM banded a JOIN banded b
@@ -417,6 +457,27 @@ object PipelineQueries {
      FROM cand WHERE bit_count(xor(sa, sb)) <= $SimhashMaxDist
      ORDER BY i, j"""
   }
+
+  /** Incremental-simhash oracle: fingerprints computed independently
+    * for the corpus and the derived batch, band-pair candidates joined
+    * corpus × batch, Hamming-filtered — the index-free restatement of
+    * probeSimhash (doc-level banding ≡ the index's distinct-fingerprint
+    * banding + member expansion, see DedupOps.simhashPairs). */
+  private def simhashIncOracle: String =
+    s"""WITH bdocs AS (SELECT doc_id + 1000000 AS doc_id,
+                text || ' zq zq zq' AS text
+              FROM documents WHERE doc_id % 8 = 7),
+       ${simhashSimCtes("documents", "c")},
+       ${simhashSimCtes("bdocs", "b")},
+       cband AS (${simhashBandSelects("csim")}),
+       bband AS (${simhashBandSelects("bsim")}),
+       cand AS (SELECT DISTINCT a.id AS i, b.id AS j,
+                       a.simhash AS sa, b.simhash AS sb
+                FROM cband a JOIN bband b
+                  ON a.band_id = b.band_id AND a.band_val = b.band_val)
+     SELECT i, j, CAST(bit_count(xor(sa, sb)) AS INT) AS dist
+     FROM cand WHERE bit_count(xor(sa, sb)) <= $SimhashMaxDist
+     ORDER BY i, j"""
 
   private def planeLiteral(p: Seq[Double]): String =
     p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
@@ -554,6 +615,7 @@ object PipelineQueries {
          ORDER BY new_id, corpus_id""",
 
     "p_dedup_inc_lsh" -> minhashIncOracle,
+    "p_dedup_inc_simhash" -> simhashIncOracle,
     "p_dedup_simhash" -> simhashOracle,
 
     "p_dedup_ngram_jaccard" ->

@@ -83,4 +83,40 @@ class DedupIndexSpec extends SparkSpec {
       .select("i", "j").as[(Long, Long)].collect().toSet
     assert(viaJoin == pairs)
   }
+
+  test("simhash index: two-level probe matches simhashPairs semantics") {
+    val dir = tmpDir("simidx") + "/idx"
+    // duplicate-heavy corpus: docs 50-52 share doc 0's text exactly, so
+    // the distinct-fingerprint level holds ONE row for the whole family
+    // and member expansion recovers every id
+    val fam = corpus.filter($"doc_id" === 0L).select($"text").head.getString(0)
+    val heavy = corpus
+      .unionByName(Seq((50L, fam), (51L, fam)).toDF("doc_id", "text"))
+    DedupIndex.buildSimhash(spark, dir, heavy, "doc_id", "text",
+      rowsPerFile = 50)
+    // batch: doc 0's text verbatim (dist 0 to the whole family) + novel
+    val batch = Seq((1000L, fam),
+      (1001L, "entirely novel text nothing shared zq"))
+      .toDF("doc_id", "text")
+    val got = DedupIndex.probeSimhash(spark, dir, batch,
+      "doc_id", "text", maxDist = 3)
+    val pairs = got.select("i", "j").as[(Long, Long)].collect().toSet
+    // the exact-copy family is recovered through member expansion
+    assert(Set((0L, 1000L), (50L, 1000L), (51L, 1000L)).subsetOf(pairs))
+    // dist is 0 for exact copies
+    assert(got.filter($"i" === 0L && $"j" === 1000L)
+      .select("dist").head.getInt(0) == 0)
+    // index-free reference: doc-level band join over corpus ∪ batch,
+    // restricted to cross pairs
+    val sim = DedupOps.simhash(heavy.unionByName(batch), "doc_id", "text")
+    val expect = DedupOps.simhashPairs(sim, 3)
+      .filter($"j" >= 1000L && $"i" < 1000L)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(pairs == expect)
+    // join path agrees
+    val viaJoin = DedupIndex.probeSimhash(spark, dir, batch,
+      "doc_id", "text", maxDist = 3, maxDriverKeys = 0)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(viaJoin == pairs)
+  }
 }
