@@ -21,6 +21,29 @@ object TextOps {
   def regexTokens(text: Column): Column =
     regexp_extract_all(text, lit(TokenRegex), lit(0))
 
+  /** Cleaning scalars (the scrub/normalize stage that precedes dedup
+    * and quality filtering in a training-data pipeline). Map-side
+    * `regexp_replace` chains — no shuffle, codegen'd. Patterns stay in
+    * the Java∩RE2 common subset (`\w`, literal classes) so the DuckDB
+    * oracle (RE2, 'g' flag) replaces identically.
+    */
+  val UrlRe = "https?://[\\w./-]+"
+  val EmailRe = "[\\w.+-]+@[\\w.-]+"
+
+  /** Replace every URL with a placeholder token. */
+  def scrubUrls(text: Column, repl: String = "<URL>"): Column =
+    regexp_replace(text, UrlRe, repl)
+
+  /** Replace every email address with a placeholder token (the
+    * PII-masking baseline; richer PII classes plug in the same way). */
+  def scrubEmails(text: Column, repl: String = "<EMAIL>"): Column =
+    regexp_replace(text, EmailRe, repl)
+
+  /** Collapse runs of spaces and trim — the normalize pass after
+    * scrubbing. */
+  def normalizeWs(text: Column): Column =
+    trim(regexp_replace(text, " {2,}", " "))
+
   /** Distinct word n-gram shingles (space-joined). */
   def wordShingles(text: Column, n: Int): Column = {
     val ws = wsTokens(text)

@@ -295,6 +295,26 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Cleaning: URL scrub + email (PII) masking + whitespace
+    // normalization over deterministically injected patterns (the
+    // synthetic corpus has none of its own). Map-side regexp chains.
+    "p_text_clean" -> { (s, d) =>
+      val injected = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" visit https://example.com/a-b_c now")))
+          .when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" mail info@example.org today")))
+          .otherwise(col("text")).as("text"))
+      injected.select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(TextOps.UrlRe), lit(0)))
+            .cast("long").as("n_urls"),
+          size(regexp_extract_all(col("text"), lit(TextOps.EmailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          md5(TextOps.normalizeWs(TextOps.scrubEmails(
+            TextOps.scrubUrls(col("text"))))).as("clean_digest"))
+        .orderBy("doc_id")
+    },
+
     // Rolling 8-gram fingerprint (min/max md5 shingle).
     "p_text_fingerprint" -> { (s, d) =>
       TextOps.fingerprintDF(docs(s, d), "doc_id", "text")
@@ -702,6 +722,24 @@ object PipelineQueries {
             CAST(len(regexp_extract_all(text, '${TextOps.TokenRegex}'))
               AS BIGINT) AS n_regex_tokens
          FROM documents ORDER BY doc_id""",
+
+    "p_text_clean" ->
+      """WITH inj AS (SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0
+                THEN text || ' visit https://example.com/a-b_c now'
+                WHEN doc_id % 7 = 0
+                THEN text || ' mail info@example.org today'
+                ELSE text END AS text FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text, 'https?://[\w./-]+'))
+             AS BIGINT) AS n_urls,
+           CAST(len(regexp_extract_all(text, '[\w.+-]+@[\w.-]+'))
+             AS BIGINT) AS n_emails,
+           md5(trim(regexp_replace(regexp_replace(regexp_replace(text,
+             'https?://[\w./-]+', '<URL>', 'g'),
+             '[\w.+-]+@[\w.-]+', '<EMAIL>', 'g'),
+             ' {2,}', ' ', 'g'))) AS clean_digest
+         FROM inj ORDER BY doc_id""",
 
     "p_text_fingerprint" ->
       """SELECT doc_id, min(md5(substr(text, i, 8))) AS fp_min,

@@ -32,6 +32,21 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("cleaning scalars: url/email scrub + whitespace normalize") {
+    val in = Seq(
+      (1L, "see https://ex.com/a-b_c and http://y.z/d now"),
+      (2L, "mail a.b+c@ex-1.org  or  d@e.f "),
+      (3L, "plain text untouched"))
+      .toDF("doc_id", "text")
+    val out = in.select($"doc_id",
+      TextOps.normalizeWs(TextOps.scrubEmails(
+        TextOps.scrubUrls($"text"))).as("clean"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "see <URL> and <URL> now")
+    assert(out(2L) == "mail <EMAIL> or <EMAIL>")
+    assert(out(3L) == "plain text untouched")
+  }
+
   test("store-backed IVF search reads only probed lists; matches ivfTopK") {
     val dir = tmpDir("ivfidx")
     val vecs = (0L until 200L).map { i =>
