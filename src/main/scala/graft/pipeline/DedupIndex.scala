@@ -138,40 +138,43 @@ object DedupIndex {
       corpusDocs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, bands: Int, threshold: Double,
       maxDriverKeys: Int = 65536): DataFrame = {
-    // batch shingles feed signature AND verification → persist
+    // Batch-side frames feed several plan branches (probe-key collect,
+    // candidate join, verification) and are recomputed per action; NOT
+    // persisted deliberately — all batch work is map-side and ∝ the
+    // increment, so recompute is cheap and predictable, while a cache
+    // that must outlive this call would leak for the session (the
+    // ADVICE-r2 IvfIndex lesson). Callers composing many probes can
+    // persist the batch themselves.
     val bsh = DedupOps.shingleArrays(batch, idCol, textCol, shingleN)
-      .persist()
-    try {
-      val bBanded = {
-        val sig = DedupOps.minhashSignature(bsh, numHashes)
-        val rows = numHashes / bands
-        val bandCols = (0 until bands).map(b =>
-          concat((b * rows until (b + 1) * rows).map(i => col(s"s$i")): _*)
-            .as(s"band$b"))
-        sig.select(col("id") +: bandCols: _*)
-          .select(col("id").as("bid"),
-            posexplode(array((0 until bands).map(b => col(s"band$b")): _*))
-              .as(Seq("bband_id", "bsig")))
-          .withColumn("hkey", hkey60(md5(concat(
-            col("bband_id").cast("string"), lit("|"), col("bsig")))))
-      }
-      val ds = new OrderedDataset(spark, dir)
-      val index = scanForProbes(spark, ds, bBanded.select("hkey"),
-        maxDriverKeys)
-      // residual (band_id, sig) equality behind the hkey equi-join
-      val cand = index.join(bBanded, Seq("hkey"))
-        .filter(col("band_id") === col("bband_id") &&
-          col("sig") === col("bsig"))
-        .select(col("id").as("i"), col("bid").as("j"))
-        .distinct()
-      // exact-Jaccard verify: corpus side re-shingled AFTER the
-      // semi-join down to candidate ids (bounded by LSH output)
-      val csh = DedupOps.shingleArrays(
-        corpusDocs.join(cand.select(col("i").as(idCol)).distinct(),
-          Seq(idCol), "left_semi"),
-        idCol, textCol, shingleN)
-      DedupOps.jaccardVerify(cand, csh.unionByName(bsh), threshold)
-    } finally { bsh.unpersist(): Unit }
+    val bBanded = {
+      val sig = DedupOps.minhashSignature(bsh, numHashes)
+      val rows = numHashes / bands
+      val bandCols = (0 until bands).map(b =>
+        concat((b * rows until (b + 1) * rows).map(i => col(s"s$i")): _*)
+          .as(s"band$b"))
+      sig.select(col("id") +: bandCols: _*)
+        .select(col("id").as("bid"),
+          posexplode(array((0 until bands).map(b => col(s"band$b")): _*))
+            .as(Seq("bband_id", "bsig")))
+        .withColumn("hkey", hkey60(md5(concat(
+          col("bband_id").cast("string"), lit("|"), col("bsig")))))
+    }
+    val ds = new OrderedDataset(spark, dir)
+    val index = scanForProbes(spark, ds, bBanded.select("hkey"),
+      maxDriverKeys)
+    // residual (band_id, sig) equality behind the hkey equi-join
+    val cand = index.join(bBanded, Seq("hkey"))
+      .filter(col("band_id") === col("bband_id") &&
+        col("sig") === col("bsig"))
+      .select(col("id").as("i"), col("bid").as("j"))
+      .distinct()
+    // exact-Jaccard verify: corpus side re-shingled AFTER the
+    // semi-join down to candidate ids (bounded by LSH output)
+    val csh = DedupOps.shingleArrays(
+      corpusDocs.join(cand.select(col("i").as(idCol)).distinct(),
+        Seq(idCol), "left_semi"),
+      idCol, textCol, shingleN)
+    DedupOps.jaccardVerify(cand, csh.unionByName(bsh), threshold)
   }
 
   // ---------------- SimHash band-pair index ----------------
@@ -232,31 +235,93 @@ object DedupIndex {
   def probeSimhash(spark: SparkSession, dir: String, batch: DataFrame,
       idCol: String, textCol: String, maxDist: Int,
       maxDriverKeys: Int = 65536): DataFrame = {
+    // not persisted — map-side, ∝ increment; see probeMinhash note
     val bsim = DedupOps.simhash(batch, idCol, textCol)
       .select(col("id").as("j"), col("simhash").as("bfp"))
-      .persist()
-    try {
-      val bBanded = simhashWithBands(bsim, "bfp")
-      val bands = new OrderedDataset(spark, s"$dir/bands")
-      val index = scanForProbes(spark, bands, bBanded.select("hkey"),
-        maxDriverKeys)
-      // fingerprint-level candidates: the hkey encodes (pair, value)
-      // injectively, so the equi-join needs no residual check
-      val fpCand = index.join(bBanded, Seq("hkey"))
-        .select(col("simhash"), col("j"), col("bfp"))
-        .distinct()
-        .filter(bit_count(col("simhash").bitwiseXOR(col("bfp")))
-          <= maxDist)
-      // expand winning corpus fingerprints to member doc ids — another
-      // bounded zone-map probe (candidate fingerprints ≪ corpus)
-      val members = new OrderedDataset(spark, s"$dir/members")
-      val mem = scanForProbes(spark, members,
-        fpCand.select(col("simhash").as("hkey")), maxDriverKeys)
-      mem.join(fpCand, Seq("simhash"))
-        .select(col("id").as("i"), col("j"),
-          bit_count(col("simhash").bitwiseXOR(col("bfp")))
-            .cast("int").as("dist"))
-    } finally { bsim.unpersist(): Unit }
+    val bBanded = simhashWithBands(bsim, "bfp")
+    val bands = new OrderedDataset(spark, s"$dir/bands")
+    val index = scanForProbes(spark, bands, bBanded.select("hkey"),
+      maxDriverKeys)
+    // fingerprint-level candidates: the hkey encodes (pair, value)
+    // injectively, so the equi-join needs no residual check
+    val fpCand = index.join(bBanded, Seq("hkey"))
+      .select(col("simhash"), col("j"), col("bfp"))
+      .distinct()
+      .filter(bit_count(col("simhash").bitwiseXOR(col("bfp")))
+        <= maxDist)
+    // expand winning corpus fingerprints to member doc ids — another
+    // bounded zone-map probe (candidate fingerprints ≪ corpus)
+    val members = new OrderedDataset(spark, s"$dir/members")
+    val mem = scanForProbes(spark, members,
+      fpCand.select(col("simhash").as("hkey")), maxDriverKeys)
+    mem.join(fpCand, Seq("simhash"))
+      .select(col("id").as("i"), col("j"),
+        bit_count(col("simhash").bitwiseXOR(col("bfp")))
+          .cast("int").as("dist"))
+  }
+
+  // ---------------- embedding sign-projection index ----------------
+
+  /** Embedding near-dup index = two ordered datasets under `dir`:
+    *
+    *  - `dir/bands`: `(hkey, id)` per corpus vector × band, hkey =
+    *    bandId·2^planesPerBand + bucketBits (injective), ordered on
+    *    hkey;
+    *  - `dir/members`: `(id, vec, norm)` ordered on id — the vector
+    *    payload lives HERE, fetched only for candidates (the band
+    *    table never replicates vectors).
+    *
+    * Note the key space is bands·2^planesPerBand (64 for 16 planes ×
+    * 4/band): zone-map file pruning pays off when the space is large
+    * relative to the increment's bucket coverage (more planes at
+    * scale); a coarse space degrades gracefully to the slim equi-join.
+    */
+  def buildEmbedding(spark: SparkSession, dir: String, corpus: DataFrame,
+      planes: Seq[Seq[Double]], planesPerBand: Int,
+      rowsPerFile: Long = 1000000L): Unit = {
+    val banded = SimilarityOps.lshBands(corpus, planes, planesPerBand)
+      .select((col("band_id") * lit(1L << planesPerBand) +
+        conv(col("bucket"), 2, 10).cast("long")).as("hkey"), col("id"))
+    new OrderedDataset(spark, s"$dir/bands").write(banded,
+      WriteOpts("hkey", NRows(rowsPerFile),
+        duplicatesOn = Some(Seq("id")))): Unit
+    new OrderedDataset(spark, s"$dir/members").write(
+      corpus.select(col("id"), col("vec"), col("norm")),
+      WriteOpts("id", NRows(rowsPerFile),
+        duplicatesOn = Some(Nil))): Unit
+  }
+
+  /** Near-dup pairs `(i = corpus id, j = batch id, cos)` with exact
+    * cosine ≥ `threshold` between a new batch (`(id, vec, norm)`, see
+    * SimilarityOps.withNorm) and the indexed corpus. Candidates from
+    * the band probe; verification fetches ONLY candidate vectors from
+    * `dir/members` (a second bounded zone-map probe on corpus id).
+    */
+  def probeEmbedding(spark: SparkSession, dir: String, batch: DataFrame,
+      planes: Seq[Seq[Double]], planesPerBand: Int, threshold: Double,
+      maxDriverKeys: Int = 65536): DataFrame = {
+    val bBanded = SimilarityOps.lshBands(batch, planes, planesPerBand)
+      .select((col("band_id") * lit(1L << planesPerBand) +
+        conv(col("bucket"), 2, 10).cast("long")).as("hkey"),
+        col("id").as("j"))
+    val bands = new OrderedDataset(spark, s"$dir/bands")
+    val index = scanForProbes(spark, bands, bBanded.select("hkey"),
+      maxDriverKeys)
+    val cand = index.join(bBanded, Seq("hkey"))
+      .select(col("id").as("i"), col("j"))
+      .distinct()
+    val members = new OrderedDataset(spark, s"$dir/members")
+    val mem = scanForProbes(spark, members,
+      cand.select(col("i").as("hkey")), maxDriverKeys)
+    cand
+      .join(mem.select(col("id").as("i"), col("vec").as("va"),
+        col("norm").as("na")), Seq("i"))
+      .join(batch.select(col("id").as("j"), col("vec").as("vb"),
+        col("norm").as("nb")), Seq("j"))
+      .select(col("i"), col("j"),
+        SimilarityOps.cosine(col("va"), col("vb"), col("na"), col("nb"))
+          .as("cos"))
+      .filter(col("cos") >= threshold)
   }
 
   /** The probe-cardinality dispatch shared by both indexes: collect up

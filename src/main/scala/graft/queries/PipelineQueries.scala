@@ -37,6 +37,7 @@ object PipelineQueries {
     ensureDigestIndex(s, d): Unit
     ensureLshIndex(s, d): Unit
     ensureSimhashIndex(s, d): Unit
+    ensureEmbeddingIndex(s, d): Unit
   }
 
   /** Build the store-backed IVF index once per scale dir (idempotent,
@@ -88,6 +89,21 @@ object PipelineQueries {
       if (!ds.exists)
         DedupIndex.buildSimhash(s, dir, docs(s, d), "doc_id", "text",
           rowsPerFile = 2000)
+      dir
+    }
+
+  /** Build the store-backed embedding sign-projection index (band rows
+    * + vector members). */
+  private def ensureEmbeddingIndex(s: SparkSession, d: String): String =
+    synchronized {
+      val dir = s"/tmp/graft_embidx_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val ds = new graft.store.OrderedDataset(s, s"$dir/bands")
+      if (!ds.exists) {
+        val v = SimilarityOps.withNorm(embs(s, d), "vec_id", "embedding")
+        DedupIndex.buildEmbedding(s, dir, v,
+          SimilarityOps.hyperplanes(NPlanes, 64), PlanesPerBand,
+          rowsPerFile = 2000)
+      }
       dir
     }
 
@@ -207,6 +223,25 @@ object PipelineQueries {
         .persist()
       val planes = SimilarityOps.hyperplanes(NPlanes, 64)
       SimilarityOps.lshNearDupPairs(v, planes, PlanesPerBand, CosThreshold)
+        .orderBy("i", "j")
+    },
+
+    // INCREMENTAL embedding near-dup: a scaled batch (cosine-identical
+    // to its originals, disjoint ids) probed against the store-backed
+    // sign-projection index; cosine verify fetches only candidate
+    // vectors from the members dataset.
+    "p_dedup_inc_embedding" -> { (s, d) =>
+      val dir = ensureEmbeddingIndex(s, d)
+      val batch = SimilarityOps.withNorm(
+        embs(s, d).filter(col("vec_id") % 8 === 7)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            col("embedding")),
+        "vec_id", "embedding")
+        .select(col("id"), transform(col("vec"), x => x * 1.5).as("vec"),
+          (col("norm") * 1.5).as("norm"))
+      DedupIndex.probeEmbedding(s, dir, batch,
+        SimilarityOps.hyperplanes(NPlanes, 64), PlanesPerBand,
+        CosThreshold)
         .orderBy("i", "j")
     },
 
@@ -529,6 +564,45 @@ object PipelineQueries {
      ORDER BY i, j"""
   }
 
+  /** Incremental-embedding oracle: sign bits computed independently
+    * for corpus and the scaled batch, banded candidates joined corpus ×
+    * batch, exact cosine verified — the index-free restatement of
+    * probeEmbedding. The batch norm is 1.5·sqrt(dot(orig, orig)),
+    * mirroring the Spark side's scalar-scaled norm exactly. */
+  private def embeddingIncOracle: String = {
+    val planes = SimilarityOps.hyperplanes(NPlanes, 64)
+    val bitExprs = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(vec, ${planeLiteral(p)}) >= 0 " +
+        s"THEN 1 ELSE 0 END) AS b$i"
+    }.mkString(", ")
+    val nBands = NPlanes / PlanesPerBand
+    def bandSelects(src: String) = (0 until nBands).map { b =>
+      val cc = (b * PlanesPerBand until (b + 1) * PlanesPerBand)
+        .map(i => s"b$i::VARCHAR").mkString(" || ")
+      s"SELECT id, vec, norm, $b AS band_id, $cc AS bucket FROM $src"
+    }.mkString(" UNION ALL ")
+    s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+              FROM embeddings),
+       n AS (SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM v),
+       bv AS (SELECT vec_id + 1000000 AS id,
+                list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5)
+                  AS vec,
+                1.5 * sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                  CAST(embedding AS DOUBLE[]))) AS norm
+              FROM embeddings WHERE vec_id % 8 = 7),
+       cbits AS (SELECT id, vec, norm, $bitExprs FROM n),
+       bbits AS (SELECT id, vec, norm, $bitExprs FROM bv),
+       cband AS (${bandSelects("cbits")}),
+       bband AS (${bandSelects("bbits")}),
+       cand AS (SELECT DISTINCT a.id AS i, b.id AS j,
+              round(list_dot_product(a.vec, b.vec) / (a.norm * b.norm), 6)
+                AS cos
+              FROM cband a JOIN bband b
+                ON a.band_id = b.band_id AND a.bucket = b.bucket)
+     SELECT i, j, cos FROM cand WHERE cos >= $CosThreshold
+     ORDER BY i, j"""
+  }
+
   private def annTopkOracle: String =
     s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
               FROM embeddings),
@@ -636,6 +710,7 @@ object PipelineQueries {
 
     "p_dedup_inc_lsh" -> minhashIncOracle,
     "p_dedup_inc_simhash" -> simhashIncOracle,
+    "p_dedup_inc_embedding" -> embeddingIncOracle,
     "p_dedup_simhash" -> simhashOracle,
 
     "p_dedup_ngram_jaccard" ->

@@ -119,4 +119,31 @@ class DedupIndexSpec extends SparkSpec {
       .select("i", "j").as[(Long, Long)].collect().toSet
     assert(viaJoin == pairs)
   }
+
+  test("embedding index: probe finds scaled copies via member fetch") {
+    val dir = tmpDir("embidx") + "/idx"
+    val vecs = (0L until 100L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 0.61 + j)))
+    }.toDF("vec_id", "embedding")
+    val v = SimilarityOps.withNorm(vecs, "vec_id", "embedding")
+    val planes = SimilarityOps.hyperplanes(8, 8)
+    DedupIndex.buildEmbedding(spark, dir, v, planes, planesPerBand = 2,
+      rowsPerFile = 100)
+    // batch: scaled copies of vectors 3 and 42 — cosine 1.0, same signs
+    val batch = v.filter($"id".isin(3L, 42L))
+      .select(($"id" + 1000L).as("id"),
+        transform($"vec", x => x * lit(2.0)).as("vec"),
+        ($"norm" * 2.0).as("norm"))
+    val got = DedupIndex.probeEmbedding(spark, dir, batch, planes,
+      planesPerBand = 2, threshold = 0.99)
+    val pairs = got.select("i", "j").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((3L, 1003L)) && pairs.contains((42L, 1042L)))
+    assert(got.filter($"i" === 3L && $"j" === 1003L)
+      .select("cos").head.getDouble(0) == 1.0)
+    // join path agrees
+    val viaJoin = DedupIndex.probeEmbedding(spark, dir, batch, planes,
+      planesPerBand = 2, threshold = 0.99, maxDriverKeys = 0)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(viaJoin == pairs)
+  }
 }
