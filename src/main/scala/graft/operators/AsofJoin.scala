@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of join for ordered data — attach to each left row the nearest
+  * right row per key at or before (backward) / at or after (forward)
+  * its timestamp. The natural companion of an ordered store (the
+  * reference's zipper iteration, W4, solves the two-dataset variant of
+  * the same alignment problem; ref store/iter_intersections.py).
+  *
+  * Implementation is the set-oriented union + ONE window pass:
+  * tag sides, align schemas, union, then `last(ignoreNulls)` over
+  * (key, ts, side) with an unbounded-preceding frame (resp. `first`
+  * over the following frame). Cost = one shuffle on the key — never a
+  * range-join explosion, never a per-key loop; at 100 TB the shuffle
+  * is the same one any per-key window already pays, and AQE handles
+  * skewed keys. Ties on ts attach (inclusive), matching DuckDB's
+  * `ASOF JOIN ... ON l.ts >= r.ts`; right-side duplicates on
+  * (key, ts) must be resolved by the caller (keep-last upsert or a
+  * window) for deterministic results.
+  */
+object AsofJoin {
+
+  /** For each left row, the latest right row with `r.ts <= l.ts` on the
+    * same key. `attach` names right columns to carry over; they must
+    * not collide with left column names. Left rows with no matching
+    * right row keep nulls (left-join semantics).
+    */
+  def backward(left: DataFrame, right: DataFrame, on: Seq[String],
+      tsCol: String, attach: Seq[String]): DataFrame =
+    asof(left, right, on, tsCol, attach, forward = false)
+
+  /** For each left row, the earliest right row with `r.ts >= l.ts` on
+    * the same key. */
+  def forward(left: DataFrame, right: DataFrame, on: Seq[String],
+      tsCol: String, attach: Seq[String]): DataFrame =
+    asof(left, right, on, tsCol, attach, forward = true)
+
+  private def asof(left: DataFrame, right: DataFrame, on: Seq[String],
+      tsCol: String, attach: Seq[String], forward: Boolean): DataFrame = {
+    val lcols = left.columns.toSeq
+    require(attach.forall(!lcols.contains(_)),
+      s"attach columns ${attach.filter(lcols.contains)} collide with " +
+        "left columns; alias them on the right side first")
+    // side ordering controls the tie rule: the right row must fall
+    // INSIDE the left row's frame at equal ts — before it (backward) /
+    // after it (forward)
+    val (rSide, lSide) = if (forward) (1, 0) else (0, 1)
+    val lTagged = left.select(
+      lcols.map(col) ++
+        attach.map(c =>
+          lit(null).cast(right.schema(c).dataType).as(s"__r_$c")) :+
+        lit(lSide).as("__side"): _*)
+    val rTagged = right.select(
+      (on.map(col) :+ col(tsCol)) ++
+        lcols.filterNot(c => on.contains(c) || c == tsCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        attach.map(c => col(c).as(s"__r_$c")) :+
+        lit(rSide).as("__side"): _*)
+    val w0 = Window.partitionBy(on.map(col): _*)
+      .orderBy(col(tsCol), col("__side"))
+    val w =
+      if (forward) w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pick: String => org.apache.spark.sql.Column =
+      if (forward) c => first(col(s"__r_$c"), ignoreNulls = true).over(w)
+      else c => last(col(s"__r_$c"), ignoreNulls = true).over(w)
+    lTagged.unionByName(rTagged)
+      .select(lcols.map(col) ++ attach.map(c => pick(c).as(c)) :+
+        col("__side"): _*)
+      .filter(col("__side") === lSide).drop("__side")
+  }
+}

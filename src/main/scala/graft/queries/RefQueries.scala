@@ -364,6 +364,49 @@ object RefQueries {
 
     // Headline: TPC-H Q18-style semi-join — orders restricted to the
     // grouped-HAVING key set via left_semi (no row duplication).
+    // As-of joins (backward/forward): every event attaches the nearest
+    // mark row (every-20th event) for its user at-or-before /
+    // at-or-after its ts. One shuffle on the key, single window pass —
+    // the set-oriented zipper (see operators.AsofJoin). Marks dedup
+    // (user, ts) keep-max-id so the nearest row is deterministic.
+    "j20_asof" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val left = ev.select("event_id", "ts", "user_id")
+      val wm = Window.partitionBy("user_id", "ts")
+        .orderBy(col("mark_id").desc)
+      val marks = ev.filter(col("event_id") % 20 === 0)
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("mark_id"), col("value").as("mark_value"))
+        .withColumn("__rn", row_number().over(wm))
+        .filter(col("__rn") === 1).drop("__rn")
+      graft.operators.AsofJoin.backward(left, marks, Seq("user_id"), "ts",
+        Seq("mark_id", "mark_value"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("mark_id"), lit(-1L)).as("mark_id"),
+          col("mark_value"))
+        .orderBy("event_id")
+    },
+
+    "j21_asof_fwd" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val left = ev.select("event_id", "ts", "user_id")
+      val wm = Window.partitionBy("user_id", "ts")
+        .orderBy(col("mark_id").desc)
+      val marks = ev.filter(col("event_id") % 20 === 0)
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("mark_id"), col("value").as("mark_value"))
+        .withColumn("__rn", row_number().over(wm))
+        .filter(col("__rn") === 1).drop("__rn")
+      graft.operators.AsofJoin.forward(left, marks, Seq("user_id"), "ts",
+        Seq("mark_id", "mark_value"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("mark_id"), lit(-1L)).as("mark_id"),
+          col("mark_value"))
+        .orderBy("event_id")
+    },
+
     "j18_semi_join" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
       val o = Tables.orders(s, d)
@@ -631,6 +674,32 @@ object RefQueries {
          JOIN region ON n_regionkey = r_regionkey
          WHERE r_name = 'ASIA'
          GROUP BY 1 ORDER BY 1""",
+
+    "j20_asof" -> s"""$EV,
+         marks AS (
+           SELECT user_id, ts, event_id AS mark_id, value AS mark_value
+           FROM e WHERE event_id % 20 = 0
+           QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) = 1)
+       SELECT e.event_id, e.user_id,
+              CAST(COALESCE(m.mark_id, -1) AS BIGINT) AS mark_id,
+              m.mark_value
+       FROM e ASOF LEFT JOIN marks m
+         ON e.user_id = m.user_id AND e.ts >= m.ts
+       ORDER BY event_id""",
+
+    "j21_asof_fwd" -> s"""$EV,
+         marks AS (
+           SELECT user_id, ts, event_id AS mark_id, value AS mark_value
+           FROM e WHERE event_id % 20 = 0
+           QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) = 1)
+       SELECT e.event_id, e.user_id,
+              CAST(COALESCE(m.mark_id, -1) AS BIGINT) AS mark_id,
+              m.mark_value
+       FROM e ASOF LEFT JOIN marks m
+         ON e.user_id = m.user_id AND e.ts <= m.ts
+       ORDER BY event_id""",
 
     "j18_semi_join" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
