@@ -337,6 +337,37 @@ object RefQueries {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // ROLLUP hierarchy totals: per (flag, status) + per-flag subtotals
+    // + grand total in ONE pass — Spark expands grouping sets map-side,
+    // so the shuffle still carries one partial row per (set, key);
+    // grouping_id() disambiguates levels (bitmask, matches DuckDB's
+    // GROUPING()).
+    "q2_rollup" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // Exact per-group quantiles (interpolated): correct at any SF but
+    // sorts each group's values — at 100 TB swap in approx_percentile
+    // (t-digest, mergeable partials) and keep this as the oracle-able
+    // exactness baseline.
+    "g9_quantiles" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.25)"), 6).as("p25"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.75)"), 6).as("p75"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("event_type")
+    },
+
     // Headline: TPC-H Q5-style multi-join. nation/region are
     // constant-size (25/5 rows) so their broadcasts are always safe;
     // the customer-derived dims side scales with SF, so it carries NO
@@ -674,6 +705,25 @@ object RefQueries {
          JOIN region ON n_regionkey = r_regionkey
          WHERE r_name = 'ASIA'
          GROUP BY 1 ORDER BY 1""",
+
+    "q2_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                AS sum_qty,
+              count(*) AS n_rows,
+              CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag, l_linestatus""",
+
+    "g9_quantiles" -> s"""$EV
+       SELECT event_type,
+              round(quantile_cont(value, 0.25), 6) AS p25,
+              round(quantile_cont(value, 0.5), 6) AS p50,
+              round(quantile_cont(value, 0.75), 6) AS p75,
+              round(quantile_cont(value, 0.95), 6) AS p95,
+              count(*) AS n_rows
+       FROM e GROUP BY event_type ORDER BY event_type""",
 
     "j20_asof" -> s"""$EV,
          marks AS (
