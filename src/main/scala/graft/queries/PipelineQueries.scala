@@ -40,12 +40,28 @@ object PipelineQueries {
     ensureEmbeddingIndex(s, d): Unit
   }
 
+  /** Fixture-dir suffix fingerprinting the INPUT parquet (path + file
+    * sizes + mtimes): a regenerated source table changes the
+    * fingerprint, so index fixtures can never go stale across rounds —
+    * they are simply rebuilt under a fresh dir. */
+  private def inputTag(d: String, table: String): String = {
+    val f = new java.io.File(s"$d/$table.parquet")
+    val parts =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName)
+          .map(p => s"${p.getName}:${p.length}:${p.lastModified}")
+      else Array(s"${f.getName}:${f.length}:${f.lastModified}")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(s"$d|${parts.mkString("|")}".getBytes("UTF-8"))
+    md.digest().take(6).map("%02x".format(_)).mkString
+  }
+
   /** Build the store-backed IVF index once per scale dir (idempotent,
     * sidecar-guarded). Small rowsPerFile so the sf0.01/0.1 fixtures get
     * several files and the range-read pruning is actually exercised. */
   private def ensureIvfIndex(s: SparkSession, d: String): String =
     synchronized {
-      val dir = s"/tmp/graft_ivf_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val dir = s"/tmp/graft_ivf_${inputTag(d, "embeddings")}"
       val ds = new graft.store.OrderedDataset(s, dir)
       if (!ds.exists) {
         val v = SimilarityOps.withNorm(embs(s, d), "vec_id", "embedding")
@@ -59,7 +75,7 @@ object PipelineQueries {
     * the zone-map probe pruning is exercised across several files). */
   private def ensureDigestIndex(s: SparkSession, d: String): String =
     synchronized {
-      val dir = s"/tmp/graft_digest_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val dir = s"/tmp/graft_digest_${inputTag(d, "documents")}"
       val ds = new graft.store.OrderedDataset(s, dir)
       if (!ds.exists)
         DedupIndex.buildDigest(s, dir, docs(s, d), "doc_id", "text",
@@ -71,7 +87,7 @@ object PipelineQueries {
     * documents table (one row per doc × band). */
   private def ensureLshIndex(s: SparkSession, d: String): String =
     synchronized {
-      val dir = s"/tmp/graft_lshband_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val dir = s"/tmp/graft_lshband_${inputTag(d, "documents")}"
       val ds = new graft.store.OrderedDataset(s, dir)
       if (!ds.exists)
         DedupIndex.buildMinhash(s, dir, docs(s, d), "doc_id", "text",
@@ -84,7 +100,7 @@ object PipelineQueries {
     * fingerprints × band pairs + fingerprint members). */
   private def ensureSimhashIndex(s: SparkSession, d: String): String =
     synchronized {
-      val dir = s"/tmp/graft_simidx_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val dir = s"/tmp/graft_simidx_${inputTag(d, "documents")}"
       val ds = new graft.store.OrderedDataset(s, s"$dir/bands")
       if (!ds.exists)
         DedupIndex.buildSimhash(s, dir, docs(s, d), "doc_id", "text",
@@ -96,7 +112,7 @@ object PipelineQueries {
     * + vector members). */
   private def ensureEmbeddingIndex(s: SparkSession, d: String): String =
     synchronized {
-      val dir = s"/tmp/graft_embidx_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val dir = s"/tmp/graft_embidx_${inputTag(d, "embeddings")}"
       val ds = new graft.store.OrderedDataset(s, s"$dir/bands")
       if (!ds.exists) {
         val v = SimilarityOps.withNorm(embs(s, d), "vec_id", "embedding")
