@@ -121,4 +121,52 @@ class TutorialSpec extends SparkSpec {
     assert(hits.length <= 3 && hits.nonEmpty)
     assert(hits.map(_.getInt(1)).toSeq == (1 to hits.length)) // ranks
   }
+
+  /** Day 2 of the same pipeline: the corpus is INDEXED once; each new
+    * increment is cleaned, then deduplicated against the index without
+    * touching corpus text again — the shape that stays affordable when
+    * the corpus is 100 TB and the increment is 0.1% of it.
+    */
+  test("corpus day 2: clean the increment, dedup it against the index") {
+    import graft.pipeline._
+    val corpus = (0L until 40L).map { i =>
+      (i, s"stable corpus document $i about subject ${i % 4} " +
+        s"${(0 to 5).map(j => s"t${(i * 3 + j) % 9}").mkString(" ")}")
+    }.toDF("doc_id", "text")
+    val dir = tmpDir("day2")
+    DedupIndex.buildDigest(spark, s"$dir/digest", corpus,
+      "doc_id", "text", rowsPerFile = 10)
+    DedupIndex.buildMinhash(spark, s"$dir/lsh", corpus, "doc_id", "text",
+      shingleN = 3, numHashes = 12, bands = 4, rowsPerFile = 40)
+
+    // the increment: a re-crawl of doc 7 (exact), a lightly edited doc
+    // 3 (near-dup), one genuinely new doc — with scrubbable noise
+    val increment = Seq(
+      (1007L, corpus.filter($"doc_id" === 7L).head.getString(1)),
+      (1003L, corpus.filter($"doc_id" === 3L).head.getString(1)
+        + " zz yy"),
+      (1099L, "entirely new material visit https://ex.org/x for more"))
+      .toDF("doc_id", "text")
+    val cleaned = increment.select($"doc_id",
+      TextOps.normalizeWs(TextOps.scrubUrls($"text")).as("text"))
+    assert(cleaned.filter($"doc_id" === 1099L).head.getString(1)
+      .contains("<URL>"))
+
+    // exact dups leave via the digest probe; near-dups via the LSH probe
+    val exact = DedupIndex.probeDigest(spark, s"$dir/digest", cleaned,
+      "doc_id", "text")
+    assert(exact.select("new_id", "corpus_id").as[(Long, Long)]
+      .collect().toSet == Set((1007L, 7L)))
+    val near = DedupIndex.probeMinhash(spark, s"$dir/lsh", cleaned,
+      corpus, "doc_id", "text", shingleN = 3, numHashes = 12, bands = 4,
+      threshold = 0.5)
+    assert(near.select("i", "j").as[(Long, Long)].collect().toSet
+      .contains((3L, 1003L)))
+    // what survives both probes is the true delta to ingest
+    val dupIds = exact.select($"new_id").unionByName(
+      near.select($"j".as("new_id"))).distinct()
+    val fresh = cleaned.join(dupIds,
+      cleaned("doc_id") === dupIds("new_id"), "left_anti")
+    assert(fresh.select("doc_id").as[Long].collect().toSet == Set(1099L))
+  }
 }
