@@ -368,6 +368,20 @@ object RefQueries {
         .orderBy("event_type")
     },
 
+    // The 100 TB quantile path: approx_percentile (mergeable sketch
+    // partials, map-side combine, no per-group sort). No SQL oracle —
+    // sketch results are estimator-dependent — so the driver records
+    // the weaker rows-only check; g9_quantiles is the exact-math gate.
+    "g10_quantiles_approx" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          expr("approx_percentile(value, array(0.25, 0.5, 0.75, 0.95))")
+            .as("quantiles"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("event_type")
+    },
+
     // Headline: TPC-H Q5-style multi-join. nation/region are
     // constant-size (25/5 rows) so their broadcasts are always safe;
     // the customer-derived dims side scales with SF, so it carries NO
