@@ -77,9 +77,35 @@ object IncScaleBench {
       } finally sh.unpersist(): Unit
     }
 
+    // same economics for the simhash family: two-level index probe vs
+    // recomputing fingerprints + doc-level banding over corpus ∪ batch
+    val simDir = "/tmp/graft_incscale_sim_" +
+      corpusDir.replaceAll("[^a-zA-Z0-9]", "_")
+    new graft.store.OrderedDataset(spark, s"$simDir/bands").removeFromDisk()
+    new graft.store.OrderedDataset(spark, s"$simDir/members").removeFromDisk()
+    val tSimBuild = timed {
+      DedupIndex.buildSimhash(spark, simDir, corpus, "doc_id", "text",
+        rowsPerFile = 100000)
+    }
+    val tSimProbe = minOf(3) {
+      DedupIndex.probeSimhash(spark, simDir, batch, "doc_id", "text",
+        maxDist = 3)
+        .write.mode("overwrite").format("noop").save()
+    }
+    val tSimFull = minOf(3) {
+      val sim = DedupOps.simhash(corpus.unionByName(batch),
+        "doc_id", "text").persist()
+      try DedupOps.simhashPairs(sim, 3)
+        .filter(col("j") >= 10000000L && col("i") < 10000000L)
+        .write.mode("overwrite").format("noop").save()
+      finally sim.unpersist(): Unit
+    }
+
     val nCorpus = corpus.count(); val nBatch = batch.count()
     println(s"""{"corpus":$nCorpus,"batch":$nBatch,""" +
-      s""""build_s":$tBuild,"probe_s":$tProbe,"full_s":$tFull}""")
+      s""""build_s":$tBuild,"probe_s":$tProbe,"full_s":$tFull,""" +
+      s""""sim_build_s":$tSimBuild,"sim_probe_s":$tSimProbe,""" +
+      s""""sim_full_s":$tSimFull}""")
     spark.stop()
   }
 }

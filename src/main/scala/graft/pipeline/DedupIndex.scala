@@ -332,7 +332,10 @@ object DedupIndex {
     */
   private def scanForProbes(spark: SparkSession, ds: OrderedDataset,
       probeKeys: DataFrame, maxDriverKeys: Int): DataFrame = {
-    val keys = probeKeys.distinct().limit(maxDriverKeys + 1).collect()
+    // null keys (e.g. md5 of a null text) can never match an index row
+    // (equi-join semantics) — drop them before the driver collect
+    val keys = probeKeys.na.drop().distinct()
+      .limit(maxDriverKeys + 1).collect()
     if (keys.length <= maxDriverKeys) {
       val pts = keys.map(r => OrdLong(r.getLong(0)))
       ds.multiPointDF(pts.toSeq.sortBy(_.v))
