@@ -52,6 +52,37 @@ object DedupIndex {
   def hkey60(hexCol: Column): Column =
     conv(substring(hexCol, 1, 15), 16, 10).cast("long")
 
+  /** Stable fingerprint of an embedding-index projection config (plane
+    * signs + band width), stored in the index kv at build and validated
+    * at probe — mismatched planes would silently produce wrong buckets.
+    */
+  private def planesTag(planes: Seq[Seq[Double]], planesPerBand: Int)
+      : String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(planes.map(_.map(x => if (x > 0) '1' else '0').mkString)
+      .mkString(";").getBytes("UTF-8"))
+    s"${planes.size}|$planesPerBand|" +
+      md.digest().take(6).map("%02x".format(_)).mkString
+  }
+
+  /** Fail fast when a probe's parameters don't match what the index
+    * was built with (the kv tags written by the build methods). Older
+    * untagged indexes pass — the guard only rejects a POSITIVE
+    * mismatch. */
+  private def requireCfg(ds: OrderedDataset, kind: String,
+      cfg: Option[String]): Unit = {
+    val kv = ds.kv
+    require(kv.get("graft.index.kind").forall(_ == kind),
+      s"index at ${ds.dir} is a '${kv("graft.index.kind")}' index, " +
+        s"probed as '$kind'")
+    cfg.foreach { c =>
+      require(kv.get("graft.index.cfg").forall(_ == c),
+        s"index at ${ds.dir} was built with config " +
+          s"'${kv("graft.index.cfg")}' but probed with '$c' — rebuild " +
+          "the index or probe with the build-time parameters")
+    }
+  }
+
   // ---------------- exact digest index ----------------
 
   /** Build (or upsert into) the digest index: `(hkey, digest, id)`
@@ -66,7 +97,8 @@ object DedupIndex {
       .select(hkey60(col("digest")).as("hkey"), col("digest"), col("id"))
     new OrderedDataset(spark, dir).write(t,
       WriteOpts("hkey", NRows(rowsPerFile),
-        duplicatesOn = Some(Seq("digest", "id")))): Unit
+        duplicatesOn = Some(Seq("digest", "id")),
+        kv = Map("graft.index.kind" -> "digest"))): Unit
   }
 
   /** Probe the digest index with a batch: returns one row per exact
@@ -82,6 +114,7 @@ object DedupIndex {
         md5(col(textCol)).as("bdigest"))
       .withColumn("hkey", hkey60(col("bdigest")))
     val ds = new OrderedDataset(spark, dir)
+    requireCfg(ds, "digest", None)
     val index = scanForProbes(spark, ds, b.select("hkey"), maxDriverKeys)
     // residual: full-digest equality — the hkey is only a router
     index.join(b, Seq("hkey"))
@@ -123,7 +156,9 @@ object DedupIndex {
     new OrderedDataset(spark, dir).write(
       bandedRows(corpus, idCol, textCol, shingleN, numHashes, bands),
       WriteOpts("hkey", NRows(rowsPerFile),
-        duplicatesOn = Some(Seq("band_id", "sig", "id")))): Unit
+        duplicatesOn = Some(Seq("band_id", "sig", "id")),
+        kv = Map("graft.index.kind" -> "minhash",
+          "graft.index.cfg" -> s"$shingleN|$numHashes|$bands"))): Unit
 
   /** Near-dup pairs between a new batch and the indexed corpus:
     * `(i = corpus id, j = batch id, jac)` with exact Jaccard ≥
@@ -160,6 +195,7 @@ object DedupIndex {
           col("bband_id").cast("string"), lit("|"), col("bsig")))))
     }
     val ds = new OrderedDataset(spark, dir)
+    requireCfg(ds, "minhash", Some(s"$shingleN|$numHashes|$bands"))
     val index = scanForProbes(spark, ds, bBanded.select("hkey"),
       maxDriverKeys)
     // residual (band_id, sig) equality behind the hkey equi-join
@@ -205,7 +241,10 @@ object DedupIndex {
       new OrderedDataset(spark, s"$dir/bands").write(
         simhashWithBands(sim, "simhash").select(col("hkey"), col("simhash")),
         WriteOpts("hkey", NRows(rowsPerFile),
-          duplicatesOn = Some(Seq("simhash")))): Unit
+          duplicatesOn = Some(Seq("simhash")),
+          kv = Map("graft.index.kind" -> "simhash",
+            "graft.index.cfg" ->
+              s"${DedupOps.SimhashBits}|${DedupOps.SimhashBands}"))): Unit
       new OrderedDataset(spark, s"$dir/members").write(
         sim.select(col("simhash"), col("id")),
         WriteOpts("simhash", NRows(rowsPerFile),
@@ -240,6 +279,8 @@ object DedupIndex {
       .select(col("id").as("j"), col("simhash").as("bfp"))
     val bBanded = simhashWithBands(bsim, "bfp")
     val bands = new OrderedDataset(spark, s"$dir/bands")
+    requireCfg(bands, "simhash",
+      Some(s"${DedupOps.SimhashBits}|${DedupOps.SimhashBands}"))
     val index = scanForProbes(spark, bands, bBanded.select("hkey"),
       maxDriverKeys)
     // fingerprint-level candidates: the hkey encodes (pair, value)
@@ -284,7 +325,9 @@ object DedupIndex {
         conv(col("bucket"), 2, 10).cast("long")).as("hkey"), col("id"))
     new OrderedDataset(spark, s"$dir/bands").write(banded,
       WriteOpts("hkey", NRows(rowsPerFile),
-        duplicatesOn = Some(Seq("id")))): Unit
+        duplicatesOn = Some(Seq("id")),
+        kv = Map("graft.index.kind" -> "embedding",
+          "graft.index.cfg" -> planesTag(planes, planesPerBand)))): Unit
     new OrderedDataset(spark, s"$dir/members").write(
       corpus.select(col("id"), col("vec"), col("norm")),
       WriteOpts("id", NRows(rowsPerFile),
@@ -305,6 +348,7 @@ object DedupIndex {
         conv(col("bucket"), 2, 10).cast("long")).as("hkey"),
         col("id").as("j"))
     val bands = new OrderedDataset(spark, s"$dir/bands")
+    requireCfg(bands, "embedding", Some(planesTag(planes, planesPerBand)))
     val index = scanForProbes(spark, bands, bBanded.select("hkey"),
       maxDriverKeys)
     val cand = index.join(bBanded, Seq("hkey"))

@@ -120,6 +120,23 @@ class DedupIndexSpec extends SparkSpec {
     assert(viaJoin == pairs)
   }
 
+  test("probing with mismatched build parameters fails fast") {
+    val dir = tmpDir("cfgidx") + "/idx"
+    DedupIndex.buildMinhash(spark, dir, corpus, "doc_id", "text",
+      shingleN = 3, numHashes = 12, bands = 4, rowsPerFile = 100)
+    val err = intercept[IllegalArgumentException] {
+      DedupIndex.probeMinhash(spark, dir, corpus.limit(1), corpus,
+        "doc_id", "text", shingleN = 3, numHashes = 12, bands = 6,
+        threshold = 0.5)
+    }
+    assert(err.getMessage.contains("rebuild"))
+    val err2 = intercept[IllegalArgumentException] {
+      DedupIndex.probeDigest(spark, dir, corpus.limit(1),
+        "doc_id", "text")
+    }
+    assert(err2.getMessage.contains("probed as 'digest'"))
+  }
+
   test("embedding index: probe finds scaled copies via member fetch") {
     val dir = tmpDir("embidx") + "/idx"
     val vecs = (0L until 100L).map { i =>
