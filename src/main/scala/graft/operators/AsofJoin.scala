@@ -48,28 +48,34 @@ object AsofJoin {
     // INSIDE the left row's frame at equal ts — before it (backward) /
     // after it (forward)
     val (rSide, lSide) = if (forward) (1, 0) else (0, 1)
+    // the attach payload travels as ONE struct so the window picks a
+    // whole right ROW atomically — per-column last/first(ignoreNulls)
+    // would backfill a null attach value from an older right row,
+    // fabricating a combination that never existed
+    val rStructType = org.apache.spark.sql.types.StructType(
+      attach.map(c => right.schema(c).copy(name = c)))
     val lTagged = left.select(
-      lcols.map(col) ++
-        attach.map(c =>
-          lit(null).cast(right.schema(c).dataType).as(s"__r_$c")) :+
+      lcols.map(col) :+
+        lit(null).cast(rStructType).as("__r") :+
         lit(lSide).as("__side"): _*)
     val rTagged = right.select(
       (on.map(col) :+ col(tsCol)) ++
         lcols.filterNot(c => on.contains(c) || c == tsCol)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        attach.map(c => col(c).as(s"__r_$c")) :+
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(attach.map(col): _*).as("__r") :+
         lit(rSide).as("__side"): _*)
     val w0 = Window.partitionBy(on.map(col): _*)
       .orderBy(col(tsCol), col("__side"))
     val w =
       if (forward) w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
       else w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val pick: String => org.apache.spark.sql.Column =
-      if (forward) c => first(col(s"__r_$c"), ignoreNulls = true).over(w)
-      else c => last(col(s"__r_$c"), ignoreNulls = true).over(w)
+    val picked =
+      if (forward) first(col("__r"), ignoreNulls = true).over(w)
+      else last(col("__r"), ignoreNulls = true).over(w)
     lTagged.unionByName(rTagged)
-      .select(lcols.map(col) ++ attach.map(c => pick(c).as(c)) :+
-        col("__side"): _*)
-      .filter(col("__side") === lSide).drop("__side")
+      .select(lcols.map(col) :+ picked.as("__p") :+ col("__side"): _*)
+      .filter(col("__side") === lSide)
+      .select(lcols.map(col) ++
+        attach.map(c => col(s"__p.$c").as(c)): _*)
   }
 }

@@ -128,7 +128,7 @@ object DedupIndex {
     * (entirely map-side: shingles → signature → bands in one lineage,
     * cf. [[DedupOps.minhashSignature]]).
     */
-  private def bandedRows(docs: DataFrame, idCol: String, textCol: String,
+  private[graft] def bandedRows(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
     val sig = DedupOps.minhashSignature(
       DedupOps.shingleArrays(docs, idCol, textCol, shingleN), numHashes)
@@ -181,19 +181,12 @@ object DedupIndex {
     // ADVICE-r2 IvfIndex lesson). Callers composing many probes can
     // persist the batch themselves.
     val bsh = DedupOps.shingleArrays(batch, idCol, textCol, shingleN)
-    val bBanded = {
-      val sig = DedupOps.minhashSignature(bsh, numHashes)
-      val rows = numHashes / bands
-      val bandCols = (0 until bands).map(b =>
-        concat((b * rows until (b + 1) * rows).map(i => col(s"s$i")): _*)
-          .as(s"band$b"))
-      sig.select(col("id") +: bandCols: _*)
-        .select(col("id").as("bid"),
-          posexplode(array((0 until bands).map(b => col(s"band$b")): _*))
-            .as(Seq("bband_id", "bsig")))
-        .withColumn("hkey", hkey60(md5(concat(
-          col("bband_id").cast("string"), lit("|"), col("bsig")))))
-    }
+    // the batch side MUST use the exact band/hkey layout of the build
+    // side — reuse bandedRows (renamed) rather than re-deriving it
+    val bBanded = bandedRows(batch, idCol, textCol, shingleN, numHashes,
+      bands)
+      .select(col("hkey"), col("band_id").as("bband_id"),
+        col("sig").as("bsig"), col("id").as("bid"))
     val ds = new OrderedDataset(spark, dir)
     requireCfg(ds, "minhash", Some(s"$shingleN|$numHashes|$bands"))
     val index = scanForProbes(spark, ds, bBanded.select("hkey"),
@@ -238,8 +231,13 @@ object DedupIndex {
       : Unit = {
     val sim = DedupOps.simhash(corpus, idCol, textCol).persist()
     try {
+      // band DISTINCT fingerprints only: a template cluster of s docs
+      // shares one fingerprint, so doc-level banding would shuffle s×
+      // the rows into the write's dedup window for nothing (the same
+      // multiplicity lesson as DedupOps.simhashPairs)
       new OrderedDataset(spark, s"$dir/bands").write(
-        simhashWithBands(sim, "simhash").select(col("hkey"), col("simhash")),
+        simhashWithBands(sim.select(col("simhash")).distinct(), "simhash")
+          .select(col("hkey"), col("simhash")),
         WriteOpts("hkey", NRows(rowsPerFile),
           duplicatesOn = Some(Seq("simhash")),
           kv = Map("graft.index.kind" -> "simhash",
@@ -254,7 +252,7 @@ object DedupIndex {
 
   /** `(hkey, <fpCol>, …)` band-pair rows for a fingerprint column (one
     * row per band pair; hkey injective over (pair id, pair value)). */
-  private def simhashWithBands(sim: DataFrame, fpCol: String): DataFrame = {
+  private[graft] def simhashWithBands(sim: DataFrame, fpCol: String): DataFrame = {
     val bandBits = DedupOps.SimhashBits / DedupOps.SimhashBands
     def bandVal(b: Int) =
       shiftright(col(fpCol), bandBits * b)
@@ -285,11 +283,17 @@ object DedupIndex {
       maxDriverKeys)
     // fingerprint-level candidates: the hkey encodes (pair, value)
     // injectively, so the equi-join needs no residual check
+    // localCheckpoint: the candidate set feeds BOTH the member-key
+    // collect below and the returned plan — without it the whole
+    // bands-scan + hkey-join + distinct pipeline executes twice per
+    // action (shuffle stages of distinct plans are not reused across
+    // jobs). Same non-reliable-storage caveat as DedupOps.dupClusters.
     val fpCand = index.join(bBanded, Seq("hkey"))
       .select(col("simhash"), col("j"), col("bfp"))
       .distinct()
       .filter(bit_count(col("simhash").bitwiseXOR(col("bfp")))
         <= maxDist)
+      .localCheckpoint()
     // expand winning corpus fingerprints to member doc ids — another
     // bounded zone-map probe (candidate fingerprints ≪ corpus)
     val members = new OrderedDataset(spark, s"$dir/members")
@@ -351,9 +355,12 @@ object DedupIndex {
     requireCfg(bands, "embedding", Some(planesTag(planes, planesPerBand)))
     val index = scanForProbes(spark, bands, bBanded.select("hkey"),
       maxDriverKeys)
+    // localCheckpoint — see probeSimhash: cand feeds the member-key
+    // collect AND the returned plan
     val cand = index.join(bBanded, Seq("hkey"))
       .select(col("id").as("i"), col("j"))
       .distinct()
+      .localCheckpoint()
     val members = new OrderedDataset(spark, s"$dir/members")
     val mem = scanForProbes(spark, members,
       cand.select(col("i").as("hkey")), maxDriverKeys)

@@ -44,17 +44,27 @@ object TextOps {
   def normalizeWs(text: Column): Column =
     trim(regexp_replace(text, " {2,}", " "))
 
-  /** Distinct word n-gram shingles (space-joined). */
+  /** [1..hi] as an int array, EMPTY when hi < 1. A plain
+    * `sequence(1, hi)` silently flips to a DESCENDING [1, 0] at hi = 0
+    * (Spark auto-selects step -1), and the downstream slice/substr then
+    * throws on index 0 — so any document shorter than the shingle width
+    * would kill the whole job. */
+  private def upTo(hi: Column): Column =
+    when(hi >= 1, sequence(lit(1), hi))
+      .otherwise(array().cast("array<int>"))
+
+  /** Distinct word n-gram shingles (space-joined); empty for documents
+    * with fewer than n words. */
   def wordShingles(text: Column, n: Int): Column = {
     val ws = wsTokens(text)
     array_distinct(
-      transform(sequence(lit(1), size(ws) - (n - 1)),
+      transform(upTo(size(ws) - (n - 1)),
         i => array_join(slice(ws, i, lit(n)), " ")))
   }
 
   /** All character n-gram shingles (stride 1). */
   def charShingles(text: Column, n: Int): Column =
-    transform(sequence(lit(1), length(text) - (n - 1)),
+    transform(upTo(length(text) - (n - 1)),
       i => text.substr(i, lit(n)))
 
   /** Occurrences of a literal marker inside text — the
@@ -144,7 +154,7 @@ object TextOps {
     * is engine-portable without any int conversion.
     */
   def fingerprintCols(text: Column, n: Int = 8): Seq[Column] = {
-    val hashes = transform(sequence(lit(1), length(text) - (n - 1)),
+    val hashes = transform(upTo(length(text) - (n - 1)),
       i => md5(text.substr(i, lit(n))))
     Seq(array_min(hashes).as("fp_min"), array_max(hashes).as("fp_max"))
   }
@@ -162,7 +172,7 @@ object TextOps {
     */
   def fingerprintDF(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, n: Int = 8): org.apache.spark.sql.DataFrame = {
-    val hashes = transform(sequence(lit(1), length(col(textCol)) - (n - 1)),
+    val hashes = transform(upTo(length(col(textCol)) - (n - 1)),
       i => md5(col(textCol).substr(i, lit(n))))
     df.select(col(idCol), hashes.as("__h"))
       .select(col(idCol),

@@ -101,8 +101,10 @@ object PipelineQueries {
   private def ensureSimhashIndex(s: SparkSession, d: String): String =
     synchronized {
       val dir = s"/tmp/graft_simidx_${inputTag(d, "documents")}"
-      val ds = new graft.store.OrderedDataset(s, s"$dir/bands")
-      if (!ds.exists)
+      // gate on BOTH level datasets: a crash between the two build
+      // commits must not leave a half-built index that never heals
+      if (!new graft.store.OrderedDataset(s, s"$dir/bands").exists ||
+          !new graft.store.OrderedDataset(s, s"$dir/members").exists)
         DedupIndex.buildSimhash(s, dir, docs(s, d), "doc_id", "text",
           rowsPerFile = 2000)
       dir
@@ -113,8 +115,8 @@ object PipelineQueries {
   private def ensureEmbeddingIndex(s: SparkSession, d: String): String =
     synchronized {
       val dir = s"/tmp/graft_embidx_${inputTag(d, "embeddings")}"
-      val ds = new graft.store.OrderedDataset(s, s"$dir/bands")
-      if (!ds.exists) {
+      if (!new graft.store.OrderedDataset(s, s"$dir/bands").exists ||
+          !new graft.store.OrderedDataset(s, s"$dir/members").exists) {
         val v = SimilarityOps.withNorm(embs(s, d), "vec_id", "embedding")
         DedupIndex.buildEmbedding(s, dir, v,
           SimilarityOps.hyperplanes(NPlanes, 64), PlanesPerBand,
@@ -138,7 +140,7 @@ object PipelineQueries {
     // Exact dedup: hash-groupBy on content digest, keep-min-id winner.
     "p_dedup_exact" -> { (s, d) =>
       val base = docs(s, d)
-      val dup = base.select((col("doc_id") + 1000000L).as("doc_id"),
+      val dup = base.select((col("doc_id") + 1000000000L).as("doc_id"),
         col("text"))
       DedupOps.exactDedup(base.unionByName(dup), "text", "doc_id")
         .select(col("doc_id"), md5(col("text")).as("digest"))
@@ -193,9 +195,9 @@ object PipelineQueries {
       val dir = ensureDigestIndex(s, d)
       val base = docs(s, d)
       val batch = base.filter(col("doc_id") % 8 === 7)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
         .unionByName(base.filter(col("doc_id") % 8 === 3)
-          .select((col("doc_id") + 2000000L).as("doc_id"),
+          .select((col("doc_id") + 2000000000L).as("doc_id"),
             concat(col("text"), lit(" zq")).as("text")))
       DedupIndex.probeDigest(s, dir, batch, "doc_id", "text")
         .orderBy("new_id", "corpus_id")
@@ -209,7 +211,7 @@ object PipelineQueries {
       val dir = ensureLshIndex(s, d)
       val base = docs(s, d)
       val batch = base.filter(col("doc_id") % 8 === 7)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+        .select((col("doc_id") + 1000000000L).as("doc_id"),
           concat(col("text"), lit(" zq zq zq")).as("text"))
       DedupIndex.probeMinhash(s, dir, batch, base, "doc_id", "text",
         shingleN = 3, numHashes = NumHashes, bands = MinhashBands,
@@ -225,7 +227,7 @@ object PipelineQueries {
       val dir = ensureSimhashIndex(s, d)
       val base = docs(s, d)
       val batch = base.filter(col("doc_id") % 8 === 7)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+        .select((col("doc_id") + 1000000000L).as("doc_id"),
           concat(col("text"), lit(" zq zq zq")).as("text"))
       DedupIndex.probeSimhash(s, dir, batch, "doc_id", "text",
         SimhashMaxDist)
@@ -250,7 +252,7 @@ object PipelineQueries {
       val dir = ensureEmbeddingIndex(s, d)
       val batch = SimilarityOps.withNorm(
         embs(s, d).filter(col("vec_id") % 8 === 7)
-          .select((col("vec_id") + 1000000L).as("vec_id"),
+          .select((col("vec_id") + 1000000000L).as("vec_id"),
             col("embedding")),
         "vec_id", "embedding")
         .select(col("id"), transform(col("vec"), x => x * 1.5).as("vec"),
@@ -447,7 +449,7 @@ object PipelineQueries {
       s"SELECT id, $b AS band_id, $cc AS sig FROM $src"
     }.mkString(" UNION ALL ")
     s"""WITH $ShingleCte,
-       bdocs AS (SELECT doc_id + 1000000 AS doc_id,
+       bdocs AS (SELECT doc_id + 1000000000 AS doc_id,
                    text || ' zq zq zq' AS text
                  FROM documents WHERE doc_id % 8 = 7),
        bsh AS (SELECT DISTINCT doc_id AS id,
@@ -535,7 +537,7 @@ object PipelineQueries {
     * probeSimhash (doc-level banding ≡ the index's distinct-fingerprint
     * banding + member expansion, see DedupOps.simhashPairs). */
   private def simhashIncOracle: String =
-    s"""WITH bdocs AS (SELECT doc_id + 1000000 AS doc_id,
+    s"""WITH bdocs AS (SELECT doc_id + 1000000000 AS doc_id,
                 text || ' zq zq zq' AS text
               FROM documents WHERE doc_id % 8 = 7),
        ${simhashSimCtes("documents", "c")},
@@ -600,7 +602,7 @@ object PipelineQueries {
     s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
               FROM embeddings),
        n AS (SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM v),
-       bv AS (SELECT vec_id + 1000000 AS id,
+       bv AS (SELECT vec_id + 1000000000 AS id,
                 list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5)
                   AS vec,
                 1.5 * sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -706,7 +708,7 @@ object PipelineQueries {
   def oracleSql: Map[String, String] = Map(
     "p_dedup_exact" ->
       """WITH u AS (SELECT doc_id, text FROM documents
-                UNION ALL SELECT doc_id + 1000000, text FROM documents),
+                UNION ALL SELECT doc_id + 1000000000, text FROM documents),
          dd AS (SELECT doc_id, md5(text) AS digest, row_number() OVER (
                   PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM u)
          SELECT doc_id, digest FROM dd WHERE rn = 1 ORDER BY doc_id""",
@@ -715,10 +717,10 @@ object PipelineQueries {
 
     "p_dedup_inc_exact" ->
       """WITH batch AS (
-           SELECT doc_id + 1000000 AS new_id, text FROM documents
+           SELECT doc_id + 1000000000 AS new_id, text FROM documents
            WHERE doc_id % 8 = 7
            UNION ALL
-           SELECT doc_id + 2000000 AS new_id, text || ' zq' FROM documents
+           SELECT doc_id + 2000000000 AS new_id, text || ' zq' FROM documents
            WHERE doc_id % 8 = 3)
          SELECT b.new_id, c.doc_id AS corpus_id, md5(b.text) AS digest
          FROM batch b JOIN documents c ON md5(c.text) = md5(b.text)

@@ -27,24 +27,31 @@ class AsofJoinPropertySpec extends SparkSpec {
     } yield (k, ts))
   } yield rows.zipWithIndex.map { case ((k, ts), i) => (i.toLong, ts, k) }
 
-  private val rightGen: Gen[Seq[(Long, Long, Double)]] = for {
+  // mark values are NULLABLE on purpose: a per-column ignoreNulls pick
+  // would backfill a null attach value from an older right row — the
+  // struct-atomic implementation must return the matched row's null
+  private val rightGen: Gen[Seq[(Long, Long, Option[Double])]] = for {
     n <- Gen.choose(0, 30)
     rows <- Gen.listOfN(n, for {
       k <- Gen.choose(0L, 4L)
       ts <- Gen.choose(0L, 20L)
-    } yield (k, ts))
-  } yield rows.distinct.map { case (k, ts) => (ts, k, k * 100.0 + ts) }
+      nul <- Gen.prob(0.3)
+    } yield (k, ts, nul))
+  } yield rows.map(r => (r._1, r._2)).distinct.map { case (k, ts) =>
+    val nul = rows.exists(r => r._1 == k && r._2 == ts && r._3)
+    (ts, k, if (nul) None else Some(k * 100.0 + ts))
+  }
 
   private def model(left: Seq[(Long, Long, Long)],
-      right: Seq[(Long, Long, Double)], forward: Boolean)
+      right: Seq[(Long, Long, Option[Double])], forward: Boolean)
       : Map[Long, Option[Double]] =
     left.map { case (id, ts, k) =>
       val cands = right.filter { case (rts, rk, _) =>
         rk == k && (if (forward) rts >= ts else rts <= ts) }
       val best =
         if (cands.isEmpty) None
-        else Some(if (forward) cands.minBy(_._1)._3
-                  else cands.maxBy(_._1)._3)
+        else if (forward) cands.minBy(_._1)._3
+        else cands.maxBy(_._1)._3
       id -> best
     }.toMap
 

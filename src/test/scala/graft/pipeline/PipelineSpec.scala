@@ -32,6 +32,19 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("shingles/fingerprints survive documents shorter than the width") {
+    val short = Seq((1L, "one two"), (2L, ""), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    // used to throw 'SQL array indices start at 1' (sequence(1,0) flips
+    // to a descending [1,0]); now short docs just yield empty shingles
+    val sh = DedupOps.shingleArrays(short, "doc_id", "text", 3)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L).isEmpty && sh(2L).isEmpty && sh(3L).size == 2)
+    val fp = TextOps.fingerprintDF(short, "doc_id", "text")
+    assert(fp.count() == 3)
+    assert(fp.filter($"doc_id" === 2L).head.isNullAt(1)) // no 8-gram
+  }
+
   test("cleaning scalars: url/email scrub + whitespace normalize") {
     val in = Seq(
       (1L, "see https://ex.com/a-b_c and http://y.z/d now"),
