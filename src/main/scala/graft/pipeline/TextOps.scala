@@ -53,14 +53,18 @@ object TextOps {
     when(hi >= 1, sequence(lit(1), hi))
       .otherwise(array().cast("array<int>"))
 
+  /** All word n-grams in order (space-joined, with multiplicity);
+    * empty for documents with fewer than n words. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val ws = wsTokens(text)
+    transform(upTo(size(ws) - (n - 1)),
+      i => array_join(slice(ws, i, lit(n)), " "))
+  }
+
   /** Distinct word n-gram shingles (space-joined); empty for documents
     * with fewer than n words. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val ws = wsTokens(text)
-    array_distinct(
-      transform(upTo(size(ws) - (n - 1)),
-        i => array_join(slice(ws, i, lit(n)), " ")))
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    array_distinct(wordNgrams(text, n))
 
   /** All character n-gram shingles (stride 1). */
   def charShingles(text: Column, n: Int): Column =
@@ -157,6 +161,49 @@ object TextOps {
     val hashes = transform(upTo(length(text) - (n - 1)),
       i => md5(text.substr(i, lit(n))))
     Seq(array_min(hashes).as("fp_min"), array_max(hashes).as("fp_max"))
+  }
+
+  /** Intra-document repetition signals (the Gopher-style repetition
+    * filters, adapted to single-line documents: word instead of line
+    * granularity). Two branches over the same source, joined on id:
+    *
+    *  - map-side: word counts and the duplicate-word fraction
+    *    (1 − distinct/total — the "how much of this doc is the same
+    *    word over and over" signal);
+    *  - bigram mode: the most frequent word 2-gram and its share of
+    *    all bigrams. Computed relationally (explode → count → min on
+    *    a (−count, gram) struct, so ties break on the
+    *    lexicographically smallest gram) because a per-row HOF mode
+    *    would re-scan the array per distinct element — the explode is
+    *    per-WORD (bounded fan-out), not per-character, and the
+    *    aggregation is partial (map-side combine) on (id, gram).
+    *
+    * Both branches shuffle on id at most once; no broadcast, no
+    * whole-corpus state — scales like any per-document aggregation.
+    */
+  def repetitionDF(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val ws = wsTokens(col(textCol))
+    val stats = df.select(col(idCol).as("id"), size(ws).as("__n"),
+        size(array_distinct(ws)).as("__nd"))
+      .select(col("id"),
+        col("__n").cast("long").as("n_words"),
+        round(lit(1.0) - col("__nd").cast("double") / col("__n"), 6)
+          .as("dup_word_frac"))
+    // generator kept inline, matching DedupOps.shingleTable (the
+    // Project(arr) + Generate split copies the whole array per row)
+    val bigrams = df.select(col(idCol).as("id"),
+      explode(wordNgrams(col(textCol), 2)).as("g"))
+    val top = bigrams.groupBy("id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("id")
+      .agg(sum(col("c")).as("n_bigrams"),
+        min(struct((lit(0L) - col("c")).as("nc"), col("g"))).as("__t"))
+      .select(col("id"), col("n_bigrams"),
+        col("__t.g").as("top_bigram"),
+        (lit(0L) - col("__t.nc")).as("top_cnt"))
+      .withColumn("top_frac",
+        round(col("top_cnt").cast("double") / col("n_bigrams"), 6))
+    stats.join(top, "id")
   }
 
   /** Same fingerprint as a whole-DataFrame op. The md5-shingle array is

@@ -30,6 +30,11 @@ object PipelineQueries {
   private val NQueryVecs = 20
   private val SampleRateEn = 0.5
   private val SampleRateDefault = 0.25
+  private val EvalRate = 0.1
+  private val ContamN = 5
+  private val PackShards = 8
+  private val PackCapacity = 256
+  private val TopNgrams = 20
 
   /** One-time fixture build (see SparkEntry.prepare). */
   def prepare(s: SparkSession, d: String): Unit = {
@@ -372,6 +377,50 @@ object PipelineQueries {
     "p_text_fingerprint" -> { (s, d) =>
       TextOps.fingerprintDF(docs(s, d), "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // Intra-document repetition signals (Gopher-style filters at word
+    // granularity): duplicate-word fraction map-side, top-bigram mode
+    // via explode + partial-agg, joined on doc_id.
+    "p_text_repetition" -> { (s, d) =>
+      TextOps.repetitionDF(docs(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // Benchmark decontamination: training docs sharing any word 5-gram
+    // with the (md5-deterministic 10%) eval split. Train-side shingles
+    // equi-join the distinct eval-gram set; AQE broadcasts the
+    // benchmark-sized eval side on its own.
+    "p_decontaminate" -> { (s, d) =>
+      val base = docs(s, d)
+      val bucket = SampleOps.hashBucket(col("doc_id"))
+      val thr = lit(SampleOps.thresholdHex(EvalRate))
+      ContaminationOps.overlap(
+        base.filter(bucket >= thr), base.filter(bucket < thr),
+        "doc_id", "text", ContamN)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // Concat-and-chunk sequence packing: deterministic shards, running
+    // token offsets per shard (keyed window — no global sort), chunk
+    // span per doc at a fixed token capacity.
+    "p_pack_chunks" -> { (s, d) =>
+      PackOps.packChunks(docs(s, d), "doc_id",
+          size(TextOps.wsTokens(col("text"))), PackShards, PackCapacity)
+        .select("doc_id", "shard", "n_tokens", "start_off",
+          "chunk_first", "chunk_last")
+        .orderBy("doc_id")
+    },
+
+    // Corpus-wide top-k word trigrams by document frequency: partial
+    // agg on the gram, then TakeOrderedAndProject (per-partition top-k,
+    // no global sort materialization).
+    "p_topk_ngrams" -> { (s, d) =>
+      DedupOps.shingleTable(docs(s, d), "doc_id", "text", 3)
+        .groupBy("g").agg(count(lit(1)).as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("g")).limit(TopNgrams)
     },
 
     // Multimodal frame sampling: every 7th payload byte, fingerprinted —
@@ -839,6 +888,69 @@ object PipelineQueries {
               max(md5(substr(text, i, 8))) AS fp_max
          FROM documents, unnest(generate_series(1, len(text) - 7)) t(i)
          GROUP BY doc_id ORDER BY doc_id""",
+
+    "p_text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents),
+         st AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+                  round(1.0 - len(list_distinct(ws)) * 1.0 / len(ws), 6)
+                    AS dup_word_frac
+                FROM w),
+         bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+                FROM w, unnest(generate_series(1, len(ws) - 1)) t(i)),
+         cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+         rk AS (SELECT doc_id, g, c,
+                  sum(c) OVER (PARTITION BY doc_id) AS nb,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY c DESC, g) AS rn
+                FROM cnt),
+         top AS (SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
+                   g AS top_bigram, CAST(c AS BIGINT) AS top_cnt,
+                   round(c * 1.0 / nb, 6) AS top_frac
+                 FROM rk WHERE rn = 1)
+       SELECT st.doc_id, st.n_words, st.dup_word_frac, top.n_bigrams,
+              top.top_bigram, top.top_cnt, top.top_frac
+       FROM st JOIN top USING (doc_id) ORDER BY doc_id""",
+
+    "p_decontaminate" -> {
+      val hex = SampleOps.thresholdHex(EvalRate)
+      val gram = (0 until ContamN).map(k => s"ws[i+$k]")
+        .mkString(" || ' ' || ")
+      s"""WITH tr AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents
+               WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) >= '$hex'),
+         ev AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents
+               WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$hex'),
+         tsh AS (SELECT DISTINCT doc_id, $gram AS g
+                 FROM tr,
+                   unnest(generate_series(1, len(ws) - ${ContamN - 1})) t(i)),
+         esh AS (SELECT DISTINCT $gram AS g
+                 FROM ev,
+                   unnest(generate_series(1, len(ws) - ${ContamN - 1})) t(i))
+       SELECT tsh.doc_id, count(*) AS n_shared
+       FROM tsh JOIN esh USING (g)
+       GROUP BY 1 ORDER BY doc_id"""
+    },
+
+    "p_pack_chunks" ->
+      s"""WITH t AS (SELECT doc_id, doc_id % $PackShards AS shard,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents),
+         c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard
+                 ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens
+                 AS BIGINT) AS start_off
+               FROM t)
+       SELECT doc_id, shard, n_tokens, start_off,
+              CAST(start_off // $PackCapacity AS BIGINT) AS chunk_first,
+              CAST((start_off + n_tokens - 1) // $PackCapacity AS BIGINT)
+                AS chunk_last
+       FROM c ORDER BY doc_id""",
+
+    "p_topk_ngrams" ->
+      s"""WITH $ShingleCte
+       SELECT g, count(*) AS doc_freq FROM sh GROUP BY g
+       ORDER BY doc_freq DESC, g LIMIT $TopNgrams""",
 
     "p_multimodal_framesample" ->
       """SELECT doc_id,

@@ -452,6 +452,35 @@ object RefQueries {
         .orderBy("event_id")
     },
 
+    // Binned range join (no equality key): per-type time windows
+    // ([10%, 40%] of each type's ts span) matched against ALL events by
+    // ts containment. Naively this is a BroadcastNestedLoopJoin; the
+    // binned operator turns it into an equi-join on 1-hour bin ids —
+    // the shape that survives both sides growing (see
+    // operators.RangeJoin).
+    "j22_interval_join" -> { (s, d) =>
+      import graft.agg.SegmentAgg.wallClockMicros
+      import graft.operators.RangeJoin
+      val ev = Tables.events(s, d)
+      val iv = ev.groupBy(col("event_type").as("itype"))
+        .agg(min(wallClockMicros(col("ts"))).as("tmin"),
+          max(wallClockMicros(col("ts"))).as("tmax"))
+        .select(col("itype"),
+          (col("tmin") + RangeJoin.floorDiv(col("tmax") - col("tmin"), 10L))
+            .as("lo_us"),
+          (col("tmin") +
+            RangeJoin.floorDiv((col("tmax") - col("tmin")) * 2, 5L))
+            .as("hi_us"))
+      val pts = ev.select(col("event_id"), col("value"),
+        wallClockMicros(col("ts")).as("pt_us"))
+      RangeJoin.pointInInterval(pts, col("pt_us"), iv,
+          col("lo_us"), col("hi_us"), binWidth = 3600L * 1000000L)
+        .groupBy("itype")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("itype")
+    },
+
     "j18_semi_join" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
       val o = Tables.orders(s, d)
@@ -764,6 +793,20 @@ object RefQueries {
        FROM e ASOF LEFT JOIN marks m
          ON e.user_id = m.user_id AND e.ts <= m.ts
        ORDER BY event_id""",
+
+    "j22_interval_join" -> s"""$EV,
+         b AS (SELECT event_type AS itype,
+                 min(epoch_us(ts)) AS tmin, max(epoch_us(ts)) AS tmax
+               FROM e GROUP BY 1),
+         iv AS (SELECT itype,
+                  tmin + (tmax - tmin) // 10 AS lo_us,
+                  tmin + ((tmax - tmin) * 2) // 5 AS hi_us
+                FROM b)
+       SELECT itype, count(*) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                AS sum_value
+       FROM e JOIN iv ON epoch_us(e.ts) BETWEEN iv.lo_us AND iv.hi_us
+       GROUP BY itype ORDER BY itype""",
 
     "j18_semi_join" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,

@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Specs for the corpus-construction operators added in round 4:
+  * sequence packing, decontamination, repetition signals.
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packChunks: offsets, chunk spans, and partitioning invariance") {
+    // shard 0: ids 0,2,4 (tokens 4,7,6); shard 1: ids 1,3 (tokens 12,3)
+    val docs = Seq(
+      (0L, "a b c d"), (1L, ("x " * 12).trim), (2L, ("y " * 7).trim),
+      (3L, "p q r"), (4L, ("z " * 6).trim)).toDF("doc_id", "text")
+    val got = PackOps.packChunks(docs, "doc_id",
+        size(split($"text", " ")), shards = 2, capacity = 10)
+      .select("doc_id", "shard", "n_tokens", "start_off",
+        "chunk_first", "chunk_last")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val expected = Set(
+      (0L, 0L, 4L, 0L, 0L, 0L),   // [0,4) -> chunk 0
+      (2L, 0L, 7L, 4L, 0L, 1L),   // [4,11) -> spans chunks 0..1
+      (4L, 0L, 6L, 11L, 1L, 1L),  // [11,17) -> chunk 1
+      (1L, 1L, 12L, 0L, 0L, 1L),  // [0,12) -> spans 0..1
+      (3L, 1L, 3L, 12L, 1L, 1L))  // [12,15) -> chunk 1
+    assert(got == expected)
+    // deterministic under any input partitioning
+    val re = PackOps.packChunks(docs.repartition(7), "doc_id",
+        size(split($"text", " ")), shards = 2, capacity = 10)
+      .select("doc_id", "shard", "n_tokens", "start_off",
+        "chunk_first", "chunk_last")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(re == expected)
+  }
+
+  test("contamination overlap counts shared distinct n-grams") {
+    val train = Seq(
+      (10L, "one two three four five unique tail"),
+      (11L, "nothing in common with anything here"),
+      (12L, "one two three one two three repeated start")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (90L, "eval doc holds one two three inside it"),
+      (91L, "another eval doc")).toDF("doc_id", "text")
+    val got = ContaminationOps.overlap(train, eval, "doc_id", "text", 3)
+      .as[(Long, Long)].collect().toMap
+    // "one two three" is the only shared 3-gram; doc 12 contains it
+    // (distinct-counted once), doc 11 shares nothing -> absent
+    assert(got == Map(10L -> 1L, 12L -> 1L))
+  }
+
+  test("repetitionDF: dup-word fraction and top-bigram mode") {
+    val docs = Seq(
+      (1L, "a a a b"),
+      (2L, "u v w x")).toDF("doc_id", "text")
+    val got = TextOps.repetitionDF(docs, "doc_id", "text")
+      .select("id", "n_words", "dup_word_frac", "n_bigrams",
+        "top_bigram", "top_cnt", "top_frac")
+      .as[(Long, Long, Double, Long, String, Long, Double)]
+      .collect().toSet
+    // doc 1: words {a,a,a,b}: 2 distinct of 4 -> 0.5; bigrams
+    // [a a, a a, a b]: top "a a" x2 of 3 -> 0.666667
+    // doc 2: all distinct -> 0.0; all bigrams count 1, tie breaks on
+    // the lexicographically smallest ("u v")
+    assert(got == Set(
+      (1L, 4L, 0.5, 3L, "a a", 2L, 0.666667),
+      (2L, 4L, 0.0, 3L, "u v", 1L, 0.333333)))
+  }
+}
