@@ -31,6 +31,27 @@ object SampleOps {
   def hashSample(df: DataFrame, idCol: String, rate: Double): DataFrame =
     df.filter(hashBucket(col(idCol)) < lit(thresholdHex(rate)))
 
+  /** Deterministic per-group cap: keep at most `n` rows per stratum,
+    * chosen by md5-bucket order (id as the tiebreak) — "at most N docs
+    * per domain/language", the hard-cap companion of rate-based
+    * stratified sampling. Which rows survive is a pure function of
+    * (stratum, id), independent of partitioning.
+    *
+    * One shuffle on the stratum; the rank filter is a
+    * `row_number <= n` window, which Spark rewrites to WindowGroupLimit
+    * — each partition keeps its own top-n BEFORE the exchange, so the
+    * shuffle carries at most n rows per (stratum, input partition),
+    * not the full group.
+    */
+  def capPerGroup(df: DataFrame, stratum: Column, idCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(hashBucket(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
+  }
+
   /** Stratified deterministic sample: per-stratum rates (e.g. keep 50%
     * of English, 25% of everything else) — the standard language/domain
     * rebalancing step of corpus construction. Unlisted strata get

@@ -163,6 +163,42 @@ object TextOps {
     Seq(array_min(hashes).as("fp_min"), array_max(hashes).as("fp_max"))
   }
 
+  /** Hashed-linear quality-classifier scoring — the shape of a
+    * fasttext-style quality filter: every distinct word hashes to a
+    * weight, the document's score is the mean weight, and `keep` is a
+    * threshold on it. The weight table here is SYNTHETIC (a pure
+    * function of md5, so the DuckDB oracle reproduces it bit-exactly);
+    * a trained model drops in by replacing `wordWeight` with a lookup
+    * against a broadcast weight table — the plumbing (map-side scoring,
+    * integer accumulation, no shuffle) is the part that matters at
+    * 100 TB.
+    *
+    * Weights are INTEGERS in [-1000, 1000] and the sum is integer math
+    * — double addition is order-dependent, so a double-weight sum
+    * would diverge between engines/partitionings; one final division
+    * + round keeps the score deterministic everywhere.
+    */
+  def wordWeight(w: Column): Column =
+    pmod(conv(substring(md5(w), 1, 6), 16, 10).cast("long"), lit(2001L)) -
+      lit(1000L)
+
+  /** Adds `n_feats`, `w_sum`, `score` per row. Staged projections: the
+    * distinct-feature array and the integer weight sum each become
+    * attributes with ≥2 downstream references, so CollapseProject
+    * cannot inline the tokenize/hash work back into multiple
+    * evaluations (the withLangId discipline).
+    */
+  def classifierScoreDF(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol),
+        array_distinct(wsTokens(col(textCol))).as("__f"))
+      .select(col(idCol), size(col("__f")).cast("long").as("n_feats"),
+        aggregate(col("__f"), lit(0L), (acc, w) => acc + wordWeight(w))
+          .as("w_sum"))
+      .select(col(idCol), col("n_feats"), col("w_sum"),
+        round(col("w_sum").cast("double") /
+          (col("n_feats") * lit(1000.0)), 6).as("score"))
+
   /** Intra-document repetition signals (the Gopher-style repetition
     * filters, adapted to single-line documents: word instead of line
     * granularity). Two branches over the same source, joined on id:

@@ -32,6 +32,7 @@ object PipelineQueries {
   private val SampleRateDefault = 0.25
   private val EvalRate = 0.1
   private val ContamN = 5
+  private val CapPerLang = 30
   private val PackShards = 8
   private val PackCapacity = 256
   private val TopNgrams = 20
@@ -376,6 +377,27 @@ object PipelineQueries {
     // Rolling 8-gram fingerprint (min/max md5 shingle).
     "p_text_fingerprint" -> { (s, d) =>
       TextOps.fingerprintDF(docs(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Deterministic per-group cap: at most N docs per detected
+    // language, chosen by md5-bucket order (WindowGroupLimit keeps
+    // per-partition top-N before the stratum shuffle).
+    "p_sample_capped" -> { (s, d) =>
+      val withLang = TextOps.withLangId(docs(s, d), "text")
+      SampleOps.capPerGroup(withLang, col("lang_guess"), "doc_id",
+          CapPerLang)
+        .select("doc_id", "lang_guess")
+        .orderBy("doc_id")
+    },
+
+    // Hashed-linear quality classifier (fasttext-filter shape):
+    // map-side integer weight sum over distinct words, one
+    // division+round at the end; keep = sign of the integer sum (no
+    // double-rounding ambiguity).
+    "p_quality_classifier" -> { (s, d) =>
+      TextOps.classifierScoreDF(docs(s, d), "doc_id", "text")
+        .withColumn("keep", col("w_sum") > 0)
         .orderBy("doc_id")
     },
 
@@ -888,6 +910,37 @@ object PipelineQueries {
               max(md5(substr(text, i, 8))) AS fp_max
          FROM documents, unnest(generate_series(1, len(text) - 7)) t(i)
          GROUP BY doc_id ORDER BY doc_id""",
+
+    "p_sample_capped" -> {
+      val (scores, best, caseExpr) = langSqlParts
+      s"""WITH s AS (SELECT doc_id, text, $scores FROM documents),
+         b AS (SELECT *, $best AS best FROM s),
+         l AS (SELECT doc_id, $caseExpr AS lang_guess FROM b)
+       SELECT doc_id, lang_guess FROM l
+       QUALIFY row_number() OVER (PARTITION BY lang_guess
+         ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id)
+         <= $CapPerLang
+       ORDER BY doc_id"""
+    },
+
+    "p_quality_classifier" -> {
+      val hexVal = (0 until 6).map { k =>
+        s"(strpos('0123456789abcdef', substr(h, ${k + 1}, 1)) - 1) * " +
+          s"${1L << (4 * (5 - k))}"
+      }.mkString(" + ")
+      s"""WITH wrds AS (SELECT DISTINCT doc_id,
+                unnest(string_split(text, ' ')) AS w FROM documents),
+         wt AS (SELECT doc_id,
+                  CAST(($hexVal) % 2001 AS BIGINT) - 1000 AS wgt
+                FROM (SELECT doc_id, md5(w) AS h FROM wrds)),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                   CAST(sum(wgt) AS BIGINT) AS w_sum
+                 FROM wt GROUP BY 1)
+       SELECT doc_id, n_feats, w_sum,
+              round(w_sum * 1.0 / (n_feats * 1000.0), 6) AS score,
+              w_sum > 0 AS keep
+       FROM agg ORDER BY doc_id"""
+    },
 
     "p_text_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws

@@ -51,6 +51,38 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == Map(10L -> 1L, 12L -> 1L))
   }
 
+  test("capPerGroup keeps at most n per stratum, partition-invariant") {
+    val df = (0L until 100L)
+      .map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("id", "g")
+    val got = SampleOps.capPerGroup(df, $"g", "id", 5)
+    val byG = got.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(byG == Map("a" -> 5L, "b" -> 5L))
+    // survivors are a pure function of (stratum, id) — any partitioning
+    val re = SampleOps.capPerGroup(df.repartition(7), $"g", "id", 5)
+      .select("id").as[Long].collect().toSet
+    assert(re == got.select("id").as[Long].collect().toSet)
+    // a group smaller than n survives whole
+    val small = SampleOps.capPerGroup(
+      Seq((1L, "x"), (2L, "x")).toDF("id", "g"), $"g", "id", 5)
+    assert(small.count() == 2)
+  }
+
+  test("classifierScoreDF matches a reference md5-weight computation") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def wgt(w: String): Long =
+      java.lang.Long.parseLong(md5hex(w).take(6), 16) % 2001 - 1000
+    val docs = Seq((1L, "alpha beta alpha gamma")).toDF("doc_id", "text")
+    val expectedSum = Seq("alpha", "beta", "gamma").map(wgt).sum
+    val row = TextOps.classifierScoreDF(docs, "doc_id", "text")
+      .select("doc_id", "n_feats", "w_sum", "score")
+      .as[(Long, Long, Long, Double)].collect()(0)
+    assert(row._2 == 3L)
+    assert(row._3 == expectedSum)
+    assert(math.abs(row._4 - expectedSum / 3000.0) < 1e-6)
+  }
+
   test("repetitionDF: dup-word fraction and top-bigram mode") {
     val docs = Seq(
       (1L, "a a a b"),
