@@ -64,4 +64,35 @@ object RangeJoin {
       .filter(col("__pt") >= col("__lo") && col("__pt") <= col("__hi"))
       .drop("__bin", "__pt", "__lo", "__hi")
   }
+
+  /** Join every `left` interval [lo1, hi1] to every `right` interval
+    * [lo2, hi2] that overlaps it (inclusive ends). Both sides explode
+    * per overlapped bin and equi-join on the bin id; a matching pair
+    * shares every bin its overlap covers, so the join restricts to the
+    * ONE bin containing the overlap's start (`greatest(lo1, lo2)` —
+    * inside both intervals by the overlap condition) and each pair is
+    * emitted exactly once with no distinct. Degenerate intervals
+    * (hi < lo) match nothing.
+    */
+  def intervalOverlap(left: DataFrame, lo1: Column, hi1: Column,
+      right: DataFrame, lo2: Column, hi2: Column,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val collide = left.columns.toSet intersect right.columns.toSet
+    require(collide.isEmpty,
+      s"left/right columns collide on ${collide.mkString(", ")}; " +
+        "alias one side first")
+    def binned(df: DataFrame, lo: Column, hi: Column, tag: String) =
+      df.withColumn(s"__lo$tag", lo).withColumn(s"__hi$tag", hi)
+        .filter(col(s"__lo$tag") <= col(s"__hi$tag"))
+        .withColumn("__bin",
+          explode(sequence(floorDiv(col(s"__lo$tag"), binWidth),
+            floorDiv(col(s"__hi$tag"), binWidth))))
+    binned(left, lo1, hi1, "1").join(binned(right, lo2, hi2, "2"),
+        Seq("__bin"))
+      .filter(col("__lo1") <= col("__hi2") && col("__lo2") <= col("__hi1"))
+      .filter(col("__bin") ===
+        floorDiv(greatest(col("__lo1"), col("__lo2")), binWidth))
+      .drop("__bin", "__lo1", "__hi1", "__lo2", "__hi2")
+  }
 }

@@ -23,8 +23,14 @@ object PipelineQueries {
   private val JaccardThreshold = 0.8
   private val ExactJaccardThreshold = 0.5
   private val SimhashMaxDist = 3
-  private val NPlanes = 16
-  private val PlanesPerBand = 4
+  // Sign-projection key width bounds the random-collision floor of the
+  // banded candidate join (~bands·n²/2^(bits+1) pairs): 4-bit bands
+  // (16 buckets) measured 29s at a 50k-vector corpus — the same band
+  // saturation the simhash family hit and fixed in r3. 6-bit bands cut
+  // candidates 4×; the knob must keep growing with the corpus (a
+  // production 100 TB config uses wider keys still — SCALE.md).
+  private val NPlanes = 24
+  private val PlanesPerBand = 6
   private val CosThreshold = 0.4
   private val TopK = 5
   private val NQueryVecs = 20
@@ -120,7 +126,11 @@ object PipelineQueries {
     * + vector members). */
   private def ensureEmbeddingIndex(s: SparkSession, d: String): String =
     synchronized {
-      val dir = s"/tmp/graft_embidx_${inputTag(d, "embeddings")}"
+      // plane config in the tag: the probe validates its parameters
+      // against the build-time config, so a config change must land in
+      // a fresh fixture dir, not collide with a stale one
+      val dir = s"/tmp/graft_embidx_${NPlanes}x${PlanesPerBand}_" +
+        inputTag(d, "embeddings")
       if (!new graft.store.OrderedDataset(s, s"$dir/bands").exists ||
           !new graft.store.OrderedDataset(s, s"$dir/members").exists) {
         val v = SimilarityOps.withNorm(embs(s, d), "vec_id", "embedding")

@@ -481,6 +481,37 @@ object RefQueries {
         .orderBy("itype")
     },
 
+    // Interval-overlap join (no equality key): per-user sessions ×
+    // per-type hot windows, matched by time overlap. Both interval
+    // sets explode per overlapped 1-hour bin; the pair is kept only in
+    // the bin holding the overlap's start, so no dedup is needed (see
+    // operators.RangeJoin.intervalOverlap).
+    "j23_overlap_join" -> { (s, d) =>
+      import graft.agg.{Sessionize, SegmentAgg}
+      import graft.operators.RangeJoin
+      val ev = Tables.events(s, d)
+      val sess = Sessionize.sessions(ev, Seq("user_id"), col("ts"),
+          col("event_id"), "30 minutes", Seq.empty)
+        .select(col("user_id"), col("session_idx"),
+          SegmentAgg.wallClockMicros(col("session_start")).as("s_lo"),
+          SegmentAgg.wallClockMicros(col("session_end")).as("s_hi"))
+      val iv = ev.groupBy(col("event_type").as("itype"))
+        .agg(min(SegmentAgg.wallClockMicros(col("ts"))).as("tmin"),
+          max(SegmentAgg.wallClockMicros(col("ts"))).as("tmax"))
+        .select(col("itype"),
+          (col("tmin") + RangeJoin.floorDiv(col("tmax") - col("tmin"), 10L))
+            .as("lo_us"),
+          (col("tmin") +
+            RangeJoin.floorDiv((col("tmax") - col("tmin")) * 2, 5L))
+            .as("hi_us"))
+      RangeJoin.intervalOverlap(sess, col("s_lo"), col("s_hi"),
+          iv, col("lo_us"), col("hi_us"), binWidth = 3600L * 1000000L)
+        .groupBy("itype")
+        .agg(count(lit(1)).as("n_sessions"),
+          count_distinct(col("user_id")).as("n_users"))
+        .orderBy("itype")
+    },
+
     "j18_semi_join" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
       val o = Tables.orders(s, d)
@@ -806,6 +837,33 @@ object RefQueries {
               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
                 AS sum_value
        FROM e JOIN iv ON epoch_us(e.ts) BETWEEN iv.lo_us AND iv.hi_us
+       GROUP BY itype ORDER BY itype""",
+
+    "j23_overlap_join" -> s"""$EV,
+         sn AS (SELECT user_id, ts,
+                  SUM(is_new) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) - 1
+                    AS session_idx
+                FROM (SELECT *, CASE WHEN lag(ts) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id)
+                          IS NULL
+                       OR ts > lag(ts) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id)
+                          + INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS is_new FROM e)),
+         sess AS (SELECT user_id, session_idx,
+                    min(epoch_us(ts)) AS s_lo, max(epoch_us(ts)) AS s_hi
+                  FROM sn GROUP BY 1, 2),
+         b AS (SELECT event_type AS itype,
+                 min(epoch_us(ts)) AS tmin, max(epoch_us(ts)) AS tmax
+               FROM e GROUP BY 1),
+         iv AS (SELECT itype,
+                  tmin + (tmax - tmin) // 10 AS lo_us,
+                  tmin + ((tmax - tmin) * 2) // 5 AS hi_us
+                FROM b)
+       SELECT itype, count(*) AS n_sessions,
+              count(DISTINCT user_id) AS n_users
+       FROM sess JOIN iv ON s_lo <= hi_us AND lo_us <= s_hi
        GROUP BY itype ORDER BY itype""",
 
     "j18_semi_join" ->

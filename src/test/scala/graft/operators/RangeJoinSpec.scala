@@ -42,6 +42,31 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("intervalOverlap == brute-force overlap join") {
+    val as = (0 until 120).map { i =>
+      val lo = ((i * 48271L) % 800L) - 400L
+      (i.toLong, lo, lo + (i % 9) * 23L - 11L)
+    }
+    val bs = (0 until 90).map { k =>
+      val lo = ((k * 69621L) % 700L) - 350L
+      (k.toLong, lo, lo + (k % 6) * 31L - 9L)
+    }
+    val adf = as.toDF("aid", "alo", "ahi")
+    val bdf = bs.toDF("bid", "blo", "bhi")
+    val expected = (for {
+      (aid, alo, ahi) <- as if alo <= ahi
+      (bid, blo, bhi) <- bs if blo <= bhi
+      if alo <= bhi && blo <= ahi
+    } yield (aid, bid)).toSet
+    for (bw <- Seq(16L, 64L, 1000L)) {
+      val got = RangeJoin.intervalOverlap(adf, $"alo", $"ahi",
+          bdf, $"blo", $"bhi", bw)
+        .select("aid", "bid").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"dup pairs at binWidth=$bw")
+      assert(got.toSet == expected, s"mismatch at binWidth=$bw")
+    }
+  }
+
   test("colliding column names are rejected") {
     val p = Seq((1L, 2L)).toDF("id", "x")
     val i = Seq((1L, 0L, 5L)).toDF("id", "lo", "hi")
