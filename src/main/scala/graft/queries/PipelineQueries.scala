@@ -42,6 +42,12 @@ object PipelineQueries {
   private val PackShards = 8
   private val PackCapacity = 256
   private val TopNgrams = 20
+  // Coarse-quantizer predicate: FIXED centroid count at any corpus
+  // size (ids < CentroidCap at every driver SF, so small-SF results
+  // are unchanged). A pure `id % 25` set grows linearly with the
+  // corpus and makes brute-force assignment n²/25 — measured 13.5×
+  // at 10× data (SCALE.md r4b); production IVF keeps centroids ~√n.
+  private val CentroidCap = 5000L
 
   /** One-time fixture build (see SparkEntry.prepare). */
   def prepare(s: SparkSession, d: String): Unit = {
@@ -73,11 +79,13 @@ object PipelineQueries {
     * several files and the range-read pruning is actually exercised. */
   private def ensureIvfIndex(s: SparkSession, d: String): String =
     synchronized {
-      val dir = s"/tmp/graft_ivf_${inputTag(d, "embeddings")}"
+      // centroid config in the tag: a config change must rebuild the
+      // fixture, not collide with a stale one
+      val dir = s"/tmp/graft_ivf_c${CentroidCap}_${inputTag(d, "embeddings")}"
       val ds = new graft.store.OrderedDataset(s, dir)
       if (!ds.exists) {
         val v = SimilarityOps.withNorm(embs(s, d), "vec_id", "embedding")
-        IvfIndex.build(s, dir, v, col("id") % 25 === 0, rowsPerFile = 200)
+        IvfIndex.build(s, dir, v, centroidPred, rowsPerFile = 200)
       }
       dir
     }
@@ -151,6 +159,10 @@ object PipelineQueries {
   private def embs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .repartition(s.sparkContext.defaultParallelism)
+
+  /** See CentroidCap: every 25th id, capped to a fixed count. */
+  private def centroidPred =
+    col("id") % 25 === 0 && col("id") < CentroidCap
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on content digest, keep-min-id winner.
@@ -288,14 +300,15 @@ object PipelineQueries {
         .orderBy("q_id", "rank")
     },
 
-    // IVF ANN: deterministic coarse quantizer (vec_id % 25 == 0),
+    // IVF ANN: deterministic coarse quantizer (every 25th id, fixed
+    // cap — see CentroidCap),
     // nearest-centroid inverted lists, probe the 4 nearest lists.
     "p_ann_ivf" -> { (s, d) =>
       val v = SimilarityOps.withNorm(embs(s, d), "vec_id", "embedding")
         .persist()
       SimilarityOps.ivfTopK(
         v.filter(col("id") < NQueryVecs), v,
-        col("id") % 25 === 0, nProbe = 4, k = TopK)
+        centroidPred, nProbe = 4, k = TopK)
         .orderBy("q_id", "rank")
     },
 
@@ -312,7 +325,7 @@ object PipelineQueries {
       // rather than leaking it for the session (ADVICE r2)
       try IvfIndex.search(s, dir,
         v.filter(col("id") < NQueryVecs),
-        v.filter(col("id") % 25 === 0), nProbe = 4, k = TopK)
+        v.filter(centroidPred), nProbe = 4, k = TopK)
         .orderBy("q_id", "rank")
       finally v.unpersist()
     },
@@ -721,7 +734,7 @@ object PipelineQueries {
               FROM embeddings),
        n AS (SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM v),
        cents AS (SELECT id AS cid, vec AS cvec, norm AS cnorm FROM n
-                 WHERE id % 25 = 0),
+                 WHERE id % 25 = 0 AND id < $CentroidCap),
        assigned AS (SELECT id, vec, norm, cid FROM (
               SELECT n.id, n.vec, n.norm, cents.cid, row_number() OVER (
                 PARTITION BY n.id ORDER BY
