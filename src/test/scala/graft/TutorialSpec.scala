@@ -169,4 +169,66 @@ class TutorialSpec extends SparkSpec {
       cleaned("doc_id") === dupIds("new_id"), "left_anti")
     assert(fresh.select("doc_id").as[Long].collect().toSet == Set(1099L))
   }
+
+  /** Day 3 — corpus finalization: decontaminate against the eval
+    * benchmark, drop repetition-degenerate docs, cap each stratum, and
+    * pack what's left into fixed-token-budget training chunks. Every
+    * step is map-side or a keyed window/banded join from
+    * graft.pipeline — no global sort, no all-pairs work anywhere.
+    */
+  test("corpus day 3: decontaminate, filter, cap, pack") {
+    import graft.pipeline._
+    val corpus = ((0L until 60L).map { i =>
+      (i, s"train doc $i topic ${i % 3} " +
+        s"${(0 to 9).map(j => s"k${(i * 7 + j) % 23}").mkString(" ")}")
+    } :+ (60L, "leak leak " + "eval secret five gram phrase") :+
+      (61L, ("spam " * 12).trim + " filler")) // degenerate repetition
+      .toDF("doc_id", "text")
+    val eval = Seq((9000L, "held out eval secret five gram phrase doc"))
+      .toDF("doc_id", "text")
+
+    // 1. decontaminate: any train doc sharing a word 5-gram with eval
+    val dirty = ContaminationOps.overlap(corpus, eval,
+      "doc_id", "text", 5)
+    assert(dirty.select("id").as[Long].collect().toSet == Set(60L))
+    val decon = corpus.join(dirty.select($"id"),
+      corpus("doc_id") === dirty("id"), "left_anti")
+
+    // 2. repetition filter: drop docs dominated by one bigram
+    val rep = TextOps.repetitionDF(decon, "doc_id", "text")
+    val keepIds = rep.filter($"top_frac" < 0.5 && $"dup_word_frac" < 0.5)
+      .select($"id")
+    assert(!keepIds.as[Long].collect().contains(61L))
+    val kept = decon.join(keepIds,
+      decon("doc_id") === keepIds("id"), "left_semi")
+
+    // 3. cap each topic stratum deterministically
+    val strat = kept.withColumn("topic",
+      concat(lit("t"), $"doc_id" % 3))
+    val capped = SampleOps.capPerGroup(strat, $"topic", "doc_id", 15)
+    val perTopic = capped.groupBy("topic").count()
+      .as[(String, Long)].collect().toMap
+    assert(perTopic.values.forall(_ <= 15))
+
+    // 4. pack into 64-token chunks across 4 shards
+    val packed = PackOps.packChunks(capped, "doc_id",
+      size(split($"text", " ")), shards = 4, capacity = 64)
+    // offsets are contiguous within each shard: next start = prev end
+    val rows = packed.select("shard", "start_off", "n_tokens")
+      .orderBy("shard", "start_off")
+      .as[(Long, Long, Long)].collect()
+    rows.groupBy(_._1).values.foreach { sh =>
+      sh.sliding(2).foreach {
+        case Array((_, s1, n1), (_, s2, _)) => assert(s2 == s1 + n1)
+        case _ => ()
+      }
+    }
+    // every chunk index within a shard is covered with no gaps
+    val chunks = packed.select("shard", "chunk_first", "chunk_last")
+      .as[(Long, Long, Long)].collect()
+    chunks.groupBy(_._1).values.foreach { sh =>
+      val covered = sh.flatMap(c => c._2 to c._3).toSet
+      assert(covered == (0L to covered.max).toSet)
+    }
+  }
 }
