@@ -59,7 +59,10 @@ object AsofJoin {
       lcols.map(col) :+
         lit(null).cast(rStructType).as("__r") :+
         lit(lSide).as("__side"): _*)
-    val rTagged = right.select(
+    // a null-ts right row satisfies no `r.ts <= l.ts` predicate, but
+    // asc ordering sorts nulls FIRST — it would enter every frame and
+    // fabricate matches; drop it up front
+    val rTagged = right.filter(col(tsCol).isNotNull).select(
       (on.map(col) :+ col(tsCol)) ++
         lcols.filterNot(c => on.contains(c) || c == tsCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
@@ -78,8 +81,12 @@ object AsofJoin {
       .orderBy(ord, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val picked = last(col("__r"), ignoreNulls = true).over(w)
+    // a null-ts LEFT row has no defined match either (desc ordering
+    // sorts nulls last — it would see every right row); keep the row,
+    // mask the attach
+    val masked = when(col(tsCol).isNotNull, picked)
     lTagged.unionByName(rTagged)
-      .select(lcols.map(col) :+ picked.as("__p") :+ col("__side"): _*)
+      .select(lcols.map(col) :+ masked.as("__p") :+ col("__side"): _*)
       .filter(col("__side") === lSide)
       .select(lcols.map(col) ++
         attach.map(c => col(s"__p.$c").as(c)): _*)

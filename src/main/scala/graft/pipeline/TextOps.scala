@@ -239,7 +239,16 @@ object TextOps {
         (lit(0L) - col("__t.nc")).as("top_cnt"))
       .withColumn("top_frac",
         round(col("top_cnt").cast("double") / col("n_bigrams"), 6))
-    stats.join(top, "id")
+    // LEFT join: a doc with < 2 words has no bigram rows at all — an
+    // inner join would silently delete it from the output (and any
+    // downstream keep-filter would drop it from the corpus); it gets
+    // zero counts and null mode/fraction instead
+    stats.join(top, Seq("id"), "left")
+      .select(col("id"), col("n_words"), col("dup_word_frac"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("top_bigram"),
+        coalesce(col("top_cnt"), lit(0L)).as("top_cnt"),
+        col("top_frac"))
   }
 
   /** Same fingerprint as a whole-DataFrame op. The md5-shingle array is

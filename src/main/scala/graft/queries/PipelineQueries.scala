@@ -984,9 +984,11 @@ object PipelineQueries {
                    g AS top_bigram, CAST(c AS BIGINT) AS top_cnt,
                    round(c * 1.0 / nb, 6) AS top_frac
                  FROM rk WHERE rn = 1)
-       SELECT st.doc_id, st.n_words, st.dup_word_frac, top.n_bigrams,
-              top.top_bigram, top.top_cnt, top.top_frac
-       FROM st JOIN top USING (doc_id) ORDER BY doc_id""",
+       SELECT st.doc_id, st.n_words, st.dup_word_frac,
+              COALESCE(top.n_bigrams, 0) AS n_bigrams,
+              top.top_bigram,
+              COALESCE(top.top_cnt, 0) AS top_cnt, top.top_frac
+       FROM st LEFT JOIN top USING (doc_id) ORDER BY doc_id""",
 
     "p_decontaminate" -> {
       val hex = SampleOps.thresholdHex(EvalRate)

@@ -33,6 +33,33 @@ object RefQueries {
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(38,6)")).cast("double")
 
+  /** Shared j20/j21 body: left = all events, right = deduped marks
+    * (every-20th event, keep-max-id per (user, ts)). */
+  private def asofQuery(s: SparkSession, d: String, forward: Boolean)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val left = ev.select("event_id", "ts", "user_id")
+    val wm = Window.partitionBy("user_id", "ts")
+      .orderBy(col("mark_id").desc)
+    val marks = ev.filter(col("event_id") % 20 === 0)
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("mark_id"), col("value").as("mark_value"))
+      .withColumn("__rn", row_number().over(wm))
+      .filter(col("__rn") === 1).drop("__rn")
+    val joined =
+      if (forward)
+        graft.operators.AsofJoin.forward(left, marks, Seq("user_id"),
+          "ts", Seq("mark_id", "mark_value"))
+      else
+        graft.operators.AsofJoin.backward(left, marks, Seq("user_id"),
+          "ts", Seq("mark_id", "mark_value"))
+    joined.select(col("event_id"), col("user_id"),
+        coalesce(col("mark_id"), lit(-1L)).as("mark_id"),
+        col("mark_value"))
+      .orderBy("event_id")
+  }
+
   /** DuckDB-side CTE giving events with µs timestamps. */
   private val EV =
     """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
@@ -413,44 +440,11 @@ object RefQueries {
     // mark row (every-20th event) for its user at-or-before /
     // at-or-after its ts. One shuffle on the key, single window pass —
     // the set-oriented zipper (see operators.AsofJoin). Marks dedup
-    // (user, ts) keep-max-id so the nearest row is deterministic.
-    "j20_asof" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, d)
-      val left = ev.select("event_id", "ts", "user_id")
-      val wm = Window.partitionBy("user_id", "ts")
-        .orderBy(col("mark_id").desc)
-      val marks = ev.filter(col("event_id") % 20 === 0)
-        .select(col("user_id"), col("ts"),
-          col("event_id").as("mark_id"), col("value").as("mark_value"))
-        .withColumn("__rn", row_number().over(wm))
-        .filter(col("__rn") === 1).drop("__rn")
-      graft.operators.AsofJoin.backward(left, marks, Seq("user_id"), "ts",
-        Seq("mark_id", "mark_value"))
-        .select(col("event_id"), col("user_id"),
-          coalesce(col("mark_id"), lit(-1L)).as("mark_id"),
-          col("mark_value"))
-        .orderBy("event_id")
-    },
-
-    "j21_asof_fwd" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, d)
-      val left = ev.select("event_id", "ts", "user_id")
-      val wm = Window.partitionBy("user_id", "ts")
-        .orderBy(col("mark_id").desc)
-      val marks = ev.filter(col("event_id") % 20 === 0)
-        .select(col("user_id"), col("ts"),
-          col("event_id").as("mark_id"), col("value").as("mark_value"))
-        .withColumn("__rn", row_number().over(wm))
-        .filter(col("__rn") === 1).drop("__rn")
-      graft.operators.AsofJoin.forward(left, marks, Seq("user_id"), "ts",
-        Seq("mark_id", "mark_value"))
-        .select(col("event_id"), col("user_id"),
-          coalesce(col("mark_id"), lit(-1L)).as("mark_id"),
-          col("mark_value"))
-        .orderBy("event_id")
-    },
+    // (user, ts) keep-max-id so the nearest row is deterministic; the
+    // derivation is shared so the two directions (and their oracles)
+    // cannot silently diverge.
+    "j20_asof" -> { (s, d) => asofQuery(s, d, forward = false) },
+    "j21_asof_fwd" -> { (s, d) => asofQuery(s, d, forward = true) },
 
     // Binned range join (no equality key): per-type time windows
     // ([10%, 40%] of each type's ts span) matched against ALL events by

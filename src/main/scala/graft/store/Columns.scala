@@ -45,8 +45,11 @@ object Columns {
   def unflatten(df: DataFrame, sep: String = "_"): DataFrame = {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions.struct
-    // (path, flatName) leaves in frame order
-    val leaves = df.columns.toSeq.map(n => (n.split(sep, -1).toSeq, n))
+    // (path, flatName) leaves in frame order. String.split takes a
+    // REGEX — quote the separator or any metachar sep (".", "|", "+")
+    // silently shreds every name and breaks the flatten inverse.
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val leaves = df.columns.toSeq.map(n => (n.split(sepRe, -1).toSeq, n))
     def build(group: Seq[(Seq[String], String)]): Seq[Column] = {
       val heads = group.map(_._1.head).distinct
       heads.map { h =>

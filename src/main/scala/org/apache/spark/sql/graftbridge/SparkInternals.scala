@@ -29,9 +29,11 @@ object SparkInternals {
     * rounds. No-op for non-checkpointed frames.
     */
   def unpersistCheckpoint(df: Dataset[_]): Unit =
-    df.queryExecution.analyzed match {
+    // collect, don't pattern-match the root: a `.select(...)` over a
+    // checkpointed frame analyzes to Project(LogicalRDD), so a
+    // root-only match silently released nothing for any derived view
+    df.queryExecution.analyzed.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    }: Unit
 }

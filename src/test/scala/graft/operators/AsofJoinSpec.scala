@@ -37,6 +37,26 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(5L).isEmpty)
   }
 
+  test("null timestamps never fabricate matches (either side)") {
+    val l = Seq((1L, Some(5L), "k1"), (2L, None, "k1"))
+      .toDF("id", "ts", "key")
+    val r = Seq((Option.empty[Long], "k1", "ghost"),
+      (Some(20L), "k1", "real"))
+      .toDF("ts", "key", "state")
+    // backward: a null-ts right row sorts first under asc ordering —
+    // without the filter it would attach to every left row
+    val back = AsofJoin.backward(l, r, Seq("key"), "ts", Seq("state"))
+      .select("id", "state").as[(Long, Option[String])].collect().toMap
+    assert(back(1L).isEmpty) // only candidates: ghost(null), real(20>5)
+    assert(back(2L).isEmpty) // null-ts left row: no defined match
+    // forward: null-ts left sorts last under desc ordering — it would
+    // otherwise see every right row
+    val fwd = AsofJoin.forward(l, r, Seq("key"), "ts", Seq("state"))
+      .select("id", "state").as[(Long, Option[String])].collect().toMap
+    assert(fwd(1L).contains("real"))
+    assert(fwd(2L).isEmpty)
+  }
+
   test("left row count and columns are preserved exactly") {
     val out = AsofJoin.backward(left, right, Seq("key"), "ts",
       Seq("state"))

@@ -100,4 +100,19 @@ class CorpusOpsSpec extends SparkSpec {
       (1L, 4L, 0.5, 3L, "a a", 2L, 0.666667),
       (2L, 4L, 0.0, 3L, "u v", 1L, 0.333333)))
   }
+
+  test("repetitionDF keeps documents with no bigrams (single word)") {
+    val docs = Seq((1L, "solo"), (2L, "a b")).toDF("doc_id", "text")
+    // the 1-word doc must still appear, with zero bigram counts — an
+    // inner join would silently delete it (and any downstream
+    // keep-filter would drop it from the corpus)
+    val all = TextOps.repetitionDF(docs, "doc_id", "text").collect()
+    assert(all.length == 2)
+    val solo = all.find(_.getLong(0) == 1L).get
+    assert(solo.getLong(1) == 1L)       // n_words
+    assert(solo.getLong(3) == 0L)       // n_bigrams
+    assert(solo.isNullAt(4))            // top_bigram
+    assert(solo.getLong(5) == 0L)       // top_cnt
+    assert(solo.isNullAt(6))            // top_frac
+  }
 }

@@ -35,6 +35,16 @@ class ColumnsSpec extends SparkSpec {
       Seq("p_q", "p_r", "s"))
   }
 
+  test("unflatten handles regex-metachar separators") {
+    // String.split takes a regex: an unquoted "." would shred every
+    // name into empty strings instead of splitting on the literal dot
+    val flat = Seq((1L, 2L, 3L)).toDF("p.q", "p.r", "s")
+    val nested = Columns.unflatten(flat, sep = ".")
+    assert(nested.columns.toSeq == Seq("p", "s"))
+    assert(Columns.flatten(nested, sep = ".").columns.toSeq ==
+      Seq("p.q", "p.r", "s"))
+  }
+
   test("unflatten property: random nested schemas round-trip") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

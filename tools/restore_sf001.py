@@ -21,7 +21,7 @@ Sources, in fidelity order:
 The driver's correctness gate compares Spark vs DuckDB over the SAME
 files, so it stays fully meaningful on this reconstruction.
 """
-import duckdb, glob, json, os
+import duckdb, glob, os
 from collections import defaultdict
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -77,9 +77,6 @@ write("embeddings", con.execute(
 # --- documents: sample whole dup clusters (every 10th), fill with
 # non-members, remap ids to 0..499
 con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SRC}/documents.parquet'")
-oracle = json.load(open(os.path.join(os.path.dirname(__file__), "..",
-                                     "target", "restore_oracle.json"))) \
-    if False else None
 # inline the exact-jaccard pair query (threshold 0.5, 3-gram shingles)
 # the repo's word-3-gram shingle CTE (PipelineQueries.ShingleCte)
 pairs = con.execute("""
