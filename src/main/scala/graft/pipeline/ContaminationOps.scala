@@ -34,4 +34,40 @@ object ContaminationOps {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** [[overlap]] with a Bloom prefilter on the training side — the
+    * 100 TB plan shape. The eval n-gram set is bounded (a benchmark:
+    * thousands of docs), so it is collected ONCE into a driver-built
+    * Bloom filter ([[graft.functions.BloomFns]]) and embedded in the
+    * plan as a codegen'd map-side predicate over the training shingles:
+    * the join's probe side shrinks from every training n-gram to the
+    * (true overlaps + fpp·|train grams|) survivors BEFORE any shuffle.
+    * The exact equi-join then removes Bloom false positives, so the
+    * result is IDENTICAL to [[overlap]] (same oracle) — the filter
+    * changes plan cost, never the answer. With fpp=1e-3, the shuffle
+    * shrinks ~1000× on an uncontaminated corpus.
+    */
+  def bloomOverlap(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int, fpp: Double = 0.001): DataFrame = {
+    // Size the filter from a cheap upper bound (total grams ≥ distinct
+    // grams — one map-side pass, no shuffle), then build over the
+    // NON-distinct gram stream: Bloom insertion is idempotent, so
+    // skipping the distinct avoids materializing the eval pipeline
+    // twice (no cache/checkpoint to leak). Oversizing only lowers the
+    // effective fpp.
+    val evGrams = DedupOps.shingleTable(eval, idCol, textCol, n)
+    val expected = eval
+      .select(coalesce(sum(greatest(
+        size(TextOps.wsTokens(col(textCol))) - lit(n - 1), lit(0))
+        .cast("long")), lit(0L)))
+      .first().getLong(0)
+    val bloomBytes = graft.functions.BloomFns.serialize(
+      graft.functions.BloomFns.build(evGrams, col("g"),
+        math.max(expected, 1L), fpp))
+    val tsh = DedupOps.shingleTable(train, idCol, textCol, n)
+      .filter(graft.functions.BloomFns.mightContain(bloomBytes, col("g")))
+    tsh.join(evGrams.select(col("g")).distinct(), "g")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

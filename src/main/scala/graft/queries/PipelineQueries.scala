@@ -56,6 +56,30 @@ object PipelineQueries {
     ensureLshIndex(s, d): Unit
     ensureSimhashIndex(s, d): Unit
     ensureEmbeddingIndex(s, d): Unit
+    ensureStreamingDedup(s, d): Unit
+  }
+
+  /** DuckDB oracle shared by p_decontaminate and its Bloom-prefiltered
+    * variant (identical results by construction). */
+  private def decontaminateSql: String = {
+    val hex = SampleOps.thresholdHex(EvalRate)
+    val gram = (0 until ContamN).map(k => s"ws[i+$k]")
+      .mkString(" || ' ' || ")
+    s"""WITH tr AS (SELECT doc_id, string_split(text, ' ') AS ws
+             FROM documents
+             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) >= '$hex'),
+       ev AS (SELECT doc_id, string_split(text, ' ') AS ws
+             FROM documents
+             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$hex'),
+       tsh AS (SELECT DISTINCT doc_id, $gram AS g
+               FROM tr,
+                 unnest(generate_series(1, len(ws) - ${ContamN - 1})) t(i)),
+       esh AS (SELECT DISTINCT $gram AS g
+               FROM ev,
+                 unnest(generate_series(1, len(ws) - ${ContamN - 1})) t(i))
+     SELECT tsh.doc_id, count(*) AS n_shared
+     FROM tsh JOIN esh USING (g)
+     GROUP BY 1 ORDER BY doc_id"""
   }
 
   /** Fixture-dir suffix fingerprinting the INPUT parquet (path + file
@@ -147,6 +171,58 @@ object PipelineQueries {
           rowsPerFile = 2000)
       }
       dir
+    }
+
+  /** Run the streaming-dedup ingest once per scale dir: the documents
+    * table staged as four stream files — three ascending id-range
+    * chunks ("crawl days"), then the FULL table again (a day-2
+    * re-crawl whose every digest the index probe must reject) — fed
+    * through [[graft.streaming.StreamingDedup]] one file per
+    * micro-batch. Ascending id chunks make arrival-order keep-first
+    * coincide with min-id-per-digest, which is what the SQL oracle
+    * states. Returns the corpus dataset dir.
+    */
+  private def ensureStreamingDedup(s: SparkSession, d: String): String =
+    synchronized {
+      val base = s"/tmp/graft_sdedup_${inputTag(d, "documents")}"
+      val corpus = s"$base/corpus"
+      if (!new graft.store.OrderedDataset(s, corpus).exists) {
+        val all = Tables.documents(s, d)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+        val maxId = all.agg(max("doc_id")).first().getLong(0)
+        val cuts = Seq(maxId / 3, 2 * maxId / 3)
+        val chunks = Seq(
+          all.filter(col("doc_id") <= cuts(0)),
+          all.filter(col("doc_id") > cuts(0) && col("doc_id") <= cuts(1)),
+          all.filter(col("doc_id") > cuts(1)),
+          all) // day-2 re-crawl: all duplicates, index must reject 100%
+        val srcDir = new java.io.File(s"$base/stream_src")
+        srcDir.mkdirs()
+        chunks.zipWithIndex.foreach { case (c, i) =>
+          val tmp = s"$base/_stage_$i"
+          c.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(srcDir, f"chunk_$i%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // explicit mtimes: the file stream source orders by timestamp
+          dst.setLastModified(1000000L * (i + 1)): Unit
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory)
+              Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(): Unit
+          }
+          rm(new java.io.File(tmp))
+        }
+        val stream = s.readStream.schema(all.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+        val q = graft.streaming.StreamingDedup.run(stream, "doc_id",
+          "text", corpus, s"$base/index", s"$base/_ckpt",
+          rowsPerFile = 200)
+        q.awaitTermination() // Trigger.AvailableNow: ends when caught up
+      }
+      corpus
     }
 
   // The test tables arrive as a single parquet file = ONE input split;
@@ -445,6 +521,34 @@ object PipelineQueries {
         base.filter(bucket >= thr), base.filter(bucket < thr),
         "doc_id", "text", ContamN)
         .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // Decontamination at the 100 TB plan shape: eval n-grams collected
+    // once into a driver-built Bloom filter, applied as a codegen'd
+    // map-side predicate over the training shingles BEFORE the join;
+    // the exact equi-join removes Bloom false positives, so the result
+    // (and oracle) is identical to p_decontaminate.
+    "p_decontaminate_bloom" -> { (s, d) =>
+      val base = docs(s, d)
+      val bucket = SampleOps.hashBucket(col("doc_id"))
+      val thr = lit(SampleOps.thresholdHex(EvalRate))
+      ContaminationOps.bloomOverlap(
+        base.filter(bucket >= thr), base.filter(bucket < thr),
+        "doc_id", "text", ContamN)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // Streaming ingest dedup: the documents table replayed as four
+    // micro-batches (three crawl-day chunks + a full re-crawl) through
+    // foreachBatch probe-and-append against the store-backed digest
+    // index; readback of the accepted corpus. Equals one-shot exact
+    // dedup keeping the min doc_id per digest.
+    "t13_streaming_dedup" -> { (s, d) =>
+      val corpus = ensureStreamingDedup(s, d)
+      new graft.store.OrderedDataset(s, corpus).df
+        .select("doc_id", "text", "lang", "source", "n_chars")
         .orderBy("doc_id")
     },
 
@@ -990,26 +1094,18 @@ object PipelineQueries {
               COALESCE(top.top_cnt, 0) AS top_cnt, top.top_frac
        FROM st LEFT JOIN top USING (doc_id) ORDER BY doc_id""",
 
-    "p_decontaminate" -> {
-      val hex = SampleOps.thresholdHex(EvalRate)
-      val gram = (0 until ContamN).map(k => s"ws[i+$k]")
-        .mkString(" || ' ' || ")
-      s"""WITH tr AS (SELECT doc_id, string_split(text, ' ') AS ws
-               FROM documents
-               WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) >= '$hex'),
-         ev AS (SELECT doc_id, string_split(text, ' ') AS ws
-               FROM documents
-               WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$hex'),
-         tsh AS (SELECT DISTINCT doc_id, $gram AS g
-                 FROM tr,
-                   unnest(generate_series(1, len(ws) - ${ContamN - 1})) t(i)),
-         esh AS (SELECT DISTINCT $gram AS g
-                 FROM ev,
-                   unnest(generate_series(1, len(ws) - ${ContamN - 1})) t(i))
-       SELECT tsh.doc_id, count(*) AS n_shared
-       FROM tsh JOIN esh USING (g)
-       GROUP BY 1 ORDER BY doc_id"""
-    },
+    "p_decontaminate" -> decontaminateSql,
+
+    // The Bloom prefilter only changes the PLAN (false positives are
+    // removed by the exact join) — the oracle is byte-identical.
+    "p_decontaminate_bloom" -> decontaminateSql,
+
+    "t13_streaming_dedup" ->
+      """SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+         FROM documents d
+         JOIN (SELECT min(doc_id) AS doc_id FROM documents
+               GROUP BY md5(text)) k USING (doc_id)
+         ORDER BY d.doc_id""",
 
     "p_pack_chunks" ->
       s"""WITH t AS (SELECT doc_id, doc_id % $PackShards AS shard,

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.graftbridge.SparkInternals
+import graft.pipeline.DedupIndex
+import graft.store.{NRows, OrderedDataset, WriteOpts}
+
+/** Continuous exact deduplication of a document firehose against a
+  * persistent corpus — the ingest shape of a 100 TB training-data
+  * pipeline: documents arrive continuously (crawl frontier, upload
+  * queue), and each micro-batch must be deduplicated against
+  * EVERYTHING already accepted without rescanning the corpus.
+  *
+  * Structured Streaming supplies the loop (source offsets + checkpoint
+  * = restartable exactly-once batch boundaries); the store supplies the
+  * memory: the accepted corpus and its digest index
+  * ([[DedupIndex.buildDigest]]) are `OrderedDataset`s, so the
+  * per-batch probe is a zone-map point read ∝ batch size, independent
+  * of corpus size (the flat-probe-cost economics measured in SCALE.md).
+  *
+  * Per micro-batch ([[dedupBatch]]):
+  *  1. intra-batch keep-first — min id per content digest (value-based,
+  *     so the result is invariant to partitioning and replay);
+  *  2. cross-batch — probe the digest index, anti-join the hits;
+  *  3. append survivors to the corpus dataset, keep-last on digest;
+  *  4. upsert survivors' digests into the index.
+  *
+  * Failure atomicity: steps 3 and 4 are separate commits, so a crash
+  * between them replays the batch with the corpus written but the
+  * index not yet extended. The replay is harmless end-to-end: the
+  * probe (step 2) misses, but the corpus upsert's keep-last on digest
+  * collapses the re-written rows onto the identical originals, and the
+  * index upsert is itself keep-last — both layers are idempotent under
+  * at-least-once delivery, which is exactly the contract foreachBatch
+  * gives (the same two-layer design as [[StreamingAgg]]'s
+  * checkpoint + keep-last upsert).
+  *
+  * Semantics note: "first" is min-id-per-digest, not arrival order.
+  * When the stream's batch order is correlated with ids (a crawl log
+  * replayed in order), the two coincide and the whole run is
+  * equivalent to one batch dedup — which is what makes the result
+  * exactly SQL-expressible (the `t13_streaming_dedup` oracle).
+  */
+object StreamingDedup {
+
+  /** Start the streaming dedup. `docStream` must carry `idCol`
+    * (castable to long, unique per arriving doc) and `textCol`.
+    * Everything else in the frame is carried into the corpus.
+    */
+  def run(docStream: DataFrame, idCol: String, textCol: String,
+      corpusDir: String, indexDir: String, ckptDir: String,
+      rowsPerFile: Long = 1000000L): StreamingQuery =
+    docStream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        dedupBatch(batch.sparkSession, batch, idCol, textCol,
+          corpusDir, indexDir, rowsPerFile): Unit
+      }
+      .start()
+
+  /** One dedup round (also the batch-incremental entry — a nightly
+    * ingest can call this directly per increment). Returns the number
+    * of rows accepted into the corpus.
+    */
+  def dedupBatch(spark: SparkSession, batch: DataFrame, idCol: String,
+      textCol: String, corpusDir: String, indexDir: String,
+      rowsPerFile: Long = 1000000L): Long = {
+    // 1. intra-batch keep-first (min id per digest). Window over the
+    // digest key: shuffles only this batch, never the corpus.
+    val w = Window.partitionBy("digest").orderBy(col(idCol))
+    val firsts = batch
+      .withColumn("digest", md5(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    // 2. cross-batch: drop docs whose digest the corpus already holds.
+    // Probe cost ∝ batch (zone-map point reads; see DedupIndex docs).
+    val idx = new OrderedDataset(spark, indexDir)
+    val fresh0 =
+      if (idx.exists) {
+        val hits = DedupIndex
+          .probeDigest(spark, indexDir, firsts, idCol, textCol)
+          .select(col("new_id").as("__dup_id")).distinct()
+        firsts.join(hits, firsts(idCol) === col("__dup_id"), "left_anti")
+      } else firsts
+    // One materialization, two consumers (corpus write + index write):
+    // without this the shingle/probe lineage would run twice.
+    val fresh = fresh0
+      .withColumn("hkey", DedupIndex.hkey60(col("digest")))
+      .localCheckpoint()
+    try {
+      val accepted = fresh.count()
+      if (accepted > 0) {
+        // 3. corpus append — ordered on hkey so the corpus itself is
+        // content-addressed (digest-range reads prune files), keep-last
+        // on digest for replay idempotence.
+        new OrderedDataset(spark, corpusDir).write(fresh,
+          WriteOpts("hkey", NRows(rowsPerFile),
+            duplicatesOn = Some(Seq("digest"))))
+        // 4. index upsert (idempotent keep-last, see buildDigest)
+        DedupIndex.buildDigest(spark, indexDir,
+          fresh.drop("digest", "hkey"), idCol, textCol, rowsPerFile)
+      }
+      accepted
+    } finally SparkInternals.unpersistCheckpoint(fresh)
+  }
+}

@@ -51,6 +51,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == Map(10L -> 1L, 12L -> 1L))
   }
 
+  test("bloomOverlap equals overlap (false positives removed by the join)") {
+    val train = (0L until 60L).map(i =>
+      (i, s"train doc $i carries words w${i % 7} w${i % 11} w${i % 13} " +
+        s"plus filler f$i g$i h$i")).toDF("doc_id", "text")
+    val eval = Seq(
+      (900L, "train doc 3 carries words w3 w3 w3"),
+      (901L, "completely disjoint benchmark prompt text here")
+    ).toDF("doc_id", "text")
+    for (n <- Seq(3, 5)) {
+      val exact = ContaminationOps.overlap(train, eval, "doc_id", "text", n)
+        .as[(Long, Long)].collect().toMap
+      // tight fpp AND a sloppy one: results must be identical either
+      // way — the bloom only prefilters, the equi-join decides
+      for (fpp <- Seq(0.001, 0.5)) {
+        val bloom = ContaminationOps
+          .bloomOverlap(train, eval, "doc_id", "text", n, fpp)
+          .as[(Long, Long)].collect().toMap
+        assert(bloom == exact, s"n=$n fpp=$fpp")
+      }
+    }
+  }
+
   test("capPerGroup keeps at most n per stratum, partition-invariant") {
     val df = (0L until 100L)
       .map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("id", "g")

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.store.OrderedDataset
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+final case class Doc(doc_id: Long, text: String)
+
+/** StreamingDedup: chunked ingest with cross-batch duplicates and a
+  * mid-stream restart must converge to one-shot exact dedup keeping
+  * the min id per digest — and the day-2 re-crawl must be rejected by
+  * the index probe without growing the corpus.
+  */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 40 distinct texts; ids interleave so most digests arrive more than
+  // once, including across chunk boundaries, with the min id first
+  // (ascending-id chunking — the contract the oracle states).
+  def mkDocs(): Seq[Doc] = {
+    val texts = (0 until 40).map(i => s"document body number ${i % 40} " +
+      s"with shared filler words ${"x " * (i % 5)}")
+    (0 until 100).map(i => Doc(i.toLong, texts(i % 40)))
+  }
+
+  test("chunked ingest + restart equals one-shot min-id dedup; re-crawl adds nothing") {
+    val dir = tmpDir("sdedup")
+    val corpus = s"$dir/corpus"; val index = s"$dir/index"
+    val ckpt = s"$dir/ckpt"
+    val docs = mkDocs()
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // phase 1: two chunks, then the query terminates (AvailableNow)
+    val m1 = MemoryStream[Doc]
+    m1.addData(docs.slice(0, 30))
+    m1.addData(docs.slice(30, 55))
+    StreamingDedup.run(m1.toDF(), "doc_id", "text", corpus, index, ckpt,
+      rowsPerFile = 16).awaitTermination()
+
+    // phase 2: NEW query, same checkpoint; the source re-presents the
+    // committed blocks (skipped via offsets) plus the rest of day 1
+    val m2 = MemoryStream[Doc]
+    m2.addData(docs.slice(0, 30))
+    m2.addData(docs.slice(30, 55))
+    m2.addData(docs.slice(55, 100))
+    StreamingDedup.run(m2.toDF(), "doc_id", "text", corpus, index, ckpt,
+      rowsPerFile = 16).awaitTermination()
+
+    val expected = docs.groupBy(_.text).map(_._2.minBy(_.doc_id))
+      .toSeq.sortBy(_.doc_id)
+    val got = new OrderedDataset(spark, corpus).df
+      .select("doc_id", "text").as[Doc].collect().toSeq.sortBy(_.doc_id)
+    assert(got == expected)
+    assert(got.size == 40)
+
+    // day-2 re-crawl: every digest already indexed → zero accepted,
+    // corpus byte-identical (file set unchanged, not just row set)
+    val filesBefore = new OrderedDataset(spark, corpus).meta.files
+    val accepted = StreamingDedup.dedupBatch(spark, docs.toDF(),
+      "doc_id", "text", corpus, index, rowsPerFile = 16)
+    assert(accepted == 0)
+    assert(new OrderedDataset(spark, corpus).meta.files == filesBefore)
+
+    // index invariant: one row per distinct digest, aligned with corpus
+    val idxRows = new OrderedDataset(spark, index).df
+    assert(idxRows.select("digest").distinct().count() == 40)
+    assert(idxRows.count() == 40)
+  }
+
+  test("a batch overlapping only the index (not itself) is filtered row-exactly") {
+    val dir = tmpDir("sdedup2")
+    val corpus = s"$dir/corpus"; val index = s"$dir/index"
+    val day1 = (0 until 20).map(i => Doc(i.toLong, s"unique text $i"))
+    StreamingDedup.dedupBatch(spark, day1.toDF(), "doc_id", "text",
+      corpus, index, rowsPerFile = 8): Unit
+    // day 2: 5 true dups of day-1 texts (new ids) + 5 fresh docs
+    val day2 = (0 until 5).map(i => Doc(100L + i, s"unique text $i")) ++
+      (0 until 5).map(i => Doc(200L + i, s"fresh day2 text $i"))
+    val accepted = StreamingDedup.dedupBatch(spark, day2.toDF(),
+      "doc_id", "text", corpus, index, rowsPerFile = 8)
+    assert(accepted == 5)
+    val ids = new OrderedDataset(spark, corpus).df
+      .select("doc_id").as[Long].collect().sorted
+    assert(ids.toSeq == ((0L until 20L) ++ (200L until 205L)).sorted)
+  }
+}
