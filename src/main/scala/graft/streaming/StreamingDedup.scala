@@ -70,6 +70,9 @@ object StreamingDedup {
   def dedupBatch(spark: SparkSession, batch: DataFrame, idCol: String,
       textCol: String, corpusDir: String, indexDir: String,
       rowsPerFile: Long = 1000000L): Long = {
+    val reserved = Set("digest", "hkey", "__rn", "__dup_id")
+    require(!batch.columns.exists(reserved),
+      s"batch must not carry reserved columns ${reserved.mkString("/")}")
     // 1. intra-batch keep-first (min id per digest). Window over the
     // digest key: shuffles only this batch, never the corpus.
     val w = Window.partitionBy("digest").orderBy(col(idCol))
