@@ -15,10 +15,14 @@ object Probe {
       .config("spark.ui.enabled", "false")
     // SPARK_GRAFT_CONF="k=v;k=v" — plan experiments (e.g. force the
     // shuffle-join regime with spark.sql.autoBroadcastJoinThreshold=-1)
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder.config(k, v): Unit
-    })
+    sys.env.get("SPARK_GRAFT_CONF").foreach(
+      _.split(";").map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => builder.config(k, v): Unit
+          case _ => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_CONF segment '$kv' is not k=v")
+        }
+      })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try SparkEntry.prepare(spark, d)

@@ -91,15 +91,24 @@ object DedupIndex {
     * docs only; the ordered upsert merges them into place.
     */
   def buildDigest(spark: SparkSession, dir: String, docs: DataFrame,
-      idCol: String, textCol: String, rowsPerFile: Long = 1000000L): Unit = {
-    val t = docs.select(md5(col(textCol)).as("digest"),
-        col(idCol).cast("long").as("id"))
-      .select(hkey60(col("digest")).as("hkey"), col("digest"), col("id"))
-    new OrderedDataset(spark, dir).write(t,
+      idCol: String, textCol: String, rowsPerFile: Long = 1000000L): Unit =
+    upsertDigestRows(spark, dir,
+      docs.select(md5(col(textCol)).as("digest"),
+        col(idCol).cast("long").as("id")),
+      rowsPerFile)
+
+  /** [[buildDigest]] for callers that already hold `(digest, id)` rows
+    * (e.g. the streaming ingest, which computes digests once for its
+    * own keep-first pass — no second md5 over multi-KB texts).
+    */
+  def upsertDigestRows(spark: SparkSession, dir: String, rows: DataFrame,
+      rowsPerFile: Long = 1000000L): Unit =
+    new OrderedDataset(spark, dir).write(
+      rows.select(hkey60(col("digest")).as("hkey"), col("digest"),
+        col("id").cast("long").as("id")),
       WriteOpts("hkey", NRows(rowsPerFile),
         duplicatesOn = Some(Seq("digest", "id")),
         kv = Map("graft.index.kind" -> "digest"))): Unit
-  }
 
   /** Probe the digest index with a batch: returns one row per exact
     * match `(new_id, corpus_id, digest)`. Choose the scan shape by
@@ -109,9 +118,19 @@ object DedupIndex {
     */
   def probeDigest(spark: SparkSession, dir: String, batch: DataFrame,
       idCol: String, textCol: String, maxDriverKeys: Int = 65536)
-      : DataFrame = {
-    val b = batch.select(col(idCol).cast("long").as("new_id"),
-        md5(col(textCol)).as("bdigest"))
+      : DataFrame =
+    probeDigestKeyed(spark, dir,
+      batch.select(col(idCol).cast("long").as("new_id"),
+        md5(col(textCol)).as("digest")),
+      maxDriverKeys)
+
+  /** [[probeDigest]] with precomputed `(new_id, digest)` rows — the
+    * streaming ingest's path (it controls the digest, e.g. mapping
+    * null text to a sentinel so null documents deduplicate).
+    */
+  def probeDigestKeyed(spark: SparkSession, dir: String, batch: DataFrame,
+      maxDriverKeys: Int = 65536): DataFrame = {
+    val b = batch.select(col("new_id"), col("digest").as("bdigest"))
       .withColumn("hkey", hkey60(col("bdigest")))
     val ds = new OrderedDataset(spark, dir)
     requireCfg(ds, "digest", None)

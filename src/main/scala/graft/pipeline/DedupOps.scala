@@ -22,12 +22,23 @@ import org.apache.spark.sql.expressions.Window
   */
 object DedupOps {
 
-  /** Exact dedup: keep the smallest `keyCol` row per content digest. */
-  def exactDedup(df: DataFrame, contentCol: String, keyCol: String)
-      : DataFrame = {
-    val w = Window.partitionBy(md5(col(contentCol))).orderBy(col(keyCol))
-    df.withColumn("__rn", row_number().over(w))
+  /** Exact dedup: keep the smallest `keyCol` row per content digest.
+    * Null content forms ONE group (SQL `GROUP BY md5(content)`
+    * semantics — the window partitions nulls together), so exactly one
+    * null-content row survives. `digestOut` optionally keeps the
+    * digest as an output column (null for null content) so callers on
+    * the ingest path don't hash the content twice.
+    */
+  def exactDedup(df: DataFrame, contentCol: String, keyCol: String,
+      digestOut: Option[String] = None): DataFrame = {
+    val withD = df.withColumn("__digest", md5(col(contentCol)))
+    val w = Window.partitionBy(col("__digest")).orderBy(col(keyCol))
+    val kept = withD.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+    digestOut match {
+      case Some(n) => kept.withColumnRenamed("__digest", n)
+      case None => kept.drop("__digest")
+    }
   }
 
   /** (id, gs) per-document DISTINCT shingle array — computed entirely

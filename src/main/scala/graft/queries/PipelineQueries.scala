@@ -182,11 +182,21 @@ object PipelineQueries {
     * coincide with min-id-per-digest, which is what the SQL oracle
     * states. Returns the corpus dataset dir.
     */
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(): Unit
+  }
+
   private def ensureStreamingDedup(s: SparkSession, d: String): String =
     synchronized {
       val base = s"/tmp/graft_sdedup_${inputTag(d, "documents")}"
       val corpus = s"$base/corpus"
-      if (!new graft.store.OrderedDataset(s, corpus).exists) {
+      // gate on a marker written AFTER the stream completes: the corpus
+      // dataset exists from the first micro-batch commit on, so its
+      // existence alone would freeze an interrupted ingest half-built
+      // (the ensureSimhashIndex two-commit lesson)
+      val done = new java.io.File(s"$base/_ingest_done")
+      if (!done.exists()) {
         val all = Tables.documents(s, d)
           .select("doc_id", "text", "lang", "source", "n_chars")
         val maxId = all.agg(max("doc_id")).first().getLong(0)
@@ -208,12 +218,7 @@ object PipelineQueries {
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           // explicit mtimes: the file stream source orders by timestamp
           dst.setLastModified(1000000L * (i + 1)): Unit
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory)
-              Option(f.listFiles()).foreach(_.foreach(rm))
-            f.delete(): Unit
-          }
-          rm(new java.io.File(tmp))
+          rmTree(new java.io.File(tmp))
         }
         val stream = s.readStream.schema(all.schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
@@ -221,6 +226,7 @@ object PipelineQueries {
           "text", corpus, s"$base/index", s"$base/_ckpt",
           rowsPerFile = 200)
         q.awaitTermination() // Trigger.AvailableNow: ends when caught up
+        done.createNewFile(): Unit
       }
       corpus
     }

@@ -2,10 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.graftbridge.SparkInternals
-import graft.pipeline.DedupIndex
+import graft.pipeline.{DedupIndex, DedupOps}
 import graft.store.{NRows, OrderedDataset, WriteOpts}
 
 /** Continuous exact deduplication of a document firehose against a
@@ -63,35 +62,53 @@ object StreamingDedup {
       }
       .start()
 
+  /** Digest stored for null-text documents: all-zeros is not a
+    * realistic md5 preimage, so null texts form one dedup group — the
+    * same grouping SQL `GROUP BY md5(text)` gives them (NULL groups
+    * together), which a null digest would NOT give in the store's
+    * dedup window or the index's equality probe.
+    */
+  val NullDigest: String = "0" * 32
+
   /** One dedup round (also the batch-incremental entry — a nightly
     * ingest can call this directly per increment). Returns the number
     * of rows accepted into the corpus.
+    *
+    * Crash contract for the DIRECT batch entry: if the process dies
+    * between the corpus commit and the index commit, the caller must
+    * re-run the SAME increment (at-least-once with identical content —
+    * what foreachBatch replay provides automatically); both commits
+    * are keep-last-idempotent under that replay. Moving on to the NEXT
+    * increment without replaying would let a later same-digest doc
+    * slip past the not-yet-extended index and replace the stored
+    * original.
     */
   def dedupBatch(spark: SparkSession, batch: DataFrame, idCol: String,
       textCol: String, corpusDir: String, indexDir: String,
       rowsPerFile: Long = 1000000L): Long = {
-    val reserved = Set("digest", "hkey", "__rn", "__dup_id")
+    val reserved = Set("digest", "hkey", "__rn", "__digest")
     require(!batch.columns.exists(reserved),
       s"batch must not carry reserved columns ${reserved.mkString("/")}")
-    // 1. intra-batch keep-first (min id per digest). Window over the
-    // digest key: shuffles only this batch, never the corpus.
-    val w = Window.partitionBy("digest").orderBy(col(idCol))
-    val firsts = batch
-      .withColumn("digest", md5(col(textCol)))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    // 1. intra-batch keep-first (min id per digest; null texts form one
+    // group). Window over the digest key: shuffles only this batch,
+    // never the corpus. The digest rides along — no second md5 pass.
+    val firsts = DedupOps
+      .exactDedup(batch, textCol, idCol, digestOut = Some("digest"))
+      .withColumn("digest", coalesce(col("digest"), lit(NullDigest)))
     // 2. cross-batch: drop docs whose digest the corpus already holds.
     // Probe cost ∝ batch (zone-map point reads; see DedupIndex docs).
     val idx = new OrderedDataset(spark, indexDir)
     val fresh0 =
       if (idx.exists) {
         val hits = DedupIndex
-          .probeDigest(spark, indexDir, firsts, idCol, textCol)
+          .probeDigestKeyed(spark, indexDir,
+            firsts.select(col(idCol).cast("long").as("new_id"),
+              col("digest")))
           .select(col("new_id").as("__dup_id")).distinct()
         firsts.join(hits, firsts(idCol) === col("__dup_id"), "left_anti")
       } else firsts
     // One materialization, two consumers (corpus write + index write):
-    // without this the shingle/probe lineage would run twice.
+    // without this the digest/probe lineage would run twice.
     val fresh = fresh0
       .withColumn("hkey", DedupIndex.hkey60(col("digest")))
       .localCheckpoint()
@@ -104,9 +121,11 @@ object StreamingDedup {
         new OrderedDataset(spark, corpusDir).write(fresh,
           WriteOpts("hkey", NRows(rowsPerFile),
             duplicatesOn = Some(Seq("digest"))))
-        // 4. index upsert (idempotent keep-last, see buildDigest)
-        DedupIndex.buildDigest(spark, indexDir,
-          fresh.drop("digest", "hkey"), idCol, textCol, rowsPerFile)
+        // 4. index upsert (idempotent keep-last) — reuses the digests
+        // already materialized in `fresh`
+        DedupIndex.upsertDigestRows(spark, indexDir,
+          fresh.select(col("digest"), col(idCol).cast("long").as("id")),
+          rowsPerFile)
       }
       accepted
     } finally SparkInternals.unpersistCheckpoint(fresh)

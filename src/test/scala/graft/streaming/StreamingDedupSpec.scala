@@ -68,6 +68,26 @@ class StreamingDedupSpec extends SparkSpec {
     assert(idxRows.count() == 40)
   }
 
+  test("null-text docs form one dedup group across batches (GROUP BY semantics)") {
+    val dir = tmpDir("sdedup3")
+    val corpus = s"$dir/corpus"; val index = s"$dir/index"
+    // batch 1: one null-text doc + one real doc — both accepted
+    val a1 = StreamingDedup.dedupBatch(spark,
+      Seq(Doc(5L, null), Doc(1L, "real text")).toDF(), "doc_id", "text",
+      corpus, index, rowsPerFile = 8)
+    assert(a1 == 2)
+    // batch 2: another null-text doc and a re-crawl of the real one —
+    // both are duplicates (null texts share the sentinel digest group,
+    // exactly like DuckDB's GROUP BY md5(text) groups NULLs)
+    val a2 = StreamingDedup.dedupBatch(spark,
+      Seq(Doc(9L, null), Doc(2L, "real text")).toDF(), "doc_id", "text",
+      corpus, index, rowsPerFile = 8)
+    assert(a2 == 0)
+    val ids = new OrderedDataset(spark, corpus).df
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(5L, 1L))
+  }
+
   test("a batch overlapping only the index (not itself) is filtered row-exactly") {
     val dir = tmpDir("sdedup2")
     val corpus = s"$dir/corpus"; val index = s"$dir/index"
