@@ -19,7 +19,11 @@ sealed trait OrdVal extends Ordered[OrdVal] {
       s"incomparable OrdVal types: $typeTag vs ${that.typeTag}")
   }
 
-  /** Literal usable in Spark Column predicates. */
+  /** Literal usable in Spark Column predicates against a TIMESTAMP_NTZ
+    * (or numeric) column. For session-timezone TIMESTAMP columns use
+    * [[toLiteralFor]] — an NTZ literal against an LTZ column is coerced
+    * through the SESSION zone and lands off by the zone offset.
+    */
   def toLiteral: Any = this match {
     case OrdLong(v)   => v
     case OrdDouble(v) => v
@@ -27,6 +31,19 @@ sealed trait OrdVal extends Ordered[OrdVal] {
       Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000).toInt,
       java.time.ZoneOffset.UTC)
   }
+
+  /** Literal matched to the actual column type: `Instant` for LTZ
+    * TIMESTAMP (true epoch instant — correct under any session
+    * timezone), [[toLiteral]] otherwise.
+    */
+  def toLiteralFor(dt: org.apache.spark.sql.types.DataType): Any =
+    (this, dt) match {
+      case (OrdTs(us), org.apache.spark.sql.types.TimestampType) =>
+        java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L),
+          Math.floorMod(us, 1000000L) * 1000L)
+      case _ => toLiteral
+    }
 }
 final case class OrdLong(v: Long) extends OrdVal { def typeTag = "long" }
 final case class OrdDouble(v: Double) extends OrdVal { def typeTag = "double" }

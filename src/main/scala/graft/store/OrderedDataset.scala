@@ -88,16 +88,25 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     val m = meta
     val sel = m.files.filter(f =>
       lo.forall(l => f.max >= l) && hiExcl.forall(h => f.min < h))
-    if (sel.isEmpty) {
-      if (m.files.isEmpty) emptyLike(m)
-      else spark.read.parquet(filePaths(m): _*).limit(0)
-    } else {
+    if (sel.isEmpty) emptySelection(m)
+    else {
       var d = spark.read.parquet(sel.map(f => s"$dir/${f.name}"): _*)
-      lo.foreach(l => d = d.filter(col(m.orderedOn) >= lit(l.toLiteral)))
-      hiExcl.foreach(h => d = d.filter(col(m.orderedOn) < lit(h.toLiteral)))
+      val dt = d.schema(m.orderedOn).dataType
+      lo.foreach(l =>
+        d = d.filter(col(m.orderedOn) >= lit(l.toLiteralFor(dt))))
+      hiExcl.foreach(h =>
+        d = d.filter(col(m.orderedOn) < lit(h.toLiteralFor(dt))))
       d
     }
   }
+
+  /** Empty result for a zone-map miss: the sidecar schema serves column
+    * resolution at zero I/O; only pre-schema datasets (no schemaJson)
+    * fall back to a parquet read for the schema.
+    */
+  private def emptySelection(m: DatasetMeta): DataFrame =
+    if (m.files.isEmpty || m.schemaJson.nonEmpty) emptyLike(m)
+    else spark.read.parquet(filePaths(m): _*).limit(0)
 
   /** Zone-map-pruned multi-point scan: ONE scan branch over exactly the
     * files whose [min, max] contains any of the given ordered values.
@@ -110,10 +119,8 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     val m = meta
     val sel = m.files.filter(f =>
       points.exists(p => f.min <= p && p <= f.max))
-    if (sel.isEmpty) {
-      if (m.files.isEmpty) emptyLike(m)
-      else spark.read.parquet(filePaths(m): _*).limit(0)
-    } else spark.read.parquet(sel.map(f => s"$dir/${f.name}"): _*)
+    if (sel.isEmpty) emptySelection(m)
+    else spark.read.parquet(sel.map(f => s"$dir/${f.name}"): _*)
   }
 
   /** Row-group-slice view by position in min-order, the analog of
@@ -244,11 +251,24 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
         case _: java.io.IOException => false
       }
     } else {
-      try {
-        val out = fsys.create(lockPath, false)
-        try out.write(payload) finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
+      // two failure shapes: create() itself fails (lock exists — a real
+      // race, leave it alone) vs create() succeeds but write/close fails
+      // (OUR half-written lock — remove it, or every writer is blocked
+      // for LockStaleMs by a lock nobody owns)
+      val created =
+        try Some(fsys.create(lockPath, false))
+        catch { case _: java.io.IOException => None }
+      created match {
+        case None => false
+        case Some(out) =>
+          try { try out.write(payload) finally out.close(); true }
+          catch {
+            case _: java.io.IOException =>
+              try fsys.delete(lockPath, false)
+              catch { case _: java.io.IOException => () }
+              false
+          }
+      }
     }
   }
 
@@ -308,8 +328,16 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     val cached = batch.persist()
     try {
       val bStats = cached.agg(
-        min(opts.orderedOn), max(opts.orderedOn), count(lit(1))).head()
+        min(opts.orderedOn), max(opts.orderedOn), count(lit(1)),
+        count(col(opts.orderedOn))).head()
       val batchRows = bStats.getLong(2)
+      // reject null ordered_on up front: null rows would fall outside
+      // every file's [min,max] and become invisible to range scans (and
+      // an all-null batch would NPE in OrdVal.fromAny below)
+      require(bStats.getLong(3) == batchRows,
+        s"ordered_on '${opts.orderedOn}' contains " +
+          s"${batchRows - bStats.getLong(3)} null values; the ordered " +
+          "store requires a total order — drop or fill them first")
       if (batchRows == 0) {
         val m = m0.getOrElse(DatasetMeta(opts.orderedOn, ordType, Nil,
           Map.empty, 0L, batch.schema.json))
@@ -356,7 +384,15 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
             .filter(col("__rn") === 1).drop("__rn")
       }
 
-      val totalIn = rewrite.map(_.rows).sum + batchRows
+      // size files from the POST-dedup count when deduping: heavy-
+      // duplicate upserts (every AggStream merge write supersedes most
+      // of the slice it rewrites) would otherwise land every file near
+      // half target — permanently off-target with nothing to coalesce
+      // them. One extra bounded job over the merge slice ∪ batch.
+      val totalIn = opts.duplicatesOn match {
+        case Some(_) => deduped.count()
+        case None    => rewrite.map(_.rows).sum + batchRows
+      }
       materialize(deduped, totalIn, rewrite, kept, m0, opts, ordType,
         hasProvenance = true)
     } finally cached.unpersist()
@@ -384,6 +420,20 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
         data.repartitionByRange(nOut, tieCols: _*)
           .sortWithinPartitions(tieCols: _*)
       case TimePeriod(unit) =>
+        // Driver-side period planning (planRewrite.truncPeriod) works
+        // in UTC; date_trunc below uses the SESSION zone. They agree
+        // for TIMESTAMP_NTZ always, and for LTZ TIMESTAMP only under a
+        // UTC session — reject the silently-inconsistent combination.
+        val tzOk = {
+          val tz = spark.sessionState.conf.sessionLocalTimeZone
+          data.schema(opts.orderedOn).dataType != TimestampType ||
+            java.time.ZoneId.of(tz).normalized ==
+              java.time.ZoneOffset.UTC.normalized
+        }
+        require(tzOk,
+          "TimePeriod targets on a session-timezone TIMESTAMP column " +
+            "require spark.sql.session.timeZone=UTC (driver-side period " +
+            "planning truncates in UTC); use TIMESTAMP_NTZ or a UTC session")
         // EXACT one-partition-per-period (ref time_period_strategy):
         // collect the (bounded — one per hour/day/week/month in range)
         // distinct period set on the driver, map period → partition id,

@@ -39,7 +39,10 @@ final case class StreamKeyCfg(
       * snapshot frame (`snapResultsWithSpine` — empty snapshot points
       * forwarded, ref preserve_res within a bin) instead of the sparse
       * observed-cell frame. Requires `snapFreq`. */
-    spineSnaps: Boolean = false)
+    spineSnaps: Boolean = false) {
+  require(!spineSnaps || snapFreq.isDefined,
+    "spineSnaps requires snapFreq (the snapshot grid to fill)")
+}
 
 /** Restartable, out-of-core streamed segment aggregation — the
   * batch-incremental port of the reference's AggStream
@@ -139,7 +142,11 @@ final class AggStream[K](
       .agg(exprs.head, exprs.tail: _*).persist()
     try {
       if (partial.isEmpty) {
-        if (ds.exists) ds.updateKv(Map(StateKey -> restart.toJson))
+        // persist restart AND pre state so this key stays aligned with
+        // the keys that did see rows (a dropped extraKv here would wedge
+        // the next construction's pre-state agreement check)
+        if (ds.exists)
+          ds.updateKv(extraKv ++ Map(StateKey -> restart.toJson))
         return
       }
       val stats = partial.agg(min(BinCol), sum(NCol)).head()
@@ -176,9 +183,11 @@ final class AggStream[K](
       .persist()
     try {
       if (partial.isEmpty) {
-        // still persist the restart index so all keys stay aligned
+        // still persist the restart index (and pre state) so all keys
+        // stay aligned
         val ds = store.get(k)
-        if (ds.exists) ds.updateKv(Map(StateKey -> restart.toJson))
+        if (ds.exists)
+          ds.updateKv(extraKv ++ Map(StateKey -> restart.toJson))
         return
       }
       val minBin = OrdVal.fromAny(partial.agg(min(BinCol)).head().get(0))
@@ -209,32 +218,57 @@ final class AggStream[K](
   def agg(seed: Iterator[DataFrame], discardLast: Boolean = true,
       pre: Option[DataFrame => DataFrame] = None,
       statefulPre: Option[AggStream.StatefulPre] = None): Unit = {
-    var restart: Option[Restart] =
-      keys.keys.flatMap(readState).reduceOption { (a, b) =>
-        require(a == b, s"keys disagree on restart state: $a vs $b"); a
+    // Per-key restart states. Normally all keys agree (every successful
+    // chunk advances them together), but a partially-failed fan-out (one
+    // key's write dies mid-chunk) leaves them divergent. Rather than
+    // wedging on strict equality with no recovery path, HEAL: trim the
+    // seed to the laggiest key's restart, and let each key additionally
+    // trim to its OWN restart (skipping rows it already folded — a
+    // replay would otherwise double-count sums into stored partials).
+    val restartByKey = scala.collection.mutable.Map[K, Option[Restart]](
+      keys.keys.map(k => k -> readState(k)).toSeq: _*)
+    def laggiest(rs: Iterable[Restart]): Option[Restart] =
+      rs.reduceOption { (a, b) =>
+        if (a.v < b.v || (a.v == b.v && !a.exclusive)) a else b
       }
+    // a key with NO state (fresh dataset) folds whatever the caller
+    // seeds; existing keys skip their already-folded prefix themselves
+    var restart: Option[Restart] = laggiest(restartByKey.values.flatten)
     // pre-hook buffer (ref pre_buffer, aggstream.py:799-806): restored
     // from the result datasets' kv, persisted atomically with each data
-    // write, so a restarted stream's pre hook resumes where it left off
+    // write, so a restarted stream's pre hook resumes where it left off.
+    // After a partial failure the laggiest key's pre state is the one to
+    // resume from (its unfolded rows replay through the pre hook; keys
+    // already past them trim those rows away).
     var preState: Option[String] = {
-      val states = keys.keys.flatMap { k =>
+      val withState = keys.keys.toSeq.flatMap { k =>
         val ds = store.get(k)
-        if (ds.exists) ds.kv.get(PreKey) else None
+        val p = if (ds.exists) ds.kv.get(PreKey) else None
+        p.map(s => (restartByKey(k), s))
       }
-      states.reduceOption { (a, b) =>
-        require(a == b, s"keys disagree on pre state: $a vs $b"); a
+      val lag = laggiest(withState.flatMap(_._1))
+      val candidates = withState.collect {
+        case (r, s) if r == lag || lag.isEmpty => s
+      }
+      candidates.distinct match {
+        case Nil => None
+        case Seq(one) => Some(one)
+        case several => throw new IllegalStateException(
+          s"keys at the same restart disagree on pre state: $several")
       }
     }
     var remainder: Option[DataFrame] = None
     var cachedPrev: Option[DataFrame] = None // backing cache of `remainder`
 
-    def trim(df: DataFrame): DataFrame = restart match {
+    def trimTo(df: DataFrame, r: Option[Restart]): DataFrame = r match {
       case None => df
       case Some(r) =>
         val c = col(orderedOn)
-        df.filter(if (r.exclusive) c > lit(r.v.toLiteral)
-                  else c >= lit(r.v.toLiteral))
+        val dt = df.schema(orderedOn).dataType
+        df.filter(if (r.exclusive) c > lit(r.v.toLiteralFor(dt))
+                  else c >= lit(r.v.toLiteralFor(dt)))
     }
+    def trim(df: DataFrame): DataFrame = trimTo(df, restart)
 
     // `d0` must already have the pre hook applied.
     def runChunk(d0: DataFrame, isFinal: Boolean): Unit = {
@@ -242,15 +276,23 @@ final class AggStream[K](
       val st = data.agg(min(orderedOn), max(orderedOn), count(lit(1))).head()
       if (st.getLong(2) == 0) { data.unpersist(); return }
       val mx = OrdVal.fromAny(st.get(1))
+      val dt = data.schema(orderedOn).dataType
       val (process, newRemainder, newRestart) =
         if (discardLast && !isFinal) {
-          (data.filter(col(orderedOn) < lit(mx.toLiteral)),
-           Some(data.filter(col(orderedOn) === lit(mx.toLiteral))),
+          (data.filter(col(orderedOn) < lit(mx.toLiteralFor(dt))),
+           Some(data.filter(col(orderedOn) === lit(mx.toLiteralFor(dt)))),
            Restart(mx, exclusive = false))
         } else (data, None, Restart(mx, exclusive = true))
       val hasRows = !process.isEmpty
       if (hasRows) {
         val extraKv = preState.map(PreKey -> _).toMap
+        // per-key trim: a key AHEAD of the global restart (divergence
+        // after a partially-failed fan-out) skips rows it already
+        // folded; for aligned keys this is the global trim repeated —
+        // a no-op predicate
+        def run(k: K, cfg: StreamKeyCfg): Unit =
+          processKey(k, cfg, trimTo(process, restartByKey(k)), newRestart,
+            extraKv)
         // thread-parallel per key (ref joblib fan-out, aggstream.py:83,
         // 1309-1317): each key's partial-agg + merge + upsert touches
         // only that key's dataset, and Spark's scheduler interleaves
@@ -261,11 +303,11 @@ final class AggStream[K](
           import scala.concurrent.ExecutionContext.Implicits.global
           import scala.concurrent.duration.Duration
           Await.result(Future.sequence(keys.toSeq.map { case (k, cfg) =>
-            Future(processKey(k, cfg, process, newRestart, extraKv))
+            Future(run(k, cfg))
           }), Duration.Inf): Unit
-        } else keys.foreach { case (k, cfg) =>
-          processKey(k, cfg, process, newRestart, extraKv) }
+        } else keys.foreach { case (k, cfg) => run(k, cfg) }
         restart = Some(newRestart)
+        keys.keys.foreach(k => restartByKey(k) = Some(newRestart))
       }
       // release the cache backing the previous remainder, now consumed
       cachedPrev.foreach(_.unpersist())
@@ -393,10 +435,22 @@ final class AggStream[K](
         case None =>
           require(cfg.label == "left",
             "snapResultsWithSpine needs left-labeled bins (bin = grid start)")
+          // bin end: calendar frequencies have no `INTERVAL <freq>`
+          // form (and variable width) — advance by calendar arithmetic,
+          // cast back to the bin's own timestamp type (calendar bins
+          // are midnight-aligned, so the date→timestamp cast is exact)
+          val binDt = base.schema(BinCol).dataType
+          val nextBin = cfg.binFreq.trim.toLowerCase match {
+            case "week"    => col(BinCol) + expr("INTERVAL 7 DAYS")
+            case "month"   => add_months(col(BinCol), 1).cast(binDt)
+            case "quarter" => add_months(col(BinCol), 3).cast(binDt)
+            case "year"    => add_months(col(BinCol), 12).cast(binDt)
+            case _ => col(BinCol) + expr(s"INTERVAL ${cfg.binFreq}")
+          }
           val spine = base.select(col(BinCol)).distinct()
-            .select(col(BinCol), explode(expr(
-              s"sequence($BinCol, $BinCol + INTERVAL ${cfg.binFreq}" +
-                s" - INTERVAL $sf, INTERVAL $sf)")).as(SnapCol))
+            .withColumn("__end", nextBin - expr(s"INTERVAL $sf"))
+            .select(col(BinCol), explode(sequence(col(BinCol),
+              col("__end"), expr(s"INTERVAL $sf"))).as(SnapCol))
           fill(spine, base, Seq(col(BinCol), col(SnapCol)))
         case Some(_) =>
           // count bins have no intrinsic time width: the grid is the

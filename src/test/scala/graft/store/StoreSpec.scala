@@ -341,6 +341,40 @@ class StoreSpec extends SparkSpec {
     assert(!new java.io.File(s"$base/AAPL").exists())
   }
 
+  test("null ordered_on values are rejected up front") {
+    val dir = tmpDir("nullord")
+    val ds = new OrderedDataset(spark, dir)
+    val withNulls = Seq[(java.lang.Long, Double)]((1L, 1.0), (null, 2.0))
+      .toDF("t", "v")
+    val e = intercept[IllegalArgumentException] {
+      ds.write(withNulls, WriteOpts("t", NRows(10)))
+    }
+    assert(e.getMessage.contains("null"))
+    // an all-null batch fails the same clear way (not an NPE)
+    intercept[IllegalArgumentException] {
+      ds.write(Seq[(java.lang.Long, Double)]((null, 3.0)).toDF("t", "v"),
+        WriteOpts("t", NRows(10)))
+    }: Unit
+    assert(!ds.exists)
+  }
+
+  test("dedup upserts size files from the POST-dedup count") {
+    val dir = tmpDir("dedupsize")
+    val ds = new OrderedDataset(spark, dir)
+    // 100 rows at target 50 → 2 on-target files
+    ds.write(tsDf((0L until 100L).map(i => (i, i * 1.0))),
+      WriteOpts("t", NRows(50), duplicatesOn = Some(Seq("t"))))
+    assert(ds.meta.files.size == 2)
+    // supersede EVERY row (same keys): deduped output is still 100
+    // rows → still 2 full-size files, not 4 half-size ones
+    ds.write(tsDf((0L until 100L).map(i => (i, i * 2.0))),
+      WriteOpts("t", NRows(50), duplicatesOn = Some(Seq("t"))))
+    assert(ds.meta.files.size == 2)
+    assert(ds.meta.files.forall(_.rows == 50))
+    // keep-last won: values are the superseding batch's
+    assert(ds.df.agg(sum("v")).head.getDouble(0) == (0 until 100).map(_ * 2.0).sum)
+  }
+
   test("kv metadata add/update/remove") {
     val dir = tmpDir("opd")
     val ds = new OrderedDataset(spark, s"$dir/d1")

@@ -310,6 +310,63 @@ class AggStreamSpec extends SparkSpec {
     assert(got == batchExpected(shifted.toDF("t", "v", "rid")).toSeq)
   }
 
+  test("diverged per-key restarts heal: laggy key catches up, ahead key skips") {
+    val base = tmpDir("aggstream")
+    val st = new Store(spark, base, idx)
+    val rows = tsSeed.collect()
+    def chunk(a: Int, b: Int) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.slice(a, b).toSeq, 2),
+      tsSeed.schema)
+    val cfg = StreamKeyCfg(None, "10 minutes", aggs = specs)
+    // chunk 1 reaches both keys
+    new AggStream(st, "t", "rid", Map("a" -> cfg, "b" -> cfg), NRows(1000))
+      .agg(Iterator(chunk(0, 80)), discardLast = false)
+    // chunk 2 reaches ONLY key a — the partial-failure shape (key b's
+    // write died; its restart is now behind a's)
+    new AggStream(st, "t", "rid", Map("a" -> cfg), NRows(1000))
+      .agg(Iterator(chunk(80, 140)), discardLast = false)
+    // resume with BOTH keys, re-seeding from key b's restart: a must
+    // skip the replayed rows it already folded, b must fold them
+    new AggStream(st, "t", "rid", Map("a" -> cfg, "b" -> cfg), NRows(1000))
+      .agg(Iterator(chunk(80, 200)), discardLast = false)
+    val exp = batchExpected(tsSeed)
+    val sA = new AggStream(st, "t", "rid", Map("a" -> cfg), NRows(1000))
+    val sB = new AggStream(st, "t", "rid", Map("b" -> cfg), NRows(1000))
+    assert(sA.results("a").orderBy("bin").collect().toSeq == exp.toSeq)
+    assert(sB.results("b").orderBy("bin").collect().toSeq == exp.toSeq)
+  }
+
+  test("calendar bins with spineSnaps produce the full in-bin grid") {
+    val base = tmpDir("aggstream")
+    val st = new Store(spark, base, idx)
+    // two months of sparse daily rows (gaps leave empty snapshot cells)
+    val seed = (0 until 60 by 3).map { i =>
+      (java.time.LocalDateTime.of(2024, 1, 1, 6, 0).plusDays(i),
+       i * 1.0, i.toLong)
+    }.toDF("t", "v", "rid").orderBy("t", "rid")
+    val stream = new AggStream(st, "t", "rid",
+      Map("m" -> StreamKeyCfg(None, "month", aggs = specs,
+        snapFreq = Some("1 day"), spineSnaps = true)),
+      NRows(1000))
+    stream.agg(Iterator(seed), discardLast = false)
+    val got = stream.results("m").collect()
+    // full grid: 31 (Jan) + 29 (Feb 2024) daily cells
+    val perBin = got.groupBy(_.get(0)).view.mapValues(_.length).toMap
+    assert(perBin.values.toSet == Set(31, 29))
+    // forwarding: every cell at/after a bin's first observation is
+    // non-null (sum_v is the last agg column)
+    val jan = got.filter(_.get(0).toString.startsWith("2024-01"))
+      .sortBy(_.get(1).toString)
+    assert(jan.head.getAs[Any]("sum_v") != null)
+    assert(jan.count(_.getAs[Any]("sum_v") == null) == 0)
+  }
+
+  test("spineSnaps without snapFreq is rejected at construction") {
+    intercept[IllegalArgumentException] {
+      StreamKeyCfg(None, "10 minutes", aggs = specs, spineSnaps = true)
+    }: Unit
+  }
+
   test("filter fan-out applies per key") {
     val base = tmpDir("aggstream")
     val st = new Store(spark, base, idx)
