@@ -138,12 +138,16 @@ object SegmentAgg {
     */
   def edgeBin(ordered: Column, edges: Seq[Any],
       closed: String = "left"): Column = {
-    val eps = expr("INTERVAL 1 MICROSECOND")
-    val x = if (closed == "left") ordered else ordered - eps
+    // right-closed = greatest edge STRICTLY below v — a strict
+    // comparison, not a 1µs-epsilon subtraction: identical at timestamp
+    // µs precision, and it type-checks for numeric edges too (interval
+    // arithmetic on a long/double column fails analysis)
+    val cmp: Any => Column =
+      if (closed == "left") e => ordered >= lit(e) else e => ordered > lit(e)
     // edges must be ascending; folding ascending leaves the LARGEST edge
     // as the outermost `when`, i.e. the chain tests edges descending
     edges.foldLeft(lit(null): Column) {
-      (acc, e) => when(x >= lit(e), lit(e)).otherwise(acc)
+      (acc, e) => when(cmp(e), lit(e)).otherwise(acc)
     }
   }
 
@@ -179,6 +183,23 @@ object SegmentAgg {
         case AggFn.Sum   =>
           if (exactDoubleSums) sum(c.cast("decimal(38,6)")).cast("double")
           else sum(c)
+      }).as(s.out)
+    }
+
+  /** [[aggExprs]] in MERGEABLE-partial form: sums stay decimal (not
+    * finalized to double) so stored partials combine exactly across
+    * chunks/batches — the shared kernel mapping of the incremental
+    * (AggStream) and native-streaming (StreamingAgg) paths.
+    */
+  def partialAggExprs(specs: Seq[AggSpec], tie: Column): Seq[Column] =
+    specs.map { s =>
+      val c = col(s.in)
+      (s.fn match {
+        case AggFn.First => min_by(c, tie)
+        case AggFn.Last  => max_by(c, tie)
+        case AggFn.Min   => min(c)
+        case AggFn.Max   => max(c)
+        case AggFn.Sum   => sum(c.cast("decimal(38,6)"))
       }).as(s.out)
     }
 

@@ -61,8 +61,14 @@ object AsofJoin {
         lit(lSide).as("__side"): _*)
     // a null-ts right row satisfies no `r.ts <= l.ts` predicate, but
     // asc ordering sorts nulls FIRST — it would enter every frame and
-    // fabricate matches; drop it up front
-    val rTagged = right.filter(col(tsCol).isNotNull).select(
+    // fabricate matches; drop it up front. Same for null JOIN KEYS:
+    // Window.partitionBy groups SQL nulls into one partition, but an
+    // equi-key asof (DuckDB `ON l.k = r.k AND ...`) never matches null
+    // keys — a null-key right row must attach to nothing (null-key
+    // LEFT rows then sit alone in the null partition and keep nulls)
+    val rTagged = right
+      .filter(on.map(col(_).isNotNull).foldLeft(col(tsCol).isNotNull)(_ && _))
+      .select(
       (on.map(col) :+ col(tsCol)) ++
         lcols.filterNot(c => on.contains(c) || c == tsCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+

@@ -94,7 +94,13 @@ object DedupIndex {
       idCol: String, textCol: String, rowsPerFile: Long = 1000000L): Unit =
     upsertDigestRows(spark, dir,
       docs.select(md5(col(textCol)).as("digest"),
-        col(idCol).cast("long").as("id")),
+        col(idCol).cast("long").as("id"))
+        // null text → null digest: indexless by SQL-equality semantics
+        // (a null digest matches nothing in the probe's equi-join, and
+        // the store rejects null ordered keys). The streaming ingest
+        // maps nulls to a sentinel BEFORE its index writes
+        // (StreamingDedup.NullDigest) because its oracle groups them.
+        .filter(col("digest").isNotNull),
       rowsPerFile)
 
   /** [[buildDigest]] for callers that already hold `(digest, id)` rows
@@ -148,9 +154,18 @@ object DedupIndex {
     * cf. [[DedupOps.minhashSignature]]).
     */
   private[graft] def bandedRows(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
-    val sig = DedupOps.minhashSignature(
-      DedupOps.shingleArrays(docs, idCol, textCol, shingleN), numHashes)
+      shingleN: Int, numHashes: Int, bands: Int): DataFrame =
+    bandedRowsFromShingles(
+      DedupOps.shingleArrays(docs, idCol, textCol, shingleN), numHashes,
+      bands)
+
+  /** [[bandedRows]] over an already-shingled `(id, gs)` frame — probe
+    * callers that also need the shingle arrays for verification pass
+    * them here instead of re-tokenizing the batch per consumer.
+    */
+  private[graft] def bandedRowsFromShingles(shingled: DataFrame,
+      numHashes: Int, bands: Int): DataFrame = {
+    val sig = DedupOps.minhashSignature(shingled, numHashes)
     val rows = numHashes / bands
     val bandCols = (0 until bands).map(b =>
       concat((b * rows until (b + 1) * rows).map(i => col(s"s$i")): _*)
@@ -159,6 +174,11 @@ object DedupIndex {
       .select(col("id"),
         posexplode(array((0 until bands).map(b => col(s"band$b")): _*))
           .as(Seq("band_id", "sig")))
+      // a doc with < shingleN words (or null text) has an empty shingle
+      // set → null signature → null band: it can never be an LSH
+      // candidate, and a null hkey would (rightly) be rejected by the
+      // store's null-ordered_on guard at index-build time
+      .filter(col("sig").isNotNull)
       .select(
         hkey60(md5(concat(col("band_id").cast("string"), lit("|"),
           col("sig")))).as("hkey"),
@@ -201,9 +221,9 @@ object DedupIndex {
     // persist the batch themselves.
     val bsh = DedupOps.shingleArrays(batch, idCol, textCol, shingleN)
     // the batch side MUST use the exact band/hkey layout of the build
-    // side — reuse bandedRows (renamed) rather than re-deriving it
-    val bBanded = bandedRows(batch, idCol, textCol, shingleN, numHashes,
-      bands)
+    // side — reuse bandedRowsFromShingles over the SAME shingled frame
+    // the verification uses (one tokenize+shingle lineage, not two)
+    val bBanded = bandedRowsFromShingles(bsh, numHashes, bands)
       .select(col("hkey"), col("band_id").as("bband_id"),
         col("sig").as("bsig"), col("id").as("bid"))
     val ds = new OrderedDataset(spark, dir)
@@ -248,7 +268,12 @@ object DedupIndex {
   def buildSimhash(spark: SparkSession, dir: String, corpus: DataFrame,
       idCol: String, textCol: String, rowsPerFile: Long = 1000000L)
       : Unit = {
-    val sim = DedupOps.simhash(corpus, idCol, textCol).persist()
+    val sim = DedupOps.simhash(corpus, idCol, textCol)
+      // null text → null fingerprint: un-indexable (and the store
+      // rejects null ordered keys); same SQL-equality semantics as
+      // buildDigest's null filter
+      .filter(col("simhash").isNotNull)
+      .persist()
     try {
       // band DISTINCT fingerprints only: a template cluster of s docs
       // shares one fingerprint, so doc-level banding would shuffle s×
@@ -346,6 +371,9 @@ object DedupIndex {
     val banded = SimilarityOps.lshBands(corpus, planes, planesPerBand)
       .select((col("band_id") * lit(1L << planesPerBand) +
         conv(col("bucket"), 2, 10).cast("long")).as("hkey"), col("id"))
+      // null vector → null bucket/hkey: un-indexable, same as the
+      // digest/simhash builders' null filters
+      .filter(col("hkey").isNotNull)
     new OrderedDataset(spark, s"$dir/bands").write(banded,
       WriteOpts("hkey", NRows(rowsPerFile),
         duplicatesOn = Some(Seq("id")),

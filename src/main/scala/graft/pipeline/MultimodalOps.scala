@@ -45,6 +45,9 @@ object MultimodalOps {
     */
   def frameSample(spark: SparkSession, df: DataFrame, idCol: String,
       payloadCol: String, k: Int): Dataset[FrameSample] = {
+    // fail on the driver: k=0 would throw an opaque per-task
+    // 'step cannot be 0' from Array.range, k<0 silently empty output
+    require(k > 0, s"sampling stride k must be positive, got $k")
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
       .as[(Long, Array[Byte])]

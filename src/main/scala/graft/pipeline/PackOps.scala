@@ -38,7 +38,12 @@ object PackOps {
       .withColumn("start_off",
         sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("chunk_first", floorDiv(col("start_off"), capacity))
+      // a zero-token doc occupies no span; clamp to [first, first] so
+      // chunk_last < chunk_first never happens (a raw floorDiv(start-1)
+      // yields -1 at shard offset 0, and sequence(first, last) over an
+      // inverted range enumerates bogus descending chunks)
       .withColumn("chunk_last",
-        floorDiv(col("start_off") + col("n_tokens") - 1, capacity))
+        greatest(col("chunk_first"),
+          floorDiv(col("start_off") + col("n_tokens") - 1, capacity)))
   }
 }

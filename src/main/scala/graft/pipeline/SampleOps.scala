@@ -27,9 +27,14 @@ object SampleOps {
     f"$t%08x"
   }
 
-  /** Uniform deterministic sample: keep ~rate of rows. */
+  /** Uniform deterministic sample: keep ~rate of rows. rate=1.0 keeps
+    * EVERY row: the threshold clamps to "ffffffff", and a strict `<`
+    * would silently drop the ~2⁻³² of ids whose bucket is exactly
+    * that — tens of rows on a multi-billion-row corpus.
+    */
   def hashSample(df: DataFrame, idCol: String, rate: Double): DataFrame =
-    df.filter(hashBucket(col(idCol)) < lit(thresholdHex(rate)))
+    if (rate >= 1.0) { thresholdHex(rate); df } // still range-validate
+    else df.filter(hashBucket(col(idCol)) < lit(thresholdHex(rate)))
 
   /** Deterministic per-group cap: keep at most `n` rows per stratum,
     * chosen by md5-bucket order (id as the tiebreak) — "at most N docs
@@ -63,6 +68,9 @@ object SampleOps {
       lit(thresholdHex(defaultRate))) { case (acc, (k, r)) =>
       when(stratum === lit(k), lit(thresholdHex(r))).otherwise(acc)
     }
-    df.filter(hashBucket(col(idCol)) < threshold)
+    // a full-rate stratum clamps to "ffffffff"; keep its boundary ids
+    // too (see hashSample)
+    df.filter(hashBucket(col(idCol)) < threshold ||
+      threshold === lit("ffffffff"))
   }
 }

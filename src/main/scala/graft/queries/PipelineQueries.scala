@@ -1123,7 +1123,8 @@ object PipelineQueries {
                FROM t)
        SELECT doc_id, shard, n_tokens, start_off,
               CAST(start_off // $PackCapacity AS BIGINT) AS chunk_first,
-              CAST((start_off + n_tokens - 1) // $PackCapacity AS BIGINT)
+              CAST(GREATEST(start_off // $PackCapacity,
+                (start_off + n_tokens - 1) // $PackCapacity) AS BIGINT)
                 AS chunk_last
        FROM c ORDER BY doc_id""",
 

@@ -78,16 +78,8 @@ final class AggStream[K](
   private def tbMax = "__tb_max"
 
   private def partialExprs(cfg: StreamKeyCfg): Seq[Column] =
-    cfg.aggs.map { s =>
-      val c = col(s.in)
-      (s.fn match {
-        case AggFn.First => min_by(c, col(tieCol))
-        case AggFn.Last  => max_by(c, col(tieCol))
-        case AggFn.Min   => min(c)
-        case AggFn.Max   => max(c)
-        case AggFn.Sum   => sum(c.cast("decimal(38,6)"))
-      }).as(s.out)
-    } ++ Seq(min(col(tieCol)).as(tbMin), max(col(tieCol)).as(tbMax))
+    SegmentAgg.partialAggExprs(cfg.aggs, col(tieCol)) ++
+      Seq(min(col(tieCol)).as(tbMin), max(col(tieCol)).as(tbMax))
 
   private def combineExprs(cfg: StreamKeyCfg): Seq[Column] =
     cfg.aggs.map { s =>

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import graft.agg.{AggFn, AggSpec}
+import graft.agg.{AggFn, AggSpec, SegmentAgg}
 import graft.store.{NRows, OrderedDataset, RowGroupTarget, WriteOpts}
 
 /** Structured-Streaming form of the streamed segment aggregation
@@ -31,25 +31,27 @@ object StreamingAgg {
     * @param specs the five-kernel agg plan
     * @param targetDir OrderedDataset directory for results
     * @param checkpointDir streaming checkpoint location
+    * @param watermarkDelay how far out of event-time order the source
+    *   may run before rows are DROPPED by the watermark. The default
+    *   "0 seconds" encodes the reference's ordered-seed contract
+    *   (AggStream raises on an unordered seed): convergence to the
+    *   one-shot batch result holds only while chunks arrive in
+    *   non-decreasing event time (equal boundary timestamps across
+    *   chunks are safe — Spark drops strictly-older-than-watermark
+    *   rows only). For genuinely out-of-order sources, size this to
+    *   the disorder bound; the keep-last bin upsert absorbs the
+    *   re-emitted bins either way.
     */
   def run(seed: DataFrame, orderedOn: String, tieCol: String, freq: String,
       specs: Seq[AggSpec], targetDir: String, checkpointDir: String,
-      target: RowGroupTarget = NRows(6345000L)): StreamingQuery = {
+      target: RowGroupTarget = NRows(6345000L),
+      watermarkDelay: String = "0 seconds"): StreamingQuery = {
     val spark = seed.sparkSession
-    val aggExprs = specs.map { s =>
-      val c = col(s.in)
-      (s.fn match {
-        case AggFn.First => min_by(c, col(tieCol))
-        case AggFn.Last  => max_by(c, col(tieCol))
-        case AggFn.Min   => min(c)
-        case AggFn.Max   => max(c)
-        case AggFn.Sum   => sum(c.cast("decimal(38,6)"))
-      }).as(s.out)
-    }
+    val aggExprs = SegmentAgg.partialAggExprs(specs, col(tieCol))
     // groupBy the window struct itself (watermark propagation requires
     // it); project the start label after the aggregate
     val agg = seed
-      .withWatermark(orderedOn, "0 seconds")
+      .withWatermark(orderedOn, watermarkDelay)
       .groupBy(window(col(orderedOn), freq).as("w"))
       .agg(aggExprs.head, aggExprs.tail: _*)
       .select(col("w").getField("start").as("bin") +:
@@ -97,20 +99,13 @@ object StreamingAgg {
   def runSnapshots(seed: DataFrame, orderedOn: String, tieCol: String,
       binFreq: String, snapFreq: String, specs: Seq[AggSpec],
       targetDir: String, checkpointDir: String,
-      target: RowGroupTarget = NRows(6345000L)): StreamingQuery = {
+      target: RowGroupTarget = NRows(6345000L),
+      watermarkDelay: String = "0 seconds"): StreamingQuery = {
     val spark = seed.sparkSession
-    val partials = specs.map { s =>
-      val c = col(s.in)
-      (s.fn match {
-        case AggFn.First => min_by(c, col(tieCol))
-        case AggFn.Last  => max_by(c, col(tieCol))
-        case AggFn.Min   => min(c)
-        case AggFn.Max   => max(c)
-        case AggFn.Sum   => sum(c.cast("decimal(38,6)"))
-      }).as(s.out)
-    }
+    val partials = graft.agg.SegmentAgg.partialAggExprs(specs, col(tieCol))
+    // watermarkDelay: see run() — "0 seconds" = ordered-seed contract
     val agg = seed
-      .withWatermark(orderedOn, "0 seconds")
+      .withWatermark(orderedOn, watermarkDelay)
       .groupBy(window(col(orderedOn), snapFreq).as("w"),
         graft.agg.SegmentAgg.timeBin(col(orderedOn), binFreq).as("bin"))
       .agg(partials.head, partials.tail: _*)

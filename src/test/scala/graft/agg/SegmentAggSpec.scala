@@ -124,6 +124,19 @@ class SegmentAggSpec extends SparkSpec {
     assert(out(4).contains(ts("2024-01-01T00:08:00")))
   }
 
+  test("edgeBin right-closed works on numeric edges (no interval math)") {
+    val df = Seq(0L, 10L, 11L, 20L, 25L).toDF("v")
+    val out = df.select(
+        SegmentAgg.edgeBin($"v", Seq(10L, 20L), closed = "right").as("bin"))
+      .collect().map(r => Option(r.get(0)))
+    // right-closed: label = greatest edge STRICTLY below v
+    assert(out(0).isEmpty)            // 0  <= first edge
+    assert(out(1).isEmpty)            // 10 == edge -> belongs to (prev,10]
+    assert(out(2).contains(10L))      // 11 in (10,20]
+    assert(out(3).contains(10L))      // 20 == edge
+    assert(out(4).contains(20L))      // 25 beyond last edge
+  }
+
   test("xRowsBins carry continues a partial bin across calls") {
     val binned = SegmentAgg.xRowsBins(df, "t", 2, $"rid", carryIn = 1L)
     val ids = binned.orderBy("t").select("bin_id").as[Long].collect().toSeq

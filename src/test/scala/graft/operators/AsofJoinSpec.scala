@@ -57,6 +57,19 @@ class AsofJoinSpec extends SparkSpec {
     assert(fwd(2L).isEmpty)
   }
 
+  test("null join keys never match (equi-key semantics)") {
+    // DuckDB `ASOF JOIN ... ON l.key = r.key AND l.ts >= r.ts` never
+    // matches null keys; the null-key window partition must not either
+    val l = Seq((1L, 5L, Option.empty[String]), (2L, 5L, Some("k1")))
+      .toDF("id", "ts", "key")
+    val r = Seq((3L, Option.empty[String], "nullk"), (4L, Some("k1"), "real"))
+      .toDF("ts", "key", "state")
+    val back = AsofJoin.backward(l, r, Seq("key"), "ts", Seq("state"))
+      .select("id", "state").as[(Long, Option[String])].collect().toMap
+    assert(back(1L).isEmpty)         // null-key left attaches nothing
+    assert(back(2L).contains("real"))
+  }
+
   test("left row count and columns are preserved exactly") {
     val out = AsofJoin.backward(left, right, Seq("key"), "ts",
       Seq("state"))

@@ -51,6 +51,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == Map(10L -> 1L, 12L -> 1L))
   }
 
+  test("packChunks clamps zero-token docs to an empty-at-chunk_first span") {
+    val docs = Seq((0L, "a b c"), (2L, ""), (4L, "d e"))
+      .toDF("doc_id", "text")
+    // note split("", " ") gives [""] = 1 token; force a true zero via
+    // a token expression that counts words only
+    val tokens = when(length($"text") === 0, 0)
+      .otherwise(size(split($"text", " ")))
+    val got = PackOps.packChunks(docs, "doc_id", tokens, shards = 1,
+        capacity = 4)
+      .select("doc_id", "n_tokens", "start_off", "chunk_first", "chunk_last")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(0L) == ((3L, 0L, 0L, 0L)))
+    // zero tokens at offset 3: chunk_last clamps to chunk_first (0),
+    // never -1 / inverted
+    assert(got(2L) == ((0L, 3L, 0L, 0L)))
+    assert(got(4L) == ((2L, 3L, 0L, 1L)))
+  }
+
+  test("hashSample at rate 1.0 keeps every row") {
+    val df = (0L until 1000L).toDF("id")
+    assert(SampleOps.hashSample(df, "id", 1.0).count() == 1000L)
+    val strat = df.withColumn("g", lit("en"))
+    assert(SampleOps.stratifiedSample(strat, $"g", "id",
+      Map("en" -> 1.0), 0.5).count() == 1000L)
+  }
+
   test("bloomOverlap equals overlap (false positives removed by the join)") {
     val train = (0L until 60L).map(i =>
       (i, s"train doc $i carries words w${i % 7} w${i % 11} w${i % 13} " +

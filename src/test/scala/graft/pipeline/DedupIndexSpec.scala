@@ -120,6 +120,31 @@ class DedupIndexSpec extends SparkSpec {
     assert(viaJoin == pairs)
   }
 
+  test("index builds tolerate short and null-text docs (no poison pill)") {
+    val dir = tmpDir("nulldocs")
+    val docs = Seq(
+      (1L, "a full length document with plenty of words in it"),
+      (2L, "tiny"),                       // < shingleN words: no bands
+      (3L, null.asInstanceOf[String]))    // null text: no digest/fp
+      .toDF("doc_id", "text")
+    DedupIndex.buildDigest(spark, s"$dir/digest", docs, "doc_id", "text",
+      rowsPerFile = 10)
+    DedupIndex.buildMinhash(spark, s"$dir/lsh", docs, "doc_id", "text",
+      shingleN = 3, numHashes = 12, bands = 4, rowsPerFile = 10)
+    DedupIndex.buildSimhash(spark, s"$dir/sim", docs, "doc_id", "text",
+      rowsPerFile = 10)
+    // the un-indexable docs are simply absent; probes of them match
+    // nothing (SQL equality semantics: null matches null never)
+    val hits = DedupIndex.probeDigest(spark, s"$dir/digest",
+      Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(hits.isEmpty)
+    val full = DedupIndex.probeDigest(spark, s"$dir/digest",
+      Seq((9L, "a full length document with plenty of words in it"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    assert(full.select("corpus_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("probing with mismatched build parameters fails fast") {
     val dir = tmpDir("cfgidx") + "/idx"
     DedupIndex.buildMinhash(spark, dir, corpus, "doc_id", "text",
