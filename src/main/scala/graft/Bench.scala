@@ -17,11 +17,14 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] prepare failed: ${e.getMessage}") }
     // warm up JIT/codegen and the scan path so the first timed query
-    // isn't charged for JVM startup (run order is map-order-dependent)
+    // isn't charged for JVM startup (run order is map-order-dependent);
+    // the agg warmup runs against THIS bench's sfDir, not a hardcoded
+    // scale dir that may not exist on replica trees
     try {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .write.mode("overwrite").format("noop").save()
-      SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
+      SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
     } catch { case _: Throwable => () }
     // Optional subsetting for local iteration: SPARK_GRAFT_QUERIES is a
     // comma-separated allowlist; SPARK_GRAFT_REPS overrides min-of-n.
@@ -31,29 +34,37 @@ object Bench {
     // noisy shared host with min-of-2 (g7_sessions 5.04s there, 0.67s
     // in every local rerun) — a third rep is cheap insurance
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps")
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
+    // a throwing query must NOT pass its time-to-exception off as a
+    // result (a broken query would silently IMPROVE the total): track
+    // failures and exclude them from the timings
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
+    val results = selected.flatMap { case (name, fn) =>
       // noop sink: forces full computation of every output column
-      // (count() would let Catalyst prune the projections away).
-      // Best of 2 runs: the shared host shows ±50% scheduling noise and
-      // min-of-n is the standard steady-state estimator.
+      // (count() would let Catalyst prune the projections away);
+      // min-of-reps is the standard steady-state estimator under the
+      // shared host's ±50% scheduling noise.
+      var ok = true
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable =>
+          ok = false
           System.err.println(s"[bench] $name failed: ${e.getMessage}") }
         val dt = (System.nanoTime() - t0) / 1e9
         // release per-query persisted frames so queries don't contend
         spark.catalog.clearCache()
         dt
       }
-      name -> times.min
+      if (ok) Some(name -> times.min) else { failed += name; None }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -22,11 +22,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     // wipe stale outputs: a query that errors writes nothing, and a
     // leftover dump from a previous run must not pass for it
-    def rmRec(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRec))
-      f.delete(): Unit
-    }
-    rmRec(new java.io.File(outDir))
+    LocalFs.rmTree(new java.io.File(outDir))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

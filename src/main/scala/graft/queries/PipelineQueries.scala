@@ -182,11 +182,6 @@ object PipelineQueries {
     * coincide with min-id-per-digest, which is what the SQL oracle
     * states. Returns the corpus dataset dir.
     */
-  private def rmTree(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
-    f.delete(): Unit
-  }
-
   private def ensureStreamingDedup(s: SparkSession, d: String): String =
     synchronized {
       val base = s"/tmp/graft_sdedup_${inputTag(d, "documents")}"
@@ -199,7 +194,11 @@ object PipelineQueries {
       if (!done.exists()) {
         val all = Tables.documents(s, d)
           .select("doc_id", "text", "lang", "source", "n_chars")
-        val maxId = all.agg(max("doc_id")).first().getLong(0)
+        val maxIdRow = all.agg(max("doc_id")).first()
+        require(!maxIdRow.isNullAt(0),
+          s"documents table at $d is empty — cannot stage the " +
+            "streaming-dedup fixture")
+        val maxId = maxIdRow.getLong(0)
         val cuts = Seq(maxId / 3, 2 * maxId / 3)
         val chunks = Seq(
           all.filter(col("doc_id") <= cuts(0)),
@@ -218,7 +217,7 @@ object PipelineQueries {
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           // explicit mtimes: the file stream source orders by timestamp
           dst.setLastModified(1000000L * (i + 1)): Unit
-          rmTree(new java.io.File(tmp))
+          graft.LocalFs.rmTree(new java.io.File(tmp))
         }
         val stream = s.readStream.schema(all.schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)

@@ -27,11 +27,6 @@ object StoreQueries {
   private def slug(sfDir: String): String =
     sfDir.replaceAll("[^a-zA-Z0-9]", "_")
 
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-    f.delete(): Unit
-  }
-
   private def baseDir(sfDir: String) = s"/tmp/graft_store_${slug(sfDir)}"
 
   private def ev5(s: SparkSession, d: String): DataFrame =
@@ -54,7 +49,7 @@ object StoreQueries {
     val marker = new java.io.File(s"$base/_BUILT_v4")
     if (marker.exists()) return st
     // wipe any partial build
-    deleteRec(new java.io.File(base))
+    graft.LocalFs.rmTree(new java.io.File(base))
     val e = ev5(s, d)
 
     // m6 upsert fixture: initial load (event_id % 10 != 0), then an
