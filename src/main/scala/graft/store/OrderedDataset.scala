@@ -320,6 +320,27 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     m0.foreach { m =>
       require(m.orderedOn == opts.orderedOn,
         s"ordered_on is fixed at creation: ${m.orderedOn} != ${opts.orderedOn}")
+      // schema check (ref write.py check + OUPS_NEEDS_CHECK_SCHEMA):
+      // files with divergent columns would read back with the missing
+      // columns silently null — corruption, not evolution. Name-set +
+      // per-column type equality; column ORDER is free (parquet reads
+      // by name).
+      if (m.schemaJson.nonEmpty) {
+        val stored = DataType.fromJson(m.schemaJson)
+          .asInstanceOf[StructType]
+        val batchProvStripped = batch.schema.fields
+          .filterNot(f => f.name == SeqCol || f.name == RidCol)
+        val sMap = stored.fields.map(f => f.name -> f.dataType).toMap
+        val bMap = batchProvStripped.map(f => f.name -> f.dataType).toMap
+        require(sMap.keySet == bMap.keySet,
+          s"batch schema does not match dataset: missing " +
+            s"${sMap.keySet -- bMap.keySet}, extra ${bMap.keySet -- sMap.keySet}")
+        val mismatched = sMap.collect {
+          case (n, dt) if bMap(n) != dt => s"$n: $dt != ${bMap(n)}"
+        }
+        require(mismatched.isEmpty,
+          s"batch column types do not match dataset: ${mismatched.mkString("; ")}")
+      }
     }
     require(batch.columns.contains(opts.orderedOn),
       s"batch lacks ordered_on column ${opts.orderedOn}")

@@ -341,6 +341,27 @@ class StoreSpec extends SparkSpec {
     assert(!new java.io.File(s"$base/AAPL").exists())
   }
 
+  test("schema-divergent appends are rejected (no silent null columns)") {
+    val dir = tmpDir("schemachk")
+    val ds = new OrderedDataset(spark, dir)
+    ds.write(tsDf(Seq((1L, 1.0), (2L, 2.0))), WriteOpts("t", NRows(10)))
+    // extra column
+    val extra = intercept[IllegalArgumentException] {
+      ds.write(Seq((3L, 3.0, "x")).toDF("t", "v", "w"),
+        WriteOpts("t", NRows(10)))
+    }
+    assert(extra.getMessage.contains("extra"))
+    // same names, different type
+    val retyped = intercept[IllegalArgumentException] {
+      ds.write(Seq((4L, "not a double")).toDF("t", "v"),
+        WriteOpts("t", NRows(10)))
+    }
+    assert(retyped.getMessage.contains("types"))
+    // column ORDER is free — parquet reads by name
+    ds.write(Seq((5.0, 5L)).toDF("v", "t"), WriteOpts("t", NRows(10)))
+    assert(ds.df.count() == 3)
+  }
+
   test("null ordered_on values are rejected up front") {
     val dir = tmpDir("nullord")
     val ds = new OrderedDataset(spark, dir)
