@@ -38,6 +38,37 @@ object MultimodalOps {
 
   final case class FrameSample(id: Long, n_frames: Long, digest: String)
 
+  final case class Resized(id: Long, n_out: Long, digest: String)
+
+  /** Resize stub: nearest-neighbor resample of the payload to exactly
+    * `outLen` bytes (the image-resize analog at byte granularity —
+    * output index i reads source index ⌊i·len/outLen⌋). Deterministic,
+    * engine-portable integer math; empty payloads resize to empty.
+    * The distributed shape (typed partition-wise batch transform,
+    * amortized digest instance) is the real thing; a media library
+    * would replace only the per-row byte arithmetic.
+    */
+  def resize(spark: SparkSession, df: DataFrame, idCol: String,
+      payloadCol: String, outLen: Int): Dataset[Resized] = {
+    require(outLen > 0, s"outLen must be positive, got $outLen")
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          val len = bytes.length
+          val out =
+            if (len == 0) Array.emptyByteArray
+            else Array.tabulate(outLen)(i =>
+              bytes((i.toLong * len / outLen).toInt))
+          md.reset()
+          val hex = md.digest(out).map("%02x".format(_)).mkString
+          Resized(id, out.length.toLong, hex)
+        }
+      }
+  }
+
   /** Frame sampling stub: keep every k-th byte of the payload (the
     * video-frame-sampling analog) and fingerprint the sampled stream.
     * The MessageDigest instance is reused across a partition's rows —

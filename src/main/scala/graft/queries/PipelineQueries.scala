@@ -42,6 +42,7 @@ object PipelineQueries {
   private val PackShards = 8
   private val PackCapacity = 256
   private val TopNgrams = 20
+  private val ResizeLen = 32
   // Coarse-quantizer predicate: FIXED centroid count at any corpus
   // size (ids < CentroidCap at every driver SF, so small-SF results
   // are unchanged). A pure `id % 25` set grows linearly with the
@@ -293,6 +294,24 @@ object PipelineQueries {
       val pairs = DedupOps.exactJaccardPairs(sh, ExactJaccardThreshold)
         .select("i", "j")
       DedupOps.dupClusters(pairs).orderBy("id")
+    },
+
+    // END-TO-END near-dup removal — the corpus-finalization deliverable:
+    // candidate pairs → connected components → keep each cluster's
+    // canonical (min-id) member, drop the rest. Everything bounded by
+    // the pair set; the corpus itself is touched only by the final
+    // anti-join.
+    "p_corpus_dedup" -> { (s, d) =>
+      val base = docs(s, d)
+      val sh = DedupOps.shingleTable(base, "doc_id", "text", 3)
+      val pairs = DedupOps.exactJaccardPairs(sh, ExactJaccardThreshold)
+        .select("i", "j")
+      val losers = DedupOps.dupClusters(pairs)
+        .filter(col("id") =!= col("cluster"))
+        .select(col("id").as("doc_id"))
+      base.join(losers, Seq("doc_id"), "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
     },
 
     // INCREMENTAL exact dedup: a new batch (exact copies of corpus docs
@@ -583,6 +602,16 @@ object PipelineQueries {
       val bin = docs(s, d).select(col("doc_id"),
         col("text").cast("binary").as("payload"))
       MultimodalOps.frameSample(s, bin, "doc_id", "payload", 7)
+        .toDF().withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // Multimodal resize: nearest-neighbor byte resample to a fixed
+    // length — the image-resize analog, deterministic integer math.
+    "p_multimodal_resize" -> { (s, d) =>
+      val bin = docs(s, d).select(col("doc_id"),
+        col("text").cast("binary").as("payload"))
+      MultimodalOps.resize(s, bin, "doc_id", "payload", ResizeLen)
         .toDF().withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     },
@@ -966,6 +995,31 @@ object PipelineQueries {
                    JOIN reach ON reach.id = e.b)
        SELECT id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id""",
 
+    // same component computation; survivors = docs minus non-canonical
+    // cluster members
+    "p_corpus_dedup" ->
+      s"""WITH RECURSIVE $ShingleCte,
+         cnt AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+         prs AS (SELECT a.id AS i, b.id AS j, count(*) AS inter
+                 FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
+                 GROUP BY 1, 2),
+         pe AS (SELECT prs.i, prs.j FROM prs
+                JOIN cnt ca ON ca.id = prs.i
+                JOIN cnt cb ON cb.id = prs.j
+                WHERE inter * 1.0 / (ca.n + cb.n - inter)
+                      >= $ExactJaccardThreshold),
+         edges AS (SELECT i AS a, j AS b FROM pe
+                   UNION SELECT j, i FROM pe),
+         reach AS (SELECT a AS id, a AS r FROM edges
+                   UNION
+                   SELECT e.a, reach.r FROM edges e
+                   JOIN reach ON reach.id = e.b),
+         labels AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+       SELECT d.doc_id FROM documents d
+       WHERE d.doc_id NOT IN
+         (SELECT id FROM labels WHERE id != cluster)
+       ORDER BY d.doc_id""",
+
     "p_dedup_embedding_lsh" -> embeddingLshOracle,
     "p_ann_topk" -> annTopkOracle,
     "p_ann_ivf" -> annIvfOracle,
@@ -1139,6 +1193,19 @@ object PipelineQueries {
          FROM (SELECT doc_id,
                  list_transform(generate_series(1, len(text), 7),
                    i -> substr(text, i, 1)) AS sampled
+               FROM documents)
+         ORDER BY doc_id""",
+
+    "p_multimodal_resize" ->
+      s"""SELECT doc_id,
+              CAST(len(resized) AS BIGINT) AS n_out,
+              md5(array_to_string(resized, '')) AS digest
+         FROM (SELECT doc_id,
+                 CASE WHEN len(text) = 0 THEN CAST([] AS VARCHAR[])
+                 ELSE list_transform(generate_series(0, ${ResizeLen - 1}),
+                   i -> substr(text,
+                     CAST((i * len(text)) // $ResizeLen AS INT) + 1, 1))
+                 END AS resized
                FROM documents)
          ORDER BY doc_id""",
 

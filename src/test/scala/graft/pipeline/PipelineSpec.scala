@@ -244,6 +244,23 @@ class PipelineSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("multimodal resize: exact nearest-neighbor byte resample") {
+    val df = Seq((1L, "abcd"), (2L, "ab"), (3L, ""))
+      .toDF("id", "payload")
+      .select($"id", $"payload".cast("binary").as("payload"))
+    val got = MultimodalOps.resize(spark, df, "id", "payload", 4)
+      .collect().map(r => r.id -> ((r.n_out, r.digest))).toMap
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L) == ((4L, md5("abcd")))) // identity at equal length
+    // upsample 2 -> 4: indices 0,0,1,1 -> "aabb"
+    assert(got(2L) == ((4L, md5("aabb"))))
+    assert(got(3L) == ((0L, md5(""))))     // empty stays empty
+    intercept[IllegalArgumentException] {
+      MultimodalOps.resize(spark, df, "id", "payload", 0)
+    }: Unit
+  }
+
   test("multimodal fake decode features match byte arithmetic") {
     val bin = docs.select($"doc_id", $"text".cast("binary").as("payload"))
     val out = MultimodalOps.decodeFeatures(spark, bin, "doc_id", "payload")
