@@ -22,6 +22,14 @@ object MultimodalOps {
 
   type Decoder = Array[Byte] => (Long, Long, Long)
 
+  /** NULL payloads (missing media) are treated as empty: a null byte
+    * array would NPE inside a task at corpus scale, and a decoder stub
+    * shouldn't be the thing that kills a 100 TB job. Callers that need
+    * null-vs-empty distinction should filter upstream.
+    */
+  @inline private def orEmpty(b: Array[Byte]): Array[Byte] =
+    if (b == null) Array.emptyByteArray else b
+
   /** Deterministic fake decode: (n_bytes, byte-sum mod 997, first byte).
     * Stands in for image resize / audio feature-extract / frame-sample.
     */
@@ -56,7 +64,8 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, bytes) =>
+        it.map { case (id, raw) =>
+          val bytes = orEmpty(raw)
           val len = bytes.length
           val out =
             if (len == 0) Array.emptyByteArray
@@ -84,7 +93,8 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, bytes) =>
+        it.map { case (id, raw) =>
+          val bytes = orEmpty(raw)
           val sampled = Array.range(0, bytes.length, k).map(bytes(_))
           md.reset()
           val hex = md.digest(sampled).map("%02x".format(_)).mkString
@@ -105,8 +115,8 @@ object MultimodalOps {
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          val (n, checksum, head) = decoder(bytes)
+        it.map { case (id, raw) =>
+          val (n, checksum, head) = decoder(orEmpty(raw))
           MediaFeatures(id, n, checksum, head)
         }
       }

@@ -261,6 +261,21 @@ class PipelineSpec extends SparkSpec {
     }: Unit
   }
 
+  test("multimodal ops treat null payloads as empty, not NPE") {
+    val df = Seq((1L, Some("ab")), (2L, None))
+      .toDF("id", "payload")
+      .select($"id", $"payload".cast("binary").as("payload"))
+    val rz = MultimodalOps.resize(spark, df, "id", "payload", 4)
+      .collect().map(r => r.id -> r.n_out).toMap
+    assert(rz == Map(1L -> 4L, 2L -> 0L))
+    val fs = MultimodalOps.frameSample(spark, df, "id", "payload", 2)
+      .collect().map(r => r.id -> r.n_frames).toMap
+    assert(fs == Map(1L -> 1L, 2L -> 0L))
+    val dc = MultimodalOps.decodeFeatures(spark, df, "id", "payload")
+      .collect().map(r => r.id -> r.n_bytes).toMap
+    assert(dc == Map(1L -> 2L, 2L -> 0L))
+  }
+
   test("multimodal fake decode features match byte arithmetic") {
     val bin = docs.select($"doc_id", $"text".cast("binary").as("payload"))
     val out = MultimodalOps.decodeFeatures(spark, bin, "doc_id", "payload")
