@@ -164,6 +164,26 @@ object StoreQueries {
         .orderBy("event_id")
     },
 
+    // S1-S3 as a first-class Spark source: pure SQL over a
+    // `USING graft` temp view — the GraftFileIndex prunes files from
+    // the sidecar zone map off the SQL WHERE clause, then Spark's
+    // parquet reader takes over (row-group pushdown, column pruning).
+    "s3_sql_source" -> { (s, d) =>
+      val st = ensure(s, d)
+      s.sql(
+        s"""CREATE OR REPLACE TEMPORARY VIEW graft_clicks
+            USING graft OPTIONS (path '${st.dirOf("clicks")}')""")
+      s.sql(
+        """SELECT CAST(date_trunc('DAY', ts) AS TIMESTAMP_NTZ) AS day,
+                  count(*) AS n,
+                  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v,
+                  min(event_id) AS min_id, max(event_id) AS max_id
+           FROM graft_clicks
+           WHERE ts >= TIMESTAMP_NTZ'2024-01-10 00:00:00'
+             AND ts <  TIMESTAMP_NTZ'2024-01-20 00:00:00'
+           GROUP BY 1 ORDER BY 1""")
+    },
+
     // W3-W4: synchronized multi-dataset range scan; the union of the
     // yielded per-interval slices tagged by dataset key.
     "w3_intersections" -> { (s, d) =>
@@ -303,6 +323,17 @@ object StoreQueries {
            AND ts >= TIMESTAMP '2024-01-12 00:00:00'
            AND ts <  TIMESTAMP '2024-01-22 00:00:00'
          ORDER BY event_id""",
+
+    "s3_sql_source" -> s"""$EV
+         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                count(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v,
+                min(event_id) AS min_id, max(event_id) AS max_id
+         FROM e
+         WHERE event_type = 'click'
+           AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+           AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+         GROUP BY 1 ORDER BY 1""",
 
     "w3_intersections" -> s"""$EV
          SELECT 'clicks' AS ds_key, event_id, ts, value FROM e

@@ -1,0 +1,103 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.types.StructType
+import graft.store.{NRows, OrderedDataset, RowGroupTarget, TimePeriod, WriteOpts}
+
+/** `format("graft")`: an ordered dataset as a first-class Spark data
+  * source (ref: the reference exposes its store only through its own
+  * Python API — this is the Spark-native equivalent of handing the
+  * store to ANY consumer, incl. pure SQL via
+  * `CREATE TEMPORARY VIEW v USING graft OPTIONS (path '…')`).
+  *
+  * Read: a [[HadoopFsRelation]] whose location is [[GraftFileIndex]] —
+  * every query's `ordered_on` predicates prune files from sidecar
+  * zone maps on the driver, then Spark's standard parquet machinery
+  * (vectorized reader, row-group pushdown, column pruning, AQE) runs
+  * unchanged. No custom physical operator to maintain, nothing for
+  * Catalyst to treat as a black box.
+  *
+  * Write: the ordered upsert (`OrderedDataset.write`) behind the
+  * standard `DataFrameWriter` surface:
+  * {{{
+  *   df.write.format("graft")
+  *     .option("ordered_on", "ts")
+  *     .option("target_rows", "2000")        // or target_period=day
+  *     .option("duplicates_on", "ts,user")   // or "*" = all columns
+  *     .mode("append")                        // append IS the upsert
+  *     .save(dir)
+  * }}}
+  */
+final class GraftSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def path(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft source requires a path (load(dir) / OPTIONS (path '…'))"))
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    GraftSource.relation(sqlContext.sparkSession, path(parameters))
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: SaveMode,
+      parameters: Map[String, String],
+      data: Dataset[Row]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val dir = path(parameters)
+    val ds = new OrderedDataset(spark, dir)
+    val exists = ds.exists
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"graft dataset already exists at $dir (mode ErrorIfExists)")
+      case SaveMode.Ignore if exists => ()
+      case m =>
+        if (m == SaveMode.Overwrite && exists) ds.removeFromDisk()
+        ds.write(data, GraftSource.writeOpts(parameters))
+    }
+    GraftSource.relation(spark, dir)
+  }
+}
+
+object GraftSource {
+
+  /** The ordered dataset at `dir` as a zone-map-pruned DataFrame. */
+  def table(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft").load(dir)
+
+  private[sources] def relation(
+      spark: SparkSession, dir: String): HadoopFsRelation = {
+    val index = new GraftFileIndex(spark, dir)
+    HadoopFsRelation(index, StructType(Nil), index.dataSchema, None,
+      new ParquetFileFormat, Map.empty[String, String])(spark)
+  }
+
+  /** DataFrameWriter options → [[WriteOpts]]. */
+  private[sources] def writeOpts(p: Map[String, String]): WriteOpts = {
+    val orderedOn = p.getOrElse("ordered_on",
+      throw new IllegalArgumentException(
+        "graft write requires option ordered_on"))
+    val target: RowGroupTarget = (p.get("target_rows"),
+      p.get("target_period")) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "set either target_rows or target_period, not both")
+      case (Some(n), None)    => NRows(n.trim.toLong)
+      case (None, Some(u))    => TimePeriod(u.trim.toLowerCase)
+      case (None, None)       => WriteOpts(orderedOn).target
+    }
+    val dups = p.get("duplicates_on").map { s =>
+      val t = s.trim
+      if (t == "*") Nil else t.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    }
+    WriteOpts(orderedOn, target, dups,
+      p.get("max_n_off_target_rgs").map(_.trim.toInt))
+  }
+}

@@ -28,6 +28,13 @@ object SparkInternals {
     * GC'd, accumulating executor storage across an iterative loop's
     * rounds. No-op for non-checkpointed frames.
     */
+  /** `DataType.asNullable` is spark-private; file sources always relax
+    * to nullable on read, so a schema served from the graft sidecar
+    * must match.
+    */
+  def asNullable(st: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = st.asNullable
+
   def unpersistCheckpoint(df: Dataset[_]): Unit =
     // collect, don't pattern-match the root: a `.select(...)` over a
     // checkpointed frame analyzes to Project(LogicalRDD), so a

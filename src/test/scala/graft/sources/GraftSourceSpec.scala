@@ -1,0 +1,138 @@
+package graft.sources
+
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.store.{NRows, OrderedDataset, WriteOpts}
+
+class GraftSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 10 files of 100 rows each, seq ordered_on. */
+  private lazy val dir: String = {
+    val d = tmpDir("graftsource") + "/ds"
+    val df = spark.range(1000).toDF("seq")
+      .withColumn("v", col("seq") * 2.0)
+      .withColumn("grp", (col("seq") % 7).cast("int"))
+    new OrderedDataset(spark, d).write(df, WriteOpts("seq", NRows(100)))
+    d
+  }
+
+  private def fileIndexOf(df: org.apache.spark.sql.DataFrame): GraftFileIndex =
+    df.queryExecution.analyzed.collect {
+      case l: LogicalRelation =>
+        l.relation.asInstanceOf[HadoopFsRelation]
+          .location.asInstanceOf[GraftFileIndex]
+    }.head
+
+  test("format(graft) full read equals the parquet read") {
+    val viaSource = GraftSource.table(spark, dir)
+    val direct = new OrderedDataset(spark, dir).df
+    assert(viaSource.schema === direct.schema)
+    assert(viaSource.orderBy("seq").collect()
+      === direct.orderBy("seq").collect())
+  }
+
+  test("ordered_on predicates prune files from the sidecar zone map") {
+    val t = GraftSource.table(spark, dir)
+    val idx = fileIndexOf(t)
+
+    val narrow = t.filter(col("seq") >= 250 && col("seq") < 420)
+    assert(narrow.count() === 170)
+    assert(idx.lastSelectedFiles === 3) // files [200,300),[300,400),[400,500)
+
+    val point = t.filter(col("seq") === 777)
+    assert(point.count() === 1)
+    assert(idx.lastSelectedFiles === 1)
+
+    val inList = t.filter(col("seq").isin(5, 505, 905))
+    assert(inList.count() === 3)
+    assert(idx.lastSelectedFiles === 3)
+
+    val disjunct = t.filter(col("seq") < 50 || col("seq") >= 950)
+    assert(disjunct.count() === 100)
+    assert(idx.lastSelectedFiles === 2)
+
+    // a predicate on a non-ordered column must NOT prune (conservative)
+    val other = t.filter(col("grp") === 3)
+    assert(other.count() === 143)
+    assert(idx.lastSelectedFiles === 10)
+  }
+
+  test("pure SQL over a USING graft view prunes and aggregates") {
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW graft_src_spec
+          USING graft OPTIONS (path '$dir')""")
+    val res = spark.sql(
+      """SELECT grp, count(*) AS n, sum(v) AS sv
+         FROM graft_src_spec WHERE seq >= 100 AND seq < 300
+         GROUP BY grp ORDER BY grp""")
+    val expected = new OrderedDataset(spark, dir).df
+      .filter(col("seq") >= 100 && col("seq") < 300)
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .orderBy("grp")
+    assert(res.collect() === expected.collect())
+  }
+
+  test("zone-map miss yields an empty result without reading data") {
+    val t = GraftSource.table(spark, dir)
+    val idx = fileIndexOf(t)
+    assert(t.filter(col("seq") > 100000).count() === 0)
+    assert(idx.lastSelectedFiles === 0)
+  }
+
+  test("timestamp ordered_on prunes from SQL literals") {
+    val d = tmpDir("graftsource_ts") + "/ds"
+    val df = spark.range(240).toDF("i")
+      .withColumn("ts", expr(
+        "timestampadd(HOUR, CAST(i AS INT), TIMESTAMP_NTZ'2024-01-01 00:00:00')"))
+      .withColumn("v", col("i") * 1.5)
+    new OrderedDataset(spark, d).write(df, WriteOpts("ts", NRows(24)))
+    val t = GraftSource.table(spark, d)
+    val idx = fileIndexOf(t)
+    val res = t.filter(col("ts") >= lit("2024-01-03 00:00:00").cast("timestamp_ntz")
+      && col("ts") < lit("2024-01-05 00:00:00").cast("timestamp_ntz"))
+    assert(res.count() === 48)
+    assert(idx.lastSelectedFiles === 2)
+  }
+
+  test("writer surface: append is the ordered upsert with keep-last dedup") {
+    val d = tmpDir("graftsource_w") + "/ds"
+    val base = spark.range(100).toDF("seq").withColumn("v", lit(1.0))
+    base.write.format("graft")
+      .option("ordered_on", "seq").option("target_rows", "50")
+      .mode("append").save(d)
+    // overlapping correction: same keys 40..59, new v — keep-last on seq
+    spark.range(40, 60).toDF("seq").withColumn("v", lit(9.0))
+      .write.format("graft")
+      .option("ordered_on", "seq").option("target_rows", "50")
+      .option("duplicates_on", "seq")
+      .mode("append").save(d)
+    val out = GraftSource.table(spark, d).orderBy("seq").collect()
+    assert(out.length === 100)
+    assert(out.count(_.getDouble(1) == 9.0) === 20)
+
+    // overwrite replaces the dataset
+    spark.range(10).toDF("seq").withColumn("v", lit(0.0))
+      .write.format("graft")
+      .option("ordered_on", "seq").option("target_rows", "50")
+      .mode("overwrite").save(d)
+    assert(GraftSource.table(spark, d).count() === 10)
+
+    intercept[IllegalStateException] {
+      base.write.format("graft").option("ordered_on", "seq")
+        .mode(org.apache.spark.sql.SaveMode.ErrorIfExists).save(d)
+    }
+  }
+
+  test("selectFiles is conservative on expressions it cannot analyze") {
+    import org.apache.spark.sql.catalyst.expressions.{Add, AttributeReference, LessThan, Literal}
+    import org.apache.spark.sql.types.LongType
+    val m = new OrderedDataset(spark, dir).meta
+    val seqAttr = AttributeReference("seq", LongType)()
+    // unsupported shape: seq + 1 < 10 → no pruning
+    val all = GraftFileIndex.selectFiles(m,
+      Seq(LessThan(Add(seqAttr, Literal(1L)), Literal(10L))))
+    assert(all.size === m.files.size)
+  }
+}
