@@ -46,7 +46,7 @@ object StoreQueries {
     val st = new Store(s, base, idx)
     // version-suffixed: bump when the fixture set changes so stale
     // /tmp caches rebuild
-    val marker = new java.io.File(s"$base/_BUILT_v4")
+    val marker = new java.io.File(s"$base/_BUILT_v5")
     if (marker.exists()) return st
     // wipe any partial build
     graft.LocalFs.rmTree(new java.io.File(base))
@@ -182,6 +182,23 @@ object StoreQueries {
            WHERE ts >= TIMESTAMP_NTZ'2024-01-10 00:00:00'
              AND ts <  TIMESTAMP_NTZ'2024-01-20 00:00:00'
            GROUP BY 1 ORDER BY 1""")
+    },
+
+    // Data skipping: the WHERE is on event_id — NOT the ordered column —
+    // and prunes via the secondary-column zone maps in the sidecar
+    // (event_id correlates with ts in the events table, so files are
+    // effectively clustered on it).
+    "s4_skipping_scan" -> { (s, d) =>
+      val st = ensure(s, d)
+      s.sql(
+        s"""CREATE OR REPLACE TEMPORARY VIEW graft_clicks_skip
+            USING graft OPTIONS (path '${st.dirOf("clicks")}')""")
+      s.sql(
+        """SELECT user_id, count(*) AS n,
+                  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
+           FROM graft_clicks_skip
+           WHERE event_id BETWEEN 2000 AND 4000
+           GROUP BY user_id ORDER BY user_id""")
     },
 
     // W3-W4: synchronized multi-dataset range scan; the union of the
@@ -334,6 +351,13 @@ object StoreQueries {
            AND ts >= TIMESTAMP '2024-01-10 00:00:00'
            AND ts <  TIMESTAMP '2024-01-20 00:00:00'
          GROUP BY 1 ORDER BY 1""",
+
+    "s4_skipping_scan" -> s"""$EV
+         SELECT user_id, count(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
+         FROM e
+         WHERE event_type = 'click' AND event_id BETWEEN 2000 AND 4000
+         GROUP BY user_id ORDER BY user_id""",
 
     "w3_intersections" -> s"""$EV
          SELECT 'clicks' AS ds_key, event_id, ts, value FROM e

@@ -82,51 +82,86 @@ final class GraftFileIndex(spark: SparkSession, val dir: String)
     val (m, statuses) = snapshot
     val sel = GraftFileIndex.selectFiles(m, dataFilters)
     lastSelectedFiles = sel.size
-    val files = sel.flatMap(f => statuses.get(f.name))
+    // a sidecar file absent from the directory snapshot must fail the
+    // query, not silently shrink it (can only happen if a dataset's
+    // retire-grace window elapsed under a long-lived index — refresh())
+    val files = sel.map { f =>
+      statuses.getOrElse(f.name, {
+        val p = new HPath(s"$dir/${f.name}")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(p) // throws FileNotFoundException if gone
+      })
+    }
     Seq(PartitionDirectory(InternalRow.empty, files.toArray))
   }
 }
 
 object GraftFileIndex {
 
-  /** Zone-map file selection: keep the files whose [min, max] stats can
-    * satisfy every conjunct's constraint on the ordered column.
-    * Conservative by construction — an expression with no derivable
-    * constraint keeps all files.
+  /** Zone-map file selection: keep the files whose stats can satisfy
+    * every conjunct's constraint — the ordered column prunes on the
+    * exact [min, max] zone map, any other column on its secondary
+    * `ColStat` (data skipping), where a missing side admits the file.
+    * Conservative by construction: an expression with no derivable
+    * constraint, a column with no stats, or a stat/literal type
+    * mismatch keeps the file.
     */
   def selectFiles(m: DatasetMeta, dataFilters: Seq[Expression])
       : Seq[FileStat] = {
-    val preds = dataFilters.flatMap(boundOf(m.orderedOn, _))
-    m.files.filter(f => preds.forall(_.admits(f)))
+    val preds = dataFilters.flatMap(boundOf(_))
+    def rangeOf(f: FileStat, col: String): (Option[OrdVal], Option[OrdVal]) =
+      if (col.equalsIgnoreCase(m.orderedOn)) (Some(f.min), Some(f.max))
+      else f.cols.collectFirst {
+        case (n, st) if n.equalsIgnoreCase(col) => (st.min, st.max)
+      }.getOrElse((None, None))
+    m.files.filter { f =>
+      preds.forall { p =>
+        try p.admits(rangeOf(f, _))
+        catch { case _: IllegalArgumentException => true } // type mismatch
+      }
+    }
   }
 
-  /** A file-admissibility predicate derived from one filter conjunct. */
-  sealed private trait Bound { def admits(f: FileStat): Boolean }
-  private case class Ge(v: OrdVal) extends Bound {
-    def admits(f: FileStat) = f.max >= v
+  /** A file-admissibility predicate derived from one filter conjunct;
+    * `rangeOf` serves the file's (min, max) for a column name.
+    */
+  sealed private trait Bound {
+    def admits(rangeOf: String => (Option[OrdVal], Option[OrdVal])): Boolean
   }
-  private case class Gt(v: OrdVal) extends Bound {
-    def admits(f: FileStat) = f.max > v
+  private case class Ge(c: String, v: OrdVal) extends Bound {
+    def admits(r: String => (Option[OrdVal], Option[OrdVal])) =
+      r(c)._2.forall(_ >= v)
   }
-  private case class Le(v: OrdVal) extends Bound {
-    def admits(f: FileStat) = f.min <= v
+  private case class Gt(c: String, v: OrdVal) extends Bound {
+    def admits(r: String => (Option[OrdVal], Option[OrdVal])) =
+      r(c)._2.forall(_ > v)
   }
-  private case class Lt(v: OrdVal) extends Bound {
-    def admits(f: FileStat) = f.min < v
+  private case class Le(c: String, v: OrdVal) extends Bound {
+    def admits(r: String => (Option[OrdVal], Option[OrdVal])) =
+      r(c)._1.forall(_ <= v)
   }
-  private case class Points(vs: Seq[OrdVal]) extends Bound {
-    def admits(f: FileStat) = vs.exists(v => f.min <= v && v <= f.max)
+  private case class Lt(c: String, v: OrdVal) extends Bound {
+    def admits(r: String => (Option[OrdVal], Option[OrdVal])) =
+      r(c)._1.forall(_ < v)
+  }
+  private case class Points(c: String, vs: Seq[OrdVal]) extends Bound {
+    def admits(r: String => (Option[OrdVal], Option[OrdVal])) = {
+      val (lo, hi) = r(c)
+      vs.exists(v => lo.forall(_ <= v) && hi.forall(_ >= v))
+    }
   }
   private case class OrB(l: Bound, r: Bound) extends Bound {
-    def admits(f: FileStat) = l.admits(f) || r.admits(f)
+    def admits(rf: String => (Option[OrdVal], Option[OrdVal])) =
+      l.admits(rf) || r.admits(rf)
   }
   private case class AndB(l: Bound, r: Bound) extends Bound {
-    def admits(f: FileStat) = l.admits(f) && r.admits(f)
+    def admits(rf: String => (Option[OrdVal], Option[OrdVal])) =
+      l.admits(rf) && r.admits(rf)
   }
 
   /** Internal (catalyst) literal value → sidecar stat value. Timestamp
     * literals are epoch/wall-clock microseconds for both LTZ and NTZ —
-    * exactly what `OrdTs` stores.
+    * exactly what `OrdTs` stores; strings arrive as UTF8String.
     */
   private def ordVal(value: Any, dt: DataType): Option[OrdVal] =
     (value, dt) match {
@@ -136,52 +171,64 @@ object GraftFileIndex {
       case (v: Short, ShortType)          => Some(OrdLong(v.toLong))
       case (v: Byte, ByteType)            => Some(OrdLong(v.toLong))
       case (v: Double, DoubleType)        => Some(OrdDouble(v))
+      case (v: Float, FloatType)          => Some(OrdDouble(v.toDouble))
       case (v: Long, TimestampNTZType)    => Some(OrdTs(v))
       case (v: Long, TimestampType)       => Some(OrdTs(v))
+      // default (binary) collation only — OrdStr compares in binary
+      // UTF-8 order, which is what min/max under UTF8_BINARY used
+      case (v: org.apache.spark.unsafe.types.UTF8String, st: StringType)
+          if st == StringType =>
+        Some(graft.store.OrdStr(v.toString))
       case _                              => None
     }
 
-  private def boundOf(ordCol: String, e: Expression): Option[Bound] = {
-    def isOrd(a: Expression): Boolean = a match {
-      case ar: AttributeReference => ar.name.equalsIgnoreCase(ordCol)
-      case _                      => false
+  private def boundOf(e: Expression): Option[Bound] = {
+    def attr(a: Expression): Option[String] = a match {
+      case ar: AttributeReference => Some(ar.name)
+      case _                      => None
     }
     def lit(l: Expression): Option[OrdVal] = l match {
       case Literal(v, dt) => ordVal(v, dt)
       case _              => None
     }
+    def mk(a: Expression, l: Expression, f: (String, OrdVal) => Bound)
+        : Option[Bound] =
+      for { c <- attr(a); v <- lit(l) } yield f(c, v)
     e match {
-      case GreaterThan(a, l) if isOrd(a)        => lit(l).map(Gt)
-      case GreaterThan(l, a) if isOrd(a)        => lit(l).map(Lt)
-      case GreaterThanOrEqual(a, l) if isOrd(a) => lit(l).map(Ge)
-      case GreaterThanOrEqual(l, a) if isOrd(a) => lit(l).map(Le)
-      case LessThan(a, l) if isOrd(a)           => lit(l).map(Lt)
-      case LessThan(l, a) if isOrd(a)           => lit(l).map(Gt)
-      case LessThanOrEqual(a, l) if isOrd(a)    => lit(l).map(Le)
-      case LessThanOrEqual(l, a) if isOrd(a)    => lit(l).map(Ge)
-      case EqualTo(a, l) if isOrd(a)            => lit(l).map(v => Points(Seq(v)))
-      case EqualTo(l, a) if isOrd(a)            => lit(l).map(v => Points(Seq(v)))
-      case EqualNullSafe(a, l) if isOrd(a)      => lit(l).map(v => Points(Seq(v)))
-      case EqualNullSafe(l, a) if isOrd(a)      => lit(l).map(v => Points(Seq(v)))
-      case In(a, vs) if isOrd(a) =>
-        val pts = vs.map(lit)
-        if (pts.nonEmpty && pts.forall(_.isDefined)) Some(Points(pts.flatten))
-        else None
-      case InSet(a, hset) if isOrd(a) =>
-        val dt = a.dataType
-        val pts = hset.toSeq.map(v => ordVal(v, dt))
-        if (pts.nonEmpty && pts.forall(_.isDefined)) Some(Points(pts.flatten))
-        else None
+      case GreaterThan(a, l)        => mk(a, l, Gt).orElse(mk(l, a, Lt))
+      case GreaterThanOrEqual(a, l) => mk(a, l, Ge).orElse(mk(l, a, Le))
+      case LessThan(a, l)           => mk(a, l, Lt).orElse(mk(l, a, Gt))
+      case LessThanOrEqual(a, l)    => mk(a, l, Le).orElse(mk(l, a, Ge))
+      case EqualTo(a, l) =>
+        mk(a, l, (c, v) => Points(c, Seq(v)))
+          .orElse(mk(l, a, (c, v) => Points(c, Seq(v))))
+      case EqualNullSafe(a, l) =>
+        mk(a, l, (c, v) => Points(c, Seq(v)))
+          .orElse(mk(l, a, (c, v) => Points(c, Seq(v))))
+      case In(a, vs) =>
+        attr(a).flatMap { c =>
+          val pts = vs.map(lit)
+          if (pts.nonEmpty && pts.forall(_.isDefined))
+            Some(Points(c, pts.flatten))
+          else None
+        }
+      case InSet(a, hset) =>
+        attr(a).flatMap { c =>
+          val dt = a.dataType
+          val pts = hset.toSeq.map(v => ordVal(v, dt))
+          if (pts.nonEmpty && pts.forall(_.isDefined))
+            Some(Points(c, pts.flatten))
+          else None
+        }
       case And(l, r) =>
-        (boundOf(ordCol, l), boundOf(ordCol, r)) match {
+        (boundOf(l), boundOf(r)) match {
           case (Some(a), Some(b)) => Some(AndB(a, b))
           case (a, b)             => a.orElse(b)
         }
       case Or(l, r) =>
-        // both sides must constrain the column, else the disjunction
-        // admits everything
-        for { a <- boundOf(ordCol, l); b <- boundOf(ordCol, r) }
-          yield OrB(a, b)
+        // both sides must constrain stats, else the disjunction admits
+        // everything
+        for { a <- boundOf(l); b <- boundOf(r) } yield OrB(a, b)
       case _ => None
     }
   }

@@ -98,6 +98,7 @@ object GraftSource {
       if (t == "*") Nil else t.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     }
     WriteOpts(orderedOn, target, dups,
-      p.get("max_n_off_target_rgs").map(_.trim.toInt))
+      p.get("max_n_off_target_rgs").map(_.trim.toInt),
+      colStats = p.get("col_stats").forall(_.trim.toBoolean))
   }
 }

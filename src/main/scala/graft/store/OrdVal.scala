@@ -15,6 +15,12 @@ sealed trait OrdVal extends Ordered[OrdVal] {
     case (OrdLong(a), OrdLong(b))     => java.lang.Long.compare(a, b)
     case (OrdDouble(a), OrdDouble(b)) => java.lang.Double.compare(a, b)
     case (OrdTs(a), OrdTs(b))         => java.lang.Long.compare(a, b)
+    // binary UTF-8 order — the order Spark's min/max aggregates use;
+    // java.lang.String.compareTo (UTF-16 code units) diverges for
+    // supplementary characters and would mis-prune
+    case (OrdStr(a), OrdStr(b))       =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
     case _ => throw new IllegalArgumentException(
       s"incomparable OrdVal types: $typeTag vs ${that.typeTag}")
   }
@@ -27,6 +33,7 @@ sealed trait OrdVal extends Ordered[OrdVal] {
   def toLiteral: Any = this match {
     case OrdLong(v)   => v
     case OrdDouble(v) => v
+    case OrdStr(v)    => v
     case OrdTs(us)    => java.time.LocalDateTime.ofEpochSecond(
       Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000).toInt,
       java.time.ZoneOffset.UTC)
@@ -49,6 +56,10 @@ final case class OrdLong(v: Long) extends OrdVal { def typeTag = "long" }
 final case class OrdDouble(v: Double) extends OrdVal { def typeTag = "double" }
 /** Microseconds since epoch, naive UTC (TIMESTAMP_NTZ). */
 final case class OrdTs(us: Long) extends OrdVal { def typeTag = "ts" }
+/** String stat value (secondary-column zone maps only — `ordered_on`
+  * itself stays long/double/ts). Compared in binary UTF-8 order.
+  */
+final case class OrdStr(v: String) extends OrdVal { def typeTag = "str" }
 
 object OrdVal {
   /** Convert a value returned by Row.get for the ordered column. */
@@ -56,6 +67,8 @@ object OrdVal {
     case l: java.lang.Long       => OrdLong(l)
     case i: java.lang.Integer    => OrdLong(i.toLong)
     case d: java.lang.Double     => OrdDouble(d)
+    case f: java.lang.Float     => OrdDouble(f.toDouble)
+    case s: String               => OrdStr(s)
     case t: java.time.LocalDateTime =>
       OrdTs(t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
         + t.getNano / 1000L)
@@ -71,6 +84,7 @@ object OrdVal {
     case OrdLong(l)   => node.put(field, l); node.put(field + "_t", "long")
     case OrdDouble(d) => node.put(field, d); node.put(field + "_t", "double")
     case OrdTs(us)    => node.put(field, us); node.put(field + "_t", "ts")
+    case OrdStr(s)    => node.put(field, s); node.put(field + "_t", "str")
   }
 
   def readFrom(node: JsonNode, field: String): OrdVal =
@@ -78,5 +92,6 @@ object OrdVal {
       case "long"   => OrdLong(node.get(field).asLong())
       case "double" => OrdDouble(node.get(field).asDouble())
       case "ts"     => OrdTs(node.get(field).asLong())
+      case "str"    => OrdStr(node.get(field).asText())
     }
 }

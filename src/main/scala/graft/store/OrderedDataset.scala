@@ -25,7 +25,12 @@ final case class WriteOpts(
     duplicatesOn: Option[Seq[String]] = None,
     maxNOffTargetRgs: Option[Int] = None,
     kv: Map[String, String] = Map.empty,
-    kvRemove: Seq[String] = Nil)
+    kvRemove: Seq[String] = Nil,
+    /** Collect secondary-column min/max zone maps (data skipping) in
+      * the write's stats pass. Disable for datasets whose non-ordered
+      * columns are never filtered on.
+      */
+    colStats: Boolean = true)
 
 final case class UpsertReport(filesRewritten: Int, filesKept: Int,
                               filesAdded: Int, rowsWritten: Long)
@@ -488,10 +493,57 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
       .write.mode("overwrite").parquet(tmpDir)
 
     // ---- stats of the written files (one cheap pruned job) ----
-    val written = spark.read.parquet(tmpDir)
+    // Besides the ordered-column zone map, collect secondary-column
+    // min/max (Delta-style data skipping; see ColStat for the string
+    // prefix/truncation rules) in the SAME pass — one read of the
+    // just-written (page-cache-warm) tmp files either way.
+    val readBack = spark.read.parquet(tmpDir)
+    val statCols: Seq[StructField] =
+      if (!opts.colStats) Nil
+      else readBack.schema.fields.toSeq
+        .filter(_.name != opts.orderedOn)
+        .filter(_.dataType match {
+          case LongType | IntegerType | ShortType | ByteType | DoubleType |
+               FloatType | TimestampNTZType | TimestampType | StringType =>
+            true
+          case _ => false
+        }).take(MaxStatCols)
+    val colAggs = statCols.zipWithIndex.flatMap { case (f, i) =>
+      f.dataType match {
+        case StringType => Seq(
+          min(substring(col(f.name), 1, StatStrPrefix)).as(s"c${i}_mn"),
+          max(substring(col(f.name), 1, StatStrPrefix)).as(s"c${i}_mx"),
+          max(length(col(f.name))).as(s"c${i}_len"))
+        case _ => Seq(
+          min(col(f.name)).as(s"c${i}_mn"),
+          max(col(f.name)).as(s"c${i}_mx"))
+      }
+    }
+    val baseAggs = Seq(count(lit(1)).as("rows"),
+      min(opts.orderedOn).as("mn"), max(opts.orderedOn).as("mx")) ++ colAggs
+    def colStatsOf(r: org.apache.spark.sql.Row): Map[String, ColStat] =
+      statCols.zipWithIndex.flatMap { case (f, i) =>
+        val mnI = r.fieldIndex(s"c${i}_mn")
+        val mxI = r.fieldIndex(s"c${i}_mx")
+        val mn =
+          if (r.isNullAt(mnI)) None else Some(OrdVal.fromAny(r.get(mnI)))
+        val mxRaw =
+          if (r.isNullAt(mxI)) None else Some(OrdVal.fromAny(r.get(mxI)))
+        val mx = f.dataType match {
+          case StringType =>
+            val lenI = r.fieldIndex(s"c${i}_len")
+            // a truncated max prefix is NOT an upper bound — drop it
+            if (!r.isNullAt(lenI) && r.getAs[Int](lenI) <= StatStrPrefix)
+              mxRaw
+            else None
+          case _ => mxRaw
+        }
+        if (mn.isEmpty && mx.isEmpty) None
+        else Some(f.name -> ColStat(mn, mx))
+      }.toMap
+    val written = readBack
       .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("f"))
-      .agg(count(lit(1)).as("rows"),
-        min(opts.orderedOn).as("mn"), max(opts.orderedOn).as("mx"))
+      .agg(baseAggs.head, baseAggs.tail: _*)
       .collect()
       .sortBy(r => OrdVal.fromAny(r.getAs[Any]("mn")))
 
@@ -524,7 +576,8 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
             s"$dir/$newName returned false; dataset unchanged " +
             "(sidecar not yet swapped)")
       FileStat(id, newName, r.getAs[Long]("rows"),
-        OrdVal.fromAny(r.getAs[Any]("mn")), OrdVal.fromAny(r.getAs[Any]("mx")))
+        OrdVal.fromAny(r.getAs[Any]("mn")), OrdVal.fromAny(r.getAs[Any]("mx")),
+        colStatsOf(r))
     }.toSeq
     val allStats = (kept ++ newStats).sortBy(f => (f.min, f.id))
     val newKv = m0.map(_.kv).getOrElse(Map.empty) ++ opts.kv -- opts.kvRemove
@@ -758,6 +811,12 @@ object OrderedDataset {
   val MaxRowsPerFile = 4294967295L
   /** ≥80 % of target counts as on-target (ref n_rows_strategy.py:33). */
   val OnTargetFraction = 0.8
+
+  /** Secondary-column zone-map knobs (Delta's
+    * dataSkippingNumIndexedCols analog and the string-prefix width).
+    */
+  val MaxStatCols = 32
+  val StatStrPrefix = 64
 
   def typeTag(dt: DataType): String = dt match {
     case LongType | IntegerType            => "long"

@@ -6,12 +6,25 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import scala.jdk.CollectionConverters._
 
+/** Secondary-column zone-map entry (beyond the reference, Delta-style
+  * data skipping): min/max of a column's non-null values in one file.
+  * Either side may be absent — string minima are collected as 64-char
+  * prefixes (always a valid LOWER bound: a prefix sorts ≤ the full
+  * string in binary UTF-8 order), but a truncated MAXIMUM is not a
+  * valid upper bound, so `max` is kept only when no value of the file
+  * exceeded 64 chars. An absent side simply prunes nothing.
+  */
+final case class ColStat(min: Option[OrdVal], max: Option[OrdVal])
+
 /** Per-file zone-map stats (ref base.py:58-62: file_ids / n_rows /
   * ordered_on_mins / ordered_on_maxs). `name` is relative to the dataset
   * directory; files are one row group each (ref base.py:190-197).
+  * `cols` holds secondary-column min/max for data skipping (empty on
+  * sidecars written before the feature — never pruned on, still valid).
   */
 final case class FileStat(id: Long, name: String, rows: Long,
-                          min: OrdVal, max: OrdVal)
+                          min: OrdVal, max: OrdVal,
+                          cols: Map[String, ColStat] = Map.empty)
 
 /** Dataset-level metadata: the enforced `ordered_on` column
   * (ref base.py:103-114), file stats sorted by min, a free-form kv map
@@ -59,9 +72,17 @@ object Sidecar {
       try mapper.readTree(in)
       finally in.close()
     val files = root.get("files").elements().asScala.map { f =>
+      val cols = Option(f.get("cols")).map { c =>
+        c.properties().asScala.map { e =>
+          val n = e.getValue
+          e.getKey -> ColStat(
+            if (n.has("mn_t")) Some(OrdVal.readFrom(n, "mn")) else None,
+            if (n.has("mx_t")) Some(OrdVal.readFrom(n, "mx")) else None)
+        }.toMap
+      }.getOrElse(Map.empty[String, ColStat])
       FileStat(f.get("id").asLong(), f.get("name").asText(),
         f.get("rows").asLong(),
-        OrdVal.readFrom(f, "min"), OrdVal.readFrom(f, "max"))
+        OrdVal.readFrom(f, "min"), OrdVal.readFrom(f, "max"), cols)
     }.toSeq
     val kv = Option(root.get("kv")).map { k =>
       k.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
@@ -87,6 +108,14 @@ object Sidecar {
       val n = arr.addObject()
       n.put("id", f.id); n.put("name", f.name); n.put("rows", f.rows)
       OrdVal.writeTo(n, "min", f.min); OrdVal.writeTo(n, "max", f.max)
+      if (f.cols.nonEmpty) {
+        val cn = n.putObject("cols")
+        f.cols.toSeq.sortBy(_._1).foreach { case (name, st) =>
+          val e = cn.putObject(name)
+          st.min.foreach(v => OrdVal.writeTo(e, "mn", v))
+          st.max.foreach(v => OrdVal.writeTo(e, "mx", v))
+        }
+      }
     }
     val kvn = root.putObject("kv")
     meta.kv.foreach { case (k, v) => kvn.put(k, v) }

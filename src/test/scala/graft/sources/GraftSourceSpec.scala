@@ -125,6 +125,63 @@ class GraftSourceSpec extends SparkSpec {
     }
   }
 
+  test("secondary-column zone maps (data skipping) prune correlated predicates") {
+    val t = GraftSource.table(spark, dir)
+    val idx = fileIndexOf(t)
+
+    // v = seq * 2.0 is perfectly correlated with the file layout:
+    // v in [500, 840) lives in files [200,300),[300,400),[400,500)
+    val byV = t.filter(col("v") >= 500.0 && col("v") < 840.0)
+    assert(byV.count() === 170)
+    assert(idx.lastSelectedFiles === 3)
+
+    // uncorrelated column (grp = seq % 7 spans every file): no pruning,
+    // correct result
+    val byGrp = t.filter(col("grp") === 2)
+    assert(byGrp.count() === 143)
+    assert(idx.lastSelectedFiles === 10)
+  }
+
+  test("string zone maps prune clustered values; truncation stays correct") {
+    val d = tmpDir("graftsource_str") + "/ds"
+    // cat is clustered with seq (c0 for 0..99, c1 for 100..199, …);
+    // pad is a long string (> 64 chars) whose max prefix is unusable
+    val df = spark.range(500).toDF("seq")
+      .withColumn("cat", concat(lit("c"), (col("seq") / 100).cast("int")))
+      .withColumn("pad", concat(lit("p"), lpad(col("seq").cast("string"),
+        100, "0")))
+    new OrderedDataset(spark, d).write(df, WriteOpts("seq", NRows(100)))
+    val t = GraftSource.table(spark, d)
+    val idx = fileIndexOf(t)
+
+    assert(t.filter(col("cat") === "c3").count() === 100)
+    assert(idx.lastSelectedFiles === 1)
+
+    // long-string column: min prefix still prunes a below-range point
+    assert(t.filter(col("pad") === "a_nothing").count() === 0)
+    assert(idx.lastSelectedFiles === 0)
+    // ...but an above-range probe cannot use a truncated max: admits all
+    assert(t.filter(col("pad") === "z_nothing").count() === 0)
+    assert(idx.lastSelectedFiles === 5)
+  }
+
+  test("col_stats=false skips secondary stats; reads stay correct") {
+    val d = tmpDir("graftsource_nostats") + "/ds"
+    spark.range(200).toDF("seq").withColumn("v", col("seq") * 3.0)
+      .write.format("graft")
+      .option("ordered_on", "seq").option("target_rows", "50")
+      .option("col_stats", "false")
+      .mode("append").save(d)
+    val ds = new OrderedDataset(spark, d)
+    assert(ds.meta.files.forall(_.cols.isEmpty))
+    val t = GraftSource.table(spark, d)
+    val idx = fileIndexOf(t)
+    assert(t.filter(col("v") < 30.0).count() === 10)
+    assert(idx.lastSelectedFiles === 4) // no secondary stats → no pruning
+    assert(t.filter(col("seq") < 10).count() === 10)
+    assert(idx.lastSelectedFiles === 1) // ordered col still prunes
+  }
+
   test("selectFiles is conservative on expressions it cannot analyze") {
     import org.apache.spark.sql.catalyst.expressions.{Add, AttributeReference, LessThan, Literal}
     import org.apache.spark.sql.types.LongType
