@@ -18,13 +18,16 @@ import org.apache.spark.sql.types.StringType
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     builders.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         builder))
     }
+    // metadata-only COUNT/MIN/MAX over graft relations (sidecar stats)
+    ext.injectOptimizerRule(_ => graft.sources.GraftStatsAgg)
+  }
 }
 
 object GraftExtensions {

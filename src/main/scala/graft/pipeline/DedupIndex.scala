@@ -69,7 +69,7 @@ object DedupIndex {
     * was built with (the kv tags written by the build methods). Older
     * untagged indexes pass — the guard only rejects a POSITIVE
     * mismatch. */
-  private def requireCfg(ds: OrderedDataset, kind: String,
+  private[pipeline] def requireCfg(ds: OrderedDataset, kind: String,
       cfg: Option[String]): Unit = {
     val kv = ds.kv
     require(kv.get("graft.index.kind").forall(_ == kind),
@@ -428,7 +428,7 @@ object DedupIndex {
     * let the sidecar zone map pick files from the collected set; over
     * it, return the full index frame and let the equi-join stream it.
     */
-  private def scanForProbes(spark: SparkSession, ds: OrderedDataset,
+  private[pipeline] def scanForProbes(spark: SparkSession, ds: OrderedDataset,
       probeKeys: DataFrame, maxDriverKeys: Int): DataFrame = {
     // null keys (e.g. md5 of a null text) can never match an index row
     // (equi-join semantics) — drop them before the driver collect

@@ -58,6 +58,7 @@ object PipelineQueries {
     ensureSimhashIndex(s, d): Unit
     ensureEmbeddingIndex(s, d): Unit
     ensureStreamingDedup(s, d): Unit
+    ensureContamIndex(s, d): Unit
   }
 
   /** DuckDB oracle shared by p_decontaminate and its Bloom-prefiltered
@@ -125,6 +126,22 @@ object PipelineQueries {
       if (!ds.exists)
         DedupIndex.buildDigest(s, dir, docs(s, d), "doc_id", "text",
           rowsPerFile = 200)
+      dir
+    }
+
+  /** Build the persisted decontamination index over the eval split
+    * (distinct eval grams ordered on hkey + the `_bloom` blob). */
+  private def ensureContamIndex(s: SparkSession, d: String): String =
+    synchronized {
+      val dir = s"/tmp/graft_contam_n${ContamN}_${inputTag(d, "documents")}"
+      val ds = new graft.store.OrderedDataset(s, dir)
+      if (!ds.exists) {
+        val base = docs(s, d)
+        val bucket = SampleOps.hashBucket(col("doc_id"))
+        val thr = lit(SampleOps.thresholdHex(EvalRate))
+        ContaminationOps.buildIndex(s, dir, base.filter(bucket < thr),
+          "doc_id", "text", ContamN, rowsPerFile = 20000L)
+      }
       dir
     }
 
@@ -559,6 +576,21 @@ object PipelineQueries {
       val thr = lit(SampleOps.thresholdHex(EvalRate))
       ContaminationOps.bloomOverlap(
         base.filter(bucket >= thr), base.filter(bucket < thr),
+        "doc_id", "text", ContamN)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // Decontamination against the PERSISTED index: the eval grams were
+    // shingled once at index build (fixture); the probe pays only the
+    // batch's shingling + Bloom prefilter + a zone-map-pruned index
+    // read. Same split, same semantics, same oracle as p_decontaminate.
+    "p_decontaminate_inc" -> { (s, d) =>
+      val dir = ensureContamIndex(s, d)
+      val base = docs(s, d)
+      val bucket = SampleOps.hashBucket(col("doc_id"))
+      val thr = lit(SampleOps.thresholdHex(EvalRate))
+      ContaminationOps.probeIndex(s, dir, base.filter(bucket >= thr),
         "doc_id", "text", ContamN)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
@@ -1158,6 +1190,7 @@ object PipelineQueries {
     // The Bloom prefilter only changes the PLAN (false positives are
     // removed by the exact join) — the oracle is byte-identical.
     "p_decontaminate_bloom" -> decontaminateSql,
+    "p_decontaminate_inc" -> decontaminateSql,
 
     "t13_streaming_dedup" ->
       """SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars

@@ -33,6 +33,10 @@ object StoreQueries {
     Tables.events(s, d)
       .select("event_id", "ts", "user_id", "event_type", "value")
 
+  private def tsAt(y: Int, mo: Int, day: Int): OrdTs =
+    OrdTs(java.time.LocalDateTime.of(y, mo, day, 0, 0)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L)
+
   val aggSpecs = Seq(
     AggSpec("first_v", "value", AggFn.First),
     AggSpec("last_v", "value", AggFn.Last),
@@ -46,7 +50,7 @@ object StoreQueries {
     val st = new Store(s, base, idx)
     // version-suffixed: bump when the fixture set changes so stale
     // /tmp caches rebuild
-    val marker = new java.io.File(s"$base/_BUILT_v5")
+    val marker = new java.io.File(s"$base/_BUILT_v6")
     if (marker.exists()) return st
     // wipe any partial build
     graft.LocalFs.rmTree(new java.io.File(base))
@@ -98,6 +102,13 @@ object StoreQueries {
       e.filter(col("event_id") >= 6500))
     mk().agg(chunks.take(2).iterator)   // stops mid-stream…
     mk().agg(chunks.drop(2).iterator)   // …and restarts from stored state
+
+    // m7 fixture: range delete — full ordered load, then purge
+    // [Jan 10, Jan 18): interior files dropped by a metadata-only
+    // commit, the two boundary files rewritten.
+    val purged = st.get("purged")
+    purged.write(e, WriteOpts("ts", NRows(1000)))
+    purged.delete(Some(tsAt(2024, 1, 10)), Some(tsAt(2024, 1, 18)))
 
     // t8 fixture: the NATIVE Structured Streaming path — readStream over
     // the events parquet, event-time hourly windows in update mode,
@@ -199,6 +210,31 @@ object StoreQueries {
            FROM graft_clicks_skip
            WHERE event_id BETWEEN 2000 AND 4000
            GROUP BY user_id ORDER BY user_id""")
+    },
+
+    // Metadata-only aggregates: whole-dataset COUNT/MIN/MAX answered
+    // from the sidecar zone maps by the GraftStatsAgg optimizer rule —
+    // the physical plan is a LocalRelation, zero files opened.
+    "s5_stats_agg" -> { (s, d) =>
+      val st = ensure(s, d)
+      graft.sources.GraftStatsAgg.register(s)
+      s.sql(
+        s"""CREATE OR REPLACE TEMPORARY VIEW graft_clicks_meta
+            USING graft OPTIONS (path '${st.dirOf("clicks")}')""")
+      s.sql(
+        """SELECT count(*) AS n, min(ts) AS min_ts, max(ts) AS max_ts,
+                  min(event_id) AS min_id, max(event_id) AS max_id,
+                  min(value) AS min_v, max(value) AS max_v
+           FROM graft_clicks_meta""")
+    },
+
+    // M7: range delete — interior files dropped by a metadata-only
+    // commit, boundary files rewritten; survivors read back in full.
+    "m7_delete_range" -> { (s, d) =>
+      val st = ensure(s, d)
+      st.get("purged").df
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")
     },
 
     // W3-W4: synchronized multi-dataset range scan; the union of the
@@ -358,6 +394,18 @@ object StoreQueries {
          FROM e
          WHERE event_type = 'click' AND event_id BETWEEN 2000 AND 4000
          GROUP BY user_id ORDER BY user_id""",
+
+    "s5_stats_agg" -> s"""$EV
+         SELECT count(*) AS n, min(ts) AS min_ts, max(ts) AS max_ts,
+                min(event_id) AS min_id, max(event_id) AS max_id,
+                min(value) AS min_v, max(value) AS max_v
+         FROM e WHERE event_type = 'click'""",
+
+    "m7_delete_range" -> s"""$EV
+         SELECT event_id, ts, user_id, event_type, value FROM e
+         WHERE ts < TIMESTAMP '2024-01-10 00:00:00'
+            OR ts >= TIMESTAMP '2024-01-18 00:00:00'
+         ORDER BY event_id""",
 
     "w3_intersections" -> s"""$EV
          SELECT 'clicks' AS ds_key, event_id, ts, value FROM e

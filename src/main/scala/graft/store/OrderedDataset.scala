@@ -35,6 +35,9 @@ final case class WriteOpts(
 final case class UpsertReport(filesRewritten: Int, filesKept: Int,
                               filesAdded: Int, rowsWritten: Long)
 
+final case class DeleteReport(filesDropped: Int, filesRewritten: Int,
+                              filesKept: Int, rowsDeleted: Long)
+
 /** One ordered dataset = a directory of parquet files (one logical row
   * group each) + the `_graftmd.json` stats sidecar — the Spark-native
   * port of the reference's OrderedParquetDataset
@@ -320,6 +323,68 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
   def write(batch: DataFrame, opts: WriteOpts): UpsertReport =
     withWriteLock { writeLocked(batch, opts) }
 
+  /** Range delete on the ordered column: removes every row with
+    * `lo <= ordered_on < hiExcl` (the [[rangeDF]] bound convention;
+    * None = unbounded). The pipeline use case: purging a contaminated
+    * or recalled slice from a corpus in place.
+    *
+    * 100 TB design: files FULLY covered by the range are dropped by a
+    * sidecar-only commit — zero data read or written, however large
+    * they are. Only boundary files straddling a range edge (at most a
+    * handful) are rewritten, sized by `target` (default: the largest
+    * rewritten file's row count, preserving the dataset's size class).
+    * Commit is the same atomic sidecar swap as upsert; replaced files
+    * retire under the reader grace window.
+    */
+  def delete(lo: Option[OrdVal], hiExcl: Option[OrdVal],
+      target: Option[RowGroupTarget] = None): DeleteReport = withWriteLock {
+    require(exists, s"no graft dataset at $dir")
+    require(lo.isDefined || hiExcl.isDefined,
+      "unbounded delete on both sides would empty the dataset; use " +
+        "removeFromDisk for that")
+    val m = meta
+    def inRange(f: FileStat) =
+      lo.forall(l => f.max >= l) && hiExcl.forall(h => f.min < h)
+    def covered(f: FileStat) =
+      lo.forall(l => f.min >= l) && hiExcl.forall(h => f.max < h)
+    val dropped = m.files.filter(covered)
+    val partial = m.files.filter(f => inRange(f) && !covered(f))
+    val kept    = m.files.filterNot(inRange)
+    if (dropped.isEmpty && partial.isEmpty)
+      DeleteReport(0, 0, kept.size, 0L)
+    else if (partial.isEmpty) {
+      // metadata-only delete: swap the sidecar, retire the covered files
+      Sidecar.write(conf, dir,
+        m.copy(files = kept.sortBy(f => (f.min, f.id))))
+      retire(dropped)
+      cleanOrphans(fs)
+      DeleteReport(dropped.size, 0, kept.size, dropped.map(_.rows).sum)
+    } else {
+      // boundary files: rewrite only them, keeping rows OUTSIDE the range
+      val d0 = spark.read.parquet(partial.map(f => s"$dir/${f.name}"): _*)
+      val dt = d0.schema(m.orderedOn).dataType
+      val survive = (
+        lo.map(l => col(m.orderedOn) < lit(l.toLiteralFor(dt))),
+        hiExcl.map(h => col(m.orderedOn) >= lit(h.toLiteralFor(dt)))) match {
+        case (Some(a), Some(b)) => a || b
+        case (Some(a), None)    => a
+        case (None, Some(b))    => b
+        case (None, None)       => lit(false) // unreachable: covered(f)
+      }
+      // every partial file keeps ≥1 row (its min or max lies outside
+      // the range by definition of "partial"), so d is never empty
+      val d = d0.filter(survive)
+      val survivors = d.count()
+      val tgt = target.getOrElse(NRows(math.max(1L, partial.map(_.rows).max)))
+      val opts = WriteOpts(m.orderedOn, tgt,
+        colStats = m.files.exists(_.cols.nonEmpty))
+      val rep = materialize(d, survivors, partial ++ dropped, kept, Some(m),
+        opts, m.orderedType, hasProvenance = false)
+      DeleteReport(dropped.size, partial.size, kept.size,
+        partial.map(_.rows).sum + dropped.map(_.rows).sum - rep.rowsWritten)
+    }
+  }
+
   private def writeLocked(batch: DataFrame, opts: WriteOpts): UpsertReport = {
     val m0: Option[DatasetMeta] = if (exists) Some(meta) else None
     m0.foreach { m =>
@@ -429,6 +494,16 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     * stats, then commit (move files in, swap sidecar atomically, delete
     * the replaced files).
     */
+  /** Stamp replaced files' mtime as their retirement time; they stay
+    * readable until `retireGraceMs` passes (see cleanOrphans).
+    */
+  private def retire(files: Seq[FileStat]): Unit =
+    files.foreach { f =>
+      try fs.setTimes(new HPath(s"$dir/${f.name}"),
+        System.currentTimeMillis(), -1)
+      catch { case _: java.io.FileNotFoundException => () }
+    }
+
   private def materialize(data: DataFrame, totalIn: Long,
       rewrite: Seq[FileStat], kept: Seq[FileStat],
       m0: Option[DatasetMeta], opts: WriteOpts, ordType: String,
@@ -590,11 +665,7 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     // resolved their file list against the previous sidecar keep reading
     // until the grace window passes (cleanOrphans reaps them under a
     // later writer's lock). Touching mtime stamps the retirement time.
-    rewrite.foreach { f =>
-      try fs.setTimes(new HPath(s"$dir/${f.name}"),
-        System.currentTimeMillis(), -1)
-      catch { case _: java.io.FileNotFoundException => () }
-    }
+    retire(rewrite)
     fs.delete(new HPath(tmpDir), true)
     // reap retirees whose grace window has already passed (bounds disk
     // growth under steady writes without waiting for the next writer)

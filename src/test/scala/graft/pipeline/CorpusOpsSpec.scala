@@ -100,6 +100,37 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("persisted contamination index equals the index-free overlap") {
+    val train = (0L until 60L).map(i =>
+      (i, s"train doc $i carries words w${i % 7} w${i % 11} w${i % 13} " +
+        s"plus filler f$i g$i h$i")).toDF("doc_id", "text")
+    val evalA = Seq(
+      (900L, "train doc 3 carries words w3 w3 w3")).toDF("doc_id", "text")
+    val evalB = Seq(
+      (901L, "completely disjoint benchmark prompt text here"),
+      (902L, "doc 7 carries words w0 too")).toDF("doc_id", "text")
+    val dir = tmpDir("contamidx") + "/idx"
+    val n = 3
+    // incremental: two benchmark drops, two build calls
+    ContaminationOps.buildIndex(spark, dir, evalA, "doc_id", "text", n,
+      rowsPerFile = 50)
+    ContaminationOps.buildIndex(spark, dir, evalB, "doc_id", "text", n,
+      rowsPerFile = 50)
+    val exact = ContaminationOps
+      .overlap(train, evalA.unionByName(evalB), "doc_id", "text", n)
+      .as[(Long, Long)].collect().toMap
+    // both probe shapes: driver-planned zone-map read and full equi-join
+    for (maxKeys <- Seq(65536, 1)) {
+      val got = ContaminationOps
+        .probeIndex(spark, dir, train, "doc_id", "text", n, maxKeys)
+        .as[(Long, Long)].collect().toMap
+      assert(got == exact, s"maxDriverKeys=$maxKeys")
+    }
+    // probing with the wrong n is a config error, not a wrong answer
+    intercept[IllegalArgumentException](
+      ContaminationOps.probeIndex(spark, dir, train, "doc_id", "text", 5))
+  }
+
   test("capPerGroup keeps at most n per stratum, partition-invariant") {
     val df = (0L until 100L)
       .map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("id", "g")
