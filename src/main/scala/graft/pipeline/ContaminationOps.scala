@@ -112,7 +112,14 @@ object ContaminationOps {
     fs.delete(new HPath(s"$dir/_bloom"), false)
     if (!fs.rename(tmp, new HPath(s"$dir/_bloom")))
       throw new java.io.IOException(s"bloom commit failed at $dir")
+    // stamp the generation the blob covers LAST: a crash anywhere above
+    // leaves the tag stale and the probe ignores the bloom (correct,
+    // just slower) — a bloom missing index grams would cause silent
+    // FALSE NEGATIVES, the one failure mode a prefilter must never have
+    ds.updateKv(Map(BloomGenKey -> ds.meta.totalRows.toString))
   }
+
+  private val BloomGenKey = "graft.contam.bloomrows"
 
   /** Probe the persisted index: `(id, n_shared)` for every batch doc
     * sharing ≥ 1 distinct n-gram with the indexed eval grams —
@@ -134,8 +141,12 @@ object ContaminationOps {
     DedupIndex.requireCfg(ds, "contamination", Some(s"n=$n"))
     val fs = new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bloomP = new HPath(s"$dir/_bloom")
+    // use the bloom only if its generation tag matches the index — a
+    // stale blob (crashed build) must not prefilter away real overlaps
+    val bloomCurrent =
+      ds.kv.get(BloomGenKey).contains(ds.meta.totalRows.toString)
     val bloomBytes: Option[Array[Byte]] =
-      if (!fs.exists(bloomP)) None
+      if (!bloomCurrent || !fs.exists(bloomP)) None
       else {
         val in = fs.open(bloomP)
         try {

@@ -50,7 +50,7 @@ object StoreQueries {
     val st = new Store(s, base, idx)
     // version-suffixed: bump when the fixture set changes so stale
     // /tmp caches rebuild
-    val marker = new java.io.File(s"$base/_BUILT_v6")
+    val marker = new java.io.File(s"$base/_BUILT_v7")
     if (marker.exists()) return st
     // wipe any partial build
     graft.LocalFs.rmTree(new java.io.File(base))
@@ -109,6 +109,15 @@ object StoreQueries {
     val purged = st.get("purged")
     purged.write(e, WriteOpts("ts", NRows(1000)))
     purged.delete(Some(tsAt(2024, 1, 10)), Some(tsAt(2024, 1, 18)))
+
+    // m8 fixture: additive schema evolution — the initial load predates
+    // the `user_id` column; a later evolved append carries it. Old
+    // files serve it as null through the sidecar-schema read.
+    val evolved = st.get("evolved")
+    evolved.write(e.filter(col("event_id") < 5000).drop("user_id"),
+      WriteOpts("ts", NRows(2000)))
+    evolved.write(e.filter(col("event_id") >= 5000),
+      WriteOpts("ts", NRows(2000), mergeSchema = true))
 
     // t8 fixture: the NATIVE Structured Streaming path — readStream over
     // the events parquet, event-time hourly windows in update mode,
@@ -233,6 +242,16 @@ object StoreQueries {
     "m7_delete_range" -> { (s, d) =>
       val st = ensure(s, d)
       st.get("purged").df
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    },
+
+    // M8: additive schema evolution — a pre-evolution file set and an
+    // evolved append read back as ONE relation, nulls where the old
+    // files predate the column.
+    "m8_schema_evolution" -> { (s, d) =>
+      val st = ensure(s, d)
+      st.get("evolved").df
         .select("event_id", "ts", "user_id", "event_type", "value")
         .orderBy("event_id")
     },
@@ -406,6 +425,12 @@ object StoreQueries {
          WHERE ts < TIMESTAMP '2024-01-10 00:00:00'
             OR ts >= TIMESTAMP '2024-01-18 00:00:00'
          ORDER BY event_id""",
+
+    "m8_schema_evolution" -> s"""$EV
+         SELECT event_id, ts,
+                CASE WHEN event_id >= 5000 THEN user_id END AS user_id,
+                event_type, value
+         FROM e ORDER BY event_id""",
 
     "w3_intersections" -> s"""$EV
          SELECT 'clicks' AS ds_key, event_id, ts, value FROM e

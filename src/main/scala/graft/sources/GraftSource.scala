@@ -99,6 +99,7 @@ object GraftSource {
     }
     WriteOpts(orderedOn, target, dups,
       p.get("max_n_off_target_rgs").map(_.trim.toInt),
-      colStats = p.get("col_stats").forall(_.trim.toBoolean))
+      colStats = p.get("col_stats").forall(_.trim.toBoolean),
+      mergeSchema = p.get("merge_schema").exists(_.trim.toBoolean))
   }
 }

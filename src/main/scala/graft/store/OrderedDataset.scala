@@ -30,7 +30,14 @@ final case class WriteOpts(
       * the write's stats pass. Disable for datasets whose non-ordered
       * columns are never filtered on.
       */
-    colStats: Boolean = true)
+    colStats: Boolean = true,
+    /** Additive schema evolution: batch-only columns extend the
+      * dataset schema; stored columns absent from the batch are
+      * null-filled. Older files keep their narrower physical schema
+      * and serve the newer columns as nulls at read. Type CHANGES are
+      * still rejected. Off by default — the reference's strict check.
+      */
+    mergeSchema: Boolean = false)
 
 final case class UpsertReport(filesRewritten: Int, filesKept: Int,
                               filesAdded: Int, rowsWritten: Long)
@@ -66,13 +73,28 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
   private def filePaths(m: DatasetMeta): Seq[String] =
     m.files.map(f => s"$dir/${f.name}")
 
+  /** Read dataset files through the SIDECAR schema (parquet resolves
+    * by name): files written before an additive schema evolution
+    * (`WriteOpts.mergeSchema`) lack the newer columns and serve them
+    * as nulls; footer inference would instead pick one file's schema
+    * and silently drop the others' columns. Pre-schema sidecars fall
+    * back to inference (their files are schema-uniform by the old
+    * write check).
+    */
+  private def readFiles(m: DatasetMeta, paths: Seq[String]): DataFrame =
+    if (m.schemaJson.isEmpty) spark.read.parquet(paths: _*)
+    else spark.read.schema(
+      org.apache.spark.sql.graftbridge.SparkInternals.asNullable(
+        DataType.fromJson(m.schemaJson).asInstanceOf[StructType]))
+      .parquet(paths: _*)
+
   /** Full scan; physical file order is not an ordering guarantee — use
     * orderedDf for an `ordered_on`-sorted view (ref base.py:440-459).
     */
   def df: DataFrame = {
     val m = meta
     if (m.files.isEmpty) emptyLike(m)
-    else spark.read.parquet(filePaths(m): _*)
+    else readFiles(m, filePaths(m))
   }
 
   def orderedDf: DataFrame = { val m = meta; df.orderBy(m.orderedOn) }
@@ -98,7 +120,7 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
       lo.forall(l => f.max >= l) && hiExcl.forall(h => f.min < h))
     if (sel.isEmpty) emptySelection(m)
     else {
-      var d = spark.read.parquet(sel.map(f => s"$dir/${f.name}"): _*)
+      var d = readFiles(m, sel.map(f => s"$dir/${f.name}"))
       val dt = d.schema(m.orderedOn).dataType
       lo.foreach(l =>
         d = d.filter(col(m.orderedOn) >= lit(l.toLiteralFor(dt))))
@@ -128,7 +150,7 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     val sel = m.files.filter(f =>
       points.exists(p => f.min <= p && p <= f.max))
     if (sel.isEmpty) emptySelection(m)
-    else spark.read.parquet(sel.map(f => s"$dir/${f.name}"): _*)
+    else readFiles(m, sel.map(f => s"$dir/${f.name}"))
   }
 
   /** Row-group-slice view by position in min-order, the analog of
@@ -138,7 +160,7 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     val m = meta
     val sel = m.files.slice(from, untilExcl)
     if (sel.isEmpty) emptyLike(m)
-    else spark.read.parquet(sel.map(f => s"$dir/${f.name}"): _*)
+    else readFiles(m, sel.map(f => s"$dir/${f.name}"))
   }
 
   def kv: Map[String, String] = meta.kv
@@ -342,6 +364,8 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     require(lo.isDefined || hiExcl.isDefined,
       "unbounded delete on both sides would empty the dataset; use " +
         "removeFromDisk for that")
+    for (l <- lo; h <- hiExcl) require(l < h,
+      s"empty delete range: lo=$l !< hiExcl=$h")
     val m = meta
     def inRange(f: FileStat) =
       lo.forall(l => f.max >= l) && hiExcl.forall(h => f.min < h)
@@ -361,7 +385,7 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
       DeleteReport(dropped.size, 0, kept.size, dropped.map(_.rows).sum)
     } else {
       // boundary files: rewrite only them, keeping rows OUTSIDE the range
-      val d0 = spark.read.parquet(partial.map(f => s"$dir/${f.name}"): _*)
+      val d0 = readFiles(m, partial.map(f => s"$dir/${f.name}"))
       val dt = d0.schema(m.orderedOn).dataType
       val survive = (
         lo.map(l => col(m.orderedOn) < lit(l.toLiteralFor(dt))),
@@ -402,11 +426,17 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
           .filterNot(f => f.name == SeqCol || f.name == RidCol)
         val sMap = stored.fields.map(f => f.name -> f.dataType).toMap
         val bMap = batchProvStripped.map(f => f.name -> f.dataType).toMap
-        require(sMap.keySet == bMap.keySet,
-          s"batch schema does not match dataset: missing " +
-            s"${sMap.keySet -- bMap.keySet}, extra ${bMap.keySet -- sMap.keySet}")
+        if (!opts.mergeSchema)
+          require(sMap.keySet == bMap.keySet,
+            s"batch schema does not match dataset: missing " +
+              s"${sMap.keySet -- bMap.keySet}, extra " +
+              s"${bMap.keySet -- sMap.keySet} (set mergeSchema = true " +
+              "for additive evolution)")
+        // types must agree on the intersection in BOTH modes — a type
+        // change is corruption, not evolution
         val mismatched = sMap.collect {
-          case (n, dt) if bMap(n) != dt => s"$n: $dt != ${bMap(n)}"
+          case (n, dt) if bMap.get(n).exists(_ != dt) =>
+            s"$n: $dt != ${bMap(n)}"
         }
         require(mismatched.isEmpty,
           s"batch column types do not match dataset: ${mismatched.mkString("; ")}")
@@ -415,8 +445,31 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     require(batch.columns.contains(opts.orderedOn),
       s"batch lacks ordered_on column ${opts.orderedOn}")
 
-    val ordType = typeTag(batch.schema(opts.orderedOn).dataType)
-    val cached = batch.persist()
+    // Additive schema evolution (mergeSchema): conform the batch to
+    // stored ∪ batch — stored columns absent from the batch are
+    // null-filled, batch-only columns append after the stored ones.
+    // Files written earlier keep their narrower physical schema; every
+    // read goes through the sidecar schema (readFiles), which serves
+    // the missing columns as nulls — the Delta/parquet-mergeSchema
+    // contract, which the reference rejects outright (write.py check).
+    val storedSchema: Option[StructType] = m0
+      .filter(_.schemaJson.nonEmpty)
+      .map(m => DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
+    val effBatch = (storedSchema, opts.mergeSchema) match {
+      case (Some(st), true) =>
+        val bFields = batch.schema.fields
+          .filterNot(f => f.name == SeqCol || f.name == RidCol)
+        val union = st.fields ++
+          bFields.filterNot(f => st.fieldNames.contains(f.name))
+        val prov = batch.columns.filter(c => c == SeqCol || c == RidCol)
+        batch.select(union.map(f =>
+          if (batch.columns.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)).toSeq ++
+          prov.map(col): _*)
+      case _ => batch
+    }
+    val ordType = typeTag(effBatch.schema(opts.orderedOn).dataType)
+    val cached = effBatch.persist()
     try {
       val bStats = cached.agg(
         min(opts.orderedOn), max(opts.orderedOn), count(lit(1)),
@@ -431,7 +484,7 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
           "store requires a total order — drop or fill them first")
       if (batchRows == 0) {
         val m = m0.getOrElse(DatasetMeta(opts.orderedOn, ordType, Nil,
-          Map.empty, 0L, batch.schema.json))
+          Map.empty, 0L, cached.drop(SeqCol, RidCol).schema.json))
         Sidecar.write(conf, dir,
           m.copy(kv = m.kv ++ opts.kv -- opts.kvRemove))
         return UpsertReport(0, m.files.size, 0, 0)
@@ -449,7 +502,17 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
       val existing: Option[DataFrame] = if (rewrite.isEmpty) None else {
         val nameToSeq = rewrite.zipWithIndex
           .flatMap { case (f, i) => Seq(lit(f.name), lit(i.toLong)) }
-        Some(spark.read.parquet(rewrite.map(f => s"$dir/${f.name}"): _*)
+        // read through the TARGET schema (batch ∪ stored): overlap
+        // files written before an additive evolution serve the newer
+        // columns as nulls instead of breaking the union
+        val rd =
+          if (storedSchema.isDefined)
+            spark.read.schema(
+              org.apache.spark.sql.graftbridge.SparkInternals.asNullable(
+                StructType(cached.schema.fields
+                  .filterNot(f => f.name == SeqCol || f.name == RidCol))))
+          else spark.read
+        Some(rd.parquet(rewrite.map(f => s"$dir/${f.name}"): _*)
           .withColumn(SeqCol, element_at(
             map(nameToSeq: _*),
             regexp_extract(input_file_name(), "[^/]+$", 0)))

@@ -129,6 +129,14 @@ class CorpusOpsSpec extends SparkSpec {
     // probing with the wrong n is a config error, not a wrong answer
     intercept[IllegalArgumentException](
       ContaminationOps.probeIndex(spark, dir, train, "doc_id", "text", 5))
+    // a stale bloom generation tag (crashed build) disables the
+    // prefilter instead of causing false negatives
+    new graft.store.OrderedDataset(spark, dir)
+      .updateKv(Map("graft.contam.bloomrows" -> "-1"))
+    val noBloom = ContaminationOps
+      .probeIndex(spark, dir, train, "doc_id", "text", n)
+      .as[(Long, Long)].collect().toMap
+    assert(noBloom == exact)
   }
 
   test("capPerGroup keeps at most n per stratum, partition-invariant") {

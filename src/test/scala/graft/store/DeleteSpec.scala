@@ -63,6 +63,8 @@ class DeleteSpec extends SparkSpec {
     assert(ds.df.count() === 850)
     assert(ds.df.agg(min("seq")).head().getLong(0) === 150L)
     intercept[IllegalArgumentException](ds.delete(None, None))
+    intercept[IllegalArgumentException]( // empty range
+      ds.delete(Some(OrdLong(500)), Some(OrdLong(500))))
   }
 
   test("deleting every row leaves a readable empty dataset") {
