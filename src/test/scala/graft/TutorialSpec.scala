@@ -267,4 +267,37 @@ class TutorialSpec extends SparkSpec {
       "doc_id", "text", corpus, index, rowsPerFile = 8)
     assert(accepted == 1)
   }
+
+  /** Day 5 — operating the live corpus: a bad crawl day recalled in
+    * place (fully-covered files dropped by a metadata-only commit),
+    * the next append carrying a freshly-learned quality column
+    * (additive evolution, old docs read null), and the operational
+    * checks — row count, id frontier — answered straight from the
+    * sidecar without opening a single file.
+    */
+  test("corpus day 5: purge a recall, evolve the schema, stats-only checks") {
+    val dir = tmpDir("day5") + "/corpus"
+    val ds = new OrderedDataset(spark, dir)
+    // the corpus so far: three crawl days, 100 docs each, 50/file
+    ds.write((0L until 300L).map(i => (i, s"doc $i body"))
+      .toDF("doc_id", "text"), WriteOpts("doc_id", NRows(50)))
+    // day 2's crawl (ids 100-199) is recalled — a poisoned source
+    val rep = ds.delete(Some(OrdLong(100L)), Some(OrdLong(200L)))
+    assert(rep.filesDropped == 2 && rep.filesRewritten == 0)
+    assert(ds.df.count() == 200)
+    // day 4's append brings the new quality score with it
+    ds.write((300L until 350L).map(i => (i, s"doc $i body", i % 5 / 4.0))
+      .toDF("doc_id", "text", "quality"),
+      WriteOpts("doc_id", NRows(50), mergeSchema = true))
+    assert(ds.df.filter($"quality".isNull).count() == 200)
+    // dashboard checks run metadata-only (LocalRelation, zero scans)
+    graft.sources.GraftStatsAgg.register(spark)
+    val stats = graft.sources.GraftSource.table(spark, dir).agg(
+      count(lit(1)).as("n"),
+      min("doc_id").as("lo"), max("doc_id").as("hi"))
+    assert(stats.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.nonEmpty)
+    assert(stats.head() == org.apache.spark.sql.Row(250L, 0L, 349L))
+  }
 }
