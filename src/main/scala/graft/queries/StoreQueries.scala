@@ -237,6 +237,21 @@ object StoreQueries {
            FROM graft_clicks_meta""")
     },
 
+    // Hybrid range COUNT: files fully inside the WHERE range are
+    // counted from the sidecar; only the two boundary files are
+    // scanned (GraftStatsAgg rewrite — covered + boundary union).
+    "s6_range_count" -> { (s, d) =>
+      val st = ensure(s, d)
+      graft.sources.GraftStatsAgg.register(s)
+      s.sql(
+        s"""CREATE OR REPLACE TEMPORARY VIEW graft_clicks_cnt
+            USING graft OPTIONS (path '${st.dirOf("clicks")}')""")
+      s.sql(
+        """SELECT count(*) AS n FROM graft_clicks_cnt
+           WHERE ts >= TIMESTAMP_NTZ'2024-01-05 00:00:00'
+             AND ts <  TIMESTAMP_NTZ'2024-01-25 00:00:00'""")
+    },
+
     // M7: range delete — interior files dropped by a metadata-only
     // commit, boundary files rewritten; survivors read back in full.
     "m7_delete_range" -> { (s, d) =>
@@ -419,6 +434,12 @@ object StoreQueries {
                 min(event_id) AS min_id, max(event_id) AS max_id,
                 min(value) AS min_v, max(value) AS max_v
          FROM e WHERE event_type = 'click'""",
+
+    "s6_range_count" -> s"""$EV
+         SELECT count(*) AS n FROM e
+         WHERE event_type = 'click'
+           AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+           AND ts <  TIMESTAMP '2024-01-25 00:00:00'""",
 
     "m7_delete_range" -> s"""$EV
          SELECT event_id, ts, user_id, event_type, value FROM e

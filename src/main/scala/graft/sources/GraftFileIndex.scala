@@ -27,11 +27,22 @@ import graft.store.{DatasetMeta, FileStat, OrdDouble, OrdLong, OrdTs, OrdVal, Si
   * InMemoryFileIndex, and the snapshot is immutable thereafter, so a
   * reader's plan cannot mix two store generations mid-query.
   */
-final class GraftFileIndex(spark: SparkSession, val dir: String)
+final class GraftFileIndex private (spark: SparkSession, val dir: String,
+    initial: Option[(DatasetMeta, Map[String, FileStatus])],
+    restrict: Option[Set[String]])
     extends FileIndex {
 
+  def this(spark: SparkSession, dir: String) = this(spark, dir, None, None)
+
   @volatile private var snapshot: (DatasetMeta, Map[String, FileStatus]) =
-    load()
+    initial.getOrElse(load())
+
+  /** A view of this index serving ONLY the named files, sharing the
+    * snapshot (no extra FS RPC). Used by [[GraftStatsAgg]] to scan just
+    * the boundary files of a hybrid metadata+scan aggregate.
+    */
+  def restricted(names: Set[String]): GraftFileIndex =
+    new GraftFileIndex(spark, dir, Some(snapshot), Some(names))
 
   /** Files selected by the last `listFiles` call (test/diagnostic). */
   @volatile var lastSelectedFiles: Int = -1
@@ -48,7 +59,13 @@ final class GraftFileIndex(spark: SparkSession, val dir: String)
     (m, statuses)
   }
 
-  def meta: DatasetMeta = snapshot._1
+  /** Sidecar meta, files filtered to the restriction (if any) — so the
+    * stats-agg rule and `listFiles` agree on what this index serves.
+    */
+  def meta: DatasetMeta = {
+    val m = snapshot._1
+    restrict.fold(m)(r => m.copy(files = m.files.filter(f => r(f.name))))
+  }
 
   /** Dataset schema served from the sidecar (no footer IO); falls back
     * to a parquet schema read only for pre-schema sidecars.
@@ -69,18 +86,18 @@ final class GraftFileIndex(spark: SparkSession, val dir: String)
   override def refresh(): Unit = snapshot = load()
 
   override def inputFiles: Array[String] =
-    snapshot._1.files.map(f => s"$dir/${f.name}").toArray
+    meta.files.map(f => s"$dir/${f.name}").toArray
 
   override def sizeInBytes: Long = {
-    val (m, st) = snapshot
-    m.files.iterator.flatMap(f => st.get(f.name)).map(_.getLen).sum
+    val st = snapshot._2
+    meta.files.iterator.flatMap(f => st.get(f.name)).map(_.getLen).sum
   }
 
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val (m, statuses) = snapshot
-    val sel = GraftFileIndex.selectFiles(m, dataFilters)
+    val statuses = snapshot._2
+    val sel = GraftFileIndex.selectFiles(meta, dataFilters)
     lastSelectedFiles = sel.size
     // a sidecar file absent from the directory snapshot must fail the
     // query, not silently shrink it (can only happen if a dataset's
@@ -163,7 +180,7 @@ object GraftFileIndex {
     * literals are epoch/wall-clock microseconds for both LTZ and NTZ —
     * exactly what `OrdTs` stores; strings arrive as UTF8String.
     */
-  private def ordVal(value: Any, dt: DataType): Option[OrdVal] =
+  private[sources] def ordVal(value: Any, dt: DataType): Option[OrdVal] =
     (value, dt) match {
       case (null, _)                      => None
       case (v: Long, LongType)            => Some(OrdLong(v))

@@ -4,73 +4,59 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types._
-import graft.store.{DatasetMeta, OrdDouble, OrdLong, OrdTs, OrdVal}
+import graft.store.{DatasetMeta, FileStat, OrdDouble, OrdLong, OrdTs, OrdVal}
 
-/** Metadata-only aggregates over a graft dataset: a whole-relation
-  * `COUNT(*)` / `MIN` / `MAX` (no grouping, no filter) is answered
-  * straight from the sidecar zone maps — zero files opened, the scan
-  * disappears from the physical plan entirely (the lakehouse
-  * "metadata-only query" optimization; the reference keeps the same
-  * stats in its `_opdmd` sidecar, ref base.py:58-62, but only its own
-  * planner reads them — here ANY Spark SQL consumer gets the shortcut).
+/** Metadata-answered aggregates over a graft dataset — two rewrites:
   *
-  * Correct by construction, conservatively:
-  *  - `COUNT(*)`/`COUNT(lit)`: the exact per-file row counts are
-  *    maintained by every commit. `COUNT(col)` (non-null count) is NOT
-  *    tracked, so it bails to the scan.
-  *  - `MIN`/`MAX` of the ordered column: exact full-value zone map.
-  *  - `MIN`/`MAX` of a secondary numeric/timestamp column: exact
-  *    per-file [[graft.store.ColStat]] min/max (aggregate min/max
-  *    ignore nulls, and so do the parquet-side stats they were
-  *    collected from — same semantics). Bails unless EVERY live file
-  *    carries the stat (a file whose stat was dropped — all-null, or
-  *    written pre-feature, or beyond the stat-column cap — makes the
-  *    metadata answer incomplete). String stats are prefix-truncated
-  *    (not exact values), so string min/max always bails.
-  *  - DISTINCT, FILTER clauses, expressions over the aggregate, WHERE
-  *    on the relation: bail — Spark runs the ordinary scan-based plan.
+  * '''Whole-relation''': `COUNT(*)` / `MIN` / `MAX` with no filter and
+  * no grouping becomes a `LocalRelation` from the sidecar zone maps —
+  * zero files opened (the lakehouse "metadata-only query"; the
+  * reference keeps the same stats in its `_opdmd` sidecar, ref
+  * base.py:58-62, but only its own planner reads them — here ANY Spark
+  * SQL consumer gets the shortcut).
   *
-  * 100 TB design: answering from the sidecar is O(#files) driver-side
-  * work on already-loaded metadata — the difference between a free
-  * lookup and a full corpus scan for the most common exploratory
-  * queries (`SELECT count(*) …`, freshness checks `max(ts)`).
+  * '''Hybrid range count''': `COUNT(*)` under a WHERE whose every
+  * conjunct is a range/point predicate on the ordered column becomes
+  * `covered + boundary`: files whose [min, max] lie entirely inside
+  * the range contribute their exact sidecar row counts, and ONLY the
+  * boundary files (at most a handful, however large the range) are
+  * scanned, through a restricted [[GraftFileIndex]]. "How many events
+  * last month" on a 100 TB store goes from a cluster job to a
+  * two-file read.
+  *
+  * Conservative by construction — any of these reverts to the
+  * ordinary scan-based plan: DISTINCT, FILTER clauses, `COUNT(col)`
+  * (non-null counts aren't tracked), grouping, expressions over the
+  * aggregate, a conjunct not analyzable against the ordered column's
+  * stats, min/max of string columns (stats are prefix-truncated) or of
+  * any column missing a stat in some file. `IsNotNull(ordered_on)`
+  * conjuncts are satisfied by the store's write-time invariant (null
+  * ordered keys are rejected at write).
   */
-object GraftStatsAgg extends Rule[LogicalPlan] {
+object GraftStatsAgg extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg: Aggregate
         if agg.groupingExpressions.isEmpty &&
           agg.aggregateExpressions.nonEmpty =>
-      metaOf(agg.child) match {
-        case Some(m) =>
-          val vals = agg.aggregateExpressions.map(answer(_, m))
-          if (vals.forall(_.isDefined))
-            LocalRelation(agg.output,
-              Seq(InternalRow.fromSeq(vals.map(_.get.orNull))))
-          else agg
-        case None => agg
-      }
+      rewriteWhole(agg).orElse(rewriteRangeCount(agg)).getOrElse(agg)
   }
 
-  /** The sidecar meta iff `plan` is (a pure column selection over) a
-    * graft relation — any Filter/join/etc. in between disqualifies.
-    */
-  private def metaOf(plan: LogicalPlan): Option[DatasetMeta] = plan match {
-    case lr: LogicalRelation => lr.relation match {
-      case h: HadoopFsRelation => h.location match {
-        case g: GraftFileIndex => Some(g.meta)
-        case _                 => None
-      }
-      case _ => None
+  // ---------------- whole-relation COUNT/MIN/MAX ----------------
+
+  private def rewriteWhole(agg: Aggregate): Option[LogicalPlan] =
+    relationOf(agg.child).flatMap { case (_, _, g) =>
+      val m = g.meta
+      val vals = agg.aggregateExpressions.map(answer(_, m))
+      if (vals.forall(_.isDefined))
+        Some(LocalRelation(agg.output,
+          Seq(InternalRow.fromSeq(vals.map(_.get.orNull)))))
+      else None
     }
-    case p: Project if p.projectList.forall(_.isInstanceOf[AttributeReference]) =>
-      metaOf(p.child)
-    case _ => None
-  }
 
   /** Some(Some(v)) = answered with value v (None = SQL NULL);
     * None = not answerable from metadata.
@@ -130,6 +116,154 @@ object GraftStatsAgg extends Rule[LogicalPlan] {
     case (OrdTs(x), TimestampType)    => Some(x)
     case _                            => None
   }
+
+  // ---------------- hybrid range count ----------------
+
+  /** Per-file truth of one conjunct: every row satisfies it (Full), no
+    * row does (Fail), or the file straddles the predicate (Part).
+    */
+  private sealed trait Tri
+  private case object Full extends Tri
+  private case object Fail extends Tri
+  private case object Part extends Tri
+
+  private def rewriteRangeCount(agg: Aggregate): Option[LogicalPlan] = {
+    val countsOk = agg.aggregateExpressions.forall {
+      case Alias(ae: AggregateExpression, _) => isPlainCount(ae)
+      case _                                 => false
+    }
+    if (!countsOk) None
+    else filterOverRelation(agg.child).flatMap { case (cond, lr, h, g) =>
+      val m = g.meta
+      val tris = splitConjunctivePredicates(cond).map(triOf(_, m))
+      if (tris.exists(_.isEmpty) || m.files.isEmpty) None
+      else {
+        val fns = tris.flatten
+        def classify(f: FileStat): Tri = {
+          val ts = fns.map(_(f))
+          if (ts.contains(Fail)) Fail
+          else if (ts.forall(_ == Full)) Full
+          else Part
+        }
+        val classes = m.files.map(f => f -> classify(f))
+        val covered = classes.collect { case (f, Full) => f }
+        val partial = classes.collect { case (f, Part) => f }
+        val coveredRows = covered.map(_.rows).sum
+        if (partial.isEmpty)
+          // pure metadata: no boundary files at all
+          Some(LocalRelation(agg.output, Seq(InternalRow.fromSeq(
+            agg.aggregateExpressions.map(_ => coveredRows)))))
+        else if (covered.isEmpty)
+          None // nothing saved — keep the ordinary pruned scan
+        else {
+          // covered from the sidecar + a scan of ONLY boundary files
+          val sub = g.restricted(partial.map(_.name).toSet)
+          val newRel = h.copy(location = sub)(h.sparkSession)
+          val lr2 = lr.copy(relation = newRel)
+          val cnt = Alias(AggregateExpression(Count(Seq(Literal(1))),
+            Complete, isDistinct = false), "__graft_boundary")()
+          val subAgg = Aggregate(Nil, Seq(cnt), Filter(cond, lr2))
+          val local = LocalRelation(
+            Seq(AttributeReference("__graft_covered", LongType,
+              nullable = false)()),
+            Seq(InternalRow(coveredRows)))
+          val union = Union(local :: subAgg :: Nil)
+          val part = union.output.head
+          val sums = agg.aggregateExpressions.map { ne =>
+            val a = ne.asInstanceOf[Alias]
+            // the union always has the covered row, so the sum is
+            // never null — keep the count's non-null output contract
+            Alias(KnownNotNull(AggregateExpression(Sum(part), Complete,
+              isDistinct = false)), a.name)(
+              exprId = a.exprId, qualifier = a.qualifier)
+          }
+          Some(Aggregate(Nil, sums, union))
+        }
+      }
+    }
+  }
+
+  private def isPlainCount(ae: AggregateExpression): Boolean =
+    !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+      case Count(Seq(Literal(v, _))) => v != null
+      case _                         => false
+    })
+
+  /** File-classification function for one conjunct, if it is a range /
+    * point / IsNotNull predicate on the ordered column with a literal.
+    */
+  private def triOf(e: Expression, m: DatasetMeta)
+      : Option[FileStat => Tri] = {
+    def isOrd(a: Expression): Boolean = a match {
+      case ar: AttributeReference => ar.name.equalsIgnoreCase(m.orderedOn)
+      case _                      => false
+    }
+    def v(l: Expression): Option[OrdVal] = l match {
+      case Literal(x, dt) => GraftFileIndex.ordVal(x, dt)
+      case _              => None
+    }
+    def cmp(x: OrdVal)(full: FileStat => Boolean, fail: FileStat => Boolean)
+        : FileStat => Tri =
+      f => if (fail(f)) Fail else if (full(f)) Full else Part
+    def eq(x: OrdVal): FileStat => Tri =
+      cmp(x)(f => f.min == x && f.max == x, f => x < f.min || x > f.max)
+    e match {
+      // ordered_on is never null (rejected at write), so the analyzer's
+      // implied IsNotNull holds for every row of every file
+      case IsNotNull(a) if isOrd(a) => Some(_ => Full)
+      case GreaterThanOrEqual(a, l) if isOrd(a) =>
+        v(l).map(x => cmp(x)(_.min >= x, _.max < x))
+      case GreaterThan(a, l) if isOrd(a) =>
+        v(l).map(x => cmp(x)(_.min > x, _.max <= x))
+      case LessThan(a, l) if isOrd(a) =>
+        v(l).map(x => cmp(x)(_.max < x, _.min >= x))
+      case LessThanOrEqual(a, l) if isOrd(a) =>
+        v(l).map(x => cmp(x)(_.max <= x, _.min > x))
+      // literal on the left: mirror the comparison
+      case GreaterThanOrEqual(l, a) if isOrd(a) =>
+        v(l).map(x => cmp(x)(_.max <= x, _.min > x))
+      case GreaterThan(l, a) if isOrd(a) =>
+        v(l).map(x => cmp(x)(_.max < x, _.min >= x))
+      case LessThan(l, a) if isOrd(a) =>
+        v(l).map(x => cmp(x)(_.min > x, _.max <= x))
+      case LessThanOrEqual(l, a) if isOrd(a) =>
+        v(l).map(x => cmp(x)(_.min >= x, _.max < x))
+      case EqualTo(a, l) if isOrd(a)       => v(l).map(eq)
+      case EqualTo(l, a) if isOrd(a)       => v(l).map(eq)
+      case EqualNullSafe(a, l) if isOrd(a) => v(l).map(eq)
+      case EqualNullSafe(l, a) if isOrd(a) => v(l).map(eq)
+      case _                               => None
+    }
+  }
+
+  // ---------------- plan-shape helpers ----------------
+
+  private def attrsOnly(p: Project): Boolean =
+    p.projectList.forall(_.isInstanceOf[AttributeReference])
+
+  private def relationOf(plan: LogicalPlan)
+      : Option[(LogicalRelation, HadoopFsRelation, GraftFileIndex)] =
+    plan match {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location match {
+          case g: GraftFileIndex => Some((lr, h, g))
+          case _                 => None
+        }
+        case _ => None
+      }
+      case p: Project if attrsOnly(p) => relationOf(p.child)
+      case _                          => None
+    }
+
+  private def filterOverRelation(plan: LogicalPlan)
+      : Option[(Expression, LogicalRelation, HadoopFsRelation,
+        GraftFileIndex)] =
+    plan match {
+      case p: Project if attrsOnly(p) => filterOverRelation(p.child)
+      case f: Filter =>
+        relationOf(f.child).map { case (lr, h, g) => (f.condition, lr, h, g) }
+      case _ => None
+    }
 
   /** Idempotent runtime registration on a live session (the
     * `spark.sql.extensions` config path is

@@ -34,28 +34,31 @@ class GraftSourceSpec extends SparkSpec {
   }
 
   test("ordered_on predicates prune files from the sidecar zone map") {
+    // collect(), not count(): a COUNT over an ordered-column range is
+    // legitimately answered from metadata by GraftStatsAgg (its own
+    // spec), which would leave lastSelectedFiles stale here
     val t = GraftSource.table(spark, dir)
     val idx = fileIndexOf(t)
 
     val narrow = t.filter(col("seq") >= 250 && col("seq") < 420)
-    assert(narrow.count() === 170)
+    assert(narrow.collect().length === 170)
     assert(idx.lastSelectedFiles === 3) // files [200,300),[300,400),[400,500)
 
     val point = t.filter(col("seq") === 777)
-    assert(point.count() === 1)
+    assert(point.collect().length === 1)
     assert(idx.lastSelectedFiles === 1)
 
     val inList = t.filter(col("seq").isin(5, 505, 905))
-    assert(inList.count() === 3)
+    assert(inList.collect().length === 3)
     assert(idx.lastSelectedFiles === 3)
 
     val disjunct = t.filter(col("seq") < 50 || col("seq") >= 950)
-    assert(disjunct.count() === 100)
+    assert(disjunct.collect().length === 100)
     assert(idx.lastSelectedFiles === 2)
 
     // a predicate on a non-ordered column must NOT prune (conservative)
     val other = t.filter(col("grp") === 3)
-    assert(other.count() === 143)
+    assert(other.collect().length === 143)
     assert(idx.lastSelectedFiles === 10)
   }
 
@@ -77,7 +80,7 @@ class GraftSourceSpec extends SparkSpec {
   test("zone-map miss yields an empty result without reading data") {
     val t = GraftSource.table(spark, dir)
     val idx = fileIndexOf(t)
-    assert(t.filter(col("seq") > 100000).count() === 0)
+    assert(t.filter(col("seq") > 100000).collect().isEmpty)
     assert(idx.lastSelectedFiles === 0)
   }
 
@@ -92,7 +95,7 @@ class GraftSourceSpec extends SparkSpec {
     val idx = fileIndexOf(t)
     val res = t.filter(col("ts") >= lit("2024-01-03 00:00:00").cast("timestamp_ntz")
       && col("ts") < lit("2024-01-05 00:00:00").cast("timestamp_ntz"))
-    assert(res.count() === 48)
+    assert(res.collect().length === 48)
     assert(idx.lastSelectedFiles === 2)
   }
 
@@ -178,7 +181,7 @@ class GraftSourceSpec extends SparkSpec {
     val idx = fileIndexOf(t)
     assert(t.filter(col("v") < 30.0).count() === 10)
     assert(idx.lastSelectedFiles === 4) // no secondary stats → no pruning
-    assert(t.filter(col("seq") < 10).count() === 10)
+    assert(t.filter(col("seq") < 10).collect().length === 10)
     assert(idx.lastSelectedFiles === 1) // ordered col still prunes
   }
 

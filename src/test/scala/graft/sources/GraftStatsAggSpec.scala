@@ -56,8 +56,9 @@ class GraftStatsAggSpec extends SparkSpec {
 
   test("anything the stats cannot answer exactly falls back to the scan") {
     val t = GraftSource.table(spark, dir)
-    // WHERE clause: per-file stats can't apply the residual filter
-    assert(scans(t.filter(col("seq") < 100).agg(count(lit(1)))) === 1)
+    // WHERE on a non-ordered column: stats can't verify coverage
+    // (ordered-column ranges are handled by the hybrid count rewrite)
+    assert(scans(t.filter(col("v") < 100).agg(count(lit(1)))) === 1)
     // COUNT(col): non-null counts aren't tracked
     assert(scans(t.agg(count(col("v")))) === 1)
     // string min/max: stats are prefix-truncated, not exact values
@@ -67,7 +68,7 @@ class GraftStatsAggSpec extends SparkSpec {
     // grouped aggregate
     assert(scans(t.groupBy(col("seq") % 2).agg(count(lit(1)))) === 1)
     // and the fallbacks still compute the right values
-    assert(t.filter(col("seq") < 100).count() === 100)
+    assert(t.filter(col("v") < 100).count() === 50)
     assert(t.agg(min("name")).head().getString(0) === "row0")
   }
 
@@ -83,6 +84,48 @@ class GraftStatsAggSpec extends SparkSpec {
     assert(q.head() === org.apache.spark.sql.Row(100L, 148.5))
     // but the ordered column alone is still metadata-only
     assert(isMetadataOnly(t.agg(count(lit(1)), min("seq"), max("seq"))))
+  }
+
+  test("range COUNT: covered files from the sidecar, boundary files scanned") {
+    val t = GraftSource.table(spark, dir)
+    val q = t.filter(col("seq") >= 250 && col("seq") < 750)
+      .agg(count(lit(1)).as("n"))
+    assert(q.head().getLong(0) === 500L)
+    // the plan's only relation is the RESTRICTED index over the two
+    // boundary files — the four covered files never enter the scan
+    val scanned = q.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation =>
+        l.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.length
+    }
+    assert(scanned === Seq(2), q.queryExecution.optimizedPlan.toString)
+  }
+
+  test("file-aligned range COUNT is pure metadata (no scan at all)") {
+    val t = GraftSource.table(spark, dir)
+    val q = t.filter(col("seq") >= 200 && col("seq") < 700)
+      .agg(count(lit(1)).as("n"))
+    assert(isMetadataOnly(q), q.queryExecution.optimizedPlan.toString)
+    assert(q.head().getLong(0) === 500L)
+    // one-sided + strict variants
+    val q2 = t.filter(col("seq") > 799).agg(count(lit(1)))
+    assert(q2.head().getLong(0) === 200L)
+    val q3 = t.filter(col("seq") === 500).agg(count(lit(1)))
+    assert(q3.head().getLong(0) === 1L)
+  }
+
+  test("range COUNT bails on non-ordered conjuncts and non-count aggs") {
+    val t = GraftSource.table(spark, dir)
+    // extra conjunct on a secondary column: stats can't verify coverage
+    val q = t.filter(col("seq") >= 250 && col("seq") < 750 &&
+      col("v") >= 0).agg(count(lit(1)))
+    assert(scans(q) === 1)
+    assert(q.head().getLong(0) === 500L)
+    // min under a filter: not rewritten (counts only)
+    val q2 = t.filter(col("seq") >= 250).agg(min("seq"))
+    assert(scans(q2) === 1)
+    assert(q2.head().getLong(0) === 250L)
   }
 
   test("results match the scan-based plan exactly") {
