@@ -27,6 +27,21 @@ object IvfIndex {
       .write(assigned, WriteOpts("cid", NRows(rowsPerFile)))
   }
 
+  /** Incrementally add vectors to an existing index: assign the batch
+    * against the SAME centroid table the index was built with (caller-
+    * managed, exactly as in [[search]] — a filter over the batch alone
+    * would fabricate a different centroid set) and ordered-upsert the
+    * new rows into their lists. Only the lists the batch lands in are
+    * rewritten; untouched lists are never read.
+    */
+  def add(spark: SparkSession, dir: String, newVecs: DataFrame,
+      centroids: DataFrame, rowsPerFile: Long = 1000000L): Unit = {
+    val assigned = SimilarityOps.ivfAssignTo(newVecs, centroids)
+      .select(col("cid"), col("id"), col("vec"), col("norm"))
+    new OrderedDataset(spark, dir)
+      .write(assigned, WriteOpts("cid", NRows(rowsPerFile)))
+  }
+
   /** Probe the nProbe nearest lists per query against the stored index.
     * The probed cid set (≤ |queries| × nProbe, driver-bounded by the
     * query-batch contract) is collapsed into contiguous ranges and read

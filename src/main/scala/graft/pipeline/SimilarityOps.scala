@@ -115,8 +115,16 @@ object SimilarityOps {
     * shape, linear in |corpus| × |centroids| with no shuffle of the
     * corpus.
     */
-  def ivfAssign(corpus: DataFrame, centroidFilter: Column): DataFrame = {
-    val cents = broadcast(corpus.filter(centroidFilter).select(
+  def ivfAssign(corpus: DataFrame, centroidFilter: Column): DataFrame =
+    ivfAssignTo(corpus, corpus.filter(centroidFilter))
+
+  /** [[ivfAssign]] against an EXPLICIT centroid table `(id, vec,
+    * norm)` — the incremental path: a new batch must be assigned to
+    * the same centroids the index was built with, which a filter over
+    * the batch alone cannot produce.
+    */
+  def ivfAssignTo(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = broadcast(centroids.select(
       col("id").as("cid"), col("vec").as("cvec"), col("norm").as("cnorm")))
     val w = Window.partitionBy("id")
       .orderBy(col("ccos").desc, col("cid"))

@@ -318,14 +318,16 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     *    sidecar can still finish — the Spark-native analog of the
     *    reference holding its lock across reads (ref base.py:240-255).
     */
-  private def cleanOrphans(fsys: FileSystem): Unit = {
+  private def cleanOrphans(fsys: FileSystem,
+      grace: Long = OrderedDataset.retireGraceMs): Int = {
     val d = new HPath(dir)
-    if (!fsys.exists(d)) return
+    if (!fsys.exists(d)) return 0
     val m = if (exists) Some(meta) else None
     val referenced: Set[String] = m.map(_.files.map(_.name).toSet)
       .getOrElse(Set.empty)
     val nextId = m.map(_.nextFileId).getOrElse(0L)
     val now = System.currentTimeMillis()
+    var reaped = 0
     fsys.listStatus(d).foreach { st =>
       val n = st.getPath.getName
       if (st.isDirectory && n.startsWith(TmpDirPrefix))
@@ -334,13 +336,26 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
         n match {
           case DataFileRe(idDigits) =>
             if (idDigits.toLong >= nextId ||
-                now - st.getModificationTime > retireGraceMs)
+                now - st.getModificationTime > grace) {
               fsys.delete(st.getPath, false)
+              reaped += 1
+            }
           case _ => ()
         }
       }
     }
+    reaped
   }
+
+  /** Explicitly reap retired files older than `olderThanMs` (plus any
+    * dead writer's leftovers) — Delta's VACUUM analog for callers that
+    * want disk back before the next write's automatic sweep. Shrinking
+    * the window below the default trades concurrent-reader safety for
+    * space: a reader planned against an older sidecar may fail.
+    * Returns the number of data files removed.
+    */
+  def vacuum(olderThanMs: Long = OrderedDataset.retireGraceMs): Int =
+    withWriteLock { cleanOrphans(fs, olderThanMs) }
 
   def write(batch: DataFrame, opts: WriteOpts): UpsertReport =
     withWriteLock { writeLocked(batch, opts) }

@@ -80,6 +80,25 @@ class PipelineSpec extends SparkSpec {
     val expect = SimilarityOps.ivfTopK(queries, v, isCent, 2, 3)
       .orderBy("q_id", "rank").collect().toSeq
     assert(got.orderBy("q_id", "rank").collect().toSeq == expect)
+
+    // incremental growth: add ONLY the new vectors, assigned against
+    // the ORIGINAL centroid table — the ordered upsert merges them
+    // into their lists, and search over the grown index equals a
+    // from-scratch ivfTopK over the union (new ids avoid the centroid
+    // filter so the centroid set is identical both ways)
+    val extra = (200L until 240L).filter(_ % 20 != 0).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 0.37 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val vx = SimilarityOps.withNorm(extra, "vec_id", "embedding")
+    IvfIndex.add(spark, s"$dir/idx", vx, v.filter(isCent),
+      rowsPerFile = 20)
+    val all = v.unionByName(vx).persist()
+    val got2 = IvfIndex.search(spark, s"$dir/idx", queries,
+      v.filter(isCent), nProbe = 2, k = 3)
+    val expect2 = SimilarityOps.ivfTopK(queries, all, isCent, 2, 3)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(got2.orderBy("q_id", "rank").collect().toSeq == expect2)
+    all.unpersist(); v.unpersist(): Unit
   }
 
   test("int8 quantization: unit norm, bounded roundtrip error") {

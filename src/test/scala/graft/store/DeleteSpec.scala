@@ -80,6 +80,21 @@ class DeleteSpec extends SparkSpec {
     assert(ds.df.count() === 5)
   }
 
+  test("vacuum reaps retirees on demand; default window keeps them") {
+    val (ds, dir) = mk("del-vacuum")
+    val before = ds.meta.files.map(_.name).toSet
+    ds.delete(Some(OrdLong(200)), Some(OrdLong(500)))
+    val retired = before -- ds.meta.files.map(_.name).toSet
+    assert(retired.size === 3)
+    // within the grace window a vacuum at the default age keeps them
+    assert(ds.vacuum() === 0)
+    retired.foreach(n => assert(new java.io.File(s"$dir/$n").exists()))
+    // an explicit zero-age vacuum reclaims the disk now
+    assert(ds.vacuum(0L) === 3)
+    retired.foreach(n => assert(!new java.io.File(s"$dir/$n").exists()))
+    assert(ds.df.count() === 700) // live data untouched
+  }
+
   test("delete preserves secondary-column stats for data skipping") {
     val (ds, _) = mk("del-stats")
     ds.delete(Some(OrdLong(250)), Some(OrdLong(750)))
