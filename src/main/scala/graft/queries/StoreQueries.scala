@@ -247,7 +247,9 @@ object StoreQueries {
         s"""CREATE OR REPLACE TEMPORARY VIEW graft_clicks_cnt
             USING graft OPTIONS (path '${st.dirOf("clicks")}')""")
       s.sql(
-        """SELECT count(*) AS n FROM graft_clicks_cnt
+        """SELECT count(*) AS n, min(ts) AS min_ts, max(ts) AS max_ts,
+                  min(value) AS min_v
+           FROM graft_clicks_cnt
            WHERE ts >= TIMESTAMP_NTZ'2024-01-05 00:00:00'
              AND ts <  TIMESTAMP_NTZ'2024-01-25 00:00:00'""")
     },
@@ -436,7 +438,9 @@ object StoreQueries {
          FROM e WHERE event_type = 'click'""",
 
     "s6_range_count" -> s"""$EV
-         SELECT count(*) AS n FROM e
+         SELECT count(*) AS n, min(ts) AS min_ts, max(ts) AS max_ts,
+                min(value) AS min_v
+         FROM e
          WHERE event_type = 'click'
            AND ts >= TIMESTAMP '2024-01-05 00:00:00'
            AND ts <  TIMESTAMP '2024-01-25 00:00:00'""",

@@ -19,14 +19,17 @@ import graft.store.{DatasetMeta, FileStat, OrdDouble, OrdLong, OrdTs, OrdVal}
   * base.py:58-62, but only its own planner reads them — here ANY Spark
   * SQL consumer gets the shortcut).
   *
-  * '''Hybrid range count''': `COUNT(*)` under a WHERE whose every
-  * conjunct is a range/point predicate on the ordered column becomes
-  * `covered + boundary`: files whose [min, max] lie entirely inside
-  * the range contribute their exact sidecar row counts, and ONLY the
-  * boundary files (at most a handful, however large the range) are
-  * scanned, through a restricted [[GraftFileIndex]]. "How many events
-  * last month" on a 100 TB store goes from a cluster job to a
-  * two-file read.
+  * '''Hybrid range aggregate''': `COUNT(*)` / `MIN` / `MAX` under a
+  * WHERE whose every conjunct is a range/point predicate on the
+  * ordered column becomes `covered ⊕ boundary`: files whose [min, max]
+  * lie entirely inside the range contribute exactly from their sidecar
+  * stats (every row of a covered file passes the filter, so its row
+  * count AND its per-column min/max are exact contributions), and ONLY
+  * the boundary files (at most a handful, however large the range) are
+  * scanned, through a restricted [[GraftFileIndex]]; a final
+  * one-row-per-side union combines them (Count→Sum, Min→Min, Max→Max).
+  * "How many events last month, and the min/max value" on a 100 TB
+  * store goes from a cluster job to a two-file read.
   *
   * Conservative by construction — any of these reverts to the
   * ordinary scan-based plan: DISTINCT, FILTER clauses, `COUNT(col)`
@@ -127,12 +130,52 @@ object GraftStatsAgg extends Rule[LogicalPlan] with PredicateHelper {
   private case object Fail extends Tri
   private case object Part extends Tri
 
+  /** What one aggregate expression computes, for the hybrid rewrite. */
+  private sealed trait RKind
+  private case object KCount extends RKind
+  private final case class KExtreme(a: AttributeReference, isMin: Boolean)
+      extends RKind
+
+  private def kindOf(ne: NamedExpression): Option[RKind] = ne match {
+    case Alias(ae: AggregateExpression, _)
+        if !ae.isDistinct && ae.filter.isEmpty =>
+      ae.aggregateFunction match {
+        case Count(Seq(Literal(v, _))) if v != null => Some(KCount)
+        case Min(a: AttributeReference) => Some(KExtreme(a, isMin = true))
+        case Max(a: AttributeReference) => Some(KExtreme(a, isMin = false))
+        case _                          => None
+      }
+    case _ => None
+  }
+
+  /** The covered-files contribution of one aggregate — exact because
+    * every row of a covered file passes the filter. Some(null) = no
+    * covered rows; None = not derivable (bail).
+    */
+  private def coveredValue(kind: RKind, covered: Seq[FileStat],
+      m: DatasetMeta): Option[Any] = kind match {
+    case KCount => Some(covered.map(_.rows).sum)
+    case KExtreme(a, isMin) =>
+      if (covered.isEmpty) Some(null)
+      else if (a.name.equalsIgnoreCase(m.orderedOn)) {
+        val v = covered.map(f => if (isMin) f.min else f.max)
+          .reduce((x, y) => if ((x < y) == isMin) x else y)
+        internal(v, a.dataType)
+      } else {
+        val sides = covered.map(_.cols.collectFirst {
+          case (n, st) if n.equalsIgnoreCase(a.name) =>
+            if (isMin) st.min else st.max
+        }.flatten)
+        if (sides.exists(_.isEmpty)) None
+        else internal(
+          sides.flatten.reduce((x, y) => if ((x < y) == isMin) x else y),
+          a.dataType)
+      }
+  }
+
   private def rewriteRangeCount(agg: Aggregate): Option[LogicalPlan] = {
-    val countsOk = agg.aggregateExpressions.forall {
-      case Alias(ae: AggregateExpression, _) => isPlainCount(ae)
-      case _                                 => false
-    }
-    if (!countsOk) None
+    val kinds = agg.aggregateExpressions.map(kindOf)
+    if (kinds.exists(_.isEmpty)) None
     else filterOverRelation(agg.child).flatMap { case (cond, lr, h, g) =>
       val m = g.meta
       val tris = splitConjunctivePredicates(cond).map(triOf(_, m))
@@ -148,46 +191,62 @@ object GraftStatsAgg extends Rule[LogicalPlan] with PredicateHelper {
         val classes = m.files.map(f => f -> classify(f))
         val covered = classes.collect { case (f, Full) => f }
         val partial = classes.collect { case (f, Part) => f }
-        val coveredRows = covered.map(_.rows).sum
-        if (partial.isEmpty)
+        val cvals = kinds.map(k => coveredValue(k.get, covered, m))
+        if (cvals.exists(_.isEmpty)) None
+        else if (partial.isEmpty)
           // pure metadata: no boundary files at all
-          Some(LocalRelation(agg.output, Seq(InternalRow.fromSeq(
-            agg.aggregateExpressions.map(_ => coveredRows)))))
+          Some(LocalRelation(agg.output,
+            Seq(InternalRow.fromSeq(cvals.map(_.get)))))
         else if (covered.isEmpty)
           None // nothing saved — keep the ordinary pruned scan
         else {
-          // covered from the sidecar + a scan of ONLY boundary files
+          // covered from the sidecar + a scan of ONLY boundary files:
+          // a union of the covered row and the boundary sub-aggregate,
+          // combined per kind (Count→Sum, Min→Min, Max→Max)
           val sub = g.restricted(partial.map(_.name).toSet)
           val newRel = h.copy(location = sub)(h.sparkSession)
           val lr2 = lr.copy(relation = newRel)
-          val cnt = Alias(AggregateExpression(Count(Seq(Literal(1))),
-            Complete, isDistinct = false), "__graft_boundary")()
-          val subAgg = Aggregate(Nil, Seq(cnt), Filter(cond, lr2))
-          val local = LocalRelation(
-            Seq(AttributeReference("__graft_covered", LongType,
-              nullable = false)()),
-            Seq(InternalRow(coveredRows)))
-          val union = Union(local :: subAgg :: Nil)
-          val part = union.output.head
-          val sums = agg.aggregateExpressions.map { ne =>
-            val a = ne.asInstanceOf[Alias]
-            // the union always has the covered row, so the sum is
-            // never null — keep the count's non-null output contract
-            Alias(KnownNotNull(AggregateExpression(Sum(part), Complete,
-              isDistinct = false)), a.name)(
-              exprId = a.exprId, qualifier = a.qualifier)
+          val subAggs = kinds.zipWithIndex.map { case (k, i) =>
+            val fn = k.get match {
+              case KCount          => Count(Seq(Literal(1)))
+              case KExtreme(a, true)  => Min(a)
+              case KExtreme(a, false) => Max(a)
+            }
+            Alias(AggregateExpression(fn, Complete, isDistinct = false),
+              s"__graft_b$i")()
           }
-          Some(Aggregate(Nil, sums, union))
+          val subAgg = Aggregate(Nil, subAggs, Filter(cond, lr2))
+          val localAttrs = kinds.zipWithIndex.map { case (k, i) =>
+            k.get match {
+              case KCount => AttributeReference(s"__graft_c$i", LongType,
+                nullable = false)()
+              case KExtreme(a, _) => AttributeReference(s"__graft_c$i",
+                a.dataType, nullable = true)()
+            }
+          }
+          val local = LocalRelation(localAttrs,
+            Seq(InternalRow.fromSeq(cvals.map(_.get))))
+          val union = Union(local :: subAgg :: Nil)
+          val combined = agg.aggregateExpressions.zip(kinds)
+            .zip(union.output).map { case ((ne, k), part) =>
+              val a = ne.asInstanceOf[Alias]
+              val fn = k.get match {
+                // the union always has the covered row, so the sum is
+                // never null — keep count's non-null output contract
+                case KCount => KnownNotNull(AggregateExpression(
+                  Sum(part), Complete, isDistinct = false))
+                case KExtreme(_, true) => AggregateExpression(
+                  Min(part), Complete, isDistinct = false)
+                case KExtreme(_, false) => AggregateExpression(
+                  Max(part), Complete, isDistinct = false)
+              }
+              Alias(fn, a.name)(exprId = a.exprId, qualifier = a.qualifier)
+            }
+          Some(Aggregate(Nil, combined, union))
         }
       }
     }
   }
-
-  private def isPlainCount(ae: AggregateExpression): Boolean =
-    !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
-      case Count(Seq(Literal(v, _))) => v != null
-      case _                         => false
-    })
 
   /** File-classification function for one conjunct, if it is a range /
     * point / IsNotNull predicate on the ordered column with a literal.

@@ -115,17 +115,48 @@ class GraftStatsAggSpec extends SparkSpec {
     assert(q3.head().getLong(0) === 1L)
   }
 
-  test("range COUNT bails on non-ordered conjuncts and non-count aggs") {
+  test("range MIN/MAX go hybrid too; covered stats are exact") {
+    val t = GraftSource.table(spark, dir)
+    // one boundary file scanned; min comes from it, max from metadata
+    val q = t.filter(col("seq") >= 250).agg(
+      min("seq").as("mn"), max("seq").as("mx"),
+      min("v").as("vmn"), count(lit(1)).as("n"))
+    val scanned = q.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation =>
+        l.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.length
+    }
+    assert(scanned === Seq(1), q.queryExecution.optimizedPlan.toString)
+    assert(q.head() === org.apache.spark.sql.Row(250L, 999L, 500.0, 750L))
+    // file-aligned range: pure metadata even with min/max in the mix
+    val q2 = t.filter(col("seq") >= 200 && col("seq") < 700).agg(
+      count(lit(1)).as("n"), min("seq"), max("v"))
+    assert(isMetadataOnly(q2))
+    assert(q2.head() === org.apache.spark.sql.Row(500L, 200L, 1398.0))
+    // a fully-missed range answers count 0 / null extremes, no scan
+    val q3 = t.filter(col("seq") > 100000).agg(count(lit(1)), max("seq"))
+    assert(isMetadataOnly(q3))
+    assert(q3.head() === org.apache.spark.sql.Row(0L, null))
+  }
+
+  test("range rewrite bails on non-ordered conjuncts and string extremes") {
     val t = GraftSource.table(spark, dir)
     // extra conjunct on a secondary column: stats can't verify coverage
     val q = t.filter(col("seq") >= 250 && col("seq") < 750 &&
       col("v") >= 0).agg(count(lit(1)))
     assert(scans(q) === 1)
     assert(q.head().getLong(0) === 500L)
-    // min under a filter: not rewritten (counts only)
-    val q2 = t.filter(col("seq") >= 250).agg(min("seq"))
-    assert(scans(q2) === 1)
-    assert(q2.head().getLong(0) === 250L)
+    // string min under a range: prefix-truncated stats can't answer
+    val q2 = t.filter(col("seq") >= 250).agg(min("name"))
+    val full = q2.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation =>
+        l.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.length
+    }
+    assert(full === Seq(10)) // unrestricted relation — no rewrite
+    assert(q2.head().getString(0) === "row250")
   }
 
   test("results match the scan-based plan exactly") {
