@@ -101,9 +101,13 @@ object ContaminationOps {
         kv = Map("graft.index.kind" -> "contamination",
           "graft.index.cfg" -> s"n=$n"))): Unit
     // Bloom over the full post-upsert index so the blob covers grams
-    // from EVERY build call, not just this one's
+    // from EVERY build call, not just this one's. Capture the row
+    // count the bloom is actually built over: stamping a RE-READ count
+    // after a concurrent build's upsert would validate a bloom that is
+    // missing that build's grams — silent false negatives.
+    val builtOverRows = ds.meta.totalRows
     val bloom = graft.functions.BloomFns.build(ds.df, col("g"),
-      math.max(ds.meta.totalRows, 1L), fpp)
+      math.max(builtOverRows, 1L), fpp)
     val fs = new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new HPath(s"$dir/_bloom.tmp")
     val out = fs.create(tmp, true)
@@ -116,7 +120,7 @@ object ContaminationOps {
     // leaves the tag stale and the probe ignores the bloom (correct,
     // just slower) — a bloom missing index grams would cause silent
     // FALSE NEGATIVES, the one failure mode a prefilter must never have
-    ds.updateKv(Map(BloomGenKey -> ds.meta.totalRows.toString))
+    ds.updateKv(Map(BloomGenKey -> builtOverRows.toString))
   }
 
   private val BloomGenKey = "graft.contam.bloomrows"

@@ -85,21 +85,29 @@ object GraftStatsAgg extends Rule[LogicalPlan] with PredicateHelper {
   private def extreme(m: DatasetMeta, a: AttributeReference, isMin: Boolean)
       : Option[Option[Any]] =
     if (m.files.isEmpty) Some(None) // MIN/MAX over zero rows is NULL
-    else if (a.name.equalsIgnoreCase(m.orderedOn)) {
-      val v = m.files.map(f => if (isMin) f.min else f.max)
+    else statExtreme(m.files, a, isMin, m.orderedOn).map(Some(_))
+
+  /** Exact stats-derived MIN/MAX over a file set: full-value zone map
+    * for the ordered column, secondary `ColStat` otherwise. None =
+    * not derivable (a file missing the stat, or a type — strings —
+    * the stats can't reproduce exactly). Shared by the whole-relation
+    * and hybrid-range paths so their answerability rules cannot drift.
+    */
+  private def statExtreme(files: Seq[FileStat], a: AttributeReference,
+      isMin: Boolean, orderedOn: String): Option[Any] =
+    if (a.name.equalsIgnoreCase(orderedOn)) {
+      val v = files.map(f => if (isMin) f.min else f.max)
         .reduce((x, y) => if ((x < y) == isMin) x else y)
-      internal(v, a.dataType).map(Some(_))
+      internal(v, a.dataType)
     } else {
-      val sides = m.files.map(_.cols.collectFirst {
+      val sides = files.map(_.cols.collectFirst {
         case (n, st) if n.equalsIgnoreCase(a.name) =>
           if (isMin) st.min else st.max
       }.flatten)
       if (sides.exists(_.isEmpty)) None
-      else {
-        val v = sides.flatten
-          .reduce((x, y) => if ((x < y) == isMin) x else y)
-        internal(v, a.dataType).map(Some(_))
-      }
+      else internal(
+        sides.flatten.reduce((x, y) => if ((x < y) == isMin) x else y),
+        a.dataType)
     }
 
   /** Sidecar stat value → Catalyst internal value of the column's type.
@@ -157,20 +165,7 @@ object GraftStatsAgg extends Rule[LogicalPlan] with PredicateHelper {
     case KCount => Some(covered.map(_.rows).sum)
     case KExtreme(a, isMin) =>
       if (covered.isEmpty) Some(null)
-      else if (a.name.equalsIgnoreCase(m.orderedOn)) {
-        val v = covered.map(f => if (isMin) f.min else f.max)
-          .reduce((x, y) => if ((x < y) == isMin) x else y)
-        internal(v, a.dataType)
-      } else {
-        val sides = covered.map(_.cols.collectFirst {
-          case (n, st) if n.equalsIgnoreCase(a.name) =>
-            if (isMin) st.min else st.max
-        }.flatten)
-        if (sides.exists(_.isEmpty)) None
-        else internal(
-          sides.flatten.reduce((x, y) => if ((x < y) == isMin) x else y),
-          a.dataType)
-      }
+      else statExtreme(covered, a, isMin, m.orderedOn)
   }
 
   private def rewriteRangeCount(agg: Aggregate): Option[LogicalPlan] = {

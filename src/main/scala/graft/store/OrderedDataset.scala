@@ -165,10 +165,16 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
 
   def kv: Map[String, String] = meta.kv
 
-  def updateKv(add: Map[String, String], remove: Seq[String] = Nil): Unit = {
-    val m = meta
-    Sidecar.write(conf, dir, m.copy(kv = m.kv ++ add -- remove))
-  }
+  /** Locked read-modify-write: an unlocked kv update racing a concurrent
+    * upsert would re-commit the PRE-upsert file list wholesale (the
+    * sidecar is one document), silently dropping the other writer's
+    * files.
+    */
+  def updateKv(add: Map[String, String], remove: Seq[String] = Nil): Unit =
+    withWriteLock {
+      val m = meta
+      Sidecar.write(conf, dir, m.copy(kv = m.kv ++ add -- remove))
+    }
 
   def removeFromDisk(): Unit = fs.delete(new HPath(dir), true)
 
@@ -411,16 +417,21 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
         case (None, None)       => lit(false) // unreachable: covered(f)
       }
       // every partial file keeps ≥1 row (its min or max lies outside
-      // the range by definition of "partial"), so d is never empty
-      val d = d0.filter(survive)
-      val survivors = d.count()
-      val tgt = target.getOrElse(NRows(math.max(1L, partial.map(_.rows).max)))
-      val opts = WriteOpts(m.orderedOn, tgt,
-        colStats = m.files.exists(_.cols.nonEmpty))
-      val rep = materialize(d, survivors, partial ++ dropped, kept, Some(m),
-        opts, m.orderedType, hasProvenance = false)
-      DeleteReport(dropped.size, partial.size, kept.size,
-        partial.map(_.rows).sum + dropped.map(_.rows).sum - rep.rowsWritten)
+      // the range by definition of "partial"), so d is never empty;
+      // persist: the survivors feed a count AND the materialize write
+      val d = d0.filter(survive).persist()
+      try {
+        val survivors = d.count()
+        val tgt =
+          target.getOrElse(NRows(math.max(1L, partial.map(_.rows).max)))
+        val opts = WriteOpts(m.orderedOn, tgt,
+          colStats = m.files.exists(_.cols.nonEmpty))
+        val rep = materialize(d, survivors, partial ++ dropped, kept,
+          Some(m), opts, m.orderedType, hasProvenance = false)
+        DeleteReport(dropped.size, partial.size, kept.size,
+          partial.map(_.rows).sum + dropped.map(_.rows).sum -
+            rep.rowsWritten)
+      } finally d.unpersist(): Unit
     }
   }
 
@@ -447,11 +458,26 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
               s"${sMap.keySet -- bMap.keySet}, extra " +
               s"${bMap.keySet -- sMap.keySet} (set mergeSchema = true " +
               "for additive evolution)")
-        // types must agree on the intersection in BOTH modes — a type
-        // change is corruption, not evolution
+        else {
+          // Spark resolves names case-insensitively by default: a batch
+          // column differing only in case must MATCH the stored column
+          // (checked below / renamed in effBatch), never append as a
+          // second one — that would null the real column and make
+          // every later reference ambiguous
+          val collide = batchProvStripped.map(_.name)
+            .groupBy(_.toLowerCase).values.filter(_.size > 1)
+          require(collide.isEmpty,
+            "batch has case-colliding column names: " +
+              collide.map(_.mkString("/")).mkString(", "))
+        }
+        // types must agree on the (case-insensitive) intersection in
+        // BOTH modes — a type change is corruption, not evolution
         val mismatched = sMap.collect {
-          case (n, dt) if bMap.get(n).exists(_ != dt) =>
-            s"$n: $dt != ${bMap(n)}"
+          case (n, dt) if bMap.collectFirst {
+            case (bn, bdt) if bn.equalsIgnoreCase(n) && bdt != dt => bdt
+          }.isDefined =>
+            s"$n: $dt != ${bMap.collectFirst {
+              case (bn, bdt) if bn.equalsIgnoreCase(n) => bdt }.get}"
         }
         require(mismatched.isEmpty,
           s"batch column types do not match dataset: ${mismatched.mkString("; ")}")
@@ -474,12 +500,20 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
       case (Some(st), true) =>
         val bFields = batch.schema.fields
           .filterNot(f => f.name == SeqCol || f.name == RidCol)
-        val union = st.fields ++
-          bFields.filterNot(f => st.fieldNames.contains(f.name))
+        // name matching is case-insensitive (Spark's default
+        // resolution); a case-variant batch column conforms to the
+        // STORED spelling rather than appending a twin
+        def batchNameFor(n: String): Option[String] =
+          bFields.collectFirst {
+            case f if f.name.equalsIgnoreCase(n) => f.name
+          }
+        val extra = bFields.filterNot(f =>
+          st.fields.exists(_.name.equalsIgnoreCase(f.name)))
         val prov = batch.columns.filter(c => c == SeqCol || c == RidCol)
-        batch.select(union.map(f =>
-          if (batch.columns.contains(f.name)) col(f.name)
-          else lit(null).cast(f.dataType).as(f.name)).toSeq ++
+        batch.select((st.fields.map(f => batchNameFor(f.name) match {
+          case Some(bn) => col(bn).as(f.name)
+          case None     => lit(null).cast(f.dataType).as(f.name)
+        }) ++ extra.map(f => col(f.name))).toSeq ++
           prov.map(col): _*)
       case _ => batch
     }

@@ -69,6 +69,27 @@ class SchemaEvolutionSpec extends SparkSpec {
       ds.write(bad, WriteOpts("seq", NRows(40), mergeSchema = true)))
   }
 
+  test("case-variant batch columns conform to the stored spelling") {
+    val d = tmpDir("evolve6") + "/ds"
+    val ds = new OrderedDataset(spark, d)
+    ds.write((0L until 20L).map(i => (i, i * 2.0)).toDF("seq", "v"),
+      WriteOpts("seq", NRows(40)))
+    // "V" matches stored "v" case-insensitively: same column, not a twin
+    ds.write((20L until 30L).map(i => (i, -1.0)).toDF("seq", "V"),
+      WriteOpts("seq", NRows(40), mergeSchema = true))
+    assert(ds.df.columns.toSeq === Seq("seq", "v"))
+    assert(ds.df.filter(col("v") === -1.0).count() === 10)
+    // a case-variant TYPE change is still a type error
+    intercept[IllegalArgumentException](
+      ds.write((30L until 40L).map(i => (i, s"x$i")).toDF("seq", "V"),
+        WriteOpts("seq", NRows(40), mergeSchema = true)))
+    // a batch whose own columns case-collide is rejected outright
+    val collide = (30L until 40L).map(i => (i, 1.0, 2.0))
+      .toDF("seq", "w", "W")
+    intercept[IllegalArgumentException](
+      ds.write(collide, WriteOpts("seq", NRows(40), mergeSchema = true)))
+  }
+
   test("graft source merge_schema option + evolved SQL reads") {
     val d = tmpDir("evolve5") + "/ds"
     (0L until 30L).map(i => (i, i * 1.0)).toDF("seq", "v")
