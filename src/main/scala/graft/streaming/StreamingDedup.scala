@@ -51,14 +51,16 @@ object StreamingDedup {
     */
   def run(docStream: DataFrame, idCol: String, textCol: String,
       corpusDir: String, indexDir: String, ckptDir: String,
-      rowsPerFile: Long = 1000000L): StreamingQuery =
+      rowsPerFile: Long = 1000000L,
+      contamIndexDir: Option[String] = None,
+      contamN: Int = 5): StreamingQuery =
     docStream.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", ckptDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         dedupBatch(batch.sparkSession, batch, idCol, textCol,
-          corpusDir, indexDir, rowsPerFile): Unit
+          corpusDir, indexDir, rowsPerFile, contamIndexDir, contamN): Unit
       }
       .start()
 
@@ -83,9 +85,20 @@ object StreamingDedup {
     * slip past the not-yet-extended index and replace the stored
     * original.
     */
+  /** With `contamIndexDir` set, each batch is ALSO decontaminated
+    * in-stream: documents sharing any word `contamN`-gram with the
+    * persisted eval index ([[graft.pipeline.ContaminationOps
+    * .buildIndex]]) are rejected before the corpus commit — the probe
+    * is Bloom-prefiltered and costs ∝ batch, so benchmark leakage is
+    * caught at the door instead of by a later corpus-wide sweep.
+    * Rejection is deterministic in content, so batch replay stays
+    * idempotent.
+    */
   def dedupBatch(spark: SparkSession, batch: DataFrame, idCol: String,
       textCol: String, corpusDir: String, indexDir: String,
-      rowsPerFile: Long = 1000000L): Long = {
+      rowsPerFile: Long = 1000000L,
+      contamIndexDir: Option[String] = None,
+      contamN: Int = 5): Long = {
     val reserved = Set("digest", "hkey", "__rn", "__digest")
     require(!batch.columns.exists(reserved),
       s"batch must not carry reserved columns ${reserved.mkString("/")}")
@@ -107,9 +120,20 @@ object StreamingDedup {
           .select(col("new_id").as("__dup_id")).distinct()
         firsts.join(hits, firsts(idCol) === col("__dup_id"), "left_anti")
       } else firsts
+    // 2b. optional in-stream decontamination against the persisted
+    // eval-gram index (any shared n-gram rejects the document)
+    val clean0 = contamIndexDir match {
+      case Some(cd) =>
+        val dirty = graft.pipeline.ContaminationOps
+          .probeIndex(spark, cd, fresh0, idCol, textCol, contamN)
+          .select(col("id").as("__contam_id")).distinct()
+        fresh0.join(dirty, fresh0(idCol) === col("__contam_id"),
+          "left_anti")
+      case None => fresh0
+    }
     // One materialization, two consumers (corpus write + index write):
     // without this the digest/probe lineage would run twice.
-    val fresh = fresh0
+    val fresh = clean0
       .withColumn("hkey", DedupIndex.hkey60(col("digest")))
       .localCheckpoint()
     try {

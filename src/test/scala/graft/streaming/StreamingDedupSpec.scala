@@ -88,6 +88,40 @@ class StreamingDedupSpec extends SparkSpec {
     assert(ids == Set(5L, 1L))
   }
 
+  test("in-stream decontamination rejects benchmark-overlapping docs at the door") {
+    val dir = tmpDir("sdedup-contam")
+    val corpus = s"$dir/corpus"; val index = s"$dir/index"
+    val contam = s"$dir/contam"
+    // the held-out benchmark, indexed once
+    graft.pipeline.ContaminationOps.buildIndex(spark,
+      contam,
+      Seq((9000L, "secret held out benchmark phrase for eval only"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", n = 5, rowsPerFile = 50)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val feed = MemoryStream[Doc]
+    feed.addData(Seq(
+      Doc(1L, "perfectly ordinary training document one"),
+      // shares a 5-gram with the benchmark -> must be rejected
+      Doc(2L, "contains the secret held out benchmark phrase for sure"),
+      Doc(3L, "another ordinary training document three"),
+      Doc(4L, "perfectly ordinary training document one"))) // dup of 1
+    StreamingDedup.run(feed.toDF(), "doc_id", "text", corpus, index,
+      s"$dir/ckpt", rowsPerFile = 8,
+      contamIndexDir = Some(contam), contamN = 5).awaitTermination()
+
+    val ids = new OrderedDataset(spark, corpus).df
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(1L, 3L)) // 2 contaminated, 4 deduped
+    // and the contaminated digest must NOT have entered the index:
+    // a later clean re-submission under a new id is accepted
+    val again = StreamingDedup.dedupBatch(spark,
+      Seq(Doc(10L, "contains the secret held out benchmark phrase for sure"))
+        .toDF(), "doc_id", "text", corpus, index, rowsPerFile = 8)
+    assert(again === 1) // no contamination filter on this call
+  }
+
   test("a batch overlapping only the index (not itself) is filtered row-exactly") {
     val dir = tmpDir("sdedup2")
     val corpus = s"$dir/corpus"; val index = s"$dir/index"
