@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, InsertableRelation, RelationProvider}
 import org.apache.spark.sql.types.StructType
 import graft.store.{NRows, OrderedDataset, RowGroupTarget, TimePeriod, WriteOpts}
 
@@ -43,7 +43,8 @@ final class GraftSource extends RelationProvider
   override def createRelation(
       sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation =
-    GraftSource.relation(sqlContext.sparkSession, path(parameters))
+    GraftSource.relation(sqlContext.sparkSession, path(parameters),
+      parameters)
 
   override def createRelation(
       sqlContext: SQLContext,
@@ -74,10 +75,35 @@ object GraftSource {
     spark.read.format("graft").load(dir)
 
   private[sources] def relation(
-      spark: SparkSession, dir: String): HadoopFsRelation = {
+      spark: SparkSession, dir: String): HadoopFsRelation =
+    relation(spark, dir, Map("path" -> dir))
+
+  /** The relation is a [[HadoopFsRelation]] (so Spark's whole file-scan
+    * machinery applies) MIXED WITH [[InsertableRelation]]: SQL
+    * `INSERT INTO view` routes through the ordered upsert using the
+    * view's OPTIONS as write options — without the mixin, Spark's
+    * generic file-sink insert would drop sidecar-unaware part-files
+    * into the dataset directory that every graft read ignores (silent
+    * data loss; probed empirically, see GraftSourceSpec).
+    */
+  private[sources] def relation(spark: SparkSession, dir: String,
+      parameters: Map[String, String]): HadoopFsRelation = {
     val index = new GraftFileIndex(spark, dir)
-    HadoopFsRelation(index, StructType(Nil), index.dataSchema, None,
+    new HadoopFsRelation(index, StructType(Nil), index.dataSchema, None,
       new ParquetFileFormat, Map.empty[String, String])(spark)
+      with InsertableRelation {
+      override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+        val ds = new OrderedDataset(spark, dir)
+        // a view declared without write options can still be inserted
+        // into: the ordering column is already fixed in the sidecar
+        val p =
+          if (parameters.contains("ordered_on") || !ds.exists) parameters
+          else parameters + ("ordered_on" -> ds.meta.orderedOn)
+        if (overwrite && ds.exists) ds.removeFromDisk()
+        ds.write(data, GraftSource.writeOpts(p)): Unit
+        index.refresh()
+      }
+    }
   }
 
   /** DataFrameWriter options → [[WriteOpts]]. */

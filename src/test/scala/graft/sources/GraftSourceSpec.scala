@@ -128,6 +128,36 @@ class GraftSourceSpec extends SparkSpec {
     }
   }
 
+  test("SQL INSERT INTO a graft view is the ordered upsert") {
+    val d = tmpDir("graftsource_ins") + "/ds"
+    spark.range(10).toDF("seq").withColumn("v", lit(1.0))
+      .write.format("graft").option("ordered_on", "seq")
+      .option("target_rows", "5").save(d)
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW graft_ins
+          USING graft OPTIONS (path '$d', ordered_on 'seq',
+            target_rows '5', duplicates_on 'seq')""")
+    // append = upsert (overlapping key 5 replaced, new key 100 added)
+    spark.sql("INSERT INTO graft_ins VALUES (5, 9.0), (100, 2.0)")
+    val rows = spark.sql(
+      "SELECT seq, v FROM graft_ins ORDER BY seq").collect()
+    assert(rows.length === 11)
+    assert(rows.find(_.getLong(0) == 5L).get.getDouble(1) === 9.0)
+    // the write went through the store: sidecar-tracked f-files only
+    val names = new java.io.File(d).list().toSeq
+    assert(!names.exists(_.startsWith("part-")), names.mkString(","))
+    assert(new OrderedDataset(spark, d).meta.totalRows === 11L)
+    // a view with no write options inserts via the sidecar's ordering
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW graft_ins_ro
+          USING graft OPTIONS (path '$d')""")
+    spark.sql("INSERT INTO graft_ins_ro VALUES (200, 3.0)")
+    assert(spark.table("graft_ins_ro").count() === 12)
+    // INSERT OVERWRITE replaces the dataset
+    spark.sql("INSERT OVERWRITE graft_ins VALUES (1, 1.0)")
+    assert(spark.sql("SELECT * FROM graft_ins").collect().length === 1)
+  }
+
   test("secondary-column zone maps (data skipping) prune correlated predicates") {
     val t = GraftSource.table(spark, dir)
     val idx = fileIndexOf(t)
