@@ -69,6 +69,63 @@ class UpsertPropertySpec extends SparkSpec {
     }
   }
 
+  /** Interleaved upserts and range deletes must equal the same
+    * operations applied to a sorted-map model, with the zone-map
+    * invariants (exact stats, non-overlapping files) preserved at
+    * every step — the delete analog of the upsert property above.
+    */
+  test("interleaved upserts and range deletes track the model") {
+    val opGen: Gen[Either[Seq[(Long, Double)], (Long, Long)]] = Gen.frequency(
+      3 -> batchGen.map(Left(_)),
+      2 -> (for {
+        lo <- Gen.choose(0L, 60L)
+        w <- Gen.choose(1L, 30L)
+      } yield Right((lo, lo + w))))
+    val runGen: Gen[(List[Either[Seq[(Long, Double)], (Long, Long)]], Long)] =
+      for {
+        ops <- Gen.choose(3, 8).flatMap(Gen.listOfN(_, opGen))
+        target <- Gen.choose(5L, 25L)
+      } yield (ops, target)
+
+    (1 to 10).foreach { i =>
+      val (ops, target) = sample(runGen, 7000L + i)
+      val dir = tmpDir("delprop")
+      val ds = new OrderedDataset(spark, s"$dir/d")
+      val opts = WriteOpts("t", NRows(target), duplicatesOn = Some(Seq("t")))
+      var model = Map.empty[Long, Double]
+      var wrote = false
+      ops.foreach {
+        case Left(batch) =>
+          ds.write(toDf(batch), opts)
+          batch.foreach { case (k, v) => model += (k -> v) }
+          wrote = true
+        case Right((lo, hi)) if wrote =>
+          ds.delete(Some(OrdLong(lo)), Some(OrdLong(hi)))
+          model = model.filter { case (k, _) => k < lo || k >= hi }
+        case Right(_) => () // delete before any write: nothing to do
+      }
+      if (wrote) {
+        val got = ds.orderedDf.as[(Long, Double)].collect().toSeq
+        val exp = model.toSeq.sortBy(_._1)
+        assert(got == exp, s"\nseed=${7000 + i} ops=$ops target=$target")
+        val m = ds.meta
+        assert(m.totalRows == exp.size)
+        m.files.foreach(f => assert(f.min <= f.max))
+        m.files.sliding(2).foreach {
+          case Seq(a, b) => assert(a.max < b.min,
+            s"overlapping files: $a / $b")
+          case _ =>
+        }
+        // boundary stats stay EXACT through deletes (a rewrite that
+        // kept pre-delete mins/maxs would mis-prune range reads)
+        if (exp.nonEmpty) {
+          assert(m.files.head.min == OrdLong(exp.head._1))
+          assert(m.files.last.max == OrdLong(exp.last._1))
+        } else assert(m.files.isEmpty)
+      }
+    }
+  }
+
   test("TimePeriod upserts: content keeps-last, EXACTLY one file/day") {
     val t0 = java.time.LocalDateTime.of(2024, 4, 1, 0, 0)
     val tsBatchGen: Gen[Seq[(Long, Double)]] = for {
