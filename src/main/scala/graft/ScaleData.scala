@@ -93,16 +93,29 @@ object ScaleData {
         vec.as("embedding"), col("label"))
     }, "embeddings")
 
-    // events: raw int64-nanos ts (nanosAsLong) shifted by one span per
-    // replica; ids shifted
+    // events: ts shifted by one span per replica; ids shifted. Two
+    // physical schemas exist across driver generations: raw int64
+    // nanos (shift arithmetically) and native µs NTZ (shift via
+    // timestampadd, span measured in micros).
     val ev = Tables.load(spark, src, "events")
-    val evStats = ev.agg(max("event_id"), min("ts"), max("ts")).head()
+    val evIsRawNanos =
+      ev.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val tsUs =
+      if (evIsRawNanos) expr("ts div 1000")
+      else unix_micros(col("ts").cast("timestamp"))
+    val evStats = ev.agg(max("event_id"), min(tsUs), max(tsUs)).head()
     val evShift = evStats.getLong(0) + 1
-    val span = evStats.getLong(2) - evStats.getLong(1) + 3600L * 1000000000L
+    val spanUs = evStats.getLong(2) - evStats.getLong(1) + 3600L * 1000000L
     write(replicate(ev) { (d, i) =>
       if (i == 0) d
-      else d.withColumn("event_id", col("event_id") + lit(i * evShift))
-        .withColumn("ts", col("ts") + lit(i * span))
+      else {
+        val shifted = d.withColumn("event_id",
+          col("event_id") + lit(i * evShift))
+        if (evIsRawNanos)
+          shifted.withColumn("ts", col("ts") + lit(i * spanUs * 1000L))
+        else shifted.withColumn("ts",
+          expr(s"timestampadd(MICROSECOND, ${i * spanUs}, ts)"))
+      }
     }, "events")
 
     // fact tables: order keys shifted consistently across both

@@ -30,11 +30,46 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** Convert an int64-nanos column (from nanosAsLong) to µs TIMESTAMP_NTZ. */
+  /** Normalize a timestamp column to µs TIMESTAMP_NTZ, whatever the
+    * parquet physical type: int64 nanos (TIMESTAMP(NANOS) via
+    * nanosAsLong — the original driver schema), µs NTZ (regenerated
+    * testdata reads natively under timestampType=TIMESTAMP_NTZ), or a
+    * session-tz TIMESTAMP (cast preserves the wall clock under the
+    * forced-UTC session). Schema drift in driver-regenerated testdata
+    * must not break the adapter.
+    */
   private def nanosToNtz(df: DataFrame, c: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    df.withColumn(c,
-      timestamp_micros(expr(s"$c div 1000")).cast("timestamp_ntz"))
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case LongType =>
+        df.withColumn(c,
+          timestamp_micros(expr(s"$c div 1000")).cast("timestamp_ntz"))
+      case TimestampNTZType => df
+      case TimestampType =>
+        df.withColumn(c, col(c).cast("timestamp_ntz"))
+      case other => throw new IllegalStateException(
+        s"unsupported type for timestamp column '$c': $other")
+    }
+  }
+
+  /** Same normalization to a session-tz µs TIMESTAMP (what Structured
+    * Streaming watermarks want). */
+  def toLtzMicros(df: DataFrame, c: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case LongType =>
+        df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      case TimestampType => df
+      case TimestampNTZType =>
+        // the TYPE OBJECT, not cast("timestamp"): under the session's
+        // timestampType=TIMESTAMP_NTZ the parser resolves the string
+        // "timestamp" back to NTZ and the cast is a no-op
+        df.withColumn(c, col(c).cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"unsupported type for timestamp column '$c': $other")
+    }
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
@@ -47,20 +82,31 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame =
     nanosToNtz(load(s, d, "events"), "ts")
 
-  /** events with a time-range predicate applied to the RAW int64-nanos
-    * column BEFORE the timestamp conversion: a predicate on the
-    * converted column (`timestamp_micros(ts div 1000)`) cannot be pushed
-    * into the parquet scan, one on the raw int64 prunes row groups via
-    * min/max stats. Exact because the data is µs-aligned. Bounds in
-    * epoch micros, [lo, hiExcl).
+  /** events with a time-range predicate applied to the SCAN-NATIVE
+    * column type BEFORE any conversion, so it reaches the parquet
+    * reader: on the int64-nanos physical schema a predicate on the
+    * converted column (`timestamp_micros(ts div 1000)`) cannot push
+    * down, so the bound is applied to the raw int64 (exact — the data
+    * is µs-aligned); on the native µs-NTZ schema a plain NTZ literal
+    * comparison pushes down as-is. Bounds in epoch micros, [lo, hiExcl).
     */
   def eventsRange(s: SparkSession, d: String, loUs: Option[Long],
       hiUs: Option[Long]): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     var raw = load(s, d, "events")
-    loUs.foreach(us => raw = raw.filter(col("ts") >= us * 1000L))
-    hiUs.foreach(us => raw = raw.filter(col("ts") < us * 1000L))
-    nanosToNtz(raw, "ts")
+    if (raw.schema("ts").dataType == LongType) {
+      loUs.foreach(us => raw = raw.filter(col("ts") >= us * 1000L))
+      hiUs.foreach(us => raw = raw.filter(col("ts") < us * 1000L))
+      nanosToNtz(raw, "ts")
+    } else {
+      raw = nanosToNtz(raw, "ts")
+      def ntzLit(us: Long) =
+        timestamp_micros(lit(us)).cast("timestamp_ntz")
+      loUs.foreach(us => raw = raw.filter(col("ts") >= ntzLit(us)))
+      hiUs.foreach(us => raw = raw.filter(col("ts") < ntzLit(us)))
+      raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -37,6 +37,30 @@ object ContaminationOps {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Per-document contamination FRACTION — `n_shared / n_grams` for
+    * every training doc with at least `n` words, contaminated or not.
+    * [[overlap]] answers "which docs touch the benchmark at all"; the
+    * fraction is what a curation policy thresholds on (a 13-gram hit
+    * in a 100k-token doc is noise; 40% overlap is a leak).
+    *
+    * Single pass: train shingles LEFT-join the distinct eval-gram set
+    * (benchmark-sized — AQE broadcasts it on its own, no hint), then
+    * one per-doc aggregate counts total and matched grams together —
+    * the doc's text is shingled once and shuffled once (on id, as slim
+    * (id, matched) pairs), not once per statistic.
+    */
+  def overlapFraction(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val tsh = DedupOps.shingleTable(train, idCol, textCol, n)
+    val esh = DedupOps.shingleTable(eval, idCol, textCol, n)
+      .select(col("g").as("__eg")).distinct()
+    tsh.join(esh, col("g") === col("__eg"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("__eg")).as("n_shared"))
+      .withColumn("contam_frac",
+        round(col("n_shared").cast("double") / col("n_grams"), 6))
+  }
+
   /** [[overlap]] with a Bloom prefilter on the training side — the
     * 100 TB plan shape. The eval n-gram set is bounded (a benchmark:
     * thousands of docs), so it is collected ONCE into a driver-built

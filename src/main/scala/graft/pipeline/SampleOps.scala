@@ -73,4 +73,74 @@ object SampleOps {
     df.filter(hashBucket(col(idCol)) < threshold ||
       threshold === lit("ffffffff"))
   }
+
+  /** Deterministic global shuffle for training-data ordering: every row
+    * gets a reproducible `(shard, pos)` coordinate — shard round-robin
+    * on the id (even shard sizes by construction), position = rank of
+    * `md5(id)` within the shard. Reading shards in parallel and each
+    * shard in `pos` order yields the same pseudo-random document order
+    * on every run, engine, and partitioning — the property a training
+    * data loader needs (`df.orderBy(rand())` has none of them).
+    *
+    * One shuffle on the shard id; the per-shard `row_number` is a keyed
+    * window (shards are many and even-sized, so no single-partition
+    * bottleneck). At 100 TB, `shards` tracks the corpus (one shard ≈
+    * one training file), exactly like [[PackOps.packChunks]].
+    */
+  def shuffleCoords(df: DataFrame, idCol: String, shards: Int): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    df.withColumn("shard", pmod(col(idCol), lit(shards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+  }
+
+  /** Keep the top `num/den` fraction of each stratum under `order`
+    * (e.g. the best half of every language by classifier score) — the
+    * proportional companion of [[capPerGroup]]. The kept count is
+    * `ceil(num·n/den)` per stratum, decided with INTEGER arithmetic
+    * (`(rn−1)·den < num·n`), so the boundary is bit-exact in any
+    * engine — no float threshold to disagree about.
+    *
+    * One shuffle on the stratum; `row_number` and the stratum count
+    * share the same window partitioning.
+    */
+  def topFracPerGroup(df: DataFrame, stratum: Column, order: Seq[Column],
+      num: Int, den: Int): DataFrame = {
+    require(den > 0 && num >= 0 && num <= den,
+      s"fraction must satisfy 0 <= num <= den, got $num/$den")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(order: _*)
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(stratum)
+    df.withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wc))
+      .filter((col("__rn") - 1) * den < lit(num.toLong) * col("__n"))
+      .drop("__rn", "__n")
+  }
+
+  /** Greedy token-budget selection: shard the corpus round-robin, order
+    * each shard by `order` (best docs first), and keep the maximal
+    * prefix whose cumulative token count fits `budgetPerShard` — "give
+    * me the best B tokens per output file". Adds `shard` and
+    * `cum_tokens` (running total INCLUDING the row). Cumulative sums
+    * are monotone (token counts are non-negative), so the filter is a
+    * true prefix per shard.
+    *
+    * Same scale shape as [[PackOps.packChunks]]: the prefix sum is a
+    * per-shard keyed window, one shuffle total, no global sort.
+    */
+  def tokenBudgetPerShard(df: DataFrame, idCol: String, tokens: Column,
+      order: Seq[Column], shards: Int, budgetPerShard: Long): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    require(budgetPerShard >= 0,
+      s"budgetPerShard must be non-negative, got $budgetPerShard")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(order :+ col(idCol): _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("shard", pmod(col(idCol), lit(shards.toLong)))
+      .withColumn("cum_tokens", sum(tokens.cast("long")).over(w))
+      .filter(col("cum_tokens") <= budgetPerShard)
+  }
 }

@@ -41,6 +41,9 @@ object PipelineQueries {
   private val CapPerLang = 30
   private val PackShards = 8
   private val PackCapacity = 256
+  // ~54 tokens/doc → a 1500-token shard budget keeps the best ~27
+  // docs of each shard at sf0.01 (selective at every driver SF)
+  private val TokenBudget = 1500L
   private val TopNgrams = 20
   private val ResizeLen = 32
   // Coarse-quantizer predicate: FIXED centroid count at any corpus
@@ -550,6 +553,58 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Deterministic corpus shuffle: reproducible (shard, pos)
+    // coordinates — round-robin shard, md5-rank position. One keyed
+    // window, no global sort, partitioning-independent.
+    "p_shuffle_coords" -> { (s, d) =>
+      SampleOps.shuffleCoords(docs(s, d), "doc_id", PackShards)
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")
+    },
+
+    // Proportional curation gate: the best half of every LABELED
+    // language by classifier score (integer w_sum order, id tiebreak;
+    // the kept count per stratum is decided in integer arithmetic).
+    "p_quality_topfrac" -> { (s, d) =>
+      val scored = TextOps.classifierScoreDF(docs(s, d), "doc_id", "text")
+      val lang = Tables.documents(s, d).select("doc_id", "lang")
+      SampleOps.topFracPerGroup(scored.join(lang, "doc_id"), col("lang"),
+          Seq(col("w_sum").desc, col("doc_id")), 1, 2)
+        .select("doc_id", "lang", "w_sum")
+        .orderBy("doc_id")
+    },
+
+    // Greedy token-budget selection: best docs first (classifier
+    // order) until each shard's token budget fills — "the best B
+    // tokens per training file". Per-shard prefix sums, one shuffle.
+    "p_token_budget" -> { (s, d) =>
+      val base = docs(s, d)
+      val scored = TextOps.classifierScoreDF(base, "doc_id", "text")
+      val withTok = base
+        .select(col("doc_id"),
+          size(TextOps.wsTokens(col("text"))).cast("long").as("n_tokens"))
+        .join(scored.select("doc_id", "w_sum"), "doc_id")
+      SampleOps.tokenBudgetPerShard(withTok, "doc_id", col("n_tokens"),
+          Seq(col("w_sum").desc), PackShards, TokenBudget)
+        .select("doc_id", "shard", "n_tokens", "cum_tokens")
+        .orderBy("doc_id")
+    },
+
+    // Per-doc contamination FRACTION (not just the hit set): every
+    // train doc's matched-gram share against the eval split — the
+    // number a curation policy actually thresholds. Single shingling
+    // pass, left join on the AQE-broadcast eval grams, one aggregate.
+    "p_contam_fraction" -> { (s, d) =>
+      val base = docs(s, d)
+      val bucket = SampleOps.hashBucket(col("doc_id"))
+      val thr = lit(SampleOps.thresholdHex(EvalRate))
+      ContaminationOps.overlapFraction(
+          base.filter(bucket >= thr), base.filter(bucket < thr),
+          "doc_id", "text", ContamN)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // Benchmark decontamination: training docs sharing any word 5-gram
     // with the (md5-deterministic 10%) eval split. Train-side shingles
     // equi-join the distinct eval-gram set; AQE broadcasts the
@@ -667,6 +722,24 @@ object PipelineQueries {
               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
               unnest(generate_series(1, len(ws) - 2)) t(i))"""
+
+  /** DuckDB CTEs reproducing [[TextOps.classifierScoreDF]]'s integer
+    * per-doc weight sum (`cagg(doc_id, n_feats, w_sum)`) — shared by
+    * the classifier oracle and the curation oracles built on it. */
+  private def classifierCte: String = {
+    val hexVal = (0 until 6).map { k =>
+      s"(strpos('0123456789abcdef', substr(h, ${k + 1}, 1)) - 1) * " +
+        s"${1L << (4 * (5 - k))}"
+    }.mkString(" + ")
+    s"""wrds AS (SELECT DISTINCT doc_id,
+              unnest(string_split(text, ' ')) AS w FROM documents),
+       wt AS (SELECT doc_id,
+                CAST(($hexVal) % 2001 AS BIGINT) - 1000 AS wgt
+              FROM (SELECT doc_id, md5(w) AS h FROM wrds)),
+       cagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                 CAST(sum(wgt) AS BIGINT) AS w_sum
+               FROM wt GROUP BY 1)"""
+  }
 
   private def minhashOracle: String = {
     val sigExprs = (0 until NumHashes)
@@ -1141,24 +1214,42 @@ object PipelineQueries {
        ORDER BY doc_id"""
     },
 
-    "p_quality_classifier" -> {
-      val hexVal = (0 until 6).map { k =>
-        s"(strpos('0123456789abcdef', substr(h, ${k + 1}, 1)) - 1) * " +
-          s"${1L << (4 * (5 - k))}"
-      }.mkString(" + ")
-      s"""WITH wrds AS (SELECT DISTINCT doc_id,
-                unnest(string_split(text, ' ')) AS w FROM documents),
-         wt AS (SELECT doc_id,
-                  CAST(($hexVal) % 2001 AS BIGINT) - 1000 AS wgt
-                FROM (SELECT doc_id, md5(w) AS h FROM wrds)),
-         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-                   CAST(sum(wgt) AS BIGINT) AS w_sum
-                 FROM wt GROUP BY 1)
+    "p_quality_classifier" ->
+      s"""WITH $classifierCte
        SELECT doc_id, n_feats, w_sum,
               round(w_sum * 1.0 / (n_feats * 1000.0), 6) AS score,
               w_sum > 0 AS keep
-       FROM agg ORDER BY doc_id"""
-    },
+       FROM cagg ORDER BY doc_id""",
+
+    "p_shuffle_coords" ->
+      s"""SELECT doc_id, CAST(doc_id % $PackShards AS BIGINT) AS shard,
+            CAST(row_number() OVER (PARTITION BY doc_id % $PackShards
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+              AS BIGINT) AS pos
+          FROM documents ORDER BY doc_id""",
+
+    "p_quality_topfrac" ->
+      s"""WITH $classifierCte,
+         j AS (SELECT d.doc_id, d.lang, a.w_sum
+               FROM documents d JOIN cagg a USING (doc_id)),
+         r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                   ORDER BY w_sum DESC, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n FROM j)
+       SELECT doc_id, lang, w_sum FROM r
+       WHERE (rn - 1) * 2 < n ORDER BY doc_id""",
+
+    "p_token_budget" ->
+      s"""WITH $classifierCte,
+         t AS (SELECT d.doc_id, CAST(d.doc_id % $PackShards AS BIGINT)
+                   AS shard,
+                 CAST(len(string_split(d.text, ' ')) AS BIGINT)
+                   AS n_tokens, a.w_sum
+               FROM documents d JOIN cagg a USING (doc_id)),
+         c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard
+                 ORDER BY w_sum DESC, doc_id ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS cum_tokens FROM t)
+       SELECT doc_id, shard, n_tokens, cum_tokens FROM c
+       WHERE cum_tokens <= $TokenBudget ORDER BY doc_id""",
 
     "p_text_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
@@ -1186,6 +1277,29 @@ object PipelineQueries {
        FROM st LEFT JOIN top USING (doc_id) ORDER BY doc_id""",
 
     "p_decontaminate" -> decontaminateSql,
+
+    "p_contam_fraction" -> {
+      val hex = SampleOps.thresholdHex(EvalRate)
+      val gram = (0 until ContamN).map(k => s"ws[i+$k]")
+        .mkString(" || ' ' || ")
+      s"""WITH tr AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents
+               WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) >= '$hex'),
+         ev AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents
+               WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$hex'),
+         tsh AS (SELECT DISTINCT doc_id, $gram AS g
+                 FROM tr,
+                   unnest(generate_series(1, len(ws) - ${ContamN - 1})) t(i)),
+         esh AS (SELECT DISTINCT $gram AS g
+                 FROM ev,
+                   unnest(generate_series(1, len(ws) - ${ContamN - 1})) t(i))
+       SELECT tsh.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+              CAST(count(esh.g) AS BIGINT) AS n_shared,
+              round(count(esh.g) * 1.0 / count(*), 6) AS contam_frac
+       FROM tsh LEFT JOIN esh ON tsh.g = esh.g
+       GROUP BY 1 ORDER BY doc_id"""
+    },
 
     // The Bloom prefilter only changes the PLAN (false positives are
     // removed by the exact join) — the oracle is byte-identical.

@@ -44,13 +44,30 @@ object StoreQueries {
     AggSpec("max_v", "value", AggFn.Max),
     AggSpec("sum_v", "value", AggFn.Sum))
 
+  /** Fingerprint of the events input (path + size + mtime per file):
+    * driver-regenerated testdata changes the tag, so a cached fixture
+    * built from the OLD data can never pass for current (the round-4
+    * regen changed the events schema in place — a version bump alone
+    * would not have caught it). */
+  private def inputTag(d: String): String = {
+    val f = new java.io.File(s"$d/events.parquet")
+    val parts =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName)
+          .map(p => s"${p.getName}:${p.length}:${p.lastModified}")
+      else Array(s"${f.getName}:${f.length}:${f.lastModified}")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(s"$d|${parts.mkString("|")}".getBytes("UTF-8"))
+    md.digest().take(6).map("%02x".format(_)).mkString
+  }
+
   /** Build all store fixtures for a scale factor (idempotent). */
   def ensure(s: SparkSession, d: String): Store[String] = synchronized {
     val base = baseDir(d)
     val st = new Store(s, base, idx)
-    // version-suffixed: bump when the fixture set changes so stale
-    // /tmp caches rebuild
-    val marker = new java.io.File(s"$base/_BUILT_v7")
+    // version-suffixed + input-fingerprinted: bump the version when the
+    // fixture set changes; the tag catches regenerated input data
+    val marker = new java.io.File(s"$base/_BUILT_v8_${inputTag(d)}")
     if (marker.exists()) return st
     // wipe any partial build
     graft.LocalFs.rmTree(new java.io.File(base))
@@ -133,9 +150,7 @@ object StoreQueries {
         base.parquet(s"$d/events.parquet")
       else base.option("pathGlobFilter", "events.parquet").parquet(d)
     }
-    val seedStream = eventsStream()
-      // int64-nanos → µs LTZ timestamp (watermarks want TIMESTAMP)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val seedStream = Tables.toLtzMicros(eventsStream(), "ts")
       .select("event_id", "ts", "value")
     val q = StreamingAgg.run(seedStream, "ts", "event_id", "1 hour",
       aggSpecs, s"$base/streaming_hourly", s"$base/_ckpt_t8",
@@ -145,8 +160,7 @@ object StoreQueries {
     // t9 fixture: T6 natively — snapshot cells from a second streaming
     // pass (fresh readStream over the same source), day bins observed
     // at the 6-hour grid, read-time running combine.
-    val seedStream2 = eventsStream()
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val seedStream2 = Tables.toLtzMicros(eventsStream(), "ts")
       .select("event_id", "ts", "value")
     val q2 = StreamingAgg.runSnapshots(seedStream2, "ts", "event_id",
       "1 day", "6 hours", aggSpecs, s"$base/streaming_snap",

@@ -189,6 +189,77 @@ class CorpusOpsSpec extends SparkSpec {
       (2L, 4L, 0.0, 3L, "u v", 1L, 0.333333)))
   }
 
+  test("shuffleCoords: bijective per-shard positions, partition-invariant") {
+    val docs = (0L until 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val got = SampleOps.shuffleCoords(docs, "doc_id", 4)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 40)
+    // round-robin shards, and positions within a shard are exactly 0..n-1
+    got.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.forall(r => r._1 % 4 == shard))
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+    // a reproducible permutation: same coordinates under any partitioning
+    val re = SampleOps.shuffleCoords(docs.repartition(7), "doc_id", 4)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Long, Long)].collect()
+    assert(re.toSet == got.toSet)
+    // and genuinely shuffled: within-shard id order != pos order
+    val shard0 = got.filter(_._2 == 0L).sortBy(_._3).map(_._1).toSeq
+    assert(shard0 != shard0.sorted)
+  }
+
+  test("topFracPerGroup keeps ceil(num*n/den) best rows per stratum") {
+    // group a: 5 rows -> ceil(5/2) = 3 kept; group b: 2 rows -> 1 kept
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 40L), ("a", 3L, 30L), ("a", 4L, 20L),
+      ("a", 5L, 40L), ("b", 6L, 5L), ("b", 7L, 50L))
+      .toDF("grp", "id", "score")
+    val got = SampleOps.topFracPerGroup(df, $"grp",
+        Seq($"score".desc, $"id"), 1, 2)
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    // a: scores desc with id tiebreak -> ids 2(40),5(40),3(30); b: id 7
+    assert(got == Set(("a", 2L), ("a", 5L), ("a", 3L), ("b", 7L)))
+    // num = den keeps everything
+    val all = SampleOps.topFracPerGroup(df, $"grp",
+      Seq($"score".desc, $"id"), 1, 1)
+    assert(all.count() == 7)
+  }
+
+  test("tokenBudgetPerShard keeps the maximal best-first prefix") {
+    // one shard (shards=1): order by score desc, tokens 5,5,5, budget 12
+    // -> the two best fit (cum 5,10), the third would hit 15 > 12
+    val df = Seq(
+      (1L, 5L, 30L), (2L, 5L, 20L), (3L, 5L, 10L), (4L, 2L, 1L))
+      .toDF("doc_id", "n_tokens", "score")
+    val got = SampleOps.tokenBudgetPerShard(df, "doc_id", $"n_tokens",
+        Seq($"score".desc), 1, 12L)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toSet
+    // prefix is MAXIMAL but contiguous: doc 3 overflows at 15, and the
+    // 2-token doc 4 after it must NOT sneak in (cum stays > 12)
+    assert(got == Set((1L, 5L), (2L, 10L)))
+    // zero budget keeps nothing; empty input is fine
+    assert(SampleOps.tokenBudgetPerShard(df, "doc_id", $"n_tokens",
+      Seq($"score".desc), 1, 0L).count() == 0)
+  }
+
+  test("overlapFraction: matched share per doc, uncontaminated docs at 0") {
+    val train = Seq(
+      (10L, "one two three four five tail"),   // grams incl. eval's
+      (11L, "six seven eight nine ten"),       // no overlap
+      (12L, "one two three")).toDF("doc_id", "text") // 3 words: 1 gram at n=3
+    val eval = Seq((90L, "one two three four")).toDF("doc_id", "text")
+    val got = ContaminationOps.overlapFraction(train, eval, "doc_id",
+        "text", 3)
+      .select("id", "n_grams", "n_shared", "contam_frac")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // doc 10: 4 distinct 3-grams, 2 match eval's {one two three,
+    // two three four}; doc 11: 3 grams, 0 match; doc 12: 1 gram, 1 match
+    assert(got == Set(
+      (10L, 4L, 2L, 0.5), (11L, 3L, 0L, 0.0), (12L, 1L, 1L, 1.0)))
+  }
+
   test("repetitionDF keeps documents with no bigrams (single word)") {
     val docs = Seq((1L, "solo"), (2L, "a b")).toDF("doc_id", "text")
     // the 1-word doc must still appear, with zero bigram counts — an
