@@ -20,11 +20,23 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_QUERIES: comma-separated allowlist for local
+    // iteration (same contract as Bench). The driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // wipe stale outputs: a query that errors writes nothing, and a
-    // leftover dump from a previous run must not pass for it
-    LocalFs.rmTree(new java.io.File(outDir))
-    new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // leftover dump from a previous run must not pass for it. Under an
+    // allowlist only the selected dumps are replaced (the full-surface
+    // dump stays intact for check.py).
+    if (only.isEmpty) {
+      LocalFs.rmTree(new java.io.File(outDir))
+      new java.io.File(outDir).mkdirs()
+    } else only.get.foreach { n =>
+      LocalFs.rmTree(new java.io.File(s"$outDir/$n"))
+    }
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -187,17 +187,26 @@ object TextOps {
     * attributes with ≥2 downstream references, so CollapseProject
     * cannot inline the tokenize/hash work back into multiple
     * evaluations (the withLangId discipline).
+    *
+    * `keep` carries extra input columns through (e.g. a language or
+    * precomputed token count): scoring stays ONE map-side pass —
+    * downstream curation must never need a corpus×corpus self-join on
+    * the id just to reunite the score with columns this projection
+    * dropped.
     */
   def classifierScoreDF(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String): org.apache.spark.sql.DataFrame =
-    df.select(col(idCol),
-        array_distinct(wsTokens(col(textCol))).as("__f"))
-      .select(col(idCol), size(col("__f")).cast("long").as("n_feats"),
+      textCol: String, keep: Seq[String] = Nil)
+      : org.apache.spark.sql.DataFrame = {
+    val kept = keep.map(col)
+    df.select(Seq(col(idCol),
+        array_distinct(wsTokens(col(textCol))).as("__f")) ++ kept: _*)
+      .select(Seq(col(idCol), size(col("__f")).cast("long").as("n_feats"),
         aggregate(col("__f"), lit(0L), (acc, w) => acc + wordWeight(w))
-          .as("w_sum"))
-      .select(col(idCol), col("n_feats"), col("w_sum"),
+          .as("w_sum")) ++ kept: _*)
+      .select(Seq(col(idCol), col("n_feats"), col("w_sum"),
         round(col("w_sum").cast("double") /
-          (col("n_feats") * lit(1000.0)), 6).as("score"))
+          (col("n_feats") * lit(1000.0)), 6).as("score")) ++ kept: _*)
+  }
 
   /** Intra-document repetition signals (the Gopher-style repetition
     * filters, adapted to single-line documents: word instead of line

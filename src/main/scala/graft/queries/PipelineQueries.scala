@@ -565,10 +565,14 @@ object PipelineQueries {
     // Proportional curation gate: the best half of every LABELED
     // language by classifier score (integer w_sum order, id tiebreak;
     // the kept count per stratum is decided in integer arithmetic).
+    // Scoring keeps `lang` in its projection — ONE map-side pass, no
+    // corpus×corpus self-join to reunite score and label.
     "p_quality_topfrac" -> { (s, d) =>
-      val scored = TextOps.classifierScoreDF(docs(s, d), "doc_id", "text")
-      val lang = Tables.documents(s, d).select("doc_id", "lang")
-      SampleOps.topFracPerGroup(scored.join(lang, "doc_id"), col("lang"),
+      val base = Tables.documents(s, d).select("doc_id", "text", "lang")
+        .repartition(s.sparkContext.defaultParallelism)
+      val scored = TextOps.classifierScoreDF(base, "doc_id", "text",
+        keep = Seq("lang"))
+      SampleOps.topFracPerGroup(scored, col("lang"),
           Seq(col("w_sum").desc, col("doc_id")), 1, 2)
         .select("doc_id", "lang", "w_sum")
         .orderBy("doc_id")
@@ -576,15 +580,16 @@ object PipelineQueries {
 
     // Greedy token-budget selection: best docs first (classifier
     // order) until each shard's token budget fills — "the best B
-    // tokens per training file". Per-shard prefix sums, one shuffle.
+    // tokens per training file". The token count rides through the
+    // scoring projection (keep), so the whole query is one map-side
+    // pass + one per-shard window shuffle.
     "p_token_budget" -> { (s, d) =>
-      val base = docs(s, d)
-      val scored = TextOps.classifierScoreDF(base, "doc_id", "text")
-      val withTok = base
-        .select(col("doc_id"),
+      val withTok = docs(s, d)
+        .select(col("doc_id"), col("text"),
           size(TextOps.wsTokens(col("text"))).cast("long").as("n_tokens"))
-        .join(scored.select("doc_id", "w_sum"), "doc_id")
-      SampleOps.tokenBudgetPerShard(withTok, "doc_id", col("n_tokens"),
+      val scored = TextOps.classifierScoreDF(withTok, "doc_id", "text",
+        keep = Seq("n_tokens"))
+      SampleOps.tokenBudgetPerShard(scored, "doc_id", col("n_tokens"),
           Seq(col("w_sum").desc), PackShards, TokenBudget)
         .select("doc_id", "shard", "n_tokens", "cum_tokens")
         .orderBy("doc_id")
