@@ -102,7 +102,10 @@ object ScaleData {
       ev.schema("ts").dataType == org.apache.spark.sql.types.LongType
     val tsUs =
       if (evIsRawNanos) expr("ts div 1000")
-      else unix_micros(col("ts").cast("timestamp"))
+      // type OBJECT, not cast("timestamp"): under the session's
+      // timestampType=TIMESTAMP_NTZ the string parses back to NTZ
+      else unix_micros(col("ts")
+        .cast(org.apache.spark.sql.types.TimestampType))
     val evStats = ev.agg(max("event_id"), min(tsUs), max(tsUs)).head()
     val evShift = evStats.getLong(0) + 1
     val spanUs = evStats.getLong(2) - evStats.getLong(1) + 3600L * 1000000L

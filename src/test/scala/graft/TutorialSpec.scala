@@ -300,4 +300,54 @@ class TutorialSpec extends SparkSpec {
     }.nonEmpty)
     assert(stats.head() == org.apache.spark.sql.Row(250L, 0L, 349L))
   }
+
+  /** Day 6 — the corpus ships: score once, curate proportionally,
+    * spend a token budget, and lay the survivors out in a
+    * reproducible training order. Every step is a deterministic pure
+    * function of (id, text), so rebuilding the corpus tomorrow — or
+    * on a different cluster — yields byte-identical training files.
+    */
+  test("corpus day 6: score, curate, budget, shuffle into training order") {
+    import graft.pipeline._
+    val corpus = (0L until 120L).map { i =>
+      val lang = if (i % 3 == 0) "en" else "de"
+      (i, lang, s"doc $i lang $lang " +
+        (0 to (i % 7).toInt).map(j => s"w${(i * 11 + j) % 31}")
+          .mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+
+    // 1. one scoring pass; lang and the token count ride through the
+    // projection (no self-join to reunite them with the score)
+    val scored = TextOps.classifierScoreDF(
+      corpus.withColumn("n_tokens",
+        size(split($"text", " ")).cast("long")),
+      "doc_id", "text", keep = Seq("lang", "n_tokens"))
+
+    // 2. keep the best half of every language (integer-exact ceil)
+    val curated = SampleOps.topFracPerGroup(scored, $"lang",
+      Seq($"w_sum".desc, $"doc_id"), 1, 2)
+    val byLang = corpus.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    val keptByLang = curated.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    byLang.foreach { case (l, n) =>
+      assert(keptByLang(l) == (n + 1) / 2) }
+
+    // 3. spend a per-shard token budget on the best survivors
+    val budgeted = SampleOps.tokenBudgetPerShard(curated, "doc_id",
+      $"n_tokens", Seq($"w_sum".desc), shards = 4, budgetPerShard = 40L)
+    assert(budgeted.groupBy("shard").agg(max("cum_tokens"))
+      .as[(Long, Long)].collect().forall(_._2 <= 40L))
+
+    // 4. deterministic training order: (shard, pos) is a pure function
+    // of the surviving ids — identical however the job was partitioned
+    val coords = SampleOps.shuffleCoords(budgeted, "doc_id", 4)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Long, Long)].collect().toSet
+    val again = SampleOps.shuffleCoords(
+        budgeted.repartition(13), "doc_id", 4)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again == coords)
+  }
 }
