@@ -688,6 +688,22 @@ object PipelineQueries {
         .orderBy(col("doc_freq").desc, col("g")).limit(TopNgrams)
     },
 
+    // Whole-corpus summary stats in one exploded pass: totals are
+    // map-side partial aggregates; the two exact count-distincts
+    // expand to Catalyst's standard two-stage distinct aggregate (one
+    // shuffle of slim distinct pairs, no driver-side set). Every doc
+    // has >= 1 token (split of "" is [""]), so count_distinct(doc_id)
+    // over the exploded rows is the exact doc count.
+    "p_corpus_stats" -> { (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          explode(TextOps.wsTokens(col("text"))).as("w"))
+        .agg(
+          count_distinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_words_total"),
+          count_distinct(col("w")).as("vocab"))
+    },
+
     // Multimodal frame sampling: every 7th payload byte, fingerprinted —
     // the video-frame-sample analog over opaque binary columns.
     "p_multimodal_framesample" -> { (s, d) =>
@@ -1337,6 +1353,13 @@ object PipelineQueries {
       s"""WITH $ShingleCte
        SELECT g, count(*) AS doc_freq FROM sh GROUP BY g
        ORDER BY doc_freq DESC, g LIMIT $TopNgrams""",
+
+    "p_corpus_stats" ->
+      """SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              CAST(count(*) AS BIGINT) AS n_words_total,
+              CAST(count(DISTINCT w) AS BIGINT) AS vocab
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents)""",
 
     "p_multimodal_framesample" ->
       """SELECT doc_id,
