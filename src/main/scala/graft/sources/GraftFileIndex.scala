@@ -29,10 +29,19 @@ import graft.store.{DatasetMeta, FileStat, OrdDouble, OrdLong, OrdTs, OrdVal, Si
   */
 final class GraftFileIndex private (spark: SparkSession, val dir: String,
     initial: Option[(DatasetMeta, Map[String, FileStatus])],
-    restrict: Option[Set[String]])
+    restrict: Option[Set[String]],
+    generation: Option[Long])
     extends FileIndex {
 
-  def this(spark: SparkSession, dir: String) = this(spark, dir, None, None)
+  def this(spark: SparkSession, dir: String) =
+    this(spark, dir, None, None, None)
+
+  /** Time-travel view: serve a RETAINED sidecar generation
+    * ([[graft.store.OrderedDataset.dfAsOf]] semantics) — readable as
+    * long as the replaced data files live out the reader grace window.
+    */
+  def this(spark: SparkSession, dir: String, generation: Long) =
+    this(spark, dir, None, None, Some(generation))
 
   @volatile private var snapshot: (DatasetMeta, Map[String, FileStatus]) =
     initial.getOrElse(load())
@@ -42,14 +51,25 @@ final class GraftFileIndex private (spark: SparkSession, val dir: String,
     * the boundary files of a hybrid metadata+scan aggregate.
     */
   def restricted(names: Set[String]): GraftFileIndex =
-    new GraftFileIndex(spark, dir, Some(snapshot), Some(names))
+    new GraftFileIndex(spark, dir, Some(snapshot), Some(names), generation)
 
   /** Files selected by the last `listFiles` call (test/diagnostic). */
   @volatile var lastSelectedFiles: Int = -1
 
   private def load(): (DatasetMeta, Map[String, FileStatus]) = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val m = Sidecar.read(conf, dir)
+    val live0 = Sidecar.read(conf, dir)
+    val m = generation match {
+      case None => live0
+      case Some(g) if g == live0.generation => live0
+      case Some(g) =>
+        val vp = new HPath(dir, Sidecar.versionedName(g))
+        if (!vp.getFileSystem(conf).exists(vp))
+          throw new IllegalArgumentException(
+            s"generation $g of $dir is not retained (live is " +
+              s"${live0.generation})")
+        Sidecar.readPath(conf, vp)
+    }
     val p = new HPath(dir)
     val fs = p.getFileSystem(conf)
     val live = m.files.map(_.name).toSet

@@ -53,6 +53,9 @@ final class GraftSource extends RelationProvider
       data: Dataset[Row]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val dir = path(parameters)
+    if (parameters.contains("generation"))
+      throw new IllegalArgumentException(
+        "cannot write through a time-travel (generation) view")
     val ds = new OrderedDataset(spark, dir)
     val exists = ds.exists
     mode match {
@@ -88,11 +91,17 @@ object GraftSource {
     */
   private[sources] def relation(spark: SparkSession, dir: String,
       parameters: Map[String, String]): HadoopFsRelation = {
-    val index = new GraftFileIndex(spark, dir)
+    val gen = parameters.get("generation").map(_.trim.toLong)
+    val index = gen match {
+      case Some(g) => new GraftFileIndex(spark, dir, g)
+      case None    => new GraftFileIndex(spark, dir)
+    }
     new HadoopFsRelation(index, StructType(Nil), index.dataSchema, None,
       new ParquetFileFormat, Map.empty[String, String])(spark)
       with InsertableRelation {
       override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+        if (gen.isDefined) throw new IllegalArgumentException(
+          "cannot insert into a time-travel (generation) view")
         val ds = new OrderedDataset(spark, dir)
         // a view declared without write options can still be inserted
         // into: the ordering column is already fixed in the sidecar

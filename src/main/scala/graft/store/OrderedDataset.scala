@@ -99,6 +99,52 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
 
   def orderedDf: DataFrame = { val m = meta; df.orderBy(m.orderedOn) }
 
+  /** Current sidecar generation (monotone; bumped by every commit —
+    * upsert, delete, optimize, kv update). */
+  def generation: Long = meta.generation
+
+  /** Generations currently addressable by [[dfAsOf]]: the retained
+    * snapshots still inside the reader grace window, plus the live one.
+    */
+  def generations: Seq[Long] = {
+    val fsys = fs
+    val d = new HPath(dir)
+    val retained =
+      if (!fsys.exists(d)) Seq.empty
+      else fsys.listStatus(d).toSeq.flatMap(st => st.getPath.getName match {
+        case Sidecar.VersionedRe(g) => Some(g.toLong)
+        case _ => None
+      })
+    (retained ++ (if (exists) Seq(meta.generation) else Nil)).sorted
+  }
+
+  /** Metadata as of a retained generation. Snapshots (and the data
+    * files their file lists reference) survive `retireGraceMs` past
+    * replacement, then age out — a miss names the window. */
+  def metaAsOf(gen: Long): DatasetMeta = {
+    val m = meta
+    if (gen == m.generation) m
+    else {
+      val p = new HPath(dir, Sidecar.versionedName(gen))
+      if (!fs.exists(p)) throw new IllegalArgumentException(
+        s"generation $gen of $dir is not retained (live is " +
+          s"${m.generation}; snapshots are kept for " +
+          s"${OrderedDataset.retireGraceMs} ms past replacement — " +
+          s"available: ${generations.mkString(",")})")
+      Sidecar.readPath(conf, p)
+    }
+  }
+
+  /** Time-travel read: the dataset exactly as generation `gen` saw it
+    * (Delta-style `VERSION AS OF`). Works because a commit retires
+    * replaced data files instead of deleting them — within the grace
+    * window the old file list is still fully on disk. */
+  def dfAsOf(gen: Long): DataFrame = {
+    val m = metaAsOf(gen)
+    if (m.files.isEmpty) emptyLike(m)
+    else readFiles(m, m.files.map(f => s"$dir/${f.name}"))
+  }
+
   /** Empty frame that keeps the dataset's columns: the schema is
     * persisted in the sidecar at every write, so a dataset created via
     * an empty/fully-deduped first batch still resolves column
@@ -346,6 +392,12 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
               fsys.delete(st.getPath, false)
               reaped += 1
             }
+          // retained sidecar generations age out with the data files
+          // their file lists reference (same grace window): after that
+          // a time-travel read could dangle anyway
+          case Sidecar.VersionedRe(_) =>
+            if (now - st.getModificationTime > grace)
+              fsys.delete(st.getPath, false)
           case _ => ()
         }
       }

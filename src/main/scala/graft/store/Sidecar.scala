@@ -35,7 +35,8 @@ final case class FileStat(id: Long, name: String, rows: Long,
   */
 final case class DatasetMeta(orderedOn: String, orderedType: String,
                              files: Seq[FileStat], kv: Map[String, String],
-                             nextFileId: Long, schemaJson: String = "") {
+                             nextFileId: Long, schemaJson: String = "",
+                             generation: Long = 0L) {
   def totalRows: Long = files.map(_.rows).sum
 }
 
@@ -56,6 +57,10 @@ final case class DatasetMeta(orderedOn: String, orderedType: String,
   */
 object Sidecar {
   val FileName = "_graftmd.json"
+  /** Retained previous sidecar generations (time travel within the
+    * reader grace window): `_graftmd.v<generation>.json`. */
+  val VersionedRe = "_graftmd\\.v(\\d+)\\.json".r
+  def versionedName(gen: Long): String = s"_graftmd.v$gen.json"
   private val mapper = new ObjectMapper()
 
   def path(datasetDir: String): HPath = new HPath(datasetDir, FileName)
@@ -65,8 +70,10 @@ object Sidecar {
     p.getFileSystem(conf).exists(p)
   }
 
-  def read(conf: Configuration, datasetDir: String): DatasetMeta = {
-    val p = path(datasetDir)
+  def read(conf: Configuration, datasetDir: String): DatasetMeta =
+    readPath(conf, path(datasetDir))
+
+  def readPath(conf: Configuration, p: HPath): DatasetMeta = {
     val in = p.getFileSystem(conf).open(p)
     val root =
       try mapper.readTree(in)
@@ -88,20 +95,54 @@ object Sidecar {
       k.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty)
     val schemaJson = Option(root.get("schema")).map(_.asText()).getOrElse("")
+    val generation = Option(root.get("generation")).map(_.asLong())
+      .getOrElse(0L)
     DatasetMeta(root.get("orderedOn").asText(),
       root.get("orderedType").asText(), files, kv,
-      root.get("nextFileId").asLong(), schemaJson)
+      root.get("nextFileId").asLong(), schemaJson, generation)
   }
 
   /** Write-tmp-then-atomic-rename commit (the port of the reference's
     * metadata-last commit discipline, ref write.py:247-271).
+    *
+    * Every commit first COPIES the current sidecar to its versioned
+    * name (`_graftmd.v<g>.json`) and stamps the new one `g+1` — the
+    * caller's `generation` field is ignored. Retired data files
+    * already outlive the swap by `retireGraceMs` for concurrent
+    * readers; retaining the sidecar generations over the same window
+    * turns that into addressable snapshot isolation
+    * ([[OrderedDataset.dfAsOf]]). A copy, not a rename: a rename would
+    * open a window with NO `_graftmd.json` for a lock-free concurrent
+    * reader to trip on. Writers are serialized by the dataset write
+    * lock, so the copy-then-overwrite pair cannot interleave.
     */
-  def write(conf: Configuration, datasetDir: String, meta: DatasetMeta)
+  def write(conf: Configuration, datasetDir: String, meta0: DatasetMeta)
       : Unit = {
+    val dir0 = new HPath(datasetDir)
+    val fs0 = dir0.getFileSystem(conf)
+    val cur = path(datasetDir)
+    val meta = if (fs0.exists(cur)) {
+      val bytes = {
+        val in = fs0.open(cur)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](8192)
+          var n = in.read(tmp)
+          while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+          buf.toByteArray
+        } finally in.close()
+      }
+      val g = Option(mapper.readTree(bytes).get("generation"))
+        .map(_.asLong()).getOrElse(0L)
+      val arch = fs0.create(new HPath(dir0, versionedName(g)), true)
+      try arch.write(bytes) finally arch.close()
+      meta0.copy(generation = g + 1)
+    } else meta0.copy(generation = meta0.generation max 1L)
     val root = mapper.createObjectNode()
     root.put("orderedOn", meta.orderedOn)
     root.put("orderedType", meta.orderedType)
     root.put("nextFileId", meta.nextFileId)
+    root.put("generation", meta.generation)
     if (meta.schemaJson.nonEmpty) root.put("schema", meta.schemaJson)
     val arr = root.putArray("files")
     meta.files.sortBy(f => (f.min, f.id)).foreach { f =>

@@ -37,7 +37,11 @@ class StoreSpec extends SparkSpec {
       Map("k" -> "v"), 2)
     val conf = spark.sparkContext.hadoopConfiguration
     Sidecar.write(conf, dir, meta)
-    assert(Sidecar.read(conf, dir) == meta)
+    // the commit stamps its own generation (first write -> 1); all
+    // caller-authored fields round-trip
+    assert(Sidecar.read(conf, dir) == meta.copy(generation = 1L))
+    Sidecar.write(conf, dir, meta)
+    assert(Sidecar.read(conf, dir).generation == 2L)
   }
 
   test("create + full scan + pruned range scan") {
