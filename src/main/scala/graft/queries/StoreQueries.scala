@@ -67,7 +67,9 @@ object StoreQueries {
     val st = new Store(s, base, idx)
     // version-suffixed + input-fingerprinted: bump the version when the
     // fixture set changes; the tag catches regenerated input data
-    val marker = new java.io.File(s"$base/_BUILT_v8_${inputTag(d)}")
+    // v9: sidecar generations (m9_time_travel needs fixtures written
+    // by the archiving commit path)
+    val marker = new java.io.File(s"$base/_BUILT_v9_${inputTag(d)}")
     if (marker.exists()) return st
     // wipe any partial build
     graft.LocalFs.rmTree(new java.io.File(base))
@@ -182,6 +184,17 @@ object StoreQueries {
     "m6_upsert" -> { (s, d) =>
       val st = ensure(s, d)
       st.get("upsert").df
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    },
+
+    // Time travel: the SAME dataset as m6_upsert, read at generation 1
+    // (the state committed by the initial load, before the correction
+    // upsert replaced its files) — Delta VERSION AS OF semantics from
+    // retained sidecars + grace-retired data files.
+    "m9_time_travel" -> { (s, d) =>
+      val st = ensure(s, d)
+      st.get("upsert").dfAsOf(1L)
         .select("event_id", "ts", "user_id", "event_type", "value")
         .orderBy("event_id")
     },
@@ -408,6 +421,11 @@ object StoreQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // generation 1 of the upsert dataset IS the initial load
+    "m9_time_travel" -> s"""$EV
+       SELECT event_id, ts, user_id, event_type, value
+       FROM e WHERE event_id % 10 <> 0 ORDER BY event_id""",
+
     "m6_upsert" -> s"""$EV,
          init AS (SELECT * FROM e WHERE event_id % 10 <> 0),
          b AS (SELECT event_id, ts, user_id, event_type,
