@@ -71,6 +71,25 @@ class TimeTravelSpec extends SparkSpec {
     assert(err.getMessage.contains("time-travel"))
   }
 
+  test("metadata-only aggregates answer from the snapshot's sidecar") {
+    val d = tmpDir("tt-stats") + "/ds"
+    val ds = new OrderedDataset(spark, d)
+    ds.write(spark.range(100).toDF("seq"), WriteOpts("seq", NRows(40)))
+    val g1 = ds.generation
+    ds.write(spark.range(100, 250).toDF("seq"), WriteOpts("seq", NRows(40)))
+
+    graft.sources.GraftStatsAgg.register(spark)
+    val snapStats = spark.read.format("graft")
+      .option("generation", g1.toString).load(d)
+      .agg(count(lit(1)).as("n"), max(col("seq")).as("hi"))
+    // the rewrite fires against the SNAPSHOT's file list: zero scans,
+    // and the answer is generation-1's, not the live dataset's
+    assert(snapStats.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.nonEmpty)
+    assert(snapStats.head() == org.apache.spark.sql.Row(100L, 99L))
+  }
+
   test("kv updates version too; vacuum(0) ages snapshots out") {
     val d = tmpDir("tt-kv") + "/ds"
     val ds = new OrderedDataset(spark, d)
