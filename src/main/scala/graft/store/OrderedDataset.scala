@@ -45,6 +45,15 @@ final case class UpsertReport(filesRewritten: Int, filesKept: Int,
 final case class DeleteReport(filesDropped: Int, filesRewritten: Int,
                               filesKept: Int, rowsDeleted: Long)
 
+/** One row of [[OrderedDataset.history]]: a retained generation's
+  * totals and the diff its commit made vs the previous retained one
+  * (None when the predecessor has aged out of the grace window). */
+final case class CommitInfo(generation: Long, committedAtMs: Long,
+                            nFiles: Int, totalRows: Long,
+                            filesAdded: Option[Int],
+                            filesRemoved: Option[Int],
+                            rowsDelta: Option[Long])
+
 /** One ordered dataset = a directory of parquet files (one logical row
   * group each) + the `_graftmd.json` stats sidecar — the Spark-native
   * port of the reference's OrderedParquetDataset
@@ -143,6 +152,38 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     val m = metaAsOf(gen)
     if (m.files.isEmpty) emptyLike(m)
     else readFiles(m, m.files.map(f => s"$dir/${f.name}"))
+  }
+
+  /** Commit log over the retained generations (DESCRIBE HISTORY
+    * analog), derived entirely by DIFFING consecutive snapshots — no
+    * write-path bookkeeping to drift out of sync. One row per
+    * generation still addressable by [[dfAsOf]]: its file/row totals
+    * and what its commit changed vs the previous retained generation
+    * (adds/removes are None for the oldest retained row — its
+    * predecessor has aged out). `committedAtMs` is the snapshot
+    * file's mtime: exact for the live generation, the NEXT commit's
+    * archive time for retained ones (an upper bound within one commit
+    * cycle).
+    */
+  def history: Seq[CommitInfo] = {
+    val fsys = fs
+    val gens = generations
+    val metas = gens.map(g => g -> metaAsOf(g))
+    val times = gens.map { g =>
+      val p =
+        if (exists && g == meta.generation) Sidecar.path(dir)
+        else new HPath(dir, Sidecar.versionedName(g))
+      g -> fsys.getFileStatus(p).getModificationTime
+    }.toMap
+    metas.zipWithIndex.map { case ((g, m), i) =>
+      val prev = if (i == 0) None else Some(metas(i - 1)._2)
+      val prevNames = prev.map(_.files.map(_.name).toSet)
+      CommitInfo(g, times(g), m.files.size, m.totalRows,
+        prevNames.map(p => m.files.count(f => !p(f.name))),
+        prevNames.map(p =>
+          (p -- m.files.map(_.name)).size),
+        prev.map(p => m.totalRows - p.totalRows))
+    }
   }
 
   /** Empty frame that keeps the dataset's columns: the schema is

@@ -90,6 +90,24 @@ class TimeTravelSpec extends SparkSpec {
     assert(snapStats.head() == org.apache.spark.sql.Row(100L, 99L))
   }
 
+  test("history diffs retained generations into a commit log") {
+    val d = tmpDir("tt-hist") + "/ds"
+    val ds = new OrderedDataset(spark, d)
+    ds.write(spark.range(100).toDF("seq"), WriteOpts("seq", NRows(50)))
+    ds.write(spark.range(100, 150).toDF("seq"), WriteOpts("seq", NRows(50)))
+    ds.delete(Some(OrdLong(0)), Some(OrdLong(50)))
+    val h = ds.history
+    assert(h.map(_.generation) == ds.generations)
+    assert(h.head.filesAdded.isEmpty) // oldest has no predecessor row
+    val byGen = h.map(i => i.generation -> i).toMap
+    // gen 1: 100 rows / 2 files; gen 2: append 50; gen 3: delete 50
+    assert(h(0).totalRows == 100 && h(0).nFiles == 2)
+    assert(h(1).rowsDelta.contains(50L))
+    assert(h(2).rowsDelta.contains(-50L))
+    assert(h(2).filesRemoved.contains(1)) // file-aligned metadata drop
+    assert(byGen(ds.generation).totalRows == ds.meta.totalRows)
+  }
+
   test("kv updates version too; vacuum(0) ages snapshots out") {
     val d = tmpDir("tt-kv") + "/ds"
     val ds = new OrderedDataset(spark, d)
