@@ -12,7 +12,9 @@ object Explain {
       "f3_range_trim", "s2_pruned_scan", "q1_pricing_summary",
       "j1_join_agg", "g2_time_bins_5m", "p_dedup_minhash_lsh",
       "p_ann_topk", "p_ann_ivf_indexed", "g7_sessions", "g8_sliding",
-      "p_sample_stratified", "p_embed_quantize", "a8_snapshot_spine")
+      "p_sample_stratified", "p_embed_quantize", "a8_snapshot_spine",
+      "p_shuffle_coords", "p_quality_topfrac", "p_token_budget",
+      "p_contam_fraction", "p_corpus_stats", "m9_time_travel")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -86,6 +86,11 @@ object SampleOps {
     * window (shards are many and even-sized, so no single-partition
     * bottleneck). At 100 TB, `shards` tracks the corpus (one shard ≈
     * one training file), exactly like [[PackOps.packChunks]].
+    *
+    * Shard balance assumes id residues mod `shards` are roughly
+    * uniform (true for sequential or dense ids — the round-robin is
+    * then an EXACT balance). For ids with correlated residues (e.g.
+    * all even), pass a pre-hashed id column instead.
     */
   def shuffleCoords(df: DataFrame, idCol: String, shards: Int): DataFrame = {
     require(shards > 0, s"shards must be positive, got $shards")
