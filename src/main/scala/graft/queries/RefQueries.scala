@@ -395,6 +395,26 @@ object RefQueries {
         .orderBy("event_type")
     },
 
+    // Skew path driver-gated: the two-phase salted aggregation must
+    // produce EXACTLY the plain groupBy's answer (five kernels,
+    // decimal-exact sums) — event_type is the genuinely skew-prone
+    // shape (a handful of hot keys over the whole table).
+    "g11_salted_agg" -> { (s, d) =>
+      import graft.agg.{AggFn, AggSpec, SaltedAgg}
+      val e = Tables.events(s, d)
+        .select("event_id", "event_type", "value")
+      SaltedAgg.aggregate(e, col("event_type"),
+          Seq(
+            AggSpec("first_v", "value", AggFn.First),
+            AggSpec("last_v", "value", AggFn.Last),
+            AggSpec("min_v", "value", AggFn.Min),
+            AggSpec("max_v", "value", AggFn.Max),
+            AggSpec("sum_v", "value", AggFn.Sum)),
+          col("event_id"), saltBuckets = 32)
+        .withColumnRenamed("bin", "event_type")
+        .orderBy("event_type")
+    },
+
     // The 100 TB quantile path: approx_percentile (mergeable sketch
     // partials, map-side combine, no per-group sort). No SQL oracle —
     // sketch results are estimator-dependent — so the driver records
@@ -791,6 +811,14 @@ object RefQueries {
               round(quantile_cont(value, 0.75), 6) AS p75,
               round(quantile_cont(value, 0.95), 6) AS p95,
               count(*) AS n_rows
+       FROM e GROUP BY event_type ORDER BY event_type""",
+
+    "g11_salted_agg" -> s"""$EV
+       SELECT event_type,
+              arg_min(value, event_id) AS first_v,
+              arg_max(value, event_id) AS last_v,
+              min(value) AS min_v, max(value) AS max_v,
+              CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
        FROM e GROUP BY event_type ORDER BY event_type""",
 
     "j20_asof" -> s"""$EV,

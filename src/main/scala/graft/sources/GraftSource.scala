@@ -135,6 +135,9 @@ object GraftSource {
     WriteOpts(orderedOn, target, dups,
       p.get("max_n_off_target_rgs").map(_.trim.toInt),
       colStats = p.get("col_stats").forall(_.trim.toBoolean),
-      mergeSchema = p.get("merge_schema").exists(_.trim.toBoolean))
+      mergeSchema = p.get("merge_schema").exists(_.trim.toBoolean),
+      bloomFilterCols = p.get("bloom_filter_cols")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil))
   }
 }

@@ -37,7 +37,15 @@ final case class WriteOpts(
       * and serve the newer columns as nulls at read. Type CHANGES are
       * still rejected. Off by default — the reference's strict check.
       */
-    mergeSchema: Boolean = false)
+    mergeSchema: Boolean = false,
+    /** Columns to write parquet BLOOM FILTERS for (parquet-mr native,
+      * read-side use is automatic inside the scan for equality
+      * predicates). Complements the min/max zone maps: a high-cardinality
+      * column UNCORRELATED with `orderedOn` has useless min/max ranges,
+      * but its bloom skips row groups on point lookups — the Delta
+      * bloom-index analog, at zero read-path code.
+      */
+    bloomFilterCols: Seq[String] = Nil)
 
 final case class UpsertReport(filesRewritten: Int, filesKept: Int,
                               filesAdded: Int, rowsWritten: Long)
@@ -769,8 +777,12 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
         spark.createDataFrame(rdd, schema)
           .sortWithinPartitions(tieCols: _*).drop("__pid")
     }
-    (if (hasProvenance) sized.drop(SeqCol, RidCol) else sized)
-      .write.mode("overwrite").parquet(tmpDir)
+    val writer0 = (if (hasProvenance) sized.drop(SeqCol, RidCol) else sized)
+      .write.mode("overwrite")
+    opts.bloomFilterCols
+      .foldLeft(writer0)((w, c) =>
+        w.option(s"parquet.bloom.filter.enabled#$c", "true"))
+      .parquet(tmpDir)
 
     // ---- stats of the written files (one cheap pruned job) ----
     // Besides the ordered-column zone map, collect secondary-column

@@ -44,6 +44,32 @@ class StoreSpec extends SparkSpec {
     assert(Sidecar.read(conf, dir).generation == 2L)
   }
 
+  test("bloomFilterCols writes parquet bloom filters into every file") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmpDir("bloom")
+    val ds = new OrderedDataset(spark, s"$dir/d")
+    ds.write(
+      spark.range(2000).toDF("seq")
+        .withColumn("uid", col("seq") * 7919 % 1000),
+      WriteOpts("seq", NRows(500), bloomFilterCols = Seq("uid")))
+    val conf = spark.sparkContext.hadoopConfiguration
+    ds.meta.files.foreach { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$dir/d/${f.name}"), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val cols = r.getFooter.getBlocks.get(0).getColumns.asScala
+        def off(n: String) = cols.find(_.getPath.toDotString == n)
+          .get.getBloomFilterOffset
+        assert(off("uid") >= 0, s"no bloom on uid in ${f.name}")
+        assert(off("seq") < 0, s"unexpected bloom on seq in ${f.name}")
+      } finally r.close()
+    }
+    // bloom-filtered point lookup returns the same rows as ever
+    assert(ds.df.filter(col("uid") === 42).count() ==
+      (0L until 2000L).count(s => s * 7919 % 1000 == 42))
+  }
+
   test("create + full scan + pruned range scan") {
     val dir = tmpDir("opd")
     val ds = new OrderedDataset(spark, s"$dir/d1")
