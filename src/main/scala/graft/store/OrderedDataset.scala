@@ -777,9 +777,17 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
         spark.createDataFrame(rdd, schema)
           .sortWithinPartitions(tieCols: _*).drop("__pid")
     }
+    // bloom-column continuity: an explicit request wins; otherwise a
+    // dataset that was created with blooms keeps writing them on every
+    // append AND every compaction (optimize passes no opts), so no file
+    // silently loses its point-lookup skipping
+    val effBloomCols =
+      if (opts.bloomFilterCols.nonEmpty) opts.bloomFilterCols
+      else m0.flatMap(_.kv.get(OrderedDataset.BloomColsKey))
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     val writer0 = (if (hasProvenance) sized.drop(SeqCol, RidCol) else sized)
       .write.mode("overwrite")
-    opts.bloomFilterCols
+    effBloomCols
       .foldLeft(writer0)((w, c) =>
         w.option(s"parquet.bloom.filter.enabled#$c", "true"))
       .parquet(tmpDir)
@@ -872,7 +880,11 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
         colStatsOf(r))
     }.toSeq
     val allStats = (kept ++ newStats).sortBy(f => (f.min, f.id))
-    val newKv = m0.map(_.kv).getOrElse(Map.empty) ++ opts.kv -- opts.kvRemove
+    val bloomKv =
+      if (effBloomCols.isEmpty) Map.empty[String, String]
+      else Map(OrderedDataset.BloomColsKey -> effBloomCols.mkString(","))
+    val newKv = m0.map(_.kv).getOrElse(Map.empty) ++ bloomKv ++
+      opts.kv -- opts.kvRemove
     val schemaJson =
       (if (hasProvenance) data.drop(SeqCol, RidCol) else data).schema.json
     Sidecar.write(conf, dir,
@@ -1081,6 +1093,9 @@ object OrderedDataset {
   val TmpDirPrefix = "_tmp_write-"
   val DataFileRe = "f(\\d{8,})\\.parquet".r
   val LockName = ".lock"
+  /** kv key recording the dataset's bloom-filter columns (see
+    * WriteOpts.bloomFilterCols continuity in materialize). */
+  val BloomColsKey = "graft.bloom.cols"
   val LockStaleMs = 120000L
   val LockRefreshMs = 15000L
 

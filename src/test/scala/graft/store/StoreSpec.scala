@@ -68,6 +68,23 @@ class StoreSpec extends SparkSpec {
     // bloom-filtered point lookup returns the same rows as ever
     assert(ds.df.filter(col("uid") === 42).count() ==
       (0L until 2000L).count(s => s * 7919 % 1000 == 42))
+    // continuity: a plain append (no bloom opts) keeps writing blooms —
+    // the dataset's bloom columns are recorded in the sidecar kv
+    val before = ds.meta.files.map(_.name).toSet
+    ds.write(
+      spark.range(2000, 2500).toDF("seq")
+        .withColumn("uid", col("seq") * 7919 % 1000),
+      WriteOpts("seq", NRows(500)))
+    assert(ds.kv(OrderedDataset.BloomColsKey) == "uid")
+    ds.meta.files.filterNot(f => before(f.name)).foreach { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$dir/d/${f.name}"), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try assert(r.getFooter.getBlocks.get(0).getColumns.asScala
+        .find(_.getPath.toDotString == "uid").get
+        .getBloomFilterOffset >= 0, s"append lost bloom in ${f.name}")
+      finally r.close()
+    }
   }
 
   test("create + full scan + pruned range scan") {
