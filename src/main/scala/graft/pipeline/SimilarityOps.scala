@@ -218,4 +218,145 @@ object SimilarityOps {
         cosine(col("va"), col("vb"), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Cluster-scoped semantic dedup (the SemDeDup shape: coarse
+    * semantic clustering, then pairwise cosine ONLY within a cluster).
+    * Candidates come from the clustering itself — near-duplicates land
+    * on the same centroid — so the pair budget is Σ|cluster|², kept
+    * linear-ish by a centroid count ~√n (the same knob as IVF). One
+    * shuffle on cid per side; no all-pairs cross join, no broadcast of
+    * anything corpus-sized.
+    */
+  def semanticDupPairs(corpus: DataFrame, centroidFilter: Column,
+      threshold: Double): DataFrame = {
+    val assigned = ivfAssign(corpus, centroidFilter)
+    val a = assigned.as("a"); val b = assigned.as("b")
+    a.join(b, col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        cosine(col("a.vec"), col("b.vec"), col("a.norm"), col("b.norm"))
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  // ------------------------------------------------------------------
+  // Product quantization (the FAISS IVFADC shape): vectors compressed
+  // to M sub-codes, search scored against a per-query lookup table.
+  // At 100 TB this is what makes a vector index FIT — M bytes/vector
+  // (64× smaller than float64[64]) means inverted lists stay in page
+  // cache and the probe scan is pure integer-indexed lookups.
+  // ------------------------------------------------------------------
+
+  /** Deterministic PQ codebook: the K codeword vectors are the corpus
+    * rows with `id % idStep == 0 && id < idStep*K` (the same
+    * data-derived deterministic-quantizer trick as the IVF coarse
+    * centroids, so the DuckDB oracle can reproduce it), each split
+    * into M contiguous subvectors. Driver-bounded collect: M×K
+    * subvectors total. Returns cb(m)(k) = the ds-dim codeword.
+    */
+  def pqCodebook(corpus: DataFrame, m: Int, k: Int, idStep: Long)
+      : Array[Array[Array[Double]]] = {
+    val rows = corpus
+      .filter(col("id") % idStep === 0 && col("id") < idStep * k)
+      .orderBy("id").select("vec").collect()
+    require(rows.length == k,
+      s"PQ codebook wants $k codewords, corpus yielded ${rows.length}")
+    val dim = rows.head.getSeq[Double](0).length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val ds = dim / m
+    Array.tabulate(m, k) { (mi, ki) =>
+      rows(ki).getSeq[Double](0).slice(mi * ds, (mi + 1) * ds).toArray
+    }
+  }
+
+  private def round6(c: Column): Column = round(c, 6)
+
+  /** `Σ_j vec[off+j+1] * lit(w(j))` — left-associated scalar
+    * multiply-adds (bit-identical to a sequential dot loop, so the
+    * oracle's `list_dot_product` agrees), fully codegen'd. */
+  private def litDot(vec: Column, off: Int, w: Array[Double]): Column =
+    w.zipWithIndex.map { case (x, j) =>
+      element_at(vec, off + j + 1) * lit(x) }.reduce(_ + _)
+
+  /** Map-side PQ encode: appends `codes` (int array, length M — the
+    * argmin codeword per subspace under L2, distances rounded to 6
+    * decimals with smallest-k tie-break so Spark and the oracle pick
+    * identically) and `rnorm` (the reconstructed vector's norm, used
+    * as the cosine denominator at search time). No shuffle, no UDF:
+    * per-subspace distance arrays are staged as attributes, argmin is
+    * `array_position(d, array_min(d))`.
+    *
+    * L2 argmin drops the `sub·sub` term (constant across codewords):
+    * dist(k) = cb2(k) − 2·(sub·cb_k).
+    */
+  def pqEncode(df: DataFrame, cb: Array[Array[Array[Double]]])
+      : DataFrame = {
+    val m = cb.length; val k = cb(0).length; val ds = cb(0)(0).length
+    val cb2: Array[Array[Double]] =
+      cb.map(_.map(w => math.rint(w.map(x => x * x).sum * 1e6) / 1e6))
+    val keep = df.columns.filterNot(_ == "vec").map(col)
+    val dCols = (0 until m).map { mi =>
+      array((0 until k).map { ki =>
+        lit(cb2(mi)(ki)) - lit(2.0) *
+          round6(litDot(col("vec"), mi * ds, cb(mi)(ki)))
+      }: _*).as(s"__d$mi")
+    }
+    val staged = df.select(keep ++ dCols: _*)
+    val codeCols = (0 until m).map { mi =>
+      (array_position(col(s"__d$mi"), array_min(col(s"__d$mi"))) - 1)
+        .cast("int").as(s"__c$mi")
+    }
+    val staged2 = staged.select(keep ++ codeCols: _*)
+    staged2.select((keep :+
+      array((0 until m).map(mi => col(s"__c$mi")): _*).as("codes")) :+
+      sqrt((0 until m).map(mi =>
+          element_at(array(cb2(mi).map(lit(_)): _*), col(s"__c$mi") + 1)
+            .cast("decimal(38,6)"))
+        .reduce(_ + _).cast("double")).as("rnorm"): _*)
+  }
+
+  /** IVF-PQ top-k (asymmetric distance computation): coarse-probe the
+    * `nProbe` nearest inverted lists exactly as [[ivfTopK]], but score
+    * candidates from their PQ codes against a per-query lookup table
+    * `ltab[m][k] = round6(q_m · cb_mk)` — the corpus vectors are never
+    * touched at search time. The per-entry rounding plus an exact
+    * DECIMAL(38,6) accumulation across subspaces makes the score
+    * engine- and order-exact, so ranking is reproducible.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+      centroidFilter: Column, cb: Array[Array[Array[Double]]],
+      nProbe: Int, k: Int): DataFrame = {
+    val m = cb.length; val nCode = cb(0).length; val ds = cb(0)(0).length
+    val encoded = pqEncode(ivfAssign(corpus, centroidFilter), cb)
+      .select("id", "cid", "codes", "rnorm")
+    val cents = broadcast(corpus.filter(centroidFilter).select(
+      col("id").as("cid"), col("vec").as("cvec"), col("norm").as("cnorm")))
+    val wp = Window.partitionBy("q_id")
+      .orderBy(col("pcos").desc, col("cid"))
+    val ltab = array((0 until m).map { mi =>
+      array((0 until nCode).map { ki =>
+        round6(litDot(col("qvec"), mi * ds, cb(mi)(ki))) }: _*)
+    }: _*)
+    val probes = queries.select(col("id").as("q_id"), col("vec").as("qvec"),
+        col("norm").as("qnorm"))
+      .join(cents)
+      .withColumn("pcos",
+        cosine(col("qvec"), col("cvec"), col("qnorm"), col("cnorm")))
+      .withColumn("prank", row_number().over(wp))
+      .filter(col("prank") <= nProbe)
+      .select(col("q_id"), ltab.as("ltab"), col("qnorm"), col("cid"))
+    val approx = (0 until m).map(mi =>
+        element_at(element_at(col("ltab"), mi + 1),
+          element_at(col("codes"), mi + 1) + 1)
+          .cast("decimal(38,6)"))
+      .reduce(_ + _).cast("double")
+    val wk = Window.partitionBy("q_id")
+      .orderBy(col("cos_pq").desc, col("vec_id"))
+    probes.join(encoded, Seq("cid"))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id").as("vec_id"),
+        round6(approx / (col("qnorm") * col("rnorm"))).as("cos_pq"))
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "cos_pq")
+  }
 }

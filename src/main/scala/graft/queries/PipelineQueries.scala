@@ -52,6 +52,13 @@ object PipelineQueries {
   // corpus and makes brute-force assignment n²/25 — measured 13.5×
   // at 10× data (SCALE.md r4b); production IVF keeps centroids ~√n.
   private val CentroidCap = 5000L
+  // PQ config (p_ann_ivfpq): 64 dims → 8 subspaces × 8 dims, 16
+  // codewords each (codes fit a nibble per subspace — 4 bytes/vector
+  // vs 512 for float64[64]). Codewords = every 5th id, like the coarse
+  // quantizer a data-derived deterministic set the oracle reproduces.
+  private val PqM = 8
+  private val PqK = 16
+  private val PqStep = 5L
 
   /** One-time fixture build (see SparkEntry.prepare). */
   def prepare(s: SparkSession, d: String): Unit = {
@@ -429,6 +436,30 @@ object PipelineQueries {
       SimilarityOps.ivfTopK(
         v.filter(col("id") < NQueryVecs), v,
         centroidPred, nProbe = 4, k = TopK)
+        .orderBy("q_id", "rank")
+    },
+
+    // Semantic (cluster-scoped) near-dup: SemDeDup shape — coarse
+    // semantic clusters from the IVF quantizer, exact cosine only
+    // within a cluster.
+    "p_dedup_semantic" -> { (s, d) =>
+      val v = SimilarityOps.withNorm(embs(s, d), "vec_id", "embedding")
+        .persist()
+      SimilarityOps.semanticDupPairs(v, centroidPred, CosThreshold)
+        .orderBy("i", "j")
+    },
+
+    // IVF-PQ (asymmetric distance): same coarse probes as p_ann_ivf,
+    // but candidates scored from 4-byte PQ codes via a per-query
+    // lookup table — corpus vectors untouched at search time. The
+    // memory shape that keeps a 100 TB vector index in page cache.
+    "p_ann_ivfpq" -> { (s, d) =>
+      val v = SimilarityOps.withNorm(embs(s, d), "vec_id", "embedding")
+        .persist()
+      val cb = SimilarityOps.pqCodebook(v, PqM, PqK, PqStep)
+      SimilarityOps.ivfPqTopK(
+        v.filter(col("id") < NQueryVecs), v,
+        centroidPred, cb, nProbe = 4, k = TopK)
         .orderBy("q_id", "rank")
     },
 
@@ -1024,6 +1055,73 @@ object PipelineQueries {
      SELECT q_id, CAST(rank AS INT) AS rank, vec_id, cos
      FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank"""
 
+  /** IVF-PQ oracle: reproduces the deterministic codebook (every
+    * PqStep-th id), the L2 sub-code assignment (distances rounded to 6
+    * decimals, smallest-k ties — the exact argmin contract of
+    * `SimilarityOps.pqEncode`), and the ADC score (per-entry rounded
+    * lookup table, DECIMAL-exact accumulation across subspaces). */
+  private def annIvfPqOracle: String = {
+    val ds = 64 / PqM
+    def sub(v: String, m: String) =
+      s"list_slice($v, $m*$ds+1, $m*$ds+$ds)"
+    s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+              FROM embeddings),
+       n AS (SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM v),
+       cents AS (SELECT id AS cid, vec AS cvec, norm AS cnorm FROM n
+                 WHERE id % 25 = 0 AND id < $CentroidCap),
+       assigned AS (SELECT id, cid FROM (
+              SELECT n.id, cents.cid, row_number() OVER (
+                PARTITION BY n.id ORDER BY
+                  round(list_dot_product(n.vec, cents.cvec)
+                    / (n.norm * cents.cnorm), 6) DESC, cents.cid) AS crank
+              FROM n CROSS JOIN cents) WHERE crank = 1),
+       cw AS (SELECT id // $PqStep AS k, vec FROM v
+              WHERE id % $PqStep = 0 AND id < ${PqStep * PqK}),
+       cb AS (SELECT m, k, ${sub("vec", "m")} AS sub,
+                round(list_dot_product(${sub("vec", "m")},
+                                       ${sub("vec", "m")}), 6) AS cb2
+              FROM cw, unnest(generate_series(0, ${PqM - 1})) t(m)),
+       dists AS (SELECT s.id, s.m, cb.k, cb.cb2,
+                cb.cb2 - 2*round(list_dot_product(s.sub, cb.sub), 6) AS dist
+              FROM (SELECT id, m, ${sub("vec", "m")} AS sub
+                    FROM n, unnest(generate_series(0, ${PqM - 1})) t(m)) s
+              JOIN cb ON s.m = cb.m),
+       codes AS (SELECT id, m, k AS code, cb2 FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY id, m ORDER BY dist, k) AS rn
+              FROM dists) WHERE rn = 1),
+       rn2 AS (SELECT id,
+                sqrt(CAST(SUM(CAST(cb2 AS DECIMAL(38,6))) AS DOUBLE))
+                  AS rnorm
+              FROM codes GROUP BY id),
+       probes AS (SELECT q_id, qnorm, cid FROM (
+              SELECT q.id AS q_id, q.norm AS qnorm, cents.cid,
+                row_number() OVER (
+                PARTITION BY q.id ORDER BY
+                  round(list_dot_product(q.vec, cents.cvec)
+                    / (q.norm * cents.cnorm), 6) DESC, cents.cid) AS prank
+              FROM n q CROSS JOIN cents WHERE q.id < $NQueryVecs)
+              WHERE prank <= 4),
+       ltab AS (SELECT q.id AS q_id, cb.m, cb.k,
+                round(list_dot_product(${sub("q.vec", "cb.m")}, cb.sub), 6)
+                  AS qd
+              FROM n q CROSS JOIN cb WHERE q.id < $NQueryVecs),
+       scored AS (SELECT p.q_id, a.id AS vec_id,
+                round(CAST(SUM(CAST(l.qd AS DECIMAL(38,6))) AS DOUBLE)
+                  / (ANY_VALUE(p.qnorm) * ANY_VALUE(r.rnorm)), 6) AS cos_pq
+              FROM probes p
+              JOIN assigned a ON p.cid = a.cid AND a.id <> p.q_id
+              JOIN codes c ON c.id = a.id
+              JOIN ltab l ON l.q_id = p.q_id AND l.m = c.m AND l.k = c.code
+              JOIN rn2 r ON r.id = a.id
+              GROUP BY p.q_id, a.id),
+       ranked AS (SELECT *, row_number() OVER (
+              PARTITION BY q_id ORDER BY cos_pq DESC, vec_id) AS rank
+              FROM scored)
+     SELECT q_id, CAST(rank AS INT) AS rank, vec_id, cos_pq
+     FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank"""
+  }
+
   /** (scores select-list, best expr, lang CASE expr) shared by the
     * langid and stratified-sample oracles. */
   private def langSqlParts: (String, String, String) = {
@@ -1150,6 +1248,29 @@ object PipelineQueries {
     "p_ann_topk" -> annTopkOracle,
     "p_ann_ivf" -> annIvfOracle,
     "p_ann_ivf_indexed" -> annIvfOracle,
+    "p_ann_ivfpq" -> annIvfPqOracle,
+
+    "p_dedup_semantic" ->
+      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+              FROM embeddings),
+         n AS (SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS norm
+               FROM v),
+         cents AS (SELECT id AS cid, vec AS cvec, norm AS cnorm FROM n
+                   WHERE id % 25 = 0 AND id < $CentroidCap),
+         assigned AS (SELECT id, vec, norm, cid FROM (
+                SELECT n.id, n.vec, n.norm, cents.cid, row_number() OVER (
+                  PARTITION BY n.id ORDER BY
+                    round(list_dot_product(n.vec, cents.cvec)
+                      / (n.norm * cents.cnorm), 6) DESC, cents.cid) AS crank
+                FROM n CROSS JOIN cents) WHERE crank = 1)
+       SELECT a.id AS i, b.id AS j,
+              round(list_dot_product(a.vec, b.vec)
+                / (a.norm * b.norm), 6) AS cos
+       FROM assigned a JOIN assigned b
+         ON a.cid = b.cid AND a.id < b.id
+       WHERE round(list_dot_product(a.vec, b.vec)
+                / (a.norm * b.norm), 6) >= $CosThreshold
+       ORDER BY i, j""",
     "p_text_langid" -> langidOracle,
     "p_sample_stratified" -> sampleOracle,
 

@@ -199,6 +199,19 @@ object StoreQueries {
         .orderBy("event_id")
     },
 
+    // Change feed (Delta CDF analog): row-level diff of the correction
+    // upsert's commit — generation 1 (initial load) → generation 2
+    // (live). Unchanged files are never read (driver file-list diff);
+    // replaced-but-identical rows cancel in the exceptAll.
+    "m10_change_feed" -> { (s, d) =>
+      val st = ensure(s, d)
+      st.get("upsert").changeFeed(1L, 2L)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"),
+          col("_change_type").as("change_type"))
+        .orderBy("change_type", "event_id", "ts")
+    },
+
     // S2: zone-map-pruned range scan from sidecar stats.
     "s2_pruned_scan" -> { (s, d) =>
       val st = ensure(s, d)
@@ -437,6 +450,26 @@ object StoreQueries {
                   PARTITION BY ts ORDER BY src DESC) AS rn FROM u)
          SELECT event_id, ts, user_id, event_type, value
          FROM dd WHERE rn = 1 ORDER BY event_id""",
+
+    // the diff of the two generation states m9/m6 already pin down
+    "m10_change_feed" -> s"""$EV,
+         init AS (SELECT event_id, ts, user_id, event_type, value
+                  FROM e WHERE event_id % 10 <> 0),
+         b AS (SELECT event_id, ts, user_id, event_type,
+                      value + 1000.0 AS value
+               FROM e WHERE event_id % 3 = 0),
+         u AS (SELECT *, 0 AS src FROM init
+               UNION ALL SELECT *, 1 AS src FROM b),
+         dd AS (SELECT *, row_number() OVER (
+                  PARTITION BY ts ORDER BY src DESC) AS rn FROM u),
+         fin AS (SELECT event_id, ts, user_id, event_type, value
+                 FROM dd WHERE rn = 1)
+         SELECT *, 'insert' AS change_type FROM
+           (SELECT * FROM fin EXCEPT ALL SELECT * FROM init)
+         UNION ALL
+         SELECT *, 'delete' AS change_type FROM
+           (SELECT * FROM init EXCEPT ALL SELECT * FROM fin)
+         ORDER BY change_type, event_id, ts""",
 
     "s2_pruned_scan" -> s"""$EV
          SELECT event_id, ts, user_id, value FROM e

@@ -194,6 +194,44 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     }
   }
 
+  /** Row-level change feed between two retained generations (Delta
+    * CDF `table_changes` analog): rows present at `toGen` but not at
+    * `fromGen` carry `_change_type = 'insert'`, rows present at
+    * `fromGen` but gone at `toGen` carry `'delete'`; an in-place
+    * update appears as its delete+insert pair. Multiset semantics
+    * (`exceptAll`): duplicated rows change by count, not presence.
+    *
+    * 100 TB design: the two snapshots are first diffed by FILE LIST on
+    * the driver (sidecar metadata only). Data files are immutable, so
+    * files common to both generations cannot contribute changes and
+    * are never opened; the row-level `exceptAll` (one hash shuffle per
+    * side) runs only over the files the intervening commits replaced
+    * or added — O(churn), not O(dataset). Both sides are read through
+    * the NEWER generation's sidecar schema, so additive schema
+    * evolution between the generations null-fills the older files
+    * instead of mis-aligning the diff.
+    */
+  def changeFeed(fromGen: Long, toGen: Long): DataFrame = {
+    require(fromGen < toGen,
+      s"changeFeed wants fromGen < toGen, got $fromGen >= $toGen")
+    val mF = metaAsOf(fromGen)
+    val mT = metaAsOf(toGen)
+    val fNames = mF.files.map(_.name).toSet
+    val tNames = mT.files.map(_.name).toSet
+    val onlyF = mF.files.filterNot(f => tNames(f.name))
+    val onlyT = mT.files.filterNot(f => fNames(f.name))
+    def slice(files: Seq[FileStat]): DataFrame =
+      if (files.isEmpty) emptyLike(mT)
+      else readFiles(mT, files.map(f => s"$dir/${f.name}"))
+    val oldSide = slice(onlyF)
+    val newSide = slice(onlyT)
+    newSide.exceptAll(oldSide)
+      .withColumn("_change_type", lit("insert"))
+      .unionByName(
+        oldSide.exceptAll(newSide)
+          .withColumn("_change_type", lit("delete")))
+  }
+
   /** Empty frame that keeps the dataset's columns: the schema is
     * persisted in the sidecar at every write, so a dataset created via
     * an empty/fully-deduped first batch still resolves column

@@ -306,4 +306,60 @@ class PipelineSpec extends SparkSpec {
       assert(f.head_byte == t.head.toLong)
     }
   }
+
+  /** Deterministic synthetic 64-dim vectors (same recipe as the dot
+    * product spec) for the PQ tests. */
+  private def pqVecs(n: Int) = (0 until n).map { i =>
+    (i.toLong, Array.tabulate(64)(j => ((i * 31 + j * 7) % 13 - 6) * 0.25f))
+  }.toDF("vec_id", "embedding")
+
+  test("pqEncode matches a driver-side argmin model; codes in range") {
+    val v = SimilarityOps.withNorm(pqVecs(120), "vec_id", "embedding")
+    val cb = SimilarityOps.pqCodebook(v, 8, 16, 5L)
+    val enc = SimilarityOps.pqEncode(v, cb)
+      .select($"id", $"codes", $"rnorm").orderBy("id")
+      .as[(Long, Seq[Int], Double)].collect()
+    val raw = v.select($"id", $"vec").orderBy("id")
+      .as[(Long, Seq[Double])].collect().toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    enc.foreach { case (id, codes, rnorm) =>
+      assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 16))
+      val vec = raw(id)
+      val expect = (0 until 8).map { m =>
+        val sub = vec.slice(m * 8, m * 8 + 8)
+        (0 until 16).minBy { k =>
+          val cb2 = r6(cb(m)(k).map(x => x * x).sum)
+          val d = cb2 - 2 * r6(sub.zip(cb(m)(k)).map(p => p._1 * p._2).sum)
+          (d, k)
+        }
+      }
+      assert(codes == expect, s"id=$id")
+      val rn = math.sqrt((0 until 8).map(m =>
+        BigDecimal(r6(cb(m)(codes(m)).map(x => x * x).sum))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+      assert(math.abs(rnorm - rn) < 1e-12, s"id=$id rnorm")
+    }
+  }
+
+  test("ivfPqTopK: deterministic, ranked by PQ score, self excluded") {
+    val v = SimilarityOps.withNorm(pqVecs(120), "vec_id", "embedding")
+      .persist()
+    val cb = SimilarityOps.pqCodebook(v, 8, 16, 5L)
+    val run1 = SimilarityOps.ivfPqTopK(v.filter($"id" < 5), v,
+      $"id" % 25 === 0, cb, nProbe = 2, k = 3)
+      .orderBy("q_id", "rank").collect()
+    val run2 = SimilarityOps.ivfPqTopK(v.filter($"id" < 5), v,
+      $"id" % 25 === 0, cb, nProbe = 2, k = 3)
+      .orderBy("q_id", "rank").collect()
+    assert(run1.toSeq == run2.toSeq)
+    assert(run1.nonEmpty)
+    run1.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(1)).toSeq == (1 to rows.length))
+      assert(rows.forall(_.getLong(2) != q))
+      // ranks ordered by descending pq score
+      val scores = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    v.unpersist()
+  }
 }

@@ -122,4 +122,54 @@ class TimeTravelSpec extends SparkSpec {
     val err = intercept[IllegalArgumentException](ds.dfAsOf(g1))
     assert(err.getMessage.contains("not retained"))
   }
+
+  test("changeFeed diffs generations row-level, delete+insert on update") {
+    val d = tmpDir("tt-cdc") + "/ds"
+    val ds = new OrderedDataset(spark, d)
+    ds.write(spark.range(100).toDF("seq").withColumn("v", lit(1.0)),
+      WriteOpts("seq", NRows(40)))
+    val g1 = ds.generation
+    // correction upsert: rows [20,60) change value; rest survive via
+    // rewrite (same content, different file) and must NOT appear
+    ds.write(
+      spark.range(20, 60).toDF("seq").withColumn("v", lit(2.0)),
+      WriteOpts("seq", NRows(40), duplicatesOn = Some(Seq("seq"))))
+    val g2 = ds.generation
+
+    val cdc = ds.changeFeed(g1, g2)
+    val ins = cdc.filter(col("_change_type") === "insert")
+    val del = cdc.filter(col("_change_type") === "delete")
+    assert(ins.count() == 40 && del.count() == 40)
+    assert(ins.filter(col("v") === 2.0).count() == 40)
+    assert(del.filter(col("v") === 1.0).count() == 40)
+    assert(ins.agg(min("seq"), max("seq")).collect().head
+      .toSeq == Seq(20L, 59L))
+
+    // semantics = exceptAll of the two snapshots, both directions
+    val manual = ds.dfAsOf(g2).exceptAll(ds.dfAsOf(g1)).count() +
+      ds.dfAsOf(g1).exceptAll(ds.dfAsOf(g2)).count()
+    assert(cdc.count() == manual)
+
+    // grace window over: changeFeed against an aged-out generation fails
+    // loudly (the live one still addresses)
+    assert(ds.changeFeed(g1, g2).count() == 80)
+  }
+
+  test("changeFeed reads only files the commits touched") {
+    val d = tmpDir("tt-cdc2") + "/ds"
+    val ds = new OrderedDataset(spark, d)
+    ds.write(spark.range(100).toDF("seq"), WriteOpts("seq", NRows(25)))
+    val g1 = ds.generation
+    val untouched = ds.meta.files.map(_.name).toSet
+    // pure append beyond the existing range: no old file overlaps
+    ds.write(spark.range(100, 130).toDF("seq"), WriteOpts("seq", NRows(25)))
+    val g2 = ds.generation
+
+    val cdc = ds.changeFeed(g1, g2)
+    val scanned = cdc.inputFiles.map(_.split("/").last).toSet
+    assert(scanned.intersect(untouched).isEmpty,
+      s"changeFeed scanned untouched files: ${scanned & untouched}")
+    assert(cdc.filter(col("_change_type") === "delete").count() == 0)
+    assert(cdc.count() == 30)
+  }
 }
