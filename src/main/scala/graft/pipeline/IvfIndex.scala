@@ -89,4 +89,73 @@ object IvfIndex {
       .filter(col("rank") <= k)
       .select("q_id", "rank", "vec_id", "cos")
   }
+
+  /** Persist a PQ-COMPRESSED IVF index: `(cid, id, codes, rnorm)`
+    * ordered on cid — M sub-codes per vector instead of the raw
+    * floats (the raw vectors are not stored at all). At 100 TB this is
+    * the difference between an index that fits in cluster page cache
+    * and one that doesn't; `cb` is the [[SimilarityOps.pqCodebook]]
+    * the caller manages alongside the centroid table.
+    */
+  def buildPq(spark: SparkSession, dir: String, corpus: DataFrame,
+      centroidFilter: Column, cb: Array[Array[Array[Double]]],
+      rowsPerFile: Long = 1000000L): Unit = {
+    val encoded = SimilarityOps.pqEncode(
+        SimilarityOps.ivfAssign(corpus, centroidFilter), cb)
+      .select(col("cid"), col("id"), col("codes"), col("rnorm"))
+    new OrderedDataset(spark, dir)
+      .write(encoded, WriteOpts("cid", NRows(rowsPerFile)))
+  }
+
+  /** ADC search over the stored code lists: probe planning and
+    * zone-map-pruned range reads exactly as [[search]], but scoring is
+    * the per-query lookup table against the persisted codes —
+    * asymmetric distance, no vector payload read (none is stored).
+    * Must be called with the same `centroids` and `cb` the index was
+    * built with.
+    */
+  def searchPq(spark: SparkSession, dir: String, queries: DataFrame,
+      centroids: DataFrame, cb: Array[Array[Array[Double]]],
+      nProbe: Int, k: Int): DataFrame = {
+    val m = cb.length
+    val cents = broadcast(centroids.select(
+      col("id").as("cid"), col("vec").as("cvec"), col("norm").as("cnorm")))
+    val wp = Window.partitionBy("q_id")
+      .orderBy(col("pcos").desc, col("cid"))
+    // ltab[m][k] computed BEFORE the collect so the driver ships only
+    // the (bounded) probe rows with their lookup tables, not raw qvecs
+    val probePlan = queries.select(col("id").as("q_id"),
+        col("vec").as("qvec"), col("norm").as("qnorm"))
+      .join(cents)
+      .withColumn("pcos", SimilarityOps.cosine(
+        col("qvec"), col("cvec"), col("qnorm"), col("cnorm")))
+      .withColumn("prank", row_number().over(wp))
+      .filter(col("prank") <= nProbe)
+      .select(col("q_id"), SimilarityOps.pqLookupTable(col("qvec"), cb)
+        .as("ltab"), col("qnorm"), col("cid"))
+    val probeRows = probePlan.collect()
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probePlan.schema)
+
+    val probedCids = probeRows
+      .map(r => r.getLong(r.fieldIndex("cid"))).distinct.sorted
+    val ds = new OrderedDataset(spark, dir)
+    val lists = ds.multiPointDF(probedCids.toSeq.map(OrdLong))
+      .filter(col("cid").isin(probedCids.toSeq: _*))
+
+    val approx = (0 until m).map(mi =>
+        element_at(element_at(col("ltab"), mi + 1),
+          element_at(col("codes"), mi + 1) + 1)
+          .cast("decimal(38,6)"))
+      .reduce(_ + _).cast("double")
+    val wk = Window.partitionBy("q_id")
+      .orderBy(col("cos_pq").desc, col("vec_id"))
+    lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id").as("vec_id"),
+        round(approx / (col("qnorm") * col("rnorm")), 6).as("cos_pq"))
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "cos_pq")
+  }
 }

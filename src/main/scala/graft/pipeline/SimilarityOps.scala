@@ -314,6 +314,19 @@ object SimilarityOps {
         .reduce(_ + _).cast("double")).as("rnorm"): _*)
   }
 
+  /** Per-query ADC lookup table `ltab[m][k] = round6(q_m · cb_mk)` as
+    * one nested-array expression (map-side, codebook inlined as
+    * literals). Rounded per entry so the oracle's `list_dot_product`
+    * lands on identical values. */
+  def pqLookupTable(qvec: Column, cb: Array[Array[Array[Double]]])
+      : Column = {
+    val ds = cb(0)(0).length
+    array(cb.indices.map { mi =>
+      array(cb(mi).indices.map { ki =>
+        round6(litDot(qvec, mi * ds, cb(mi)(ki))) }: _*)
+    }: _*)
+  }
+
   /** IVF-PQ top-k (asymmetric distance computation): coarse-probe the
     * `nProbe` nearest inverted lists exactly as [[ivfTopK]], but score
     * candidates from their PQ codes against a per-query lookup table
@@ -325,17 +338,14 @@ object SimilarityOps {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
       centroidFilter: Column, cb: Array[Array[Array[Double]]],
       nProbe: Int, k: Int): DataFrame = {
-    val m = cb.length; val nCode = cb(0).length; val ds = cb(0)(0).length
+    val m = cb.length
     val encoded = pqEncode(ivfAssign(corpus, centroidFilter), cb)
       .select("id", "cid", "codes", "rnorm")
     val cents = broadcast(corpus.filter(centroidFilter).select(
       col("id").as("cid"), col("vec").as("cvec"), col("norm").as("cnorm")))
     val wp = Window.partitionBy("q_id")
       .orderBy(col("pcos").desc, col("cid"))
-    val ltab = array((0 until m).map { mi =>
-      array((0 until nCode).map { ki =>
-        round6(litDot(col("qvec"), mi * ds, cb(mi)(ki))) }: _*)
-    }: _*)
+    val ltab = pqLookupTable(col("qvec"), cb)
     val probes = queries.select(col("id").as("q_id"), col("vec").as("qvec"),
         col("norm").as("qnorm"))
       .join(cents)

@@ -63,6 +63,7 @@ object PipelineQueries {
   /** One-time fixture build (see SparkEntry.prepare). */
   def prepare(s: SparkSession, d: String): Unit = {
     ensureIvfIndex(s, d): Unit
+    ensurePqIndex(s, d): Unit
     ensureDigestIndex(s, d): Unit
     ensureLshIndex(s, d): Unit
     ensureSimhashIndex(s, d): Unit
@@ -122,6 +123,21 @@ object PipelineQueries {
       if (!ds.exists) {
         val v = SimilarityOps.withNorm(embs(s, d), "vec_id", "embedding")
         IvfIndex.build(s, dir, v, centroidPred, rowsPerFile = 200)
+      }
+      dir
+    }
+
+  /** Build the store-backed PQ-compressed IVF index (idempotent per
+    * scale dir; codes only, no vector payloads). */
+  private def ensurePqIndex(s: SparkSession, d: String): String =
+    synchronized {
+      val dir = s"/tmp/graft_ivfpq_c${CentroidCap}_m${PqM}k${PqK}_" +
+        inputTag(d, "embeddings")
+      val ds = new graft.store.OrderedDataset(s, dir)
+      if (!ds.exists) {
+        val v = SimilarityOps.withNorm(embs(s, d), "vec_id", "embedding")
+        val cb = SimilarityOps.pqCodebook(v, PqM, PqK, PqStep)
+        IvfIndex.buildPq(s, dir, v, centroidPred, cb, rowsPerFile = 200)
       }
       dir
     }
@@ -477,6 +493,22 @@ object PipelineQueries {
       try IvfIndex.search(s, dir,
         v.filter(col("id") < NQueryVecs),
         v.filter(centroidPred), nProbe = 4, k = TopK)
+        .orderBy("q_id", "rank")
+      finally v.unpersist()
+    },
+
+    // IVF-PQ against the STORE-BACKED code lists: probes are zone-map-
+    // pruned range reads as p_ann_ivf_indexed, but the lists hold only
+    // 4-byte PQ codes (no vector payloads on disk at all) — same
+    // results as p_ann_ivfpq by construction.
+    "p_ann_ivfpq_indexed" -> { (s, d) =>
+      val dir = ensurePqIndex(s, d)
+      val v = SimilarityOps.withNorm(embs(s, d), "vec_id", "embedding")
+        .persist()
+      val cb = SimilarityOps.pqCodebook(v, PqM, PqK, PqStep)
+      try IvfIndex.searchPq(s, dir,
+        v.filter(col("id") < NQueryVecs),
+        v.filter(centroidPred), cb, nProbe = 4, k = TopK)
         .orderBy("q_id", "rank")
       finally v.unpersist()
     },
@@ -1249,6 +1281,7 @@ object PipelineQueries {
     "p_ann_ivf" -> annIvfOracle,
     "p_ann_ivf_indexed" -> annIvfOracle,
     "p_ann_ivfpq" -> annIvfPqOracle,
+    "p_ann_ivfpq_indexed" -> annIvfPqOracle,
 
     "p_dedup_semantic" ->
       s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec

@@ -362,4 +362,29 @@ class PipelineSpec extends SparkSpec {
     }
     v.unpersist()
   }
+
+  test("store-backed PQ index: codes-only layout, pruned reads, " +
+      "matches ivfPqTopK") {
+    val dir = tmpDir("pqidx")
+    val v = SimilarityOps.withNorm(pqVecs(200), "vec_id", "embedding")
+      .persist()
+    val isCent = $"id" % 20 === 0
+    val cb = SimilarityOps.pqCodebook(v, 8, 16, 5L)
+    IvfIndex.buildPq(spark, s"$dir/idx", v, isCent, cb, rowsPerFile = 20)
+    val ds = new graft.store.OrderedDataset(spark, s"$dir/idx")
+    assert(ds.meta.files.size >= 5)
+    // compressed layout: codes + rnorm only, no vector payload on disk
+    assert(ds.df.columns.sorted.toSeq ==
+      Seq("cid", "codes", "id", "rnorm"))
+    val queries = v.filter($"id" < 5)
+    val got = IvfIndex.searchPq(spark, s"$dir/idx", queries,
+      v.filter(isCent), cb, nProbe = 2, k = 3)
+    val filesRead = got.select(input_file_name()).distinct().count()
+    assert(filesRead < ds.meta.files.size,
+      s"expected pruning: $filesRead vs ${ds.meta.files.size}")
+    val expect = SimilarityOps.ivfPqTopK(queries, v, isCent, cb, 2, 3)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(got.orderBy("q_id", "rank").collect().toSeq == expect)
+    v.unpersist(): Unit
+  }
 }
