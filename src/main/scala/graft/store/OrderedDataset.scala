@@ -225,11 +225,27 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
       else readFiles(mT, files.map(f => s"$dir/${f.name}"))
     val oldSide = slice(onlyF)
     val newSide = slice(onlyT)
-    newSide.exceptAll(oldSide)
-      .withColumn("_change_type", lit("insert"))
-      .unionByName(
-        oldSide.exceptAll(newSide)
-          .withColumn("_change_type", lit("delete")))
+    // single-pass count-diff instead of two exceptAlls: each side is
+    // scanned and shuffled ONCE (a grouped count per side, full-outer
+    // join on the identical grouping keys — partitioning is reused, no
+    // extra exchange), where exceptAll-both-ways would scan each slice
+    // twice. Multiset semantics fall out of the count delta; rows
+    // rewritten unchanged cancel to delta 0.
+    val cols = newSide.columns.toSeq
+    val newC = newSide.groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).as("__nc"))
+    val oldC = oldSide.groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).as("__oc"))
+    newC.join(oldC, cols, "full_outer")
+      .select(cols.map(col) :+
+        (coalesce(col("__nc"), lit(0L)) - coalesce(col("__oc"), lit(0L)))
+          .as("__delta"): _*)
+      .filter(col("__delta") =!= 0L)
+      .select(cols.map(col) :+
+        when(col("__delta") > 0, lit("insert")).otherwise(lit("delete"))
+          .as("_change_type") :+
+        explode(sequence(lit(1L), abs(col("__delta")))).as("__i"): _*)
+      .drop("__i")
   }
 
   /** Empty frame that keeps the dataset's columns: the schema is
