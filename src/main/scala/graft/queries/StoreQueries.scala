@@ -67,9 +67,9 @@ object StoreQueries {
     val st = new Store(s, base, idx)
     // version-suffixed + input-fingerprinted: bump the version when the
     // fixture set changes; the tag catches regenerated input data
-    // v9: sidecar generations (m9_time_travel needs fixtures written
-    // by the archiving commit path)
-    val marker = new java.io.File(s"$base/_BUILT_v9_${inputTag(d)}")
+    // v10: + the stream_src dataset and its graft-source streaming
+    // aggregation (t14)
+    val marker = new java.io.File(s"$base/_BUILT_v10_${inputTag(d)}")
     if (marker.exists()) return st
     // wipe any partial build
     graft.LocalFs.rmTree(new java.io.File(base))
@@ -168,6 +168,28 @@ object StoreQueries {
       "1 day", "6 hours", aggSpecs, s"$base/streaming_snap",
       s"$base/_ckpt_t9", NRows(5000))
     q2.awaitTermination()
+
+    // t14 fixture: the STORE ITSELF as the streaming source. The same
+    // events rows are committed in three ordered appends to a graft
+    // dataset; `readStream.format("graft")` tails it (generations are
+    // the offsets, each commit's inserts one micro-batch) into the
+    // same native hourly aggregation as t8 — so both must converge to
+    // the identical oracle.
+    val src = st.get("stream_src")
+    src.write(e.filter(col("event_id") < 3000),
+      WriteOpts("ts", NRows(2000)))
+    src.write(e.filter(col("event_id") >= 3000 && col("event_id") < 6500),
+      WriteOpts("ts", NRows(2000)))
+    src.write(e.filter(col("event_id") >= 6500),
+      WriteOpts("ts", NRows(2000)))
+    val seedStream3 = s.readStream.format("graft")
+      .load(st.dirOf("stream_src"))
+      .withColumn("ts", col("ts").cast("timestamp_ltz"))
+      .select("event_id", "ts", "value")
+    val q3 = StreamingAgg.run(seedStream3, "ts", "event_id", "1 hour",
+      aggSpecs, s"$base/stream_src_hourly", s"$base/_ckpt_t14",
+      NRows(5000))
+    q3.awaitTermination()
 
     marker.getParentFile.mkdirs()
     marker.createNewFile()
@@ -356,6 +378,17 @@ object StoreQueries {
     "t8_streaming_native" -> { (s, d) =>
       ensure(s, d)
       StreamingAgg.results(s, s"${baseDir(d)}/streaming_hourly", aggSpecs)
+        .withColumn("bin", col("bin").cast("timestamp_ntz"))
+        .orderBy("bin")
+    },
+
+    // The graft store AS a Structured Streaming source: three ordered
+    // commits tailed as micro-batches (generation offsets) into the
+    // t8 hourly aggregation — identical oracle to t8 by construction.
+    "t14_graft_stream_source" -> { (s, d) =>
+      ensure(s, d)
+      StreamingAgg.results(s, s"${baseDir(d)}/stream_src_hourly",
+          aggSpecs)
         .withColumn("bin", col("bin").cast("timestamp_ntz"))
         .orderBy("bin")
     },
@@ -555,6 +588,14 @@ object StoreQueries {
          GROUP BY 1 ORDER BY 1""",
 
     "t8_streaming_native" -> s"""$EV
+         SELECT date_trunc('hour', ts) AS bin,
+              min_by(value, event_id) AS first_v,
+              max_by(value, event_id) AS last_v,
+              min(value) AS min_v, max(value) AS max_v,
+              CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
+         FROM e GROUP BY 1 ORDER BY 1""",
+
+    "t14_graft_stream_source" -> s"""$EV
          SELECT date_trunc('hour', ts) AS bin,
               min_by(value, event_id) AS first_v,
               max_by(value, event_id) AS last_v,

@@ -3,7 +3,8 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, InsertableRelation, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, InsertableRelation, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.execution.streaming.{Source => StreamSource}
 import org.apache.spark.sql.types.StructType
 import graft.store.{NRows, OrderedDataset, RowGroupTarget, TimePeriod, WriteOpts}
 
@@ -32,13 +33,33 @@ import graft.store.{NRows, OrderedDataset, RowGroupTarget, TimePeriod, WriteOpts
   * }}}
   */
 final class GraftSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
   private def path(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft source requires a path (load(dir) / OPTIONS (path '…'))"))
+
+  // ---- streaming read: spark.readStream.format("graft").load(dir) ----
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    ("graft", GraftStreamSource.schemaOf(
+      sqlContext.sparkSession, path(parameters)))
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): StreamSource =
+    new GraftStreamSource(sqlContext.sparkSession, path(parameters),
+      parameters.get("starting_generation").map(_.trim.toLong))
 
   override def createRelation(
       sqlContext: SQLContext,

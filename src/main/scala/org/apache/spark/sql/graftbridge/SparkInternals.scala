@@ -35,6 +35,20 @@ object SparkInternals {
   def asNullable(st: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType = st.asNullable
 
+  /** Re-wrap a batch DataFrame's physical RDD as a STREAMING frame
+    * (`isStreaming = true`), the contract a V1 streaming `Source`'s
+    * `getBatch` must satisfy (MicroBatchExecution asserts the logical
+    * plan is streaming). Same trick the built-in V1 sources use via
+    * the sql-private `internalCreateDataFrame`.
+    */
+  def streamingDataFrame(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[
+      org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
   def unpersistCheckpoint(df: Dataset[_]): Unit =
     // collect, don't pattern-match the root: a `.select(...)` over a
     // checkpointed frame analyzes to Project(LogicalRDD), so a
