@@ -280,4 +280,37 @@ object TextOps {
         array_min(col("__h")).as("fp_min"),
         array_max(col("__h")).as("fp_max"))
   }
+
+  /** Corpus-INTERNAL boilerplate signal (the CCNet/RefinedWeb shape,
+    * adapted to segment = word n-gram): for each document, the
+    * fraction of its n-gram occurrences whose distinct-document
+    * frequency across the corpus reaches `dfMin` — navigation chrome,
+    * licence blurbs and template text score high and can be dropped
+    * or down-weighted by a keep-filter on `boiler_frac`.
+    *
+    * Differs from `ContaminationOps.overlapFraction` in that the
+    * reference set is the corpus itself (a self-df), not an eval
+    * benchmark. Two shuffles, both on the gram key: a distinct-doc df
+    * count (only grams reaching `dfMin` survive — the slim side), and
+    * the per-doc recount join. Never all-pairs, nothing corpus-sized
+    * broadcast; documents shorter than `n` words have no shingles and
+    * (deliberately, matching overlapFraction) no output row.
+    */
+  def boilerplateFrac(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int, dfMin: Long)
+      : org.apache.spark.sql.DataFrame = {
+    // shingleTable is per-document DISTINCT by construction
+    // (wordShingles array_distincts), so a plain count per gram IS the
+    // document frequency
+    val sh = DedupOps.shingleTable(df, idCol, textCol, n)
+    val common = sh.groupBy("g").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= dfMin)
+      .select(col("g").as("__bg"))
+    sh.join(common, col("g") === col("__bg"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("__bg")).as("n_boiler"))
+      .withColumn("boiler_frac",
+        round(col("n_boiler").cast("double") / col("n_grams"), 6))
+  }
 }

@@ -38,6 +38,10 @@ object PipelineQueries {
   private val SampleRateDefault = 0.25
   private val EvalRate = 0.1
   private val ContamN = 5
+  // boilerplate signal: trigram shingles present in >= 20 docs count
+  // as template text (selective but non-trivial at every driver SF)
+  private val BoilerN = 3
+  private val BoilerDfMin = 20L
   private val CapPerLang = 30
   private val PackShards = 8
   private val PackCapacity = 256
@@ -669,6 +673,17 @@ object PipelineQueries {
       ContaminationOps.overlapFraction(
           base.filter(bucket >= thr), base.filter(bucket < thr),
           "doc_id", "text", ContamN)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // Corpus-internal boilerplate: fraction of each doc's trigram
+    // shingles whose document frequency reaches BoilerDfMin — template
+    // text scores high; a keep-filter on boiler_frac is the curation
+    // knob.
+    "p_text_boilerplate" -> { (s, d) =>
+      TextOps.boilerplateFrac(docs(s, d), "doc_id", "text",
+          BoilerN, BoilerDfMin)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     },
@@ -1452,6 +1467,24 @@ object PipelineQueries {
        FROM st LEFT JOIN top USING (doc_id) ORDER BY doc_id""",
 
     "p_decontaminate" -> decontaminateSql,
+
+    "p_text_boilerplate" -> {
+      val gram = (0 until BoilerN).map(k => s"ws[i+$k]")
+        .mkString(" || ' ' || ")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents),
+         sh AS (SELECT DISTINCT doc_id, $gram AS g
+                FROM d,
+                  unnest(generate_series(1, len(ws) - ${BoilerN - 1})) t(i)),
+         common AS (SELECT g FROM (
+                SELECT g, count(*) AS c FROM sh GROUP BY g)
+                WHERE c >= $BoilerDfMin)
+       SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+              CAST(count(common.g) AS BIGINT) AS n_boiler,
+              round(count(common.g) * 1.0 / count(*), 6) AS boiler_frac
+       FROM sh LEFT JOIN common ON sh.g = common.g
+       GROUP BY 1 ORDER BY 1"""
+    },
 
     "p_contam_fraction" -> {
       val hex = SampleOps.thresholdHex(EvalRate)

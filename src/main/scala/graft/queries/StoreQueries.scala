@@ -67,9 +67,9 @@ object StoreQueries {
     val st = new Store(s, base, idx)
     // version-suffixed + input-fingerprinted: bump the version when the
     // fixture set changes; the tag catches regenerated input data
-    // v10: + the stream_src dataset and its graft-source streaming
-    // aggregation (t14)
-    val marker = new java.io.File(s"$base/_BUILT_v10_${inputTag(d)}")
+    // v11: + the clustered dataset (m11) and the stream_src dataset
+    // with its graft-source streaming aggregation (t14)
+    val marker = new java.io.File(s"$base/_BUILT_v11_${inputTag(d)}")
     if (marker.exists()) return st
     // wipe any partial build
     graft.LocalFs.rmTree(new java.io.File(base))
@@ -128,6 +128,13 @@ object StoreQueries {
     val purged = st.get("purged")
     purged.write(e, WriteOpts("ts", NRows(1000)))
     purged.delete(Some(tsAt(2024, 1, 10)), Some(tsAt(2024, 1, 18)))
+
+    // m11 fixture: secondary clustering — full ordered load, then a
+    // clustered re-layout on user_id (every file rewritten in place;
+    // zone maps and content must survive the permutation).
+    val clustered = st.get("clustered")
+    clustered.write(e, WriteOpts("ts", NRows(1500)))
+    clustered.optimize(NRows(1500), clusterBy = Seq("user_id")): Unit
 
     // m8 fixture: additive schema evolution — the initial load predates
     // the `user_id` column; a later evolved append carries it. Old
@@ -232,6 +239,18 @@ object StoreQueries {
           col("event_type"), col("value"),
           col("_change_type").as("change_type"))
         .orderBy("change_type", "event_id", "ts")
+    },
+
+    // Clustered re-layout (Delta ZORDER analog, intra-file): content
+    // must round-trip exactly through the permuting rewrite, with zone
+    // maps intact — plus a range scan over the clustered dataset.
+    "m11_clustered_readback" -> { (s, d) =>
+      val st = ensure(s, d)
+      val lo = tsAt(2024, 1, 8); val hi = tsAt(2024, 1, 20)
+      st.get("clustered").rangeDF(Some(lo), Some(hi))
+        .filter(col("user_id") === 7L)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")
     },
 
     // S2: zone-map-pruned range scan from sidecar stats.
@@ -503,6 +522,13 @@ object StoreQueries {
          SELECT *, 'delete' AS change_type FROM
            (SELECT * FROM init EXCEPT ALL SELECT * FROM fin)
          ORDER BY change_type, event_id, ts""",
+
+    "m11_clustered_readback" -> s"""$EV
+         SELECT event_id, ts, user_id, event_type, value FROM e
+         WHERE user_id = 7
+           AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+           AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+         ORDER BY event_id""",
 
     "s2_pruned_scan" -> s"""$EV
          SELECT event_id, ts, user_id, value FROM e

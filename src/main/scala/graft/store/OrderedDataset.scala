@@ -45,7 +45,21 @@ final case class WriteOpts(
       * but its bloom skips row groups on point lookups — the Delta
       * bloom-index analog, at zero read-path code.
       */
-    bloomFilterCols: Seq[String] = Nil)
+    bloomFilterCols: Seq[String] = Nil,
+    /** Secondary-column CLUSTERING within each written file (the Delta
+      * ZORDER analog, constrained to our ordering contract): rows are
+      * laid out sorted by these columns INSIDE each file, while file
+      * boundaries stay ranges of `orderedOn` — the zone map and every
+      * ordered-scan invariant are untouched (intra-file row order is
+      * not part of the store contract; ordered consumers sort anyway).
+      * The win is parquet ROW-GROUP stats: inside a big file, row
+      * groups get tight min/max ranges on the cluster columns, so
+      * point/range predicates on them decode a fraction of the file —
+      * the granularity below the sidecar's per-FILE ColStat skipping.
+      * Sticky like bloom columns: once set, appends and compactions
+      * keep clustering (kv `graft.cluster.cols`).
+      */
+    clusterBy: Seq[String] = Nil)
 
 final case class UpsertReport(filesRewritten: Int, filesKept: Int,
                               filesAdded: Int, rowsWritten: Long)
@@ -782,11 +796,26 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     val ord = col(opts.orderedOn)
     val tieCols =
       if (hasProvenance) Seq(ord, col(SeqCol), col(RidCol)) else Seq(ord)
+    // secondary clustering (see WriteOpts.clusterBy): file ASSIGNMENT
+    // stays a range of orderedOn (repartitionByRange below — zone maps
+    // untouched), but the intra-file LAYOUT leads with the cluster
+    // columns so parquet row-group stats get tight ranges on them.
+    // Sticky via kv, evolution-safe (columns absent from this batch
+    // are skipped). Note: intra-file order is the provenance order a
+    // LATER dedup-merge uses for equal-key ties among existing rows —
+    // clustering makes that order the clustered one, still
+    // deterministic.
+    val effClusterCols =
+      (if (opts.clusterBy.nonEmpty) opts.clusterBy
+       else m0.flatMap(_.kv.get(OrderedDataset.ClusterColsKey))
+         .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil))
+        .filter(data.columns.contains)
+    val layout = effClusterCols.map(col) ++ tieCols
     val sized = opts.target match {
       case NRows(n) =>
         val nOut = math.max(1L, math.ceil(totalIn.toDouble / n).toLong).toInt
         data.repartitionByRange(nOut, tieCols: _*)
-          .sortWithinPartitions(tieCols: _*)
+          .sortWithinPartitions(layout: _*)
       case TimePeriod(unit) =>
         // Driver-side period planning (planRewrite.truncPeriod) works
         // in UTC; date_trunc below uses the SESSION zone. They agree
@@ -829,7 +858,7 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
           })
           .map(_._2)
         spark.createDataFrame(rdd, schema)
-          .sortWithinPartitions(tieCols: _*).drop("__pid")
+          .sortWithinPartitions(layout: _*).drop("__pid")
     }
     // bloom-column continuity: an explicit request wins; otherwise a
     // dataset that was created with blooms keeps writing them on every
@@ -937,8 +966,11 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     val bloomKv =
       if (effBloomCols.isEmpty) Map.empty[String, String]
       else Map(OrderedDataset.BloomColsKey -> effBloomCols.mkString(","))
+    val clusterKv =
+      if (effClusterCols.isEmpty) Map.empty[String, String]
+      else Map(OrderedDataset.ClusterColsKey -> effClusterCols.mkString(","))
     val newKv = m0.map(_.kv).getOrElse(Map.empty) ++ bloomKv ++
-      opts.kv -- opts.kvRemove
+      clusterKv ++ opts.kv -- opts.kvRemove
     val schemaJson =
       (if (hasProvenance) data.drop(SeqCol, RidCol) else data).schema.json
     Sidecar.write(conf, dir,
@@ -964,8 +996,16 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     * bounded Spark job touching only that run's files; the rest of the
     * dataset is never read.
     */
-  def optimize(target: RowGroupTarget): Int = withWriteLock {
+  def optimize(target: RowGroupTarget,
+      clusterBy: Seq[String] = Nil): Int = withWriteLock {
     val m = meta
+    // re-clustering request: even already-on-target files need a
+    // rewrite when the caller asks for a NEW cluster layout (sticky
+    // columns flow through kv; passing the current ones again is a
+    // no-op unless sizes are off-target)
+    val wantCluster = clusterBy.filterNot(c =>
+      m.kv.get(OrderedDataset.ClusterColsKey)
+        .exists(_.split(",").toSeq.contains(c)))
     // contiguous runs of files to rewrite, in stats order, tracked by
     // file identity (positions shift as each run is rewritten)
     val runs = target match {
@@ -1004,16 +1044,26 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
         flush()
         rs.toSeq
     }
-    runs.foreach { runFiles =>
+    // a NEW cluster layout additionally rewrites every file the size
+    // runs did not already cover — clustering is intra-file, so each
+    // such file is its own bounded single-file job
+    val allRuns =
+      if (wantCluster.isEmpty) runs
+      else {
+        val covered = runs.flatten.map(_.name).toSet
+        runs ++ m.files.filterNot(f => covered(f.name)).map(Seq(_))
+      }
+    allRuns.foreach { runFiles =>
       val mNow = meta
       val runNames = runFiles.map(_.name).toSet
       val keptFiles = mNow.files.filterNot(f => runNames.contains(f.name))
-      val df = spark.read.parquet(runFiles.map(f => s"$dir/${f.name}"): _*)
+      val df = readFiles(mNow, runFiles.map(f => s"$dir/${f.name}"))
       materialize(df, runFiles.map(_.rows).sum, runFiles, keptFiles,
-        Some(mNow), WriteOpts(mNow.orderedOn, target), mNow.orderedType,
-        hasProvenance = false)
+        Some(mNow), WriteOpts(mNow.orderedOn, target,
+          clusterBy = clusterBy),
+        mNow.orderedType, hasProvenance = false)
     }
-    runs.size
+    allRuns.size
   }
 
   /** Driver-side period truncation of a sidecar stat, µs epoch — must
@@ -1150,6 +1200,9 @@ object OrderedDataset {
   /** kv key recording the dataset's bloom-filter columns (see
     * WriteOpts.bloomFilterCols continuity in materialize). */
   val BloomColsKey = "graft.bloom.cols"
+  /** kv key recording the dataset's sticky clustering columns (see
+    * WriteOpts.clusterBy continuity in materialize). */
+  val ClusterColsKey = "graft.cluster.cols"
   val LockStaleMs = 120000L
   val LockRefreshMs = 15000L
 
