@@ -537,6 +537,33 @@ object RefQueries {
         .orderBy("o_orderkey")
     },
 
+    // Anti-join (TPC-H Q22 shape): customers with no HIGH-VALUE order.
+    // left_anti against the slim distinct-custkey projection of the
+    // filtered orders — the build side is keys only (filter pushed
+    // below the distinct), and AQE broadcasts it when small.
+    "j19_anti_join" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 400000.0)
+        .select("o_custkey").distinct()
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+        .orderBy("c_custkey")
+    },
+
+    // Analytic window functions over an ordered stream: per-user
+    // inter-event gap via lag(), plus a rank within the user's events
+    // — one shuffle on user_id, both functions in the same window pass.
+    "g12_event_gaps" -> { (s, d) =>
+      val e = Tables.events(s, d)
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val us = graft.agg.SegmentAgg.wallClockMicros(col("ts"))
+      e.select(col("event_id"), col("user_id"), col("ts"),
+          (us - lag(us, 1).over(w)).as("gap_us"),
+          row_number().over(w).as("user_seq"))
+        .orderBy("event_id")
+    },
+
     // Headline: join + aggregation. orders is a fact table (~1/4 of
     // lineitem's rows), so no broadcast hint: AQE broadcasts it at small
     // SF where it fits and falls back to a shuffle join at scale, where
@@ -896,6 +923,21 @@ object RefQueries {
            SELECT l_orderkey FROM lineitem
            GROUP BY 1 HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 150.0)
          ORDER BY o_orderkey""",
+
+    "j19_anti_join" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal
+         FROM customer
+         WHERE c_custkey NOT IN (
+           SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+         ORDER BY c_custkey""",
+
+    "g12_event_gaps" -> s"""$EV
+         SELECT event_id, user_id, ts,
+              epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us,
+              CAST(row_number() OVER w AS INT) AS user_seq
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY event_id""",
 
     "j1_join_agg" ->
       """SELECT o_orderpriority,
