@@ -69,7 +69,8 @@ object StoreQueries {
     // fixture set changes; the tag catches regenerated input data
     // v11: + the clustered dataset (m11) and the stream_src dataset
     // with its graft-source streaming aggregation (t14)
-    val marker = new java.io.File(s"$base/_BUILT_v11_${inputTag(d)}")
+    // v12: clicks carries per-file HLL sketches (s7)
+    val marker = new java.io.File(s"$base/_BUILT_v12_${inputTag(d)}")
     if (marker.exists()) return st
     // wipe any partial build
     graft.LocalFs.rmTree(new java.io.File(base))
@@ -89,7 +90,8 @@ object StoreQueries {
 
     // per-type datasets for pruned scans + synchronized iteration
     st.get("clicks").write(e.filter(col("event_type") === "click"),
-      WriteOpts("ts", NRows(1000)))
+      WriteOpts("ts", NRows(1000),
+        sketchCols = Seq("user_id", "event_id")))
     st.get("purchases").write(e.filter(col("event_type") === "purchase"),
       WriteOpts("ts", NRows(1000)))
 
@@ -316,6 +318,29 @@ object StoreQueries {
                   min(event_id) AS min_id, max(event_id) AS max_id,
                   min(value) AS min_v, max(value) AS max_v
            FROM graft_clicks_meta""")
+    },
+
+    // Approximate COUNT(DISTINCT) from the sidecar's per-file HLL
+    // sketches: the estimate is a pure driver-side union of ~2 KB
+    // sketches — zero data files opened — and must land within the
+    // sketch's advertised tolerance of the exact count (computed here
+    // as the gated reference value; the oracle recomputes it).
+    "s7_approx_distinct" -> { (s, d) =>
+      val st = ensure(s, d)
+      val ds = st.get("clicks")
+      def within5pct(est: Long, exact: Long): Boolean =
+        math.abs(est - exact) <= math.max(1L, (exact * 0.05).toLong)
+      val ex = ds.df.agg(
+        countDistinct(col("event_id")).as("e"),
+        countDistinct(col("user_id")).as("u")).head()
+      import s.implicits._
+      Seq(
+        ("event_id", ex.getLong(0),
+          within5pct(ds.approxDistinct("event_id"), ex.getLong(0))),
+        ("user_id", ex.getLong(1),
+          within5pct(ds.approxDistinct("user_id"), ex.getLong(1))))
+        .toDF("col_name", "n_exact", "est_ok")
+        .orderBy("col_name")
     },
 
     // Hybrid range COUNT: files fully inside the WHERE range are
@@ -560,6 +585,16 @@ object StoreQueries {
                 min(event_id) AS min_id, max(event_id) AS max_id,
                 min(value) AS min_v, max(value) AS max_v
          FROM e WHERE event_type = 'click'""",
+
+    "s7_approx_distinct" -> s"""$EV
+         SELECT col_name, n_exact, true AS est_ok FROM (
+           SELECT 'event_id' AS col_name,
+                  count(DISTINCT event_id) AS n_exact
+           FROM e WHERE event_type = 'click'
+           UNION ALL
+           SELECT 'user_id', count(DISTINCT user_id)
+           FROM e WHERE event_type = 'click')
+         ORDER BY col_name""",
 
     "s6_range_count" -> s"""$EV
          SELECT count(*) AS n, min(ts) AS min_ts, max(ts) AS max_ts,

@@ -59,7 +59,23 @@ final case class WriteOpts(
       * Sticky like bloom columns: once set, appends and compactions
       * keep clustering (kv `graft.cluster.cols`).
       */
-    clusterBy: Seq[String] = Nil)
+    clusterBy: Seq[String] = Nil,
+    /** Columns to maintain per-file HLL SKETCHES for (Apache
+      * DataSketches, the same binary format as Spark's
+      * `hll_sketch_agg`). Sketches are collected in the write's stats
+      * pass (one `hll_sketch_agg` per column over the just-written,
+      * page-cache-warm files), stored base64 in the sidecar, and
+      * merged DRIVER-SIDE by [[OrderedDataset.approxDistinct]] — an
+      * approximate COUNT(DISTINCT) over any file subset, snapshot, or
+      * the whole dataset with ZERO data IO and zero Spark jobs.
+      * Mergeability is the point at 100 TB: each commit sketches only
+      * the files it writes; untouched files keep their sketches, so
+      * the dataset-wide estimate is incrementally maintained across
+      * appends, upserts and compactions (kv-sticky like bloom/cluster
+      * columns, `graft.sketch.cols`). Supported column types: int,
+      * long, string, binary (the `hll_sketch_agg` input domain).
+      */
+    sketchCols: Seq[String] = Nil)
 
 final case class UpsertReport(filesRewritten: Int, filesKept: Int,
                               filesAdded: Int, rowsWritten: Long)
@@ -324,6 +340,94 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     val sel = m.files.slice(from, untilExcl)
     if (sel.isEmpty) emptyLike(m)
     else readFiles(m, sel.map(f => s"$dir/${f.name}"))
+  }
+
+  /** Approximate COUNT(DISTINCT col) from the per-file HLL sketches in
+    * the sidecar (WriteOpts.sketchCols) — a pure driver-side merge of
+    * O(#files) ~2 KB sketches: ZERO data files opened, zero Spark
+    * jobs, at any dataset size. The lakehouse analog of answering
+    * NDV from table statistics, but incrementally exact-to-the-sketch:
+    * every commit re-sketches only the files it writes.
+    *
+    * Restricted to a range [lo, hiExcl) the estimate unions only the
+    * zone-map-overlapping files — a slight OVER-count when boundary
+    * files straddle the range edge (their whole-file sketch is
+    * included); exact-range queries should scan instead.
+    *
+    * Throws if any selected file lacks a sketch for `colName` (files
+    * written before sketching was enabled — [[backfillSketches]] fills
+    * the gaps with one read of exactly the missing files).
+    */
+  def approxDistinct(colName: String, lo: Option[OrdVal] = None,
+      hiExcl: Option[OrdVal] = None): Long =
+    approxDistinctOf(meta, colName, lo, hiExcl)
+
+  /** [[approxDistinct]] against a retained snapshot generation — the
+    * sketches travel in the sidecar, so historical NDV is as
+    * metadata-cheap as the live one. */
+  def approxDistinctAsOf(gen: Long, colName: String): Long =
+    approxDistinctOf(metaAsOf(gen), colName, None, None)
+
+  private def approxDistinctOf(m: DatasetMeta, colName: String,
+      lo: Option[OrdVal], hiExcl: Option[OrdVal]): Long = {
+    val sel = m.files.filter(f =>
+      lo.forall(l => f.max >= l) && hiExcl.forall(h => f.min < h))
+    val missing = sel.filter(!_.hll.contains(colName))
+    require(missing.isEmpty,
+      s"${missing.size} of ${sel.size} selected files have no HLL " +
+        s"sketch for '$colName' (written before sketching was enabled " +
+        "or column not in sketchCols); optimize() re-sketches")
+    val u = new org.apache.datasketches.hll.Union(OrderedDataset.HllLgK)
+    sel.foreach { f =>
+      u.update(org.apache.datasketches.hll.HllSketch.heapify(
+        java.util.Base64.getDecoder.decode(f.hll(colName))))
+    }
+    math.round(u.getEstimate)
+  }
+
+  /** Sketch the files MISSING a sketch for the given columns (default:
+    * the kv-sticky sketchCols) without rewriting any data: one Spark
+    * job over exactly the missing files, then a metadata-only sidecar
+    * swap. Enabling sketching on an existing dataset costs one read of
+    * its history instead of a full rewrite. Returns #files updated.
+    */
+  def backfillSketches(cols: Seq[String] = Nil): Int = withWriteLock {
+    val m = meta
+    val want =
+      if (cols.nonEmpty) cols
+      else m.kv.get(OrderedDataset.SketchColsKey)
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    require(want.nonEmpty,
+      "no sketch columns: pass cols or write with WriteOpts.sketchCols")
+    val missing = m.files.filter(f => want.exists(!f.hll.contains(_)))
+    if (missing.isEmpty) 0
+    else {
+      val d = readFiles(m, missing.map(f => s"$dir/${f.name}"))
+      val aggs = want.map(c =>
+        hll_sketch_agg(col(c), OrderedDataset.HllLgK).as(s"hll_$c"))
+      val byFile = d
+        .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map(r => r.getAs[String]("f") -> want.map { c =>
+          val i = r.fieldIndex(s"hll_$c")
+          val bytes =
+            if (r.isNullAt(i))
+              new org.apache.datasketches.hll.HllSketch(
+                OrderedDataset.HllLgK).toCompactByteArray
+            else r.getAs[Array[Byte]](i)
+          c -> java.util.Base64.getEncoder.encodeToString(bytes)
+        }.toMap).toMap
+      val updated = m.files.map { f =>
+        byFile.get(f.name).map(h => f.copy(hll = f.hll ++ h)).getOrElse(f)
+      }
+      Sidecar.write(conf, dir, m.copy(files = updated,
+        kv = m.kv + (OrderedDataset.SketchColsKey ->
+          (m.kv.get(OrderedDataset.SketchColsKey)
+            .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil) ++
+            want).distinct.mkString(","))))
+      missing.size
+    }
   }
 
   def kv: Map[String, String] = meta.kv
@@ -902,8 +1006,23 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
           max(col(f.name)).as(s"c${i}_mx"))
       }
     }
+    // per-file HLL sketches (WriteOpts.sketchCols, sticky via kv):
+    // collected in the SAME stats pass; merged driver-side later by
+    // approxDistinct with zero data IO
+    val effSketchCols =
+      (if (opts.sketchCols.nonEmpty) opts.sketchCols
+       else m0.flatMap(_.kv.get(OrderedDataset.SketchColsKey))
+         .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil))
+        .filter(c => readBack.schema.fields.exists(f => f.name == c &&
+          (f.dataType match {
+            case IntegerType | LongType | StringType | BinaryType => true
+            case _ => false
+          })))
+    val hllAggs = effSketchCols.map(c =>
+      hll_sketch_agg(col(c), OrderedDataset.HllLgK).as(s"hll_$c"))
     val baseAggs = Seq(count(lit(1)).as("rows"),
-      min(opts.orderedOn).as("mn"), max(opts.orderedOn).as("mx")) ++ colAggs
+      min(opts.orderedOn).as("mn"), max(opts.orderedOn).as("mx")) ++
+      colAggs ++ hllAggs
     def colStatsOf(r: org.apache.spark.sql.Row): Map[String, ColStat] =
       statCols.zipWithIndex.flatMap { case (f, i) =>
         val mnI = r.fieldIndex(s"c${i}_mn")
@@ -923,6 +1042,19 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
         }
         if (mn.isEmpty && mx.isEmpty) None
         else Some(f.name -> ColStat(mn, mx))
+      }.toMap
+    def hllOf(r: org.apache.spark.sql.Row): Map[String, String] =
+      effSketchCols.map { c =>
+        val i = r.fieldIndex(s"hll_$c")
+        // a file whose column is entirely null sketches as EMPTY (0
+        // distinct), not absent — absence means "written before
+        // sketching was enabled" and poisons the dataset-wide merge
+        val bytes =
+          if (r.isNullAt(i))
+            new org.apache.datasketches.hll.HllSketch(
+              OrderedDataset.HllLgK).toCompactByteArray
+          else r.getAs[Array[Byte]](i)
+        c -> java.util.Base64.getEncoder.encodeToString(bytes)
       }.toMap
     val written = readBack
       .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("f"))
@@ -960,7 +1092,7 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
             "(sidecar not yet swapped)")
       FileStat(id, newName, r.getAs[Long]("rows"),
         OrdVal.fromAny(r.getAs[Any]("mn")), OrdVal.fromAny(r.getAs[Any]("mx")),
-        colStatsOf(r))
+        colStatsOf(r), hllOf(r))
     }.toSeq
     val allStats = (kept ++ newStats).sortBy(f => (f.min, f.id))
     val bloomKv =
@@ -969,8 +1101,11 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     val clusterKv =
       if (effClusterCols.isEmpty) Map.empty[String, String]
       else Map(OrderedDataset.ClusterColsKey -> effClusterCols.mkString(","))
+    val sketchKv =
+      if (effSketchCols.isEmpty) Map.empty[String, String]
+      else Map(OrderedDataset.SketchColsKey -> effSketchCols.mkString(","))
     val newKv = m0.map(_.kv).getOrElse(Map.empty) ++ bloomKv ++
-      clusterKv ++ opts.kv -- opts.kvRemove
+      clusterKv ++ sketchKv ++ opts.kv -- opts.kvRemove
     val schemaJson =
       (if (hasProvenance) data.drop(SeqCol, RidCol) else data).schema.json
     Sidecar.write(conf, dir,
@@ -1203,6 +1338,14 @@ object OrderedDataset {
   /** kv key recording the dataset's sticky clustering columns (see
     * WriteOpts.clusterBy continuity in materialize). */
   val ClusterColsKey = "graft.cluster.cols"
+  /** kv key recording the dataset's sticky HLL-sketch columns (see
+    * WriteOpts.sketchCols continuity in materialize). */
+  val SketchColsKey = "graft.sketch.cols"
+  /** lgConfigK of every per-file sketch (DataSketches HLL): 2^12
+    * registers ≈ 1.6 % relative standard error, ~2 KB compact — the
+    * Spark `hll_sketch_agg` default. One constant everywhere so any
+    * two sketches in any sidecar are union-compatible. */
+  val HllLgK = 12
   val LockStaleMs = 120000L
   val LockRefreshMs = 15000L
 

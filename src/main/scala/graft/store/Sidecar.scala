@@ -24,7 +24,13 @@ final case class ColStat(min: Option[OrdVal], max: Option[OrdVal])
   */
 final case class FileStat(id: Long, name: String, rows: Long,
                           min: OrdVal, max: OrdVal,
-                          cols: Map[String, ColStat] = Map.empty)
+                          cols: Map[String, ColStat] = Map.empty,
+                          /** Per-column HLL sketch of this file's values
+                            * (base64 DataSketches compact form; see
+                            * WriteOpts.sketchCols). Mergeable: the union
+                            * across any file subset estimates that
+                            * subset's distinct count. */
+                          hll: Map[String, String] = Map.empty)
 
 /** Dataset-level metadata: the enforced `ordered_on` column
   * (ref base.py:103-114), file stats sorted by min, a free-form kv map
@@ -87,9 +93,13 @@ object Sidecar {
             if (n.has("mx_t")) Some(OrdVal.readFrom(n, "mx")) else None)
         }.toMap
       }.getOrElse(Map.empty[String, ColStat])
+      val hll = Option(f.get("hll")).map { h =>
+        h.properties().asScala.map(e => e.getKey -> e.getValue.asText())
+          .toMap
+      }.getOrElse(Map.empty[String, String])
       FileStat(f.get("id").asLong(), f.get("name").asText(),
         f.get("rows").asLong(),
-        OrdVal.readFrom(f, "min"), OrdVal.readFrom(f, "max"), cols)
+        OrdVal.readFrom(f, "min"), OrdVal.readFrom(f, "max"), cols, hll)
     }.toSeq
     val kv = Option(root.get("kv")).map { k =>
       k.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
@@ -155,6 +165,12 @@ object Sidecar {
           val e = cn.putObject(name)
           st.min.foreach(v => OrdVal.writeTo(e, "mn", v))
           st.max.foreach(v => OrdVal.writeTo(e, "mx", v))
+        }
+      }
+      if (f.hll.nonEmpty) {
+        val hn = n.putObject("hll")
+        f.hll.toSeq.sortBy(_._1).foreach { case (name, b64) =>
+          hn.put(name, b64): Unit
         }
       }
     }
