@@ -226,6 +226,52 @@ object DedupOps {
       .select(col("id"), col("simhash"))
   }
 
+  /** Segment-level exact dedup ACROSS the corpus (the RefinedWeb /
+    * CCNet line-dedup stage, adapted to segment = disjoint `segWords`-
+    * word block since the synthetic corpus is single-line): a segment
+    * whose text occurs in at least `dfMin` DISTINCT documents is
+    * boilerplate and is removed from every document; survivors are
+    * reassembled in order. Complements [[TextOps.boilerplateFrac]]
+    * (the signal) by producing the REWRITTEN corpus.
+    *
+    * Per doc: `n_segs`, `n_dropped`, and `clean_digest` = md5 of the
+    * space-joined surviving segments (digest instead of the full
+    * rewritten text keeps oracle outputs compact; callers wanting the
+    * text use the same expression un-hashed).
+    *
+    * 100 TB shape: segments explode at ~1/segWords of word count; the
+    * frequency pass is a two-phase distinct-doc count on the segment
+    * key; the tag-back is one shuffle join on the segment; reassembly
+    * is one shuffle on the doc id with an order-restoring sort_array.
+    * No corpus-sized broadcast, never all-pairs.
+    */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+      segWords: Int = 10, dfMin: Long = 2L): DataFrame = {
+    val ws = TextOps.wsTokens(col(textCol))
+    val nSegs = ceil(size(ws).cast("double") / segWords).cast("int")
+    val segArr = transform(
+      when(nSegs >= 1, sequence(lit(1), nSegs))
+        .otherwise(array().cast("array<int>")),
+      k => array_join(slice(ws, (k - 1) * segWords + 1, lit(segWords)),
+        " "))
+    val segs = df.select(col(idCol).as("id"),
+      posexplode(segArr).as(Seq("pos", "seg")))
+    val common = segs.groupBy("seg")
+      .agg(countDistinct(col("id")).as("__df"))
+      .filter(col("__df") >= dfMin)
+      .select(col("seg").as("__dup"))
+    segs.join(common, col("seg") === col("__dup"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_segs"),
+        count(col("__dup")).as("n_dropped"),
+        // collect_list drops nulls; sort_array restores segment order
+        sort_array(collect_list(when(col("__dup").isNull,
+          struct(col("pos"), col("seg"))))).as("__k"))
+      .select(col("id").as(idCol), col("n_segs"), col("n_dropped"),
+        md5(array_join(transform(col("__k"), _.getField("seg")), " "))
+          .as("clean_digest"))
+  }
+
   /** Connected components over an undirected duplicate-pair graph:
     * every doc appearing in a pair gets the smallest doc id reachable
     * from it as its cluster id — the step that turns pairwise near-dup

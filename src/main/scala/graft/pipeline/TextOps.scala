@@ -281,6 +281,59 @@ object TextOps {
         array_max(col("__h")).as("fp_max"))
   }
 
+  /** Char-trigram language-model scoring — the CCNet-style perplexity
+    * quality filter, with the LM trained ON the corpus (self-scoring:
+    * documents whose character statistics deviate from the corpus norm
+    * — garbled encodings, binary junk, exotic boilerplate — score a
+    * high average negative-log-likelihood and can be dropped by a
+    * threshold on `avg_nll`; a pretrained external LM drops in by
+    * replacing the model subquery with a static table).
+    *
+    * Model: add-one-smoothed P(c₃|c₁c₂) = (c3+1)/(c2+V) from corpus
+    * trigram counts. Per-trigram cost is FIXED-POINT
+    * `round(1e6·ln((c2+V)/(c3+1)))` as a long, so the per-document
+    * accumulation is exact integer math — order-independent across
+    * partitionings and engines (the classifierScoreDF discipline; a
+    * double sum would be partition-order-dependent). The single ln per
+    * DISTINCT trigram is the only float op, computed once model-side.
+    *
+    * 100 TB shape: the model is bounded by charset³ (≈1e6 entries for
+    * ASCII-ish corpora, a few tens of MB) → broadcast to the scoring
+    * join; trigram explode is per-character fan-out but feeds a
+    * partial (map-side) count; scoring is explode → broadcast-join →
+    * one shuffle on the doc id. At real scale, train the model on a
+    * SAMPLE (the stats converge long before 100 TB) and score the full
+    * corpus with the broadcast table — the scoring path here is
+    * exactly that.
+    *
+    * Docs shorter than 3 chars have no trigrams: kept with n_tri = 0
+    * and null `avg_nll` (left join — same contract as repetitionDF).
+    */
+  def trigramLmDF(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val tri = df.select(col(idCol).as("id"),
+      explode(charShingles(col(textCol), 3)).as("g"))
+    val m3 = tri.groupBy("g").agg(count(lit(1)).as("c3"))
+    val ctx = m3.groupBy(substring(col("g"), 1, 2).as("p"))
+      .agg(sum(col("c3")).as("c2"))
+    val vocab = m3.agg(
+      countDistinct(substring(col("g"), 3, 1)).as("v"))
+    val model = m3
+      .join(ctx, substring(m3("g"), 1, 2) === ctx("p"))
+      .crossJoin(broadcast(vocab))
+      .select(m3("g"),
+        round(lit(1e6) * log((col("c2") + col("v")).cast("double") /
+          (col("c3") + lit(1.0)))).cast("long").as("cost"))
+    val scored = tri.join(broadcast(model), Seq("g"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tri"), sum(col("cost")).as("__s"))
+    df.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        round(col("__s").cast("double") / 1e6 / col("n_tri"), 6)
+          .as("avg_nll"))
+  }
+
   /** Corpus-INTERNAL boilerplate signal (the CCNet/RefinedWeb shape,
     * adapted to segment = word n-gram): for each document, the
     * fraction of its n-gram occurrences whose distinct-document

@@ -590,6 +590,22 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Segment-level dedup: 10-word blocks occurring in >= 2 distinct
+    // docs are dropped corpus-wide, docs reassembled (digested).
+    "p_segment_dedup" -> { (s, d) =>
+      DedupOps.segmentDedup(docs(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Char-trigram LM scoring (CCNet-style perplexity filter): the
+    // corpus-trained add-one-smoothed trigram model broadcast to a
+    // per-occurrence scoring join; fixed-point integer accumulation
+    // keeps the per-doc sum engine/partition-order exact.
+    "p_text_perplexity" -> { (s, d) =>
+      TextOps.trigramLmDF(docs(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // Deterministic per-group cap: at most N docs per detected
     // language, chosen by md5-bucket order (WindowGroupLimit keeps
     // per-partition top-N before the stratum shuffle).
@@ -1391,6 +1407,46 @@ object PipelineQueries {
               max(md5(substr(text, i, 8))) AS fp_max
          FROM documents, unnest(generate_series(1, len(text) - 7)) t(i)
          GROUP BY doc_id ORDER BY doc_id""",
+
+    "p_segment_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+         segs AS (SELECT doc_id, CAST(u.k AS BIGINT) AS pos,
+                    array_to_string(list_slice(ws,
+                      CAST(u.k*10+1 AS BIGINT),
+                      CAST((u.k+1)*10 AS BIGINT)), ' ') AS seg
+                  FROM w, LATERAL unnest(
+                    range(0, CAST(ceil(len(ws)/10.0) AS BIGINT))) u(k)),
+         freq AS (SELECT seg, count(DISTINCT doc_id) AS df
+                  FROM segs GROUP BY 1),
+         j AS (SELECT s.doc_id, s.pos, s.seg, f.df
+               FROM segs s JOIN freq f USING (seg))
+         SELECT doc_id, count(*) AS n_segs,
+                CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dropped,
+                md5(coalesce(string_agg(CASE WHEN df < 2 THEN seg END,
+                  ' ' ORDER BY pos), '')) AS clean_digest
+         FROM j GROUP BY doc_id ORDER BY doc_id""",
+
+    "p_text_perplexity" ->
+      """WITH tri AS (
+           SELECT doc_id AS id, substring(text, CAST(u.i AS INT), 3) AS g
+           FROM documents, LATERAL unnest(range(1, length(text)-1)) u(i)),
+         m3 AS (SELECT g, count(*) AS c3 FROM tri GROUP BY 1),
+         ctx AS (SELECT substring(g,1,2) AS p, sum(c3) AS c2
+                 FROM m3 GROUP BY 1),
+         v AS (SELECT count(DISTINCT substring(g,3,1)) AS v FROM m3),
+         model AS (SELECT g,
+                     CAST(round(1e6 * ln((c2 + v) / (c3 + 1.0))) AS BIGINT)
+                       AS cost
+                   FROM m3 JOIN ctx ON substring(m3.g,1,2) = ctx.p
+                   CROSS JOIN v),
+         sc AS (SELECT id, count(*) AS n_tri, sum(cost) AS s
+                FROM tri JOIN model USING (g) GROUP BY 1)
+         SELECT d.doc_id, coalesce(sc.n_tri, 0) AS n_tri,
+                round(s / 1e6 / n_tri, 6) AS avg_nll
+         FROM documents d LEFT JOIN sc ON d.doc_id = sc.id
+         ORDER BY d.doc_id""",
 
     "p_sample_capped" -> {
       val (scores, best, caseExpr) = langSqlParts
