@@ -70,7 +70,9 @@ object StoreQueries {
     // v11: + the clustered dataset (m11) and the stream_src dataset
     // with its graft-source streaming aggregation (t14)
     // v12: clicks carries per-file HLL sketches (s7)
-    val marker = new java.io.File(s"$base/_BUILT_v12_${inputTag(d)}")
+    // v13: + the sink_ds dataset fed through the native graft
+    // streaming sink (t15)
+    val marker = new java.io.File(s"$base/_BUILT_v13_${inputTag(d)}")
     if (marker.exists()) return st
     // wipe any partial build
     graft.LocalFs.rmTree(new java.io.File(base))
@@ -199,6 +201,21 @@ object StoreQueries {
       aggSpecs, s"$base/stream_src_hourly", s"$base/_ckpt_t14",
       NRows(5000))
     q3.awaitTermination()
+
+    // t15 fixture: the store as a NATIVE streaming SINK — the same
+    // events rows arrive as micro-batches through
+    // writeStream.format("graft") (exactly-once epoch stamps in the
+    // sidecar kv); the sink dataset must read back as the full table.
+    val seedStream4 = Tables.toLtzMicros(eventsStream(), "ts")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val q4 = seedStream4.writeStream.format("graft")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/_ckpt_t15")
+      .option("ordered_on", "ts")
+      .option("target_rows", "2000")
+      .start(st.dirOf("sink_ds"))
+    q4.awaitTermination()
 
     marker.getParentFile.mkdirs()
     marker.createNewFile()
@@ -437,6 +454,17 @@ object StoreQueries {
         .orderBy("bin")
     },
 
+    // The graft store AS a Structured Streaming sink: events streamed
+    // in micro-batches through writeStream.format("graft") with
+    // exactly-once epoch stamping; full readback equals the raw table.
+    "t15_graft_stream_sink" -> { (s, d) =>
+      val st = ensure(s, d)
+      st.get("sink_ds").df
+        .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
+    },
+
     // T6 natively: Structured Streaming snapshot cells (state store +
     // checkpoint) + read-time running combine must equal the one-shot
     // snapshot oracle.
@@ -663,6 +691,10 @@ object StoreQueries {
               min(value) AS min_v, max(value) AS max_v,
               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
          FROM e GROUP BY 1 ORDER BY 1""",
+
+    "t15_graft_stream_sink" -> s"""$EV
+         SELECT event_id, ts, user_id, event_type, value
+         FROM e ORDER BY event_id""",
 
     "t9_streaming_snapshots" -> s"""$EV
          SELECT bin, snap,

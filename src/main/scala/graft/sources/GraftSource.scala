@@ -3,8 +3,9 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, InsertableRelation, RelationProvider, StreamSourceProvider}
-import org.apache.spark.sql.execution.streaming.{Source => StreamSource}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, InsertableRelation, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.execution.streaming.{Sink => StreamSink, Source => StreamSource}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 import graft.store.{NRows, OrderedDataset, RowGroupTarget, TimePeriod, WriteOpts}
 
@@ -34,7 +35,7 @@ import graft.store.{NRows, OrderedDataset, RowGroupTarget, TimePeriod, WriteOpts
   */
 final class GraftSource extends RelationProvider
     with CreatableRelationProvider with StreamSourceProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -60,6 +61,33 @@ final class GraftSource extends RelationProvider
       parameters: Map[String, String]): StreamSource =
     new GraftStreamSource(sqlContext.sparkSession, path(parameters),
       parameters.get("starting_generation").map(_.trim.toLong))
+
+  // ---- streaming write: df.writeStream.format("graft").start(dir) ----
+
+  /** The store as a native Structured Streaming SINK with EXACTLY-ONCE
+    * appends (the Delta idempotent-writer / txnVersion analog): every
+    * committed batch stamps its epoch id into the sidecar kv
+    * (`graft.sink.<sink_id>`) IN THE SAME atomic sidecar swap as the
+    * data commit, so a replayed batch after a crash-between-commit-
+    * and-checkpoint is detected and skipped — no keep-last dedup key
+    * needed, raw append streams stay duplicate-free. Multiple
+    * independent queries writing one dataset disambiguate with
+    * `option("sink_id", …)`.
+    */
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: OutputMode): StreamSink = {
+    require(partitionColumns.isEmpty,
+      "graft sink does not support partitionBy (files are ranges of " +
+        "ordered_on)")
+    require(outputMode == OutputMode.Append(),
+      s"graft sink supports Append output mode only, got $outputMode " +
+        "(Update/Complete would need upsert keys; use foreachBatch + " +
+        "duplicates_on for that)")
+    new GraftSink(sqlContext.sparkSession, path(parameters), parameters)
+  }
 
   override def createRelation(
       sqlContext: SQLContext,

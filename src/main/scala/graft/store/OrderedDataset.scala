@@ -385,6 +385,32 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     math.round(u.getEstimate)
   }
 
+  /** Revert the dataset to a retained snapshot generation — the Delta
+    * `RESTORE TABLE … TO VERSION AS OF` analog. A metadata-only commit:
+    * the archived sidecar's file list / kv / schema become current
+    * again (every file it references is still on disk within the
+    * retire grace window — verified, failing loudly if vacuumed), and
+    * files added after `gen` become unreferenced retirees swept after
+    * their own grace.
+    *
+    * The restore is itself a new generation (monotonic — history is
+    * never rewritten), and `nextFileId` keeps its high-water mark so
+    * rolled-back file ids are never reused. Snapshots of the undone
+    * generations stay addressable until their files age out.
+    */
+  def restoreTo(gen: Long): Unit = withWriteLock {
+    require(exists, s"no graft dataset at $dir")
+    val cur = meta
+    if (cur.generation != gen) {
+      val m = metaAsOf(gen)
+      m.files.foreach(f => require(
+        fs.exists(new HPath(s"$dir/${f.name}")),
+        s"cannot restore to generation $gen: ${f.name} was vacuumed"))
+      Sidecar.write(conf, dir,
+        m.copy(nextFileId = cur.nextFileId max m.nextFileId))
+    }
+  }
+
   /** Sketch the files MISSING a sketch for the given columns (default:
     * the kv-sticky sketchCols) without rewriting any data: one Spark
     * job over exactly the missing files, then a metadata-only sidecar

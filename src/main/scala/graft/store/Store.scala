@@ -59,6 +59,58 @@ final class Store[K](val spark: SparkSession, val basepath: String,
     }
   }
 
+  /** All-or-nothing multi-dataset commit with compensating rollback —
+    * beyond both the reference and single-table lakehouses: `body`
+    * receives the datasets for `ks` and may write/delete/upsert any of
+    * them; if it THROWS, every dataset is reverted to its
+    * pre-transaction generation ([[OrderedDataset.restoreTo]] — a
+    * metadata-only commit; datasets CREATED inside the failed body are
+    * removed). The canonical use: the corpus + its dedup/contamination
+    * indexes must advance together, or a half-applied ingest leaves
+    * the indexes lying about the corpus.
+    *
+    * Contract (stated, not hidden): atomicity is COMPENSATING, not
+    * isolated — concurrent readers can observe intermediate
+    * generations while `body` runs (each inner commit is individually
+    * atomic, so they never see a torn dataset); rollback depends on
+    * the pre-transaction generations still being retained, so `body`
+    * must complete within the retire grace window; a crash DURING
+    * rollback leaves the remaining reverts to the caller (the
+    * pre-transaction generation numbers are in the exception message).
+    */
+  def transaction(ks: Seq[K])(body: Map[K, OrderedDataset] => Unit)
+      : Unit = {
+    require(ks.nonEmpty, "no keys")
+    val dss = ks.distinct.map(k => k -> get(k))
+    val pre: Seq[(K, Option[Long])] = dss.map { case (k, d) =>
+      k -> (if (d.exists) Some(d.meta.generation) else None)
+    }
+    try body(dss.toMap)
+    catch {
+      case e: Throwable =>
+        val failures = pre.flatMap { case (k, g0) =>
+          val d = get(k)
+          try {
+            g0 match {
+              case Some(g) =>
+                if (d.exists && d.meta.generation != g) d.restoreTo(g)
+              case None =>
+                if (d.exists) d.removeFromDisk()
+            }
+            None
+          } catch {
+            case re: Throwable =>
+              Some(s"$k -> generation ${g0.getOrElse("ABSENT")}: " +
+                re.getMessage)
+          }
+        }
+        if (failures.nonEmpty) throw new IllegalStateException(
+          s"transaction rollback INCOMPLETE, revert manually: " +
+            failures.mkString("; "), e)
+        throw e
+    }
+  }
+
   /** Synchronized range scan across datasets sharing the ordered column
     * (ref store.py:303-326, iter_intersections.py:66-302). Boundaries
     * are the union of per-file min values from the sidecars — driver-side

@@ -49,6 +49,21 @@ object SparkInternals {
       ds.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** The inverse of [[streamingDataFrame]]: pin a V1 `Sink.addBatch`
+    * micro-batch frame (whose logical plan still references streaming
+    * sources and therefore cannot be re-planned by batch writers) to
+    * its ALREADY-EXECUTED physical RDD as an ordinary batch DataFrame
+    * — the same LogicalRDD re-wrap ForeachBatchSink performs before
+    * handing user code the batch.
+    */
+  def batchDataFrame(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[
+      org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   def unpersistCheckpoint(df: Dataset[_]): Unit =
     // collect, don't pattern-match the root: a `.select(...)` over a
     // checkpointed frame analyzes to Project(LogicalRDD), so a
