@@ -187,6 +187,12 @@ object GraftSource {
       mergeSchema = p.get("merge_schema").exists(_.trim.toBoolean),
       bloomFilterCols = p.get("bloom_filter_cols")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil),
+      clusterBy = p.get("cluster_by")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil),
+      sketchCols = p.get("sketch_cols")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil))
   }
 }

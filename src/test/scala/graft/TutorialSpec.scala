@@ -350,4 +350,80 @@ class TutorialSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(again == coords)
   }
+
+  /** Day 7 — operate the corpus like a production table: batches
+    * stream in through the native sink (exactly-once, no dedup key
+    * needed), the cardinality dashboard reads NDV from sidecar
+    * sketches without touching data, a poisoned ingest of
+    * corpus + index rolls back as one transaction, and a bad manual
+    * commit is undone with restore-to-version.
+    */
+  test("corpus day 7: stream in, watch NDV, roll back, restore") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val base = tmpDir("day7")
+    val dir = s"$base/corpus"
+
+    // 1. crawl batches arrive via writeStream.format("graft"); a
+    // replayed epoch (crash between commit and checkpoint) commits
+    // nothing twice
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val feed = MemoryStream[(Long, String, Long)]
+    feed.addData((0L until 400L).map(i =>
+      (i, s"doc $i body", i % 97)))
+    val q = feed.toDF().toDF("doc_id", "text", "source_id")
+      .writeStream.format("graft")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ckpt")
+      .option("ordered_on", "doc_id")
+      .option("target_rows", "100")
+      .option("sketch_cols", "source_id") // NDV sketches from batch one
+      .start(dir)
+    q.awaitTermination()
+    val ds = new OrderedDataset(spark, dir)
+    assert(ds.df.count() === 400)
+
+    // 2. cardinality dashboard: source_id was sketched at write time
+    // (sink option); doc_id is retrofitted by reading only the files
+    // missing it. NDV queries are then pure sidecar math — no Spark
+    // job, however big the corpus gets.
+    ds.backfillSketches(Seq("source_id", "doc_id")): Unit
+    assert(math.abs(ds.approxDistinct("source_id") - 97L) <= 5L)
+    assert(math.abs(ds.approxDistinct("doc_id") - 400L) <= 20L)
+
+    // 3. a nightly ingest updates corpus AND digest index together;
+    // validation fails -> both revert, nothing half-applied
+    val st = new Store(spark, base,
+      Indexer.of[String](1)(k => Seq(Seq(k)))(l =>
+        if (l.head.size == 1) Some(l.head.head) else None))(
+      Ordering.String)
+    val preGen = ds.meta.generation
+    intercept[RuntimeException] {
+      st.transaction(Seq("corpus", "digest_index")) { t =>
+        t("corpus").write((400L until 500L).map(i =>
+            (i, s"doc $i body", i % 97))
+          .toDF("doc_id", "text", "source_id"),
+          WriteOpts("doc_id", NRows(100)))
+        t("digest_index").write((400L until 500L).map(i =>
+            (i, s"h$i")).toDF("doc_id", "digest"),
+          WriteOpts("doc_id", NRows(100)))
+        throw new RuntimeException("validation: contamination spike")
+      }
+    }
+    assert(ds.df.count() === 400) // corpus reverted
+    assert(!st.get("digest_index").exists) // created index removed
+    assert(ds.meta.generation > preGen) // revert is itself a commit
+
+    // 4. a direct bad commit (wrong dedup key wiped rows) — undo it
+    val before = ds.meta.generation
+    ds.write(
+      (0L until 400L).map(i => (i, "CLOBBERED", i % 97))
+        .toDF("doc_id", "text", "source_id"),
+      WriteOpts("doc_id", NRows(100), duplicatesOn = Some(Seq("doc_id"))))
+    assert(ds.df.filter($"text" === "CLOBBERED").count() === 400)
+    ds.restoreTo(before)
+    assert(ds.df.filter($"text" === "CLOBBERED").count() === 0)
+    assert(ds.df.count() === 400)
+  }
 }
