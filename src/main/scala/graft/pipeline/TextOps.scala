@@ -29,6 +29,13 @@ object TextOps {
     */
   val UrlRe = "https?://[\\w./-]+"
   val EmailRe = "[\\w.+-]+@[\\w.-]+"
+  /** International-ish phone shapes: +CC then 7+ digits with optional
+    * space/dash separators, ending on a digit (the trailing-digit
+    * anchor keeps punctuation after the number intact). */
+  val PhoneRe = "\\+[0-9][0-9 -]{6,}[0-9]"
+  /** IPv4 dotted quad (loose — matches any 1-3-digit quads; masking
+    * errs on the side of scrubbing). */
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
   /** Replace every URL with a placeholder token. */
   def scrubUrls(text: Column, repl: String = "<URL>"): Column =
@@ -38,6 +45,14 @@ object TextOps {
     * PII-masking baseline; richer PII classes plug in the same way). */
   def scrubEmails(text: Column, repl: String = "<EMAIL>"): Column =
     regexp_replace(text, EmailRe, repl)
+
+  /** Replace phone numbers (the second PII class; see PhoneRe). */
+  def scrubPhones(text: Column, repl: String = "<PHONE>"): Column =
+    regexp_replace(text, PhoneRe, repl)
+
+  /** Replace IPv4 addresses (the third PII class; see Ipv4Re). */
+  def scrubIps(text: Column, repl: String = "<IP>"): Column =
+    regexp_replace(text, Ipv4Re, repl)
 
   /** Collapse runs of spaces and trim — the normalize pass after
     * scrubbing. */

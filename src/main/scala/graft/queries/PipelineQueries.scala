@@ -573,14 +573,23 @@ object PipelineQueries {
           concat(col("text"), lit(" visit https://example.com/a-b_c now")))
           .when(col("doc_id") % 7 === 0,
             concat(col("text"), lit(" mail info@example.org today")))
+          .when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" call +1 555-014-2398 now")))
+          .when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit(" from 192.168.0.17 last night")))
           .otherwise(col("text")).as("text"))
       injected.select(col("doc_id"),
           size(regexp_extract_all(col("text"), lit(TextOps.UrlRe), lit(0)))
             .cast("long").as("n_urls"),
           size(regexp_extract_all(col("text"), lit(TextOps.EmailRe), lit(0)))
             .cast("long").as("n_emails"),
-          md5(TextOps.normalizeWs(TextOps.scrubEmails(
-            TextOps.scrubUrls(col("text"))))).as("clean_digest"))
+          size(regexp_extract_all(col("text"), lit(TextOps.PhoneRe), lit(0)))
+            .cast("long").as("n_phones"),
+          size(regexp_extract_all(col("text"), lit(TextOps.Ipv4Re), lit(0)))
+            .cast("long").as("n_ips"),
+          md5(TextOps.normalizeWs(TextOps.scrubIps(TextOps.scrubPhones(
+            TextOps.scrubEmails(TextOps.scrubUrls(col("text")))))))
+            .as("clean_digest"))
         .orderBy("doc_id")
     },
 
@@ -1390,15 +1399,27 @@ object PipelineQueries {
                 THEN text || ' visit https://example.com/a-b_c now'
                 WHEN doc_id % 7 = 0
                 THEN text || ' mail info@example.org today'
+                WHEN doc_id % 11 = 0
+                THEN text || ' call +1 555-014-2398 now'
+                WHEN doc_id % 13 = 0
+                THEN text || ' from 192.168.0.17 last night'
                 ELSE text END AS text FROM documents)
          SELECT doc_id,
            CAST(len(regexp_extract_all(text, 'https?://[\w./-]+'))
              AS BIGINT) AS n_urls,
            CAST(len(regexp_extract_all(text, '[\w.+-]+@[\w.-]+'))
              AS BIGINT) AS n_emails,
-           md5(trim(regexp_replace(regexp_replace(regexp_replace(text,
+           CAST(len(regexp_extract_all(text, '\+[0-9][0-9 -]{6,}[0-9]'))
+             AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text,
+             '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
+             AS BIGINT) AS n_ips,
+           md5(trim(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(text,
              'https?://[\w./-]+', '<URL>', 'g'),
              '[\w.+-]+@[\w.-]+', '<EMAIL>', 'g'),
+             '\+[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g'),
+             '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
              ' {2,}', ' ', 'g'))) AS clean_digest
          FROM inj ORDER BY doc_id""",
 

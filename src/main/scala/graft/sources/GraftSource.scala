@@ -60,7 +60,8 @@ final class GraftSource extends RelationProvider
       providerName: String,
       parameters: Map[String, String]): StreamSource =
     new GraftStreamSource(sqlContext.sparkSession, path(parameters),
-      parameters.get("starting_generation").map(_.trim.toLong))
+      parameters.get("starting_generation").map(_.trim.toLong),
+      parameters.get("max_generations_per_trigger").map(_.trim.toLong))
 
   // ---- streaming write: df.writeStream.format("graft").start(dir) ----
 

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.col
@@ -37,22 +38,55 @@ import graft.store.OrderedDataset
   * (Delta's `startingVersion`).
   */
 final class GraftStreamSource(spark: SparkSession, dir: String,
-    startingGen: Option[Long]) extends Source {
+    startingGen: Option[Long],
+    maxGensPerTrigger: Option[Long] = None) extends Source
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val ds = new OrderedDataset(spark, dir)
 
+  /** Generation pinned by Trigger.AvailableNow at start: the run
+    * drains up to here in (rate-limited) batches, then stops —
+    * commits landing mid-run wait for the next run. */
+  @volatile private var availableNowTarget: Option[Long] = None
+
   override val schema: StructType = GraftStreamSource.schemaOf(spark, dir)
 
-  override def getOffset: Option[OffsetV1] = {
-    if (!ds.exists) None
-    else {
-      val g = ds.generation
-      // nothing new vs a requested start: report no offset yet rather
-      // than an empty first batch
-      if (startingGen.exists(_ >= g)) Some(LongOffset(startingGen.get))
-      else Some(LongOffset(g))
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(if (ds.exists) ds.generation else 0L)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Admission control (the engine calls this instead of getOffset):
+    * advance at most `max_generations_per_trigger` generations per
+    * micro-batch — a backfill over a long-retained dataset streams in
+    * bounded batches instead of one giant catch-up (the
+    * maxFilesPerTrigger analog; offsets are generations). With no
+    * start offset yet, the cap counts from the OLDEST retained
+    * generation, so even the initial snapshot is the earliest
+    * addressable state plus bounded diffs.
+    */
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit)
+      : OffsetV2 = {
+    if (!ds.exists) return null
+    val live0 = ds.generation
+    val live = availableNowTarget.fold(live0)(math.min(live0, _))
+    val g = maxGensPerTrigger match {
+      case Some(m) =>
+        val base = Option(startOffset).map(genOf).orElse(startingGen)
+          .orElse(ds.generations.headOption.map(_ - 1L))
+        base.map(b => math.min(live, b + m)).getOrElse(live)
+      case None => live
     }
+    // nothing new vs a requested start: report the start itself rather
+    // than an empty first batch
+    if (startingGen.exists(_ >= g)) LongOffset(startingGen.get)
+    else LongOffset(g)
   }
+
+  override def getOffset: Option[OffsetV1] =
+    // unused when SupportsAdmissionControl is present; kept equivalent
+    Option(latestOffset(null, getDefaultReadLimit))
+      .map(o => LongOffset(genOf(o)))
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1)
       : DataFrame = {
@@ -72,6 +106,11 @@ final class GraftStreamSource(spark: SparkSession, dir: String,
   }
 
   private def gen(o: OffsetV1): Long = o match {
+    case l: LongOffset => l.offset
+    case other         => other.json.trim.toLong
+  }
+
+  private def genOf(o: OffsetV2): Long = o match {
     case l: LongOffset => l.offset
     case other         => other.json.trim.toLong
   }

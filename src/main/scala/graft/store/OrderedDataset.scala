@@ -376,7 +376,7 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     require(missing.isEmpty,
       s"${missing.size} of ${sel.size} selected files have no HLL " +
         s"sketch for '$colName' (written before sketching was enabled " +
-        "or column not in sketchCols); optimize() re-sketches")
+        "or column not in sketchCols); backfillSketches() fills the gaps")
     val u = new org.apache.datasketches.hll.Union(OrderedDataset.HllLgK)
     sel.foreach { f =>
       u.update(org.apache.datasketches.hll.HllSketch.heapify(
@@ -491,31 +491,54 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     // writers in the same JVM, letting one delete the other's live lock
     val token = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getName + ":" + java.util.UUID.randomUUID().toString
+    // bounded wait for a HELD (fresh) lock: with lockWaitMs = 0 the
+    // second writer fails fast (the reference's flufl contract);
+    // raised, writers QUEUE briefly — steady concurrent appenders
+    // serialize instead of erroring (commits are short: one sidecar
+    // swap after the Spark job)
+    val deadline = System.currentTimeMillis() + OrderedDataset.lockWaitMs
     var acquired = false
     var attempts = 0
     while (!acquired) {
-      val staleMtime =
+      // held / stale / free?
+      sealed trait St
+      case object Held extends St
+      case object Free extends St
+      final case class Stale(mtime: Long) extends St
+      val state: St =
         try {
           val st = fsys.getFileStatus(lockPath)
-          if (System.currentTimeMillis() - st.getModificationTime < LockStaleMs)
+          if (System.currentTimeMillis() - st.getModificationTime
+              < LockStaleMs) Held
+          else Stale(st.getModificationTime)
+        } catch { case _: java.io.FileNotFoundException => Free }
+      state match {
+        case Held =>
+          // queue within the wait budget, then give up
+          if (System.currentTimeMillis() >= deadline)
             throw new IllegalStateException(
               s"dataset $dir is locked by another writer")
-          Some(st.getModificationTime)
-        } catch { case _: java.io.FileNotFoundException => None }
-      staleMtime.foreach { mt =>
-        // re-stat before breaking: if another writer already broke the
-        // stale lock and created its own (fresh mtime), leave it alone
-        try {
-          if (fsys.getFileStatus(lockPath).getModificationTime == mt)
-            fsys.delete(lockPath, false)
-        } catch { case _: java.io.FileNotFoundException => () }
-      }
-      if (atomicCreateLock(fsys, lockPath, token)) acquired = true
-      else { // raced another writer
-        attempts += 1
-        if (attempts >= 3) throw new IllegalStateException(
-          s"dataset $dir is locked by another writer")
-        Thread.sleep(50L * attempts)
+          Thread.sleep(LockPollMs)
+        case other =>
+          other match {
+            case Stale(mt) =>
+              // re-stat before breaking: if another writer already broke
+              // the stale lock and created its own (fresh mtime), leave
+              // it alone
+              try {
+                if (fsys.getFileStatus(lockPath).getModificationTime == mt)
+                  fsys.delete(lockPath, false)
+              } catch { case _: java.io.FileNotFoundException => () }
+            case _ => ()
+          }
+          if (atomicCreateLock(fsys, lockPath, token)) acquired = true
+          else { // lost the create race; within the budget keep queueing
+            attempts += 1
+            if (attempts >= 3 && System.currentTimeMillis() >= deadline)
+              throw new IllegalStateException(
+                s"dataset $dir is locked by another writer")
+            Thread.sleep(50L * math.min(attempts, 4))
+          }
       }
     }
     val heartbeat = new Thread(() => {
@@ -1374,6 +1397,17 @@ object OrderedDataset {
   val HllLgK = 12
   val LockStaleMs = 120000L
   val LockRefreshMs = 15000L
+  /** Poll interval while queueing on a held lock. */
+  val LockPollMs = 100L
+
+  /** How long a writer WAITS for a held (fresh) lock before giving up.
+    * 0 = fail fast, the reference's flufl contract (its callers hold
+    * the lock for the object lifetime, so waiting is pointless there).
+    * Raised, concurrent writers queue — the right mode for independent
+    * jobs appending to one dataset, since commits are short (one
+    * sidecar swap after the Spark job finishes). Library-level knob.
+    */
+  @volatile var lockWaitMs: Long = 0L
 
   /** How long a commit keeps the files it replaced on disk so that
     * concurrent readers holding a plan from the previous sidecar can

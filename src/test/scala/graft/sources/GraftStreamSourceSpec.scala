@@ -98,4 +98,42 @@ class GraftStreamSourceSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("existing dataset"))
   }
+
+  test("max_generations_per_trigger bounds each catch-up batch") {
+    val base = tmpDir("gss4")
+    val dir = s"$base/ds"; val ckpt = s"$base/ckpt"
+    val ds = new OrderedDataset(spark, dir)
+    // 4 commits while no stream is running
+    (0 until 4).foreach { i =>
+      ds.write(spark.range(i * 10L, (i + 1) * 10L).toDF("seq")
+          .withColumn("v", lit(1.0)),
+        WriteOpts("seq", NRows(100)))
+    }
+    // a rate-limited AvailableNow run must catch up in MULTIPLE
+    // batches (one generation each after the initial snapshot) and
+    // still deliver every row exactly once
+    collected.clear()
+    val batchIds = new scala.collection.mutable.ArrayBuffer[Long]
+    val q = spark.readStream.format("graft")
+      .option("max_generations_per_trigger", "1")
+      .load(dir)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batchIds.synchronized { batchIds += id }: Unit
+        val rows = df.select(col("seq"), col("v")).as[(Long, Double)]
+          .collect()
+        collected.synchronized { collected ++= rows }: Unit
+      }
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(collected.map(_._1).sorted.toSeq == (0L until 40L),
+      s"got ${collected.sortBy(_._1)}")
+    // first batch = uncapped snapshot at the then-live generation would
+    // swallow everything; the cap keeps it at the FIRST generation and
+    // the remaining three arrive one generation per batch
+    assert(batchIds.size >= 3, s"expected multiple batches, got $batchIds")
+  }
 }

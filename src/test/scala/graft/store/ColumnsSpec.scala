@@ -178,6 +178,37 @@ class ColumnsSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dir/d/${OrderedDataset.LockName}")))
   }
 
+  test("with lockWaitMs set, concurrent writers queue without retries") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val dir = tmpDir("queue")
+    val ds = new OrderedDataset(spark, s"$dir/d")
+    ds.write(Seq((0L, 0.0)).toDF("t", "v"), WriteOpts("t"))
+    val prev = OrderedDataset.lockWaitMs
+    OrderedDataset.lockWaitMs = 120000L
+    try {
+      val pool = Executors.newFixedThreadPool(4)
+      val start = new CountDownLatch(1)
+      val results = (1 to 4).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Either[Throwable, Unit]] {
+          def call(): Either[Throwable, Unit] = {
+            start.await()
+            // NO application-level retry: the lock's bounded wait is
+            // the queueing mechanism
+            try Right(ds.write(Seq((i.toLong, i * 1.0)).toDF("t", "v"),
+              WriteOpts("t")): Unit)
+            catch { case t: Throwable => Left(t) }
+          }
+        })
+      }
+      start.countDown()
+      val outcomes = results.map(_.get(120, TimeUnit.SECONDS))
+      pool.shutdown()
+      outcomes.foreach(o => assert(o.isRight, o))
+      assert(ds.orderedDf.select("t").as[Long].collect().toSeq ==
+        (0L to 4L))
+    } finally OrderedDataset.lockWaitMs = prev
+  }
+
   test("empty first batch keeps the schema; dataset stays queryable") {
     val dir = tmpDir("empty-schema")
     val ds = new OrderedDataset(spark, s"$dir/d")

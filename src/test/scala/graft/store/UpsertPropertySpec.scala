@@ -51,7 +51,8 @@ class UpsertPropertySpec extends SparkSpec {
       val dir = tmpDir("prop")
       val ds = new OrderedDataset(spark, s"$dir/d")
       val opts = WriteOpts("t", NRows(target),
-        duplicatesOn = Some(Seq("t")), maxNOffTargetRgs = maxOff)
+        duplicatesOn = Some(Seq("t")), maxNOffTargetRgs = maxOff,
+        sketchCols = Seq("t"))
       batches.foreach(b => ds.write(toDf(b), opts))
       val got = ds.orderedDf.as[(Long, Double)].collect().toSeq
       val exp = model(batches)
@@ -66,6 +67,13 @@ class UpsertPropertySpec extends SparkSpec {
           s"overlapping files: $a / $b")
         case _ =>
       }
+      // sketch continuity through any rewrite interleaving: every live
+      // file is sketched, and with << 2^12 distinct keys the HLL union
+      // is EXACT (t is unique after keep-last, so NDV = row count)
+      assert(m.files.forall(_.hll.contains("t")))
+      if (exp.nonEmpty)
+        assert(ds.approxDistinct("t") == exp.size.toLong,
+          s"seed=${1000 + i} sketch NDV drifted")
     }
   }
 
