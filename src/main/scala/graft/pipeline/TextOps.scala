@@ -326,19 +326,30 @@ object TextOps {
     */
   def trigramLmDF(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
     val tri = df.select(col(idCol).as("id"),
       explode(charShingles(col(textCol), 3)).as("g"))
-    val m3 = tri.groupBy("g").agg(count(lit(1)).as("c3"))
-    val ctx = m3.groupBy(substring(col("g"), 1, 2).as("p"))
-      .agg(sum(col("c3")).as("c2"))
-    val vocab = m3.agg(
-      countDistinct(substring(col("g"), 3, 1)).as("v"))
-    val model = m3
-      .join(ctx, substring(m3("g"), 1, 2) === ctx("p"))
-      .crossJoin(broadcast(vocab))
-      .select(m3("g"),
-        round(lit(1e6) * log((col("c2") + col("v")).cast("double") /
-          (col("c3") + lit(1.0)))).cast("long").as("cost"))
+    // TRAIN: one aggregated pass over the corpus; the count table is
+    // charset³-bounded, so it collects to the driver (the same
+    // bounded-planner-collect discipline the store uses) where the
+    // context sums, vocab size and smoothed per-trigram costs are
+    // computed once. Leaving this relational instead cost FOUR corpus
+    // explodes — Spark recomputes a shared subplan per consumer (m3
+    // feeds the model join, the context aggregate AND the vocab
+    // aggregate; plan-audited, PLANS.md round-6).
+    val counts = tri.groupBy("g").agg(count(lit(1)).as("c3"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val c2 = counts.groupBy(_._1.substring(0, 2)).view
+      .mapValues(_.map(_._2).sum).toMap
+    val v = counts.iterator.map(_._1.substring(2)).toSet.size
+    val modelRows = counts.toSeq.map { case (g, n3) =>
+      (g, math.round(1e6 *
+        math.log((c2(g.substring(0, 2)) + v).toDouble / (n3 + 1.0))))
+    }
+    import spark.implicits._
+    val model = modelRows.toDF("g", "cost")
+    // SCORE: second corpus pass — explode, broadcast-join the model,
+    // per-doc exact integer accumulation (one shuffle on the doc id)
     val scored = tri.join(broadcast(model), Seq("g"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_tri"), sum(col("cost")).as("__s"))
