@@ -408,6 +408,13 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
         s"cannot restore to generation $gen: ${f.name} was vacuumed"))
       Sidecar.write(conf, dir,
         m.copy(nextFileId = cur.nextFileId max m.nextFileId))
+      // files live in `cur` but absent from the restored list are
+      // RETIRED BY THIS COMMIT: stamp their retirement time like any
+      // other commit does, so readers holding the undone generation's
+      // plan get the full grace window from NOW (not from file
+      // creation)
+      val restored = m.files.map(_.name).toSet
+      retire(cur.files.filterNot(f => restored.contains(f.name)))
     }
   }
 

@@ -77,6 +77,11 @@ final class Store[K](val spark: SparkSession, val basepath: String,
     * must complete within the retire grace window; a crash DURING
     * rollback leaves the remaining reverts to the caller (the
     * pre-transaction generation numbers are in the exception message).
+    * Writers OUTSIDE the transaction must not touch the same keys
+    * while it runs — a rollback reverts to the pre-transaction
+    * generation wholesale and would undo the bystander's commit with
+    * it (serialize independent writers with `lockWaitMs`, or route
+    * all writes to a key set through its transactions).
     */
   def transaction(ks: Seq[K])(body: Map[K, OrderedDataset] => Unit)
       : Unit = {
