@@ -83,10 +83,13 @@ final class GraftSource extends RelationProvider
     require(partitionColumns.isEmpty,
       "graft sink does not support partitionBy (files are ranges of " +
         "ordered_on)")
-    require(outputMode == OutputMode.Append(),
-      s"graft sink supports Append output mode only, got $outputMode " +
-        "(Update/Complete would need upsert keys; use foreachBatch + " +
-        "duplicates_on for that)")
+    val dedupKeyed = parameters.contains("duplicates_on")
+    require(outputMode == OutputMode.Append() ||
+        (outputMode == OutputMode.Update() && dedupKeyed),
+      s"graft sink supports Append output mode, or Update WITH " +
+        s"duplicates_on (each re-emitted row then keep-last-upserts " +
+        s"its key — the streaming-aggregation sink shape); got " +
+        s"$outputMode${if (dedupKeyed) "" else " without duplicates_on"}")
     new GraftSink(sqlContext.sparkSession, path(parameters), parameters)
   }
 

@@ -1187,9 +1187,20 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     * bounded Spark job touching only that run's files; the rest of the
     * dataset is never read.
     */
+  /** `lo`/`hiExcl` restrict compaction to files overlapping that range
+    * of the ordered column (Delta's `OPTIMIZE … WHERE` analog): a
+    * steadily-appended dataset compacts its hot tail without the
+    * planner even considering the cold head's files. Scoped files are
+    * contiguous in stats order, so run detection inside the scope is
+    * unchanged.
+    */
   def optimize(target: RowGroupTarget,
-      clusterBy: Seq[String] = Nil): Int = withWriteLock {
+      clusterBy: Seq[String] = Nil,
+      lo: Option[OrdVal] = None,
+      hiExcl: Option[OrdVal] = None): Int = withWriteLock {
     val m = meta
+    val scoped = m.files.filter(f =>
+      lo.forall(l => f.max >= l) && hiExcl.forall(h => f.min < h))
     // re-clustering request: even already-on-target files need a
     // rewrite when the caller asks for a NEW cluster layout (sticky
     // columns flow through kv; passing the current ones again is a
@@ -1205,7 +1216,7 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
         val onTargetRows = (n * OnTargetFraction).toLong
         val rs = scala.collection.mutable.ListBuffer.empty[Seq[FileStat]]
         val cur = scala.collection.mutable.ListBuffer.empty[FileStat]
-        m.files.foreach { f =>
+        scoped.foreach { f =>
           if (f.rows < onTargetRows) cur += f
           else { if (cur.size >= 2) rs += cur.toSeq; cur.clear() }
         }
@@ -1227,7 +1238,7 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
             rs += cur.toSeq
           cur.clear()
         }
-        m.files.foreach { f =>
+        scoped.foreach { f =>
           if (cur.nonEmpty && truncPeriod(f.min, unit) > curMaxP) flush()
           cur += f
           curMaxP = math.max(curMaxP, truncPeriod(f.max, unit))
@@ -1242,7 +1253,7 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
       if (wantCluster.isEmpty) runs
       else {
         val covered = runs.flatten.map(_.name).toSet
-        runs ++ m.files.filterNot(f => covered(f.name)).map(Seq(_))
+        runs ++ scoped.filterNot(f => covered(f.name)).map(Seq(_))
       }
     allRuns.foreach { runFiles =>
       val mNow = meta

@@ -96,6 +96,35 @@ class GraftSinkSpec extends SparkSpec {
     assert(ds.kv("graft.sink.qa") === "0" && ds.kv("graft.sink.qb") === "0")
   }
 
+  test("update mode + duplicates_on: streamed agg converges via upsert") {
+    val base = tmpDir("gsink-update")
+    val dir = s"$base/ds"; val ckpt = s"$base/ckpt"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val m = MemoryStream[SinkRow]
+    // two batches touching the SAME key groups: update mode re-emits
+    // the full updated aggregate, the sink keep-last-upserts per key
+    m.addData(rows(0, 100))
+    m.addData(rows(100, 200))
+    val q = m.toDF()
+      .groupBy((col("seq") % 10).as("k"))
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .writeStream.format("graft")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .option("ordered_on", "k")
+      .option("duplicates_on", "k")
+      .option("target_rows", "100")
+      .start(dir)
+    q.awaitTermination()
+    val ds = new OrderedDataset(spark, dir)
+    val got = ds.df.orderBy("k")
+      .select("k", "s", "n").as[(Long, Double, Long)].collect().toSeq
+    val exp = rows(0, 200).groupBy(_.seq % 10).toSeq.sortBy(_._1)
+      .map { case (k, rs) => (k, rs.map(_.v).sum, rs.size.toLong) }
+    assert(got === exp)
+  }
+
   test("update mode and partitionBy are rejected") {
     val base = tmpDir("gsink-guards")
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -111,7 +140,7 @@ class GraftSinkSpec extends SparkSpec {
         .start(s"$base/ds1")
       q.awaitTermination()
     }
-    assert(e.getMessage.contains("Append output mode only"))
+    assert(e.getMessage.contains("without duplicates_on"))
     val e2 = intercept[Exception] {
       val q = m.toDF().writeStream.format("graft")
         .outputMode("append")

@@ -249,6 +249,23 @@ class StoreSpec extends SparkSpec {
     assert(ds.optimize(NRows(100)) == 0)
   }
 
+  test("ranged optimize compacts only the hot tail (OPTIMIZE WHERE)") {
+    val dir = tmpDir("opt-range")
+    val ds = new OrderedDataset(spark, s"$dir/d1")
+    (0 until 6).foreach { i =>
+      ds.write(tsDf((i * 10 + 1 until i * 10 + 11).map(x => (x.toLong, 1.0))),
+        WriteOpts("t", NRows(100)))
+    }
+    val before = ds.orderedDf.collect().toSeq
+    val headNames = ds.meta.files.take(3).map(_.name)
+    // scope = [31, ∞): only the last 3 files (t in 31..60) are candidates
+    assert(ds.optimize(NRows(100), lo = Some(OrdLong(31L))) == 1)
+    val m = ds.meta
+    assert(m.files.size == 4, m.files) // 3 cold + 1 compacted hot
+    assert(m.files.take(3).map(_.name) == headNames) // cold untouched
+    assert(ds.orderedDf.collect().toSeq == before)
+  }
+
   test("time-period target: EXACTLY one file per period, none spanning") {
     val dir = tmpDir("opd")
     val ds = new OrderedDataset(spark, s"$dir/d1")
