@@ -136,6 +136,37 @@ object SimilarityOps {
       .select(col("id"), col("vec"), col("norm"), col("cid"))
   }
 
+  /** One deterministic Lloyd (k-means) iteration over the cosine
+    * quantizer — the centroid-TRAINING step the IVF family's
+    * deterministic seed centroids feed into: assign every corpus
+    * vector to its nearest current centroid ([[ivfAssignTo]] — max
+    * rounded cosine, min-cid tie-break), then recompute each
+    * centroid as the per-dimension mean of its members. Iterate by
+    * feeding the output back as the next centroid table.
+    *
+    * Engine-exact: per-dimension sums accumulate in DECIMAL(38,12)
+    * (double accumulation is partition-order-dependent), the mean is
+    * one decimal division, and only the final value rounds to double
+    * — so the same iteration is reproducible across engines,
+    * partitionings and reruns, and the whole step has a DuckDB
+    * oracle.
+    *
+    * 100 TB shape: assignment is a broadcast of the (bounded)
+    * centroid table over the streamed corpus; the recompute is a
+    * two-phase partial aggregate on (cid, dim) — k×dims result rows.
+    * Returns (cid, dim, n_members, c_mean).
+    */
+  def kmeansStep(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    ivfAssignTo(corpus, centroids)
+      .select(col("cid"), posexplode(col("vec")).as(Seq("dim", "x")))
+      .groupBy("cid", "dim")
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("x").cast("decimal(38,12)")).as("__s"))
+      .select(col("cid"), col("dim").cast("long").as("dim"),
+        col("n_members"),
+        round((col("__s") / col("n_members")).cast("double"), 6)
+          .as("c_mean"))
+
   /** IVF top-k: rank centroids per query, probe the nProbe nearest
     * inverted lists, exact-search only those lists. Trades recall for a
     * |corpus|/|centroids|·nProbe-fold reduction in scored pairs.

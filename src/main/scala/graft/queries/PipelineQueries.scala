@@ -459,6 +459,16 @@ object PipelineQueries {
         .orderBy("q_id", "rank")
     },
 
+    // Centroid TRAINING: one deterministic Lloyd iteration from the
+    // seed centroids — assignment (broadcast quantizer) + decimal-
+    // exact per-dimension means. Iterating this is distributed
+    // k-means; one step is enough to oracle-gate both phases.
+    "p_kmeans_step" -> { (s, d) =>
+      val v = SimilarityOps.withNorm(embs(s, d), "vec_id", "embedding")
+      SimilarityOps.kmeansStep(v, v.filter(centroidPred))
+        .orderBy("cid", "dim")
+    },
+
     // Semantic (cluster-scoped) near-dup: SemDeDup shape — coarse
     // semantic clusters from the IVF quantizer, exact cosine only
     // within a cluster.
@@ -1315,6 +1325,27 @@ object PipelineQueries {
        WHERE d.doc_id NOT IN
          (SELECT id FROM labels WHERE id != cluster)
        ORDER BY d.doc_id""",
+
+    "p_kmeans_step" ->
+      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+              FROM embeddings),
+         n AS (SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS norm
+               FROM v),
+         cents AS (SELECT id AS cid, vec AS cvec, norm AS cnorm FROM n
+                   WHERE id % 25 = 0 AND id < $CentroidCap),
+         assigned AS (SELECT id, vec, cid FROM (
+                SELECT n.id, n.vec, cents.cid, row_number() OVER (
+                  PARTITION BY n.id ORDER BY
+                    round(list_dot_product(n.vec, cents.cvec)
+                      / (n.norm * cents.cnorm), 6) DESC, cents.cid) AS crank
+                FROM n CROSS JOIN cents) WHERE crank = 1),
+         dims AS (SELECT cid, CAST(u.d - 1 AS BIGINT) AS dim,
+                    CAST(vec[CAST(u.d AS INT)] AS DECIMAL(38,12)) AS x
+                  FROM assigned,
+                    LATERAL unnest(range(1, len(vec) + 1)) u(d))
+         SELECT cid, dim, count(*) AS n_members,
+                round(CAST(sum(x) / count(*) AS DOUBLE), 6) AS c_mean
+         FROM dims GROUP BY cid, dim ORDER BY cid, dim""",
 
     "p_dedup_embedding_lsh" -> embeddingLshOracle,
     "p_ann_topk" -> annTopkOracle,
