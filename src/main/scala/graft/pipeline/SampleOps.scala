@@ -74,6 +74,43 @@ object SampleOps {
       threshold === lit("ffffffff"))
   }
 
+  /** Weighted multi-source mixing with deterministic fractional
+    * UP-sampling — the Pile/Dolma mixture recipe: a source with
+    * weight `w` contributes `floor(w)` full copies of every document
+    * plus one more for a fixed `frac(w)` fraction (md5 membership
+    * over (source, id), so which documents get the extra epoch is a
+    * pure function of content identity — reproducible across runs,
+    * engines and partitionings). Weights below 1 degenerate to plain
+    * deterministic down-sampling, so one operator covers both sides
+    * of the mix. Output: (source, id, copy) plus `keep` columns —
+    * feed a composite of the three into [[shuffleCoords]] for the
+    * training order.
+    *
+    * Map-side only: a bounded copies array per row exploded in place;
+    * no shuffle, no state, unions are cheap plan branches.
+    */
+  def upsampleMix(sources: Seq[(String, DataFrame, Double)],
+      idCol: String, keep: Seq[String] = Nil): DataFrame = {
+    require(sources.nonEmpty, "no sources")
+    require(sources.map(_._1).distinct.size == sources.size,
+      "duplicate source tags")
+    sources.map { case (tag, df, w) =>
+      require(w >= 0.0, s"negative weight for $tag: $w")
+      val full = math.floor(w).toLong
+      val frac = w - full
+      val extra = when(
+        hashBucket(concat(lit(tag), lit(":"), col(idCol).cast("string")))
+          < lit(thresholdHex(frac)), 1L).otherwise(0L)
+      val n = lit(full) + extra
+      val copies = when(n >= 1L, sequence(lit(0L), n - 1L))
+        .otherwise(array().cast("array<bigint>"))
+      df.select(lit(tag).as("source") +: col(idCol).as("id") +:
+          copies.as("__c") +: keep.map(col): _*)
+        .select(col("source") +: col("id") +:
+          explode(col("__c")).as("copy") +: keep.map(col): _*)
+    }.reduce(_ unionByName _)
+  }
+
   /** Deterministic global shuffle for training-data ordering: every row
     * gets a reproducible `(shard, pos)` coordinate — shard round-robin
     * on the id (even shard sizes by construction), position = rank of

@@ -459,6 +459,19 @@ object PipelineQueries {
         .orderBy("q_id", "rank")
     },
 
+    // Weighted mixture with deterministic fractional upsampling:
+    // English 2.3 epochs (every doc twice, a fixed 30% thrice), the
+    // rest downsampled to half an epoch — one operator covers both
+    // sides of a Pile/Dolma-style mix.
+    "p_data_mix" -> { (s, d) =>
+      val base = Tables.documents(s, d).select("doc_id", "lang")
+      SampleOps.upsampleMix(Seq(
+          ("en", base.filter(col("lang") === "en"), 2.3),
+          ("rest", base.filter(col("lang") =!= "en"), 0.5)),
+        "doc_id")
+        .orderBy("source", "id", "copy")
+    },
+
     // Centroid TRAINING: one deterministic Lloyd iteration from the
     // seed centroids — assignment (broadcast quantizer) + decimal-
     // exact per-dimension means. Iterating this is distributed
@@ -1325,6 +1338,23 @@ object PipelineQueries {
        WHERE d.doc_id NOT IN
          (SELECT id FROM labels WHERE id != cluster)
        ORDER BY d.doc_id""",
+
+    "p_data_mix" ->
+      s"""WITH cnt AS (
+           SELECT 'en' AS source, doc_id AS id,
+                  2 + CASE WHEN substr(md5('en:' || CAST(doc_id AS VARCHAR)),
+                        1, 8) < '${SampleOps.thresholdHex(2.3 - 2.0)}'
+                      THEN 1 ELSE 0 END AS n
+           FROM documents WHERE lang = 'en'
+           UNION ALL
+           SELECT 'rest', doc_id,
+                  CASE WHEN substr(md5('rest:' || CAST(doc_id AS VARCHAR)),
+                        1, 8) < '${SampleOps.thresholdHex(0.5)}'
+                      THEN 1 ELSE 0 END
+           FROM documents WHERE lang <> 'en')
+         SELECT source, id, CAST(u.c AS BIGINT) AS copy
+         FROM cnt, LATERAL unnest(range(0, n)) u(c)
+         ORDER BY source, id, copy""",
 
     "p_kmeans_step" ->
       s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
