@@ -167,6 +167,41 @@ object SimilarityOps {
         round((col("__s") / col("n_members")).cast("double"), 6)
           .as("c_mean"))
 
+  /** Lloyd's k-means: iterate [[kmeansStep]], reassembling each
+    * round's per-dimension means into the next centroid table.
+    * Initialization is the deterministic id-subset quantizer (the
+    * IVF seed), so the whole training run is reproducible. Each round
+    * is one assignment + one aggregate; `localCheckpoint` breaks the
+    * per-round lineage growth (MLlib's iterative discipline — pass
+    * reliable=true at cluster scale to survive executor loss, same
+    * knob as [[DedupOps.dupClusters]]).
+    *
+    * Returns the final centroid table (id=cid, vec, norm) — feed
+    * straight into [[ivfAssignTo]] / [[IvfIndex]] as the trained
+    * quantizer.
+    */
+  def kmeansTrain(corpus: DataFrame, initFilter: Column, iters: Int,
+      reliable: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.graftbridge.SparkInternals
+    require(iters >= 0, s"negative iters: $iters")
+    var cents = corpus.filter(initFilter).select("id", "vec", "norm")
+    var prev: Option[DataFrame] = None
+    (1 to iters).foreach { _ =>
+      val vecs = kmeansStep(corpus, cents)
+        .groupBy("cid")
+        .agg(sort_array(collect_list(struct(col("dim"), col("c_mean"))))
+          .as("__kv"))
+        .select(col("cid").as("id"),
+          transform(col("__kv"), _.getField("c_mean")).as("vec"))
+        .withColumn("norm", sqrt(dot(col("vec"), col("vec"))))
+      val mat = if (reliable) vecs.checkpoint() else vecs.localCheckpoint()
+      prev.foreach(SparkInternals.unpersistCheckpoint)
+      prev = Some(mat)
+      cents = mat
+    }
+    cents
+  }
+
   /** IVF top-k: rank centroids per query, probe the nProbe nearest
     * inverted lists, exact-search only those lists. Trades recall for a
     * |corpus|/|centroids|·nProbe-fold reduction in scored pairs.
