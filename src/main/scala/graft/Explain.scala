@@ -14,7 +14,9 @@ object Explain {
       "p_ann_topk", "p_ann_ivf_indexed", "g7_sessions", "g8_sliding",
       "p_sample_stratified", "p_embed_quantize", "a8_snapshot_spine",
       "p_shuffle_coords", "p_quality_topfrac", "p_token_budget",
-      "p_contam_fraction", "p_corpus_stats", "m9_time_travel")
+      "p_contam_fraction", "p_corpus_stats", "m9_time_travel",
+      "p_segment_dedup", "p_text_perplexity", "p_kmeans_step",
+      "p_data_mix")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
