@@ -80,6 +80,17 @@ final case class WriteOpts(
 final case class UpsertReport(filesRewritten: Int, filesKept: Int,
                               filesAdded: Int, rowsWritten: Long)
 
+/** [[OrderedDataset.describe]] summary — driver-side metadata only. */
+final case class DatasetInfo(dir: String, orderedOn: String,
+                             nFiles: Int, totalRows: Long,
+                             totalBytes: Long,
+                             min: Option[OrdVal], max: Option[OrdVal],
+                             generation: Long,
+                             retainedGenerations: Seq[Long],
+                             sketchCols: Seq[String],
+                             bloomCols: Seq[String],
+                             clusterCols: Seq[String])
+
 final case class DeleteReport(filesDropped: Int, filesRewritten: Int,
                               filesKept: Int, rowsDeleted: Long)
 
@@ -461,6 +472,36 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
             want).distinct.mkString(","))))
       missing.size
     }
+  }
+
+  /** Driver-side dataset summary (DESCRIBE DETAIL analog): file/row/
+    * byte totals, ordered-column bounds, live + retained generations,
+    * and the sticky layout columns — one sidecar read plus one
+    * directory listing, zero data IO.
+    */
+  def describe(): DatasetInfo = {
+    val m = meta
+    val fsys = fs
+    val bytes = m.files.map { f =>
+      try fsys.getFileStatus(new HPath(s"$dir/${f.name}")).getLen
+      catch { case _: java.io.FileNotFoundException => 0L }
+    }.sum
+    def kvCols(key: String): Seq[String] =
+      m.kv.get(key).map(_.split(",").toSeq.filter(_.nonEmpty))
+        .getOrElse(Nil)
+    DatasetInfo(
+      dir = dir,
+      orderedOn = m.orderedOn,
+      nFiles = m.files.size,
+      totalRows = m.totalRows,
+      totalBytes = bytes,
+      min = m.files.headOption.map(_.min),
+      max = m.files.lastOption.map(_.max),
+      generation = m.generation,
+      retainedGenerations = generations,
+      sketchCols = kvCols(OrderedDataset.SketchColsKey),
+      bloomCols = kvCols(OrderedDataset.BloomColsKey),
+      clusterCols = kvCols(OrderedDataset.ClusterColsKey))
   }
 
   def kv: Map[String, String] = meta.kv
