@@ -20,8 +20,19 @@ object IvfIndex {
     * SimilarityOps.withNorm. Rebuild = call again (ordinary upsert).
     */
   def build(spark: SparkSession, dir: String, corpus: DataFrame,
-      centroidFilter: Column, rowsPerFile: Long = 1000000L): Unit = {
-    val assigned = SimilarityOps.ivfAssign(corpus, centroidFilter)
+      centroidFilter: Column, rowsPerFile: Long = 1000000L): Unit =
+    buildWith(spark, dir, corpus, corpus.filter(centroidFilter),
+      rowsPerFile)
+
+  /** [[build]] against an EXPLICIT centroid table — the entry for a
+    * TRAINED quantizer ([[SimilarityOps.kmeansTrain]] output) instead
+    * of the deterministic id-subset seed. The caller keeps the
+    * centroid table (persist it beside the index) — `add` and
+    * `search` must use the same one.
+    */
+  def buildWith(spark: SparkSession, dir: String, corpus: DataFrame,
+      centroids: DataFrame, rowsPerFile: Long = 1000000L): Unit = {
+    val assigned = SimilarityOps.ivfAssignTo(corpus, centroids)
       .select(col("cid"), col("id"), col("vec"), col("norm"))
     new OrderedDataset(spark, dir)
       .write(assigned, WriteOpts("cid", NRows(rowsPerFile)))

@@ -46,6 +46,28 @@ class KmeansSpec extends SparkSpec {
     assert(cents.forall(c => c.exists(_ > 9.0)))
   }
 
+  test("a trained quantizer serves a store-backed IVF index") {
+    val v = planted()
+    val trained = SimilarityOps.kmeansTrain(v,
+      col("id") % 40 === 0 && col("id") < 120, iters = 3)
+    val dir = tmpDir("ivf-trained") + "/idx"
+    IvfIndex.buildWith(spark, dir, v, trained)
+    // probing ONE list per query suffices: the trained quantizer puts
+    // every planted-cluster member in the query's own list
+    val queries = v.filter(col("id").isin(5L, 45L, 85L))
+    val res = IvfIndex.search(spark, dir, queries, trained,
+      nProbe = 1, k = 5)
+    import spark.implicits._
+    val byQ = res.select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(byQ.keySet === Set(5L, 45L, 85L))
+    byQ.foreach { case (q, hits) =>
+      assert(hits.size === 5)
+      assert(hits.forall(h => h / 40 == q / 40),
+        s"query $q matched outside its planted cluster: $hits")
+    }
+  }
+
   test("the step is partitioning-invariant (decimal-exact means)") {
     val v = planted()
     val a = SimilarityOps.kmeansStep(v, v.filter(col("id") % 40 === 0))
