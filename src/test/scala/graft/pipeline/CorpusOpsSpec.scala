@@ -260,6 +260,57 @@ class CorpusOpsSpec extends SparkSpec {
       (10L, 4L, 2L, 0.5), (11L, 3L, 0L, 0.0), (12L, 1L, 1L, 1.0)))
   }
 
+  test("upsampleMix: copy accounting, determinism, downsampling") {
+    val a = (0L until 200L).map((_, "x")).toDF("doc_id", "text")
+    val b = (0L until 200L).map(i => (i + 1000L, "y")).toDF("doc_id", "text")
+    val mixed = SampleOps.upsampleMix(
+      Seq(("a", a, 2.25), ("b", b, 0.5)), "doc_id")
+    val rows = mixed.select("source", "id", "copy")
+      .as[(String, Long, Long)].collect().toSeq
+    val byA = rows.filter(_._1 == "a").groupBy(_._2)
+    // every source-a doc appears 2 or 3 times, copies numbered 0..n-1
+    assert(byA.size == 200)
+    assert(byA.values.forall { cs =>
+      val n = cs.size
+      (n == 2 || n == 3) && cs.map(_._3).sorted == (0L until n)
+    })
+    // the fractional fraction is in the right ballpark (md5-uniform)
+    val extraA = byA.values.count(_.size == 3)
+    assert(extraA > 20 && extraA < 80, s"frac(0.25) gave $extraA/200")
+    // weight < 1 downsamples: single copies, roughly half survive
+    val byB = rows.filter(_._1 == "b")
+    assert(byB.forall(_._3 == 0L))
+    assert(byB.size > 60 && byB.size < 140, s"rate 0.5 gave ${byB.size}")
+    // pure function of (source, id): partitioning cannot change it
+    val re = SampleOps.upsampleMix(
+        Seq(("a", a.repartition(7), 2.25), ("b", b.repartition(3), 0.5)),
+        "doc_id")
+      .select("source", "id", "copy")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(re.sorted == rows.sorted)
+  }
+
+  test("segmentDedup drops cross-doc segments, keeps order, null-safe") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p q r s t"), // segs A B
+      (2L, "a b c d e f g h i j z z z z z z z z z z"), // shares seg A
+      (3L, "only one short row")).toDF("doc_id", "text")
+    val got = DedupOps.segmentDedup(docs, "doc_id", "text",
+        segWords = 10, dfMin = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // seg A ("a b ... j") appears in docs 1 and 2 -> dropped from both;
+    // doc 1 keeps its second segment, doc 2 keeps the z-block, doc 3
+    // (single short segment) is untouched
+    assert(got.map(r => (r._1, r._2, r._3)) ==
+      Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 1L, 0L)))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(0)._4 == md5hex("k l m n o p q r s t"))
+    assert(got(1)._4 == md5hex("z z z z z z z z z z"))
+    assert(got(2)._4 == md5hex("only one short row"))
+  }
+
   test("repetitionDF keeps documents with no bigrams (single word)") {
     val docs = Seq((1L, "solo"), (2L, "a b")).toDF("doc_id", "text")
     // the 1-word doc must still appear, with zero bigram counts — an
