@@ -287,8 +287,46 @@ object DedupOps {
     * the driver only checks the (scalar) changed-count per round.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20,
-      reliable: Boolean = false): DataFrame = {
+      reliable: Boolean = false,
+      driverMaxEdges: Int = 2000000): DataFrame = {
     import org.apache.spark.sql.graftbridge.SparkInternals
+    // HYBRID: near-dup pair graphs are normally a tiny fraction of the
+    // corpus (the verified-candidate set), so up to `driverMaxEdges`
+    // edges the components collapse on the driver — union-find with
+    // min-root merging (labels identical to the distributed min-label
+    // loop) in ONE job instead of 2-3 rounds of join+aggregate+
+    // checkpoint. `take(limit+1)` doubles as the size probe: if it
+    // comes back complete we already hold the edge list; only a
+    // genuinely huge graph falls through to the iterative loop below.
+    // Set driverMaxEdges = 0 to force the distributed path.
+    val takeRows = pairs
+      .select(col("i").cast("long"), col("j").cast("long"))
+      .take(driverMaxEdges + 1)
+    if (takeRows.length <= driverMaxEdges) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      takeRows.foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
+        val ra = find(a); val rb = find(b)
+        // min root stays root → every root is its component's min id
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val labels = parent.keysIterator
+        .map(id => (id, find(id))).toSeq.sortBy(_._1)
+      val sess = pairs.sparkSession
+      import sess.implicits._
+      return labels.toDF("id", "cluster")
+    }
     // Persisted un-partitioned: the propagation join's small side is
     // the changed set, which AQE broadcasts — pre-shuffling the edge
     // table by key measured strictly slower (the full-table exchange

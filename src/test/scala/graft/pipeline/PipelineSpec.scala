@@ -152,15 +152,18 @@ class PipelineSpec extends SparkSpec {
     // frame's plan must stay checkpoint-rooted (constant node count),
     // not grow with the round count — the point of per-round lineage
     // truncation (VERDICT r2 #8)
+    // driverMaxEdges = 0 pins the DISTRIBUTED loop (the default hybrid
+    // would collapse 13 edges on the driver)
     val chain = (1L until 14L).map(i => (i, i + 1)).toDF("i", "j")
-    val out = DedupOps.dupClusters(chain)
+    val out = DedupOps.dupClusters(chain, driverMaxEdges = 0)
     val planNodes = out.queryExecution.analyzed.collect { case p => p }.size
     assert(planNodes <= 10, s"plan grew with rounds: $planNodes nodes")
     val labels = out.as[(Long, Long)].collect().toMap
     assert(labels == (1L to 14L).map(_ -> 1L).toMap)
     // an exhausted iteration budget returns (unconverged) with a
     // warning instead of looping or throwing
-    val partial = DedupOps.dupClusters(chain, maxIter = 1)
+    val partial = DedupOps.dupClusters(chain, maxIter = 1,
+      driverMaxEdges = 0)
       .as[(Long, Long)].collect().toMap
     assert(partial.size == 14)
   }
