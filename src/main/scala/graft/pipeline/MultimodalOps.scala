@@ -103,6 +103,41 @@ object MultimodalOps {
       }
   }
 
+  /** Perceptual average-hash (aHash) of a payload viewed as bytes —
+    * the image near-dup fingerprint, at byte granularity like the
+    * other multimodal stubs (a media library would replace the
+    * sampling with decoded-pixel luma; the hashing, banding and
+    * Hamming machinery downstream are the real thing): sample `bits`
+    * evenly-spaced positions (the [[resize]] nearest-neighbor rule),
+    * set bit i when sample·bits > Σsamples (integer compare — no
+    * division, engine-exact), pack little-endian into a long.
+    *
+    * The output plugs STRAIGHT into [[DedupOps.simhashPairs]] (same
+    * 60-bit width and banding), giving banded perceptual near-dup
+    * pairs with guaranteed recall at Hamming ≤ 3. Map-side only; the
+    * sample array is staged as an attribute so it is computed once
+    * per row. ASCII-payload view (`string` column), matching the
+    * fixture's text-as-bytes convention.
+    */
+  def withAHash(df: DataFrame, idCol: String, payloadCol: String,
+      bits: Int = 60): DataFrame = {
+    val n = length(col(payloadCol))
+    val vals = transform(sequence(lit(0), lit(bits - 1)),
+      i => ascii(col(payloadCol).substr(
+        floor(i * n / lit(bits)).cast("int") + 1, lit(1))))
+    val staged = df.select(col(idCol).as("id"), vals.as("__v"))
+    val total = aggregate(col("__v"), lit(0L), (a, x) => a + x)
+    staged
+      .select(col("id"), col("__v"), total.as("__s"))
+      .select(col("id"),
+        aggregate(
+          zip_with(col("__v"),
+            sequence(lit(0), lit(bits - 1)),
+            (v, i) => when(v * bits > col("__s"),
+              pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
+          lit(0L), (a, x) => a + x).as("ahash"))
+  }
+
   /** Decode a binary payload column partition-wise. Input: (id, payload);
     * output one feature row per media object. The decoder runs once per
     * row inside a partition iterator — batch-shaped like an Arrow-based

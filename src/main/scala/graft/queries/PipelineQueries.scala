@@ -459,6 +459,18 @@ object PipelineQueries {
         .orderBy("q_id", "rank")
     },
 
+    // Perceptual hash over the payload bytes (image-aHash shape at
+    // byte granularity): evenly-sampled values, mean-threshold bits,
+    // 60-bit pack — plugs into the simhash banding for perceptual
+    // near-dup pairs. The hash computation is the gated part.
+    "p_multimodal_phash" -> { (s, d) =>
+      MultimodalOps.withAHash(
+          docs(s, d).filter(length(col("text")) > 0),
+          "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // Weighted mixture with deterministic fractional upsampling:
     // English 2.3 epochs (every doc twice, a fixed 30% thrice), the
     // rest downsampled to half an epoch — one operator covers both
@@ -1338,6 +1350,20 @@ object PipelineQueries {
        WHERE d.doc_id NOT IN
          (SELECT id FROM labels WHERE id != cluster)
        ORDER BY d.doc_id""",
+
+    "p_multimodal_phash" ->
+      """WITH s AS (
+           SELECT doc_id,
+             list_transform(generate_series(0, 59),
+               i -> unicode(substr(text,
+                 CAST((i * len(text)) // 60 AS INT) + 1, 1))) AS v
+           FROM documents WHERE len(text) > 0)
+         SELECT doc_id,
+           CAST(list_sum(list_transform(generate_series(1, 60),
+             i -> CASE WHEN v[i] * 60 > list_sum(v)
+                  THEN (1::BIGINT << (i-1)) ELSE 0::BIGINT END))
+             AS BIGINT) AS ahash
+         FROM s ORDER BY doc_id""",
 
     "p_data_mix" ->
       s"""WITH cnt AS (

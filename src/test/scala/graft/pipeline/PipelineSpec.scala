@@ -199,6 +199,37 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.contains((0L, 3L)))
   }
 
+  test("aHash: near-identical payloads pair through simhash banding") {
+    // base payloads + clones differing by ONE substituted char (same
+    // length, so sample positions align): perceptual Hamming distance
+    // is tiny; an unrelated payload pairs with nothing
+    val base = (0 until 4).map { k =>
+      (10L + k, (0 until 200).map(i =>
+        ('a' + ((i * 7 + k) % 26)).toChar).mkString)
+    }
+    val clones = base.map { case (id, t) =>
+      (id + 100L, t.updated(13, 'z')) }
+    val noise = Seq((999L, (0 until 200).map(i =>
+      ('a' + ((i * 13 + 11) % 26)).toChar).mkString))
+    val payloads = (base ++ clones ++ noise).toDF("doc_id", "text")
+    val hashed = MultimodalOps.withAHash(payloads, "doc_id", "text")
+    // partitioning invariance of the hash itself
+    val h1 = hashed.orderBy("id").as[(Long, Long)].collect().toSeq
+    val h2 = MultimodalOps.withAHash(payloads.repartition(5),
+        "doc_id", "text")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(h1 == h2)
+    // every (base, clone) pair is within Hamming 3 of its partner
+    val pairs = DedupOps.simhashPairs(
+        hashed.withColumnRenamed("ahash", "simhash"), 3)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    base.foreach { case (id, _) =>
+      assert(pairs.contains((id, id + 100L)),
+        s"clone pair $id missing from $pairs")
+    }
+    assert(!pairs.exists { case (i, j) => i == 999L || j == 999L })
+  }
+
   test("brute-force top-k ranks an identical vector first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
