@@ -122,9 +122,10 @@ object MultimodalOps {
   def withAHash(df: DataFrame, idCol: String, payloadCol: String,
       bits: Int = 60): DataFrame = {
     val n = length(col(payloadCol))
+    // i·n in LONG: an int product overflows past ~36M-char payloads
     val vals = transform(sequence(lit(0), lit(bits - 1)),
       i => ascii(col(payloadCol).substr(
-        floor(i * n / lit(bits)).cast("int") + 1, lit(1))))
+        floor(i.cast("long") * n / lit(bits)).cast("int") + 1, lit(1))))
     val staged = df.select(col(idCol).as("id"), vals.as("__v"))
     val total = aggregate(col("__v"), lit(0L), (a, x) => a + x)
     staged
