@@ -422,6 +422,93 @@ object DedupIndex {
       .filter(col("cos") >= threshold)
   }
 
+  // ---------------- segment-frequency index (incremental line dedup) --
+
+  /** Persist / extend the corpus segment document-frequency table: one
+    * row per distinct segment digest `(hkey, segd, df)`, ordered on
+    * the md5-prefix hkey for zone-map probing — the incremental
+    * backing of [[DedupOps.segmentDedup]]: a new batch can be
+    * boilerplate-stripped against the WHOLE accepted corpus at a cost
+    * ∝ batch, never rescanning corpus text.
+    *
+    * Extending MERGES frequencies (existing df for the touched
+    * segments is probed — bounded by the batch's distinct segments —
+    * and summed), so unlike the presence-only indexes an increment
+    * must be applied exactly once: pass `incrementTag` and replays of
+    * the same tag are skipped via a kv stamp committed atomically with
+    * the data (the GraftSink discipline; foreachBatch callers pass the
+    * epoch id).
+    */
+  def buildSegments(spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: String, textCol: String, segWords: Int = 10,
+      rowsPerFile: Long = 1000000L,
+      incrementTag: Option[String] = None,
+      maxDriverKeys: Int = 65536): Unit = {
+    val ds = new OrderedDataset(spark, dir)
+    if (ds.exists) requireCfg(ds, "segments", Some(s"w$segWords"))
+    val stampKey = "graft.index.increment"
+    if (incrementTag.isDefined && ds.exists &&
+        ds.kv.get(stampKey) == incrementTag) return // replay, committed
+    val counts = DedupOps.segmentTable(docs, idCol, textCol, segWords)
+      .groupBy("seg").agg(countDistinct(col("id")).as("bdf"))
+      .select(md5(col("seg")).as("segd"), col("bdf"))
+    val merged =
+      if (!ds.exists) counts.select(col("segd"), col("bdf").as("df"))
+      else {
+        val existing = scanForProbes(spark, ds,
+          counts.select(hkey60(col("segd")).as("hkey")), maxDriverKeys)
+          .select(col("segd").as("osegd"), col("df").as("odf"))
+        counts.join(existing, col("segd") === col("osegd"), "left")
+          .select(col("segd"),
+            (col("bdf") + coalesce(col("odf"), lit(0L))).as("df"))
+      }
+    ds.write(
+      merged.select(hkey60(col("segd")).as("hkey"), col("segd"),
+        col("df")),
+      WriteOpts("hkey", NRows(rowsPerFile),
+        duplicatesOn = Some(Seq("segd")),
+        kv = Map("graft.index.kind" -> "segments",
+          "graft.index.cfg" -> s"w$segWords") ++
+          incrementTag.map(stampKey -> _).toMap)): Unit
+  }
+
+  /** Strip corpus-boilerplate segments from a batch against the
+    * persisted frequency index: a batch segment is dropped when
+    * (index df) + (batch distinct-doc df) reaches `dfMin` — exactly
+    * the [[DedupOps.segmentDedup]] rule evaluated over corpus ∪ batch,
+    * restricted to the batch's documents (already-written corpus docs
+    * are a compaction-time concern). Probe cost ∝ batch (zone-map
+    * point reads under `maxDriverKeys` distinct segments, slim
+    * equi-join above). Returns the segmentDedup output shape for the
+    * batch. Call [[buildSegments]] with the same batch afterwards to
+    * extend the index.
+    */
+  def dedupBatchSegments(spark: SparkSession, dir: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      segWords: Int = 10, dfMin: Long = 2L,
+      maxDriverKeys: Int = 65536): DataFrame = {
+    val segs = DedupOps.segmentTable(batch, idCol, textCol, segWords)
+      .withColumn("segd", md5(col("seg")))
+    val bdf = segs.groupBy(col("segd").as("bsegd"))
+      .agg(countDistinct(col("id")).as("bdf"))
+    val ds = new OrderedDataset(spark, dir)
+    if (ds.exists) requireCfg(ds, "segments", Some(s"w$segWords"))
+    val idx =
+      if (!ds.exists) spark.emptyDataFrame
+        .select(lit("").as("osegd"), lit(0L).as("odf")).limit(0)
+      else scanForProbes(spark, ds,
+        segs.select(hkey60(col("segd")).as("hkey")), maxDriverKeys)
+        .select(col("segd").as("osegd"), col("df").as("odf"))
+    val verdict = bdf.join(idx, col("bsegd") === col("osegd"), "left")
+      .select(col("bsegd"),
+        ((col("bdf") + coalesce(col("odf"), lit(0L))) >= dfMin)
+          .as("__drop"))
+    DedupOps.reassembleSegments(
+      segs.join(verdict, col("segd") === col("bsegd"))
+        .select(col("id"), col("pos"), col("seg"), col("__drop")),
+      idCol)
+  }
+
   /** The probe-cardinality dispatch shared by both indexes: collect up
     * to `maxDriverKeys + 1` distinct probe keys in ONE job (the limit
     * caps driver memory even when the dispatch loses); under the cap,

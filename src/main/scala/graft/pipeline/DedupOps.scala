@@ -247,6 +247,23 @@ object DedupOps {
     */
   def segmentDedup(df: DataFrame, idCol: String, textCol: String,
       segWords: Int = 10, dfMin: Long = 2L): DataFrame = {
+    val segs = segmentTable(df, idCol, textCol, segWords)
+    val common = segs.groupBy("seg")
+      .agg(countDistinct(col("id")).as("__df"))
+      .filter(col("__df") >= dfMin)
+      .select(col("seg").as("__dup"))
+    reassembleSegments(
+      segs.join(common, col("seg") === col("__dup"), "left")
+        .withColumn("__drop", col("__dup").isNotNull),
+      idCol)
+  }
+
+  /** (id, pos, seg) rows: disjoint `segWords`-word blocks in order —
+    * the shared front half of [[segmentDedup]] and the incremental
+    * [[DedupIndex]] segment probes.
+    */
+  private[pipeline] def segmentTable(df: DataFrame, idCol: String,
+      textCol: String, segWords: Int): DataFrame = {
     val ws = TextOps.wsTokens(col(textCol))
     val nSegs = ceil(size(ws).cast("double") / segWords).cast("int")
     val segArr = transform(
@@ -254,23 +271,25 @@ object DedupOps {
         .otherwise(array().cast("array<int>")),
       k => array_join(slice(ws, (k - 1) * segWords + 1, lit(segWords)),
         " "))
-    val segs = df.select(col(idCol).as("id"),
+    df.select(col(idCol).as("id"),
       posexplode(segArr).as(Seq("pos", "seg")))
-    val common = segs.groupBy("seg")
-      .agg(countDistinct(col("id")).as("__df"))
-      .filter(col("__df") >= dfMin)
-      .select(col("seg").as("__dup"))
-    segs.join(common, col("seg") === col("__dup"), "left")
-      .groupBy("id")
+  }
+
+  /** Rebuild per-document outputs from flagged segment rows
+    * `(id, pos, seg, __drop)`: surviving segments rejoin in order,
+    * digested. The shared back half of the segment-dedup family.
+    */
+  private[pipeline] def reassembleSegments(flagged: DataFrame,
+      idCol: String): DataFrame =
+    flagged.groupBy("id")
       .agg(count(lit(1)).as("n_segs"),
-        count(col("__dup")).as("n_dropped"),
+        sum(when(col("__drop"), 1L).otherwise(0L)).as("n_dropped"),
         // collect_list drops nulls; sort_array restores segment order
-        sort_array(collect_list(when(col("__dup").isNull,
+        sort_array(collect_list(when(!col("__drop"),
           struct(col("pos"), col("seg"))))).as("__k"))
       .select(col("id").as(idCol), col("n_segs"), col("n_dropped"),
         md5(array_join(transform(col("__k"), _.getField("seg")), " "))
           .as("clean_digest"))
-  }
 
   /** Connected components over an undirected duplicate-pair graph:
     * every doc appearing in a pair gets the smallest doc id reachable

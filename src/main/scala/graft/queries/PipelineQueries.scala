@@ -159,6 +159,19 @@ object PipelineQueries {
       dir
     }
 
+  /** Build the segment document-frequency index over the corpus split
+    * (doc_id % 5 != 0); the batch split probes it incrementally. */
+  private def ensureSegmentIndex(s: SparkSession, d: String): String =
+    synchronized {
+      val dir = s"/tmp/graft_segidx_${inputTag(d, "documents")}"
+      val ds = new graft.store.OrderedDataset(s, dir)
+      if (!ds.exists)
+        DedupIndex.buildSegments(s, dir,
+          docs(s, d).filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+          rowsPerFile = 20000L)
+      dir
+    }
+
   /** Build the persisted decontamination index over the eval split
     * (distinct eval grams ordered on hkey + the `_bloom` blob). */
   private def ensureContamIndex(s: SparkSession, d: String): String =
@@ -638,6 +651,17 @@ object PipelineQueries {
     // docs are dropped corpus-wide, docs reassembled (digested).
     "p_segment_dedup" -> { (s, d) =>
       DedupOps.segmentDedup(docs(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // INCREMENTAL segment dedup: the batch split (doc_id % 5 == 0)
+    // boilerplate-stripped against the persisted segment-frequency
+    // index of the corpus split — identical to whole-corpus
+    // segmentDedup restricted to the batch, at probe cost ∝ batch.
+    "p_segment_dedup_inc" -> { (s, d) =>
+      val dir = ensureSegmentIndex(s, d)
+      DedupIndex.dedupBatchSegments(s, dir,
+          docs(s, d).filter(col("doc_id") % 5 === 0), "doc_id", "text")
         .orderBy("doc_id")
     },
 
@@ -1535,6 +1559,27 @@ object PipelineQueries {
                 md5(coalesce(string_agg(CASE WHEN df < 2 THEN seg END,
                   ' ' ORDER BY pos), '')) AS clean_digest
          FROM j GROUP BY doc_id ORDER BY doc_id""",
+
+    "p_segment_dedup_inc" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+         segs AS (SELECT doc_id, CAST(u.k AS BIGINT) AS pos,
+                    array_to_string(list_slice(ws,
+                      CAST(u.k*10+1 AS BIGINT),
+                      CAST((u.k+1)*10 AS BIGINT)), ' ') AS seg
+                  FROM w, LATERAL unnest(
+                    range(0, CAST(ceil(len(ws)/10.0) AS BIGINT))) u(k)),
+         freq AS (SELECT seg, count(DISTINCT doc_id) AS df
+                  FROM segs GROUP BY 1),
+         j AS (SELECT s.doc_id, s.pos, s.seg, f.df
+               FROM segs s JOIN freq f USING (seg))
+         SELECT doc_id, count(*) AS n_segs,
+                CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dropped,
+                md5(coalesce(string_agg(CASE WHEN df < 2 THEN seg END,
+                  ' ' ORDER BY pos), '')) AS clean_digest
+         FROM j WHERE doc_id % 5 = 0
+         GROUP BY doc_id ORDER BY doc_id""",
 
     "p_text_perplexity" ->
       """WITH tri AS (

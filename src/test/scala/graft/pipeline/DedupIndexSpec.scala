@@ -188,4 +188,52 @@ class DedupIndexSpec extends SparkSpec {
       .select("i", "j").as[(Long, Long)].collect().toSet
     assert(viaJoin == pairs)
   }
+
+  test("segment index: incremental batches equal whole-corpus dedup") {
+    val dir = tmpDir("segidx") + "/idx"
+    def mkDoc(id: Long, words: Seq[String]) = (id, words.mkString(" "))
+    val boiler = (0 until 10).map(i => s"b$i") // the shared block
+    val corpus = Seq(
+      mkDoc(1L, boiler ++ (0 until 10).map(i => s"c1x$i")),
+      mkDoc(2L, boiler ++ (0 until 10).map(i => s"c2x$i")),
+      mkDoc(3L, (0 until 10).map(i => s"only3$i"))).toDF("doc_id", "text")
+    DedupIndex.buildSegments(spark, dir, corpus, "doc_id", "text",
+      rowsPerFile = 100)
+    // batch: one doc repeating the corpus boilerplate + a fresh doc
+    val batch = Seq(
+      mkDoc(100L, boiler ++ (0 until 10).map(i => s"n0x$i")),
+      mkDoc(101L, (0 until 10).map(i => s"n1x$i"))).toDF("doc_id", "text")
+    val got = DedupIndex.dedupBatchSegments(spark, dir, batch,
+        "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // whole-corpus reference restricted to the batch ids
+    val exp = DedupOps.segmentDedup(corpus.unionByName(batch),
+        "doc_id", "text")
+      .filter($"doc_id" >= 100L).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == exp)
+    assert(got.head._3 == 1L) // the boilerplate block was dropped
+    // extend the index with the batch; an intra-batch-only repeat in
+    // the NEXT increment now pairs with generation-1 content
+    DedupIndex.buildSegments(spark, dir, batch, "doc_id", "text",
+      rowsPerFile = 100, incrementTag = Some("b1"))
+    // replaying the same increment must NOT double-count
+    DedupIndex.buildSegments(spark, dir, batch, "doc_id", "text",
+      rowsPerFile = 100, incrementTag = Some("b1"))
+    val batch2 = Seq(
+      mkDoc(200L, (0 until 10).map(i => s"n0x$i") ++
+        (0 until 10).map(i => s"f$i"))).toDF("doc_id", "text")
+    val got2 = DedupIndex.dedupBatchSegments(spark, dir, batch2,
+        "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().head
+    // doc 100's tail block ("n0x…") is now indexed with df=1; batch2
+    // repeats it → total 2 → dropped; the fresh block survives
+    assert(got2._2 == 2L && got2._3 == 1L)
+    // join path (maxDriverKeys = 0) agrees
+    val viaJoin2 = DedupIndex.dedupBatchSegments(spark, dir, batch2,
+        "doc_id", "text", maxDriverKeys = 0)
+      .as[(Long, Long, Long, String)].collect().head
+    assert(viaJoin2 == got2)
+  }
 }
