@@ -469,7 +469,10 @@ object DedupIndex {
         duplicatesOn = Some(Seq("segd")),
         kv = Map("graft.index.kind" -> "segments",
           "graft.index.cfg" -> s"w$segWords") ++
-          incrementTag.map(stampKey -> _).toMap)): Unit
+          incrementTag.map(stampKey -> _).toMap,
+        // an untagged build clears a stale stamp: a LATER tagged call
+        // must not be skipped against some long-gone increment's tag
+        kvRemove = if (incrementTag.isEmpty) Seq(stampKey) else Nil)): Unit
   }
 
   /** Strip corpus-boilerplate segments from a batch against the
