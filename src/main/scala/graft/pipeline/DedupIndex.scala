@@ -486,10 +486,17 @@ object DedupIndex {
     * batch. Call [[buildSegments]] with the same batch afterwards to
     * extend the index.
     */
+  /** `includeBatchDf = false` drops the batch-internal contribution
+    * from the verdict — the REPLAY mode: when the index already holds
+    * this increment (its tag matches), counting the batch again would
+    * double its own segments and strip MORE than the original attempt
+    * did; excluding it reproduces the first attempt's rewrite exactly.
+    */
   def dedupBatchSegments(spark: SparkSession, dir: String,
       batch: DataFrame, idCol: String, textCol: String,
       segWords: Int = 10, dfMin: Long = 2L,
-      maxDriverKeys: Int = 65536): DataFrame = {
+      maxDriverKeys: Int = 65536, textOut: Boolean = false,
+      includeBatchDf: Boolean = true): DataFrame = {
     val segs = DedupOps.segmentTable(batch, idCol, textCol, segWords)
       .withColumn("segd", md5(col("seg")))
     val bdf = segs.groupBy(col("segd").as("bsegd"))
@@ -502,14 +509,14 @@ object DedupIndex {
       else scanForProbes(spark, ds,
         segs.select(hkey60(col("segd")).as("hkey")), maxDriverKeys)
         .select(col("segd").as("osegd"), col("df").as("odf"))
+    val own = if (includeBatchDf) col("bdf") else lit(0L)
     val verdict = bdf.join(idx, col("bsegd") === col("osegd"), "left")
       .select(col("bsegd"),
-        ((col("bdf") + coalesce(col("odf"), lit(0L))) >= dfMin)
-          .as("__drop"))
+        ((own + coalesce(col("odf"), lit(0L))) >= dfMin).as("__drop"))
     DedupOps.reassembleSegments(
       segs.join(verdict, col("segd") === col("bsegd"))
         .select(col("id"), col("pos"), col("seg"), col("__drop")),
-      idCol)
+      idCol, textOut)
   }
 
   /** The probe-cardinality dispatch shared by both indexes: collect up

@@ -277,10 +277,13 @@ object DedupOps {
 
   /** Rebuild per-document outputs from flagged segment rows
     * `(id, pos, seg, __drop)`: surviving segments rejoin in order,
-    * digested. The shared back half of the segment-dedup family.
+    * digested (or as `clean_text` with `textOut` — the ingest path
+    * that actually rewrites the corpus). The shared back half of the
+    * segment-dedup family.
     */
   private[pipeline] def reassembleSegments(flagged: DataFrame,
-      idCol: String): DataFrame =
+      idCol: String, textOut: Boolean = false): DataFrame = {
+    val joined = array_join(transform(col("__k"), _.getField("seg")), " ")
     flagged.groupBy("id")
       .agg(count(lit(1)).as("n_segs"),
         sum(when(col("__drop"), 1L).otherwise(0L)).as("n_dropped"),
@@ -288,8 +291,9 @@ object DedupOps {
         sort_array(collect_list(when(!col("__drop"),
           struct(col("pos"), col("seg"))))).as("__k"))
       .select(col("id").as(idCol), col("n_segs"), col("n_dropped"),
-        md5(array_join(transform(col("__k"), _.getField("seg")), " "))
-          .as("clean_digest"))
+        (if (textOut) joined.as("clean_text")
+         else md5(joined).as("clean_digest")))
+  }
 
   /** Connected components over an undirected duplicate-pair graph:
     * every doc appearing in a pair gets the smallest doc id reachable

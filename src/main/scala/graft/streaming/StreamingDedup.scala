@@ -53,14 +53,18 @@ object StreamingDedup {
       corpusDir: String, indexDir: String, ckptDir: String,
       rowsPerFile: Long = 1000000L,
       contamIndexDir: Option[String] = None,
-      contamN: Int = 5): StreamingQuery =
+      contamN: Int = 5,
+      segIndexDir: Option[String] = None,
+      segWords: Int = 10, segDfMin: Long = 2L): StreamingQuery =
     docStream.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", ckptDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         dedupBatch(batch.sparkSession, batch, idCol, textCol,
-          corpusDir, indexDir, rowsPerFile, contamIndexDir, contamN): Unit
+          corpusDir, indexDir, rowsPerFile, contamIndexDir, contamN,
+          segIndexDir, segWords, segDfMin,
+          segIncrementTag = Some(batchId.toString)): Unit
       }
       .start()
 
@@ -94,12 +98,27 @@ object StreamingDedup {
     * Rejection is deterministic in content, so batch replay stays
     * idempotent.
     */
+  /** With `segIndexDir` set, accepted documents are additionally
+    * BOILERPLATE-STRIPPED in-stream: segments whose document frequency
+    * across the accepted corpus (plus this batch) reaches `segDfMin`
+    * are removed before the corpus commit, and the persisted
+    * segment-frequency index is extended with the stripped survivors
+    * (replay-protected by `segIncrementTag` — the foreachBatch epoch
+    * id). The corpus dedup key stays the ORIGINAL text's digest, so a
+    * replay whose strip verdict differs (the index advanced in
+    * between) still collapses onto the same row, keep-last picking the
+    * later rewrite.
+    */
   def dedupBatch(spark: SparkSession, batch: DataFrame, idCol: String,
       textCol: String, corpusDir: String, indexDir: String,
       rowsPerFile: Long = 1000000L,
       contamIndexDir: Option[String] = None,
-      contamN: Int = 5): Long = {
-    val reserved = Set("digest", "hkey", "__rn", "__digest")
+      contamN: Int = 5,
+      segIndexDir: Option[String] = None,
+      segWords: Int = 10, segDfMin: Long = 2L,
+      segIncrementTag: Option[String] = None): Long = {
+    val reserved = Set("digest", "hkey", "__rn", "__digest",
+      "clean_text", "__sid")
     require(!batch.columns.exists(reserved),
       s"batch must not carry reserved columns ${reserved.mkString("/")}")
     // 1. intra-batch keep-first (min id per digest; null texts form one
@@ -131,18 +150,51 @@ object StreamingDedup {
           "left_anti")
       case None => fresh0
     }
-    // One materialization, two consumers (corpus write + index write):
-    // without this the digest/probe lineage would run twice.
+    // One materialization, multiple consumers (strip probe + corpus
+    // write + both index writes): without this the digest/probe
+    // lineage would run once per consumer. `fresh` carries the
+    // ORIGINAL text — the dedup digest and the segment frequencies
+    // must describe what ARRIVED (indexing stripped text would erase
+    // the boilerplate knowledge the next batch needs).
     val fresh = clean0
       .withColumn("hkey", DedupIndex.hkey60(col("digest")))
       .localCheckpoint()
     try {
       val accepted = fresh.count()
       if (accepted > 0) {
+        // 2c. optional in-stream boilerplate stripping: the CORPUS
+        // stores the rewritten text, while the digest (computed from
+        // the original above) stays the dedup key — a replay whose
+        // strip verdict differs (the index advanced in between) still
+        // collapses onto the same row, keep-last picking the later
+        // rewrite.
+        val toStore = segIndexDir match {
+          case Some(sd) =>
+            // replay detection: if the seg index already holds this
+            // increment, exclude the batch's own contribution from the
+            // verdict (it is IN the index) — the rewrite then equals
+            // the first attempt's bit-for-bit
+            val isReplay = segIncrementTag.isDefined && {
+              val sds = new OrderedDataset(spark, sd)
+              sds.exists &&
+                sds.kv.get("graft.index.increment") == segIncrementTag
+            }
+            val rewritten = DedupIndex.dedupBatchSegments(spark, sd,
+                fresh, idCol, textCol, segWords, segDfMin,
+                textOut = true, includeBatchDf = !isReplay)
+              .select(col(idCol).as("__sid"), col("clean_text"))
+            // left join: a doc with EMPTY text has no segments (no
+            // row) — it keeps its original text instead of vanishing
+            fresh.join(rewritten, col(idCol) === col("__sid"), "left")
+              .withColumn(textCol,
+                coalesce(col("clean_text"), col(textCol)))
+              .drop("__sid", "clean_text")
+          case None => fresh
+        }
         // 3. corpus append — ordered on hkey so the corpus itself is
         // content-addressed (digest-range reads prune files), keep-last
         // on digest for replay idempotence.
-        new OrderedDataset(spark, corpusDir).write(fresh,
+        new OrderedDataset(spark, corpusDir).write(toStore,
           WriteOpts("hkey", NRows(rowsPerFile),
             duplicatesOn = Some(Seq("digest"))))
         // 4. index upsert (idempotent keep-last) — reuses the digests
@@ -150,6 +202,12 @@ object StreamingDedup {
         DedupIndex.upsertDigestRows(spark, indexDir,
           fresh.select(col("digest"), col(idCol).cast("long").as("id")),
           rowsPerFile)
+        // 5. extend the segment-frequency index with the ARRIVED
+        // content; the increment tag makes foreachBatch replays a no-op
+        segIndexDir.foreach { sd =>
+          DedupIndex.buildSegments(spark, sd, fresh, idCol, textCol,
+            segWords, rowsPerFile, segIncrementTag)
+        }
       }
       accepted
     } finally SparkInternals.unpersistCheckpoint(fresh)

@@ -138,4 +138,53 @@ class StreamingDedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(ids.toSeq == ((0L until 20L) ++ (200L until 205L)).sorted)
   }
+
+  test("in-stream boilerplate stripping rewrites at the door, replay-safe") {
+    val dir = tmpDir("sdedup-seg")
+    val corpus = s"$dir/corpus"; val index = s"$dir/index"
+    val segIdx = s"$dir/segidx"
+    val boiler = (0 until 10).map(i => s"b$i").mkString(" ")
+    def doc(id: Long, tail: String) = (id, s"$boiler $tail")
+    // batch 1: two docs sharing the boilerplate block → stripped from
+    // BOTH (batch-internal df = 2), plus a clean doc
+    val b1 = Seq(
+      doc(1L, (0 until 10).map(i => s"a$i").mkString(" ")),
+      doc(2L, (0 until 10).map(i => s"c$i").mkString(" ")),
+      (3L, (0 until 10).map(i => s"solo$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(StreamingDedup.dedupBatch(spark, b1, "doc_id", "text",
+      corpus, index, rowsPerFile = 8,
+      segIndexDir = Some(segIdx), segIncrementTag = Some("b1")) == 3L)
+    val stored = new OrderedDataset(spark, corpus).df
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(!stored(1L).contains("b0") && !stored(2L).contains("b0"))
+    assert(stored(1L).startsWith("a0") && stored(3L).startsWith("solo0"))
+    // batch 2: a NEW doc repeating the boilerplate — the index
+    // remembers it (df ≥ 2 already), stripped without any batch peer
+    val b2 = Seq(doc(10L, (0 until 10).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(StreamingDedup.dedupBatch(spark, b2, "doc_id", "text",
+      corpus, index, rowsPerFile = 8,
+      segIndexDir = Some(segIdx), segIncrementTag = Some("b2")) == 1L)
+    val s2 = new OrderedDataset(spark, corpus).df
+      .filter($"doc_id" === 10L).select("text").as[String].head()
+    assert(!s2.contains("b0") && s2.startsWith("z0"))
+    // replaying batch 2 (crash between corpus commit and checkpoint):
+    // no duplicate rows, no double-counted frequencies
+    val before = new OrderedDataset(spark, segIdx).df
+      .select("segd", "df").as[(String, Long)].collect().toMap
+    assert(StreamingDedup.dedupBatch(spark, b2, "doc_id", "text",
+      corpus, index, rowsPerFile = 8,
+      segIndexDir = Some(segIdx), segIncrementTag = Some("b2")) == 0L)
+    val after = new OrderedDataset(spark, segIdx).df
+      .select("segd", "df").as[(String, Long)].collect().toMap
+    assert(after == before)
+    assert(new OrderedDataset(spark, corpus).df.count() == 4)
+    // the replayed rewrite is bit-identical: the batch's own segments
+    // (already in the index) are excluded from the replay verdict, so
+    // doc 10's unique tail does NOT get self-stripped
+    val s2b = new OrderedDataset(spark, corpus).df
+      .filter($"doc_id" === 10L).select("text").as[String].head()
+    assert(s2b == s2)
+  }
 }
