@@ -416,16 +416,28 @@ object RefQueries {
     },
 
     // The 100 TB quantile path: approx_percentile (mergeable sketch
-    // partials, map-side combine, no per-group sort). No SQL oracle —
-    // sketch results are estimator-dependent — so the driver records
-    // the weaker rows-only check; g9_quantiles is the exact-math gate.
+    // partials, map-side combine, no per-group sort). Sketch values
+    // are estimator-dependent, so — like s7_approx_distinct — the
+    // query gates approx-vs-exact within tolerance and emits the
+    // deterministic exact values plus boolean gates; the oracle
+    // recomputes the exact side and asserts the gates true.
     "g10_quantiles_approx" -> { (s, d) =>
+      def ok(i: Int, exact: String) =
+        (abs(col("q")(i) - col(exact)) <=
+          greatest(abs(col(exact)) * 0.05, lit(0.05))).as(s"ok_$exact")
       Tables.events(s, d)
         .groupBy("event_type")
         .agg(
           expr("approx_percentile(value, array(0.25, 0.5, 0.75, 0.95))")
-            .as("quantiles"),
+            .as("q"),
+          round(expr("percentile(value, 0.25)"), 6).as("p25"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.75)"), 6).as("p75"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95"),
           count(lit(1)).as("n_rows"))
+        .select(col("event_type"), col("p25"), col("p50"), col("p75"),
+          col("p95"), col("n_rows"),
+          ok(0, "p25"), ok(1, "p50"), ok(2, "p75"), ok(3, "p95"))
         .orderBy("event_type")
     },
 
@@ -838,6 +850,17 @@ object RefQueries {
               round(quantile_cont(value, 0.75), 6) AS p75,
               round(quantile_cont(value, 0.95), 6) AS p95,
               count(*) AS n_rows
+       FROM e GROUP BY event_type ORDER BY event_type""",
+
+    "g10_quantiles_approx" -> s"""$EV
+       SELECT event_type,
+              round(quantile_cont(value, 0.25), 6) AS p25,
+              round(quantile_cont(value, 0.5), 6) AS p50,
+              round(quantile_cont(value, 0.75), 6) AS p75,
+              round(quantile_cont(value, 0.95), 6) AS p95,
+              count(*) AS n_rows,
+              true AS ok_p25, true AS ok_p50,
+              true AS ok_p75, true AS ok_p95
        FROM e GROUP BY event_type ORDER BY event_type""",
 
     "g11_salted_agg" -> s"""$EV
