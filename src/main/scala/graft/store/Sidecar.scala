@@ -58,8 +58,9 @@ final case class DatasetMeta(orderedOn: String, orderedType: String,
   *
   * All IO goes through the Hadoop FileSystem of the dataset path — the
   * same one the data files use — so non-local schemes (hdfs://, s3a://)
-  * see one consistent view. The commit is create-tmp + FileContext
-  * rename(OVERWRITE), atomic on HDFS and the local FS.
+  * see one consistent view. The commit is create-tmp + atomic publish
+  * (see [[atomicPut]]: POSIX rename on the local FS, FileContext
+  * rename(OVERWRITE) on HDFS-like schemes).
   */
 object Sidecar {
   val FileName = "_graftmd.json"
@@ -79,11 +80,35 @@ object Sidecar {
   def read(conf: Configuration, datasetDir: String): DatasetMeta =
     readPath(conf, path(datasetDir))
 
+  /** Bounded retry for lock-free concurrent reads on checksummed
+    * filesystems: FileContext.rename moves the data file and its
+    * `.crc` in TWO steps on ChecksumFileSystem (the local FS), so a
+    * reader can momentarily open the new `_graftmd.json` against the
+    * stale checksum (ChecksumException) or a half-swapped view
+    * (EOFException). The window is one rename by a lock-serialized
+    * writer, so a handful of short retries always clears it; anything
+    * still failing after that is real corruption and propagates.
+    */
+  private def readRetrying[T](body: => T): T = {
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt < 10) {
+      try return body
+      catch {
+        case e @ (_: org.apache.hadoop.fs.ChecksumException |
+                  _: java.io.EOFException) =>
+          last = e; attempt += 1; Thread.sleep(20L)
+      }
+    }
+    throw last
+  }
+
   def readPath(conf: Configuration, p: HPath): DatasetMeta = {
-    val in = p.getFileSystem(conf).open(p)
-    val root =
+    val root = readRetrying {
+      val in = p.getFileSystem(conf).open(p)
       try mapper.readTree(in)
       finally in.close()
+    }
     val files = root.get("files").elements().asScala.map { f =>
       val cols = Option(f.get("cols")).map { c =>
         c.properties().asScala.map { e =>
@@ -132,7 +157,7 @@ object Sidecar {
     val fs0 = dir0.getFileSystem(conf)
     val cur = path(datasetDir)
     val meta = if (fs0.exists(cur)) {
-      val bytes = {
+      val bytes = readRetrying {
         val in = fs0.open(cur)
         try {
           val buf = new java.io.ByteArrayOutputStream()
@@ -144,8 +169,10 @@ object Sidecar {
       }
       val g = Option(mapper.readTree(bytes).get("generation"))
         .map(_.asLong()).getOrElse(0L)
-      val arch = fs0.create(new HPath(dir0, versionedName(g)), true)
-      try arch.write(bytes) finally arch.close()
+      // Archive atomically too: a time-travel reader that just watched
+      // the live generation move to g+1 may immediately open the v<g>
+      // snapshot — it must never catch it half-written.
+      atomicPut(fs0, dir0, versionedName(g), bytes)
       meta0.copy(generation = g + 1)
     } else meta0.copy(generation = meta0.generation max 1L)
     val root = mapper.createObjectNode()
@@ -180,13 +207,48 @@ object Sidecar {
     val dir = new HPath(datasetDir)
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
-    val tmp = new HPath(dir, FileName + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(mapper.writerWithDefaultPrettyPrinter()
-      .writeValueAsBytes(root))
-    finally out.close()
-    val fc = FileContext.getFileContext(fs.getUri, conf)
-    fc.rename(fs.makeQualified(tmp), fs.makeQualified(path(datasetDir)),
-      Options.Rename.OVERWRITE)
+    atomicPut(fs, dir, FileName,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+  }
+
+  /** Atomic single-file publish. On checksummed filesystems (the local
+    * FS) writes through the RAW layer: the checksum layer shadows every
+    * file with a `.crc`, and neither FileContext.rename (data + crc
+    * move in two steps) nor its delete-then-rename OVERWRITE emulation
+    * is atomic across the pair — lock-free readers caught
+    * ChecksumException and even FileNotFoundException windows
+    * (ConcurrencySpec). A crc-less file + java.nio ATOMIC_MOVE closes
+    * both: ChecksumFileSystem reads a crc-less file without
+    * verification, and the POSIX rename(2) swap is atomic. Non-file
+    * schemes (HDFS, S3A) are not ChecksumFileSystems; HDFS
+    * rename(OVERWRITE) is atomic on the NameNode, so the FileContext
+    * path stays for them.
+    */
+  private def atomicPut(fs: org.apache.hadoop.fs.FileSystem, dir: HPath,
+      name: String, bytes: Array[Byte]): Unit = {
+    val raw = fs match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
+    val tmp = new HPath(dir, name + ".tmp")
+    val out = raw.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    val dst = new HPath(dir, name)
+    if (fs.getScheme == "file") {
+      // retire any stale checksum shadows from files written by older
+      // (checksummed) versions — a raw overwrite would otherwise leave
+      // them mismatched forever
+      raw.delete(new HPath(dir, s".$name.crc"), false)
+      raw.delete(new HPath(dir, s".$name.tmp.crc"), false)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val fc = FileContext.getFileContext(fs.getUri, fs.getConf)
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(dst),
+        Options.Rename.OVERWRITE)
+    }
   }
 }

@@ -75,4 +75,45 @@ class ConcurrencySpec extends SparkSpec {
       assert(ds.df.count() === 900)
     } finally OrderedDataset.lockWaitMs = prev
   }
+
+  /** The local FS is a ChecksumFileSystem: FileContext.rename moves
+    * `_graftmd.json` and its `.crc` in two steps, so a lock-free
+    * reader can catch the new sidecar against the stale checksum.
+    * Sidecar.readPath retries that bounded window; this hammers it
+    * with rapid sidecar commits against tight read loops — before the
+    * retry, this tripped ChecksumException within a few hundred
+    * iterations.
+    */
+  test("sidecar reads survive the rename checksum window") {
+    import spark.implicits._
+    val dir = tmpDir("mdrace") + "/ds"
+    val ds = new OrderedDataset(spark, dir)
+    ds.write(spark.range(0, 10).toDF("seq").withColumn("v", lit(0.0)),
+      WriteOpts("seq", NRows(50)))
+    val pool = Executors.newFixedThreadPool(3)
+    val start = new CountDownLatch(1)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val readers = (0 until 2).map { _ =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try while (!stop.get()) {
+            val m = ds.meta // lock-free Sidecar.read every iteration
+            assert(m.files.nonEmpty && m.generation >= 1L)
+          } catch { case t: Throwable => failures.add(t): Unit }
+        }
+      })
+    }
+    start.countDown()
+    // 150 metadata-only commits = 150 copy+rename windows
+    try (0 until 150).foreach(i => ds.updateKv(Map("i" -> i.toString)))
+    finally stop.set(true)
+    readers.foreach(_.get(60, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(failures.isEmpty,
+      s"reader failures: ${failures.toArray.mkString("; ")}")
+    assert(ds.kv("i") === "149")
+  }
 }
