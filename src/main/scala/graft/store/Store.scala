@@ -98,11 +98,20 @@ final class Store[K](val spark: SparkSession, val basepath: String,
           try {
             g0 match {
               case Some(g) =>
-                if (d.exists && d.meta.generation != g) d.restoreTo(g)
+                if (!d.exists)
+                  // the body deleted a pre-existing dataset; nothing is
+                  // left to restore FROM — silent success here would
+                  // report a full revert that did not happen
+                  Some(s"$k -> generation $g: dataset was removed by " +
+                    "the transaction body, cannot restore")
+                else {
+                  if (d.meta.generation != g) d.restoreTo(g)
+                  None
+                }
               case None =>
                 if (d.exists) d.removeFromDisk()
+                None
             }
-            None
           } catch {
             case re: Throwable =>
               Some(s"$k -> generation ${g0.getOrElse("ABSENT")}: " +

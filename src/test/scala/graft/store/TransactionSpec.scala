@@ -110,4 +110,21 @@ class TransactionSpec extends SparkSpec {
     assert(st.get("a").meta.generation === g)
     assert(!st.get("b").exists)
   }
+
+  test("rollback reports a pre-existing dataset the body deleted") {
+    val st = mkStore("txn-deleted")
+    load(st.get("a"), 0, 200)
+    val boom = intercept[IllegalStateException] {
+      st.transaction(Seq("a")) { ds =>
+        ds("a").removeFromDisk()
+        throw new RuntimeException("body failed after the delete")
+      }
+    }
+    // NOT a silent "fully reverted": the dataset is gone and the
+    // caller is told so (with the unrecoverable generation number)
+    assert(boom.getMessage.contains("rollback INCOMPLETE"))
+    assert(boom.getMessage.contains("dataset was removed"))
+    assert(boom.getCause.getMessage === "body failed after the delete")
+    assert(!st.get("a").exists)
+  }
 }
