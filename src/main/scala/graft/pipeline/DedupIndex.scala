@@ -516,7 +516,7 @@ object DedupIndex {
     DedupOps.reassembleSegments(
       segs.join(verdict, col("segd") === col("bsegd"))
         .select(col("id"), col("pos"), col("seg"), col("__drop")),
-      idCol, textOut)
+      batch, idCol, textOut)
   }
 
   /** The probe-cardinality dispatch shared by both indexes: collect up

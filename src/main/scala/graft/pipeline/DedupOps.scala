@@ -255,7 +255,7 @@ object DedupOps {
     reassembleSegments(
       segs.join(common, col("seg") === col("__dup"), "left")
         .withColumn("__drop", col("__dup").isNotNull),
-      idCol)
+      df, idCol)
   }
 
   /** (id, pos, seg) rows: disjoint `segWords`-word blocks in order —
@@ -280,19 +280,33 @@ object DedupOps {
     * digested (or as `clean_text` with `textOut` — the ingest path
     * that actually rewrites the corpus). The shared back half of the
     * segment-dedup family.
+    *
+    * `src` is the ORIGINAL document frame: null/empty texts yield no
+    * segment rows, so without a join back to the source ids those
+    * documents would silently vanish from the output — inconsistent
+    * with trigramLmDF/repetitionDF, which keep them with null scores.
+    * They come back as `n_segs = 0, n_dropped = 0` with a null
+    * digest/clean_text (the streaming ingest's coalesce then keeps
+    * their original text).
     */
   private[pipeline] def reassembleSegments(flagged: DataFrame,
-      idCol: String, textOut: Boolean = false): DataFrame = {
+      src: DataFrame, idCol: String, textOut: Boolean = false)
+      : DataFrame = {
     val joined = array_join(transform(col("__k"), _.getField("seg")), " ")
-    flagged.groupBy("id")
+    val agg = flagged.groupBy("id")
       .agg(count(lit(1)).as("n_segs"),
         sum(when(col("__drop"), 1L).otherwise(0L)).as("n_dropped"),
         // collect_list drops nulls; sort_array restores segment order
         sort_array(collect_list(when(!col("__drop"),
           struct(col("pos"), col("seg"))))).as("__k"))
-      .select(col("id").as(idCol), col("n_segs"), col("n_dropped"),
+      .select(col("id"), col("n_segs"), col("n_dropped"),
         (if (textOut) joined.as("clean_text")
          else md5(joined).as("clean_digest")))
+    src.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        col(if (textOut) "clean_text" else "clean_digest"))
   }
 
   /** Connected components over an undirected duplicate-pair graph:
@@ -311,20 +325,30 @@ object DedupOps {
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20,
       reliable: Boolean = false,
-      driverMaxEdges: Int = 2000000): DataFrame = {
+      driverMaxEdges: Int = 1000000): DataFrame = {
     import org.apache.spark.sql.graftbridge.SparkInternals
+    // a null endpoint cannot participate in a component (equi-joins
+    // never match it downstream either) — drop such pairs up front so
+    // neither path trips on it
+    val cleanPairs = pairs
+      .select(col("i").cast("long"), col("j").cast("long"))
+      .na.drop()
     // HYBRID: near-dup pair graphs are normally a tiny fraction of the
     // corpus (the verified-candidate set), so up to `driverMaxEdges`
     // edges the components collapse on the driver — union-find with
     // min-root merging (labels identical to the distributed min-label
     // loop) in ONE job instead of 2-3 rounds of join+aggregate+
-    // checkpoint. `take(limit+1)` doubles as the size probe: if it
+    // checkpoint. `head(limit+1)` doubles as the size probe: if it
     // comes back complete we already hold the edge list; only a
     // genuinely huge graph falls through to the iterative loop below.
+    // Collected through the (Long, Long) encoder — primitive-backed
+    // rows, not GenericRows, so the 1M-edge probe is ~tens of MB.
     // Set driverMaxEdges = 0 to force the distributed path.
-    val takeRows = pairs
-      .select(col("i").cast("long"), col("j").cast("long"))
-      .take(driverMaxEdges + 1)
+    val takeRows = {
+      val sess = pairs.sparkSession
+      import sess.implicits._
+      cleanPairs.as[(Long, Long)].head(driverMaxEdges + 1)
+    }
     if (takeRows.length <= driverMaxEdges) {
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -334,8 +358,7 @@ object DedupOps {
         while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      takeRows.foreach { row =>
-        val a = row.getLong(0); val b = row.getLong(1)
+      takeRows.foreach { case (a, b) =>
         if (!parent.contains(a)) parent(a) = a
         if (!parent.contains(b)) parent(b) = b
         val ra = find(a); val rb = find(b)
@@ -354,8 +377,8 @@ object DedupOps {
     // the changed set, which AQE broadcasts — pre-shuffling the edge
     // table by key measured strictly slower (the full-table exchange
     // is paid even when every round's join is broadcast).
-    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
-      .unionByName(pairs.select(col("j").as("a"), col("i").as("b")))
+    val edges = cleanPairs.select(col("i").as("a"), col("j").as("b"))
+      .unionByName(cleanPairs.select(col("j").as("a"), col("i").as("b")))
       .persist()
     // Checkpoint each round: truncates the iterative lineage so plan
     // size stays constant across rounds. `reliable=true` uses

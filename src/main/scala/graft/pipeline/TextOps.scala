@@ -323,22 +323,56 @@ object TextOps {
     *
     * Docs shorter than 3 chars have no trigrams: kept with n_tri = 0
     * and null `avg_nll` (left join — same contract as repetitionDF).
+    *
+    * The "charset³-bounded" claim behind the driver-side collect holds
+    * for ASCII-ish corpora but NOT for CJK/multilingual web text,
+    * where observed distinct character trigrams reach 1e8+. Three
+    * knobs bound the model (defaults preserve exact full-corpus
+    * training): `trainSampleRate` trains on a deterministic
+    * [[SampleOps.hashSample]] of the documents (scoring still covers
+    * the FULL corpus — trigram statistics converge long before the
+    * corpus does); `minCount` drops sub-threshold trigrams in the
+    * aggregation BEFORE the collect (rare trigrams then score as
+    * unseen, see below); `maxModelEntries` is the hard backstop — the
+    * collect is limit(cap+1) so an over-budget model fails fast with
+    * the knobs to turn, never an OOM.
+    *
+    * With a partial model (sampled or minCount-cut), trigrams absent
+    * from it are UNSEEN: they are excluded from both n_tri and the
+    * NLL sum (inner scoring join), i.e. scored over the in-model
+    * trigrams only — the standard sampled-LM treatment; avg_nll stays
+    * comparable across documents because it is a per-trigram mean.
     */
   def trigramLmDF(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String): org.apache.spark.sql.DataFrame = {
+      textCol: String, trainSampleRate: Double = 1.0,
+      minCount: Long = 1L, maxModelEntries: Int = 10_000_000)
+      : org.apache.spark.sql.DataFrame = {
+    require(maxModelEntries > 0,
+      s"maxModelEntries must be positive, got $maxModelEntries")
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
     val spark = df.sparkSession
     val tri = df.select(col(idCol).as("id"),
       explode(charShingles(col(textCol), 3)).as("g"))
-    // TRAIN: one aggregated pass over the corpus; the count table is
-    // charset³-bounded, so it collects to the driver (the same
-    // bounded-planner-collect discipline the store uses) where the
-    // context sums, vocab size and smoothed per-trigram costs are
-    // computed once. Leaving this relational instead cost FOUR corpus
-    // explodes — Spark recomputes a shared subplan per consumer (m3
-    // feeds the model join, the context aggregate AND the vocab
-    // aggregate; plan-audited, PLANS.md round-6).
-    val counts = tri.groupBy("g").agg(count(lit(1)).as("c3"))
+    // TRAIN: one aggregated pass over the (sampled) corpus; the count
+    // table collects to the driver (the same bounded-planner-collect
+    // discipline the store uses) where the context sums, vocab size
+    // and smoothed per-trigram costs are computed once. Leaving this
+    // relational instead cost FOUR corpus explodes — Spark recomputes
+    // a shared subplan per consumer (m3 feeds the model join, the
+    // context aggregate AND the vocab aggregate; plan-audited,
+    // PLANS.md round-6).
+    val trainTri =
+      if (trainSampleRate >= 1.0) tri
+      else SampleOps.hashSample(df, idCol, trainSampleRate)
+        .select(col(idCol).as("id"),
+          explode(charShingles(col(textCol), 3)).as("g"))
+    val counts = trainTri.groupBy("g").agg(count(lit(1)).as("c3"))
+      .filter(col("c3") >= minCount)
+      .limit(maxModelEntries + 1)
       .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(counts.length <= maxModelEntries,
+      s"trigram model exceeds maxModelEntries=$maxModelEntries — " +
+        "raise minCount, lower trainSampleRate, or raise the cap")
     val c2 = counts.groupBy(_._1.substring(0, 2)).view
       .mapValues(_.map(_._2).sum).toMap
     val v = counts.iterator.map(_._1.substring(2)).toSet.size

@@ -183,8 +183,8 @@ object StreamingDedup {
                 fresh, idCol, textCol, segWords, segDfMin,
                 textOut = true, includeBatchDf = !isReplay)
               .select(col(idCol).as("__sid"), col("clean_text"))
-            // left join: a doc with EMPTY text has no segments (no
-            // row) — it keeps its original text instead of vanishing
+            // left join + coalesce: a doc with EMPTY/null text has a
+            // null clean_text — it keeps its original text
             fresh.join(rewritten, col(idCol) === col("__sid"), "left")
               .withColumn(textCol,
                 coalesce(col("clean_text"), col(textCol)))

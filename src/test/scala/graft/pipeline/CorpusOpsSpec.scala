@@ -311,6 +311,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(2)._4 == md5hex("only one short row"))
   }
 
+  test("segmentDedup keeps null-text documents with zero segments") {
+    val docs = Seq((1L, "a b c"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // doc 2 yields no segment rows; it must still come back (n_segs 0,
+    // null digest — the trigramLmDF/repetitionDF contract), not vanish
+    val got = DedupOps.segmentDedup(docs, "doc_id", "text",
+        segWords = 10, dfMin = 2)
+      .orderBy("doc_id").collect()
+    assert(got.length == 2)
+    assert(got(1).getLong(0) == 2L)
+    assert(got(1).getLong(1) == 0L && got(1).getLong(2) == 0L)
+    assert(got(1).isNullAt(3))
+  }
+
   test("repetitionDF keeps documents with no bigrams (single word)") {
     val docs = Seq((1L, "solo"), (2L, "a b")).toDF("doc_id", "text")
     // the 1-word doc must still appear, with zero bigram counts — an
@@ -324,5 +338,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(solo.isNullAt(4))            // top_bigram
     assert(solo.getLong(5) == 0L)       // top_cnt
     assert(solo.isNullAt(6))            // top_frac
+  }
+
+  test("trigramLmDF training knobs bound the model, defaults are exact") {
+    val docs = (0L until 60L).map { i =>
+      (i, if (i % 10 == 9) "zq#8!x" * 4 else "the cat sat on the mat " * 3)
+    }.toDF("doc_id", "text")
+    val full = TextOps.trigramLmDF(docs, "doc_id", "text")
+      .select("doc_id", "avg_nll").as[(Long, Double)].collect().toMap
+    // sampled training still separates the garbled docs from the norm:
+    // normal docs keep a low avg_nll, junk docs stay well above them
+    val sampled = TextOps
+      .trigramLmDF(docs, "doc_id", "text", trainSampleRate = 0.5)
+      .select("doc_id", "avg_nll").as[(Long, Double)].collect().toMap
+    val normAvg = (0L until 60L).filter(_ % 10 != 9)
+      .map(sampled).sum / 54.0
+    (0L until 60L).filter(_ % 10 == 9)
+      .foreach(i => assert(sampled(i) > normAvg,
+        s"junk doc $i not separated under sampled training"))
+    // the sampled model stays close to the full model on the docs the
+    // sample covers well (the repeated normal text)
+    (0L until 60L).filter(_ % 10 != 9).foreach { i =>
+      assert(math.abs(sampled(i) - full(i)) < 1.0,
+        s"doc $i drifted: full=${full(i)} sampled=${sampled(i)}")
+    }
+    // minCount drops the junk-only trigrams from the model entirely:
+    // junk docs then have NO in-model trigrams -> null avg_nll
+    val cut = TextOps
+      .trigramLmDF(docs, "doc_id", "text", minCount = 30L)
+      .select("doc_id", "avg_nll").collect()
+    assert(cut.filter(_.getLong(0) % 10 == 9).forall(_.isNullAt(1)))
+    assert(cut.filter(_.getLong(0) % 10 != 9).forall(!_.isNullAt(1)))
+    // the backstop fails fast, naming the knobs, instead of OOMing
+    val boom = intercept[IllegalArgumentException] {
+      TextOps.trigramLmDF(docs, "doc_id", "text", maxModelEntries = 5)
+    }
+    assert(boom.getMessage.contains("maxModelEntries"))
   }
 }

@@ -168,6 +168,20 @@ class PipelineSpec extends SparkSpec {
     assert(partial.size == 14)
   }
 
+  test("dupClusters drops null-endpoint pairs on both paths") {
+    val pairs = Seq(
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L)),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(3L)),
+      (java.lang.Long.valueOf(4L), null.asInstanceOf[java.lang.Long]))
+      .toDF("i", "j")
+    val hybrid = DedupOps.dupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(hybrid == Map(1L -> 1L, 2L -> 1L))
+    val dist = DedupOps.dupClusters(pairs, driverMaxEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("sessionize splits on gap and aggregates per session") {
     import graft.agg.Sessionize
     import java.time.LocalDateTime
