@@ -123,17 +123,20 @@ object SimilarityOps {
     * the same centroids the index was built with, which a filter over
     * the batch alone cannot produce.
     */
-  def ivfAssignTo(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+  def ivfAssignTo(corpus: DataFrame, centroids: DataFrame,
+      keepScore: Boolean = false): DataFrame = {
     val cents = broadcast(centroids.select(
       col("id").as("cid"), col("vec").as("cvec"), col("norm").as("cnorm")))
     val w = Window.partitionBy("id")
       .orderBy(col("ccos").desc, col("cid"))
+    val out = Seq(col("id"), col("vec"), col("norm"), col("cid")) ++
+      (if (keepScore) Seq(col("ccos")) else Nil)
     corpus.join(cents)
       .withColumn("ccos",
         cosine(col("vec"), col("cvec"), col("norm"), col("cnorm")))
       .withColumn("crank", row_number().over(w))
       .filter(col("crank") === 1)
-      .select(col("id"), col("vec"), col("norm"), col("cid"))
+      .select(out: _*)
   }
 
   /** One deterministic Lloyd (k-means) iteration over the cosine
@@ -288,16 +291,48 @@ object SimilarityOps {
   /** Cluster-scoped semantic dedup (the SemDeDup shape: coarse
     * semantic clustering, then pairwise cosine ONLY within a cluster).
     * Candidates come from the clustering itself — near-duplicates land
-    * on the same centroid — so the pair budget is Σ|cluster|², kept
-    * linear-ish by a centroid count ~√n (the same knob as IVF). One
-    * shuffle on cid per side; no all-pairs cross join, no broadcast of
-    * anything corpus-sized.
+    * on the same centroid. One shuffle on cid per side; no all-pairs
+    * cross join, no broadcast of anything corpus-sized.
+    *
+    * Pair-budget contract (the 100 TB guard): the caller keeps the
+    * centroid count ∝ corpus size (k ~ √n, the same knob as IVF) so
+    * clusters stay roughly constant-sized — and `maxClusterSize` is
+    * the skew BACKSTOP when a degenerate cluster forms anyway. Each
+    * cluster's members are ranked by centroid cosine (id tiebreak)
+    * and cut into rank chunks of `maxClusterSize`; pairs are compared
+    * within a chunk and across ADJACENT chunks only, so the budget is
+    * provably ≤ 2·|cluster|·maxClusterSize pairs per cluster — linear
+    * in the corpus, never Σ|cluster|². Near-duplicates at the
+    * threshold have near-identical centroid cosines, hence adjacent
+    * ranks: a pair is missed only when > maxClusterSize other members
+    * rank strictly between them (the documented SemDeDup-style
+    * approximation). Clusters at or under the cap are compared
+    * exhaustively — identical output to the unchunked self-join.
+    *
+    * The chunk-pair dedup is the `greatest(chunk_a, chunk_b)` key
+    * rule, a join-side predicate instead of a distinct shuffle: a
+    * same-chunk pair co-occurs under both its keys (c, c+1) and is
+    * kept only at c; an adjacent-chunk pair shares exactly one key.
     */
   def semanticDupPairs(corpus: DataFrame, centroidFilter: Column,
-      threshold: Double): DataFrame = {
-    val assigned = ivfAssign(corpus, centroidFilter)
-    val a = assigned.as("a"); val b = assigned.as("b")
-    a.join(b, col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      threshold: Double, maxClusterSize: Int = 4096): DataFrame = {
+    require(maxClusterSize > 0,
+      s"maxClusterSize must be positive, got $maxClusterSize")
+    val assigned =
+      ivfAssignTo(corpus, corpus.filter(centroidFilter), keepScore = true)
+    val w = Window.partitionBy("cid")
+      .orderBy(col("ccos").desc, col("id"))
+    val keyed = assigned
+      .withColumn("__chunk",
+        ((row_number().over(w) - 1) / maxClusterSize).cast("int"))
+      .select(col("id"), col("vec"), col("norm"), col("cid"),
+        col("__chunk"),
+        explode(array(col("__chunk"), col("__chunk") + 1)).as("__ck"))
+    val a = keyed.as("a"); val b = keyed.as("b")
+    a.join(b, col("a.cid") === col("b.cid") &&
+        col("a.__ck") === col("b.__ck") &&
+        col("a.__ck") === greatest(col("a.__chunk"), col("b.__chunk")) &&
+        col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
         cosine(col("a.vec"), col("b.vec"), col("a.norm"), col("b.norm"))
           .as("cos"))

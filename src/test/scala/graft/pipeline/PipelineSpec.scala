@@ -435,4 +435,40 @@ class PipelineSpec extends SparkSpec {
     assert(got.orderBy("q_id", "rank").collect().toSeq == expect)
     v.unpersist(): Unit
   }
+
+  test("semanticDupPairs: chunk cap bounds a skewed cluster's pairs") {
+    // ONE degenerate cluster: every vector near the same direction, so
+    // the single centroid absorbs all 300 members. Consecutive ids are
+    // near-duplicates (tiny angular step); distant ids are not.
+    val n = 300
+    val vecs = (0 until n).map { i =>
+      val t = i * 0.002
+      (i.toLong, Array(math.cos(t).toFloat, math.sin(t).toFloat, 0.1f))
+    }.toDF("vec_id", "embedding")
+    val v = SimilarityOps.withNorm(vecs, "vec_id", "embedding").persist()
+    val uncapped =
+      SimilarityOps.semanticDupPairs(v, $"id" === 0L, 0.999997)
+        .as[(Long, Long, Double)].collect().toSet
+    assert(uncapped.nonEmpty)
+    // cap far under the cluster size: the pair BUDGET must collapse
+    // from |c|^2/2 to <= 2*|c|*cap even before the cosine filter...
+    val cap = 30
+    val keyedPairs =
+      SimilarityOps.semanticDupPairs(v, $"id" === 0L, -1.0, cap).count()
+    assert(keyedPairs <= 2L * n * cap,
+      s"budget exceeded: $keyedPairs > ${2L * n * cap}")
+    assert(keyedPairs < n.toLong * (n - 1) / 2) // genuinely cut down
+    // ...while near-threshold pairs (adjacent ranks) all survive: the
+    // capped run finds exactly the uncapped verdicts here
+    val capped =
+      SimilarityOps.semanticDupPairs(v, $"id" === 0L, 0.999997, cap)
+        .as[(Long, Long, Double)].collect().toSet
+    assert(capped == uncapped)
+    // a cap at/above the cluster size is EXACTLY the unchunked join
+    val wide =
+      SimilarityOps.semanticDupPairs(v, $"id" === 0L, 0.999997, n)
+        .as[(Long, Long, Double)].collect().toSet
+    assert(wide == uncapped)
+    v.unpersist(): Unit
+  }
 }
