@@ -10,10 +10,13 @@ import org.apache.spark.sql.functions._
   * schema, batching and partitioning are real, while the actual media
   * decoder is pluggable.
   *
-  * The media libraries are not available in this environment, so
-  * `realDecoder` is a clearly-marked stub (`???`) and tests/queries use
+  * Image decoding is REAL: [[decodeImages]]/[[realDecoder]] run
+  * javax.imageio (JDK-built-in PNG/JPEG/BMP/GIF readers) inside the
+  * partition iterator — corrupt or non-image payloads degrade to an
+  * `ok = false` row instead of killing the job. Audio/video libraries
+  * are not available in this environment, so those paths use
   * `fakeDecoder` — a deterministic byte-level featurizer — to exercise
-  * the full distributed path.
+  * the same distributed plumbing.
   */
 object MultimodalOps {
 
@@ -41,8 +44,105 @@ object MultimodalOps {
       if (bytes.isEmpty) -1L else (bytes(0) & 0xff).toLong)
   }
 
-  /** Real decoder entry point — requires media libs absent here. */
-  val realDecoder: Decoder = _ => ???
+  final case class ImageFeatures(id: Long, ok: Boolean, width: Int,
+                                 height: Int, luma_sum: Long)
+
+  /** Decode one image payload with javax.imageio: (width, height,
+    * Σ integer luma) where per-pixel luma is the ITU-R 601 integer
+    * form `(299·R + 587·G + 114·B) / 1000` — exactly `g` for gray
+    * pixels, so features stay engine-exact integers. Returns None for
+    * null/empty/corrupt/non-image payloads.
+    */
+  private def decodeImage(raw: Array[Byte]): Option[(Int, Int, Long)] = {
+    val bytes = orEmpty(raw)
+    if (bytes.isEmpty) None
+    else try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sum += (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+              114 * (p & 0xff)) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, sum))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Real image decoder behind the [[Decoder]] plug point:
+    * (width, height, luma_sum), or (-1, -1, -1) for undecodable
+    * payloads. */
+  val realDecoder: Decoder = bytes =>
+    decodeImage(bytes).getOrElse((-1, -1, -1L)) match {
+      case (w, h, s) => (w.toLong, h.toLong, s)
+    }
+
+  /** Partition-wise REAL image decode (javax.imageio): one
+    * ImageFeatures row per payload; undecodable payloads come back
+    * `ok = false` with sentinel dimensions — a corrupt object must
+    * never kill a 100 TB scan. Same batch shape as [[decodeFeatures]].
+    */
+  def decodeImages(spark: SparkSession, df: DataFrame, idCol: String,
+      payloadCol: String): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, raw) =>
+          decodeImage(raw) match {
+            case Some((w, h, s)) => ImageFeatures(id, ok = true, w, h, s)
+            case None => ImageFeatures(id, ok = false, -1, -1, -1L)
+          }
+        }
+      }
+  }
+
+  /** Deterministic synthetic PNG for fixtures and oracle-gated
+    * queries: `(8 + id % 5) × (8 + id % 3)` pixels, left half gray
+    * `id % 200`, right half gray `(id · 7) % 200` — every feature
+    * [[decodeImages]] extracts is closed-form in `id`, so a SQL
+    * oracle can verify a REAL ImageIO round-trip without decoding
+    * anything itself. */
+  def synthPng(id: Long): Array[Byte] = {
+    val w = (8 + id % 5).toInt; val h = (8 + id % 3).toInt
+    val a = (id % 200).toInt; val b = (id * 7 % 200).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = if (x < w / 2) a else b
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** `(id, payload)` frame of [[synthPng]] images for the id column of
+    * `df` — the encode half of the real-decode round trip, run
+    * partition-wise like the decoders. */
+  def synthImages(spark: SparkSession, df: DataFrame, idCol: String)
+      : DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(it => it.map(id => (id, synthPng(id))))
+      .toDF(idCol, "payload")
+  }
 
   final case class FrameSample(id: Long, n_frames: Long, digest: String)
 

@@ -887,12 +887,29 @@ object PipelineQueries {
     },
 
     // Multimodal: opaque binary payload → partition-wise decode (fake
-    // deterministic decoder; real decoder is a pluggable stub).
+    // deterministic decoder exercising the generic Decoder plumbing;
+    // the REAL image path is p_multimodal_decode_real).
     "p_multimodal_decode" -> { (s, d) =>
       val bin = docs(s, d).select(col("doc_id"),
         col("text").cast("binary").as("payload"))
       MultimodalOps.decodeFeatures(s, bin, "doc_id", "payload")
         .toDF().withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // REAL image decode round trip: deterministic synthetic PNGs
+    // (every pixel closed-form in doc_id) encoded and decoded with
+    // actual javax.imageio inside the partition iterator — the oracle
+    // verifies width/height/luma analytically without touching bytes.
+    "p_multimodal_decode_real" -> { (s, d) =>
+      val imgs = MultimodalOps.synthImages(
+        s, docs(s, d).select("doc_id"), "doc_id")
+      MultimodalOps.decodeImages(s, imgs, "doc_id", "payload")
+        .toDF().withColumnRenamed("id", "doc_id")
+        .select(col("doc_id"), col("ok"), col("width"), col("height"),
+          col("luma_sum"),
+          round(col("luma_sum").cast("double") /
+            (col("width") * col("height")), 6).as("mean_luma"))
         .orderBy("doc_id")
     }
   )
@@ -1785,6 +1802,21 @@ object PipelineQueries {
               CAST(list_sum(list_transform(string_split_regex(text, ''),
                 c -> unicode(c))) % 997 AS BIGINT) AS checksum,
               CAST(unicode(substr(text, 1, 1)) AS BIGINT) AS head_byte
+         FROM documents ORDER BY doc_id""",
+
+    "p_multimodal_decode_real" ->
+      """SELECT doc_id, true AS ok,
+              CAST(8 + doc_id % 5 AS INT) AS width,
+              CAST(8 + doc_id % 3 AS INT) AS height,
+              CAST(((doc_id % 200) * ((8 + doc_id % 5) // 2)
+                 + (doc_id * 7 % 200)
+                   * (8 + doc_id % 5 - (8 + doc_id % 5) // 2))
+                * (8 + doc_id % 3) AS BIGINT) AS luma_sum,
+              round(CAST(((doc_id % 200) * ((8 + doc_id % 5) // 2)
+                 + (doc_id * 7 % 200)
+                   * (8 + doc_id % 5 - (8 + doc_id % 5) // 2))
+                * (8 + doc_id % 3) AS DOUBLE)
+                / ((8 + doc_id % 5) * (8 + doc_id % 3)), 6) AS mean_luma
          FROM documents ORDER BY doc_id"""
   )
 }

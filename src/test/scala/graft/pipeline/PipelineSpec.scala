@@ -343,6 +343,36 @@ class PipelineSpec extends SparkSpec {
     assert(dc == Map(1L -> 2L, 2L -> 0L))
   }
 
+  test("real image decode: PNG round trip, corrupt and null payloads") {
+    val ids = Seq(0L, 7L, 123L, 4567L).toDF("doc_id")
+    val imgs = MultimodalOps.synthImages(spark, ids, "doc_id")
+    val got = MultimodalOps.decodeImages(spark, imgs, "doc_id", "payload")
+      .collect().map(f => f.id -> f).toMap
+    Seq(0L, 7L, 123L, 4567L).foreach { id =>
+      val w = (8 + id % 5).toInt; val h = (8 + id % 3).toInt
+      val a = id % 200; val b = id * 7 % 200
+      val expSum = (a * (w / 2) + b * (w - w / 2)) * h
+      val f = got(id)
+      assert(f.ok && f.width == w && f.height == h,
+        s"id $id: got $f")
+      assert(f.luma_sum == expSum, s"id $id: ${f.luma_sum} != $expSum")
+    }
+    // the Decoder plug point runs the same real decode
+    assert(MultimodalOps.realDecoder(MultimodalOps.synthPng(7L)) ==
+      ((10L, 9L, got(7L).luma_sum)))
+    // corrupt / non-image / null payloads degrade to ok=false rows
+    val junk = Seq(
+      (1L, Some("not a png at all".getBytes("UTF-8"))),
+      (2L, Some(Array.emptyByteArray)),
+      (3L, None: Option[Array[Byte]]),
+      (4L, Some(MultimodalOps.synthPng(4L).take(10)))) // truncated header
+      .toDF("doc_id", "payload")
+    val bad = MultimodalOps.decodeImages(spark, junk, "doc_id", "payload")
+      .collect()
+    assert(bad.length == 4 && bad.forall(f =>
+      !f.ok && f.width == -1 && f.height == -1 && f.luma_sum == -1L))
+  }
+
   test("multimodal fake decode features match byte arithmetic") {
     val bin = docs.select($"doc_id", $"text".cast("binary").as("payload"))
     val out = MultimodalOps.decodeFeatures(spark, bin, "doc_id", "payload")
