@@ -60,11 +60,23 @@ object Bench {
       }
       if (ok) Some(name -> times.min) else { failed += name; None }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal seconds: the driver records only a bounded TAIL of
+    // stdout, so a 100+-query map at full double precision loses its
+    // head — 0.1 ms resolution keeps the line as small as it can be
+    val qs = results.map { case (k, v) => f""""$k":$v%.4f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // the UNTRUNCATED record: the same JSON line, kept as a file so
+    // per-query regression gating survives the driver's stdout-tail
+    // bound (VERDICT r4 #7); best-effort — a read-only cwd must not
+    // fail the bench
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] BENCH_FULL.json not written: $e") }
     spark.stop()
   }
 }

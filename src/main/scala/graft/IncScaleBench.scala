@@ -121,11 +121,34 @@ object IncScaleBench {
         .write.mode("overwrite").format("noop").save()
     }
 
+    // segment-dedup economics: batch rewrite against the persisted
+    // frequency index vs recomputing segmentDedup over corpus ∪ batch
+    // (restricted to the batch's docs — the fair no-index day-2 run)
+    val segDir = "/tmp/graft_incscale_seg_" +
+      corpusDir.replaceAll("[^a-zA-Z0-9]", "_")
+    new graft.store.OrderedDataset(spark, segDir).removeFromDisk()
+    val tSegBuild = timed {
+      DedupIndex.buildSegments(spark, segDir, corpus, "doc_id", "text",
+        segWords = 10, rowsPerFile = 100000)
+    }
+    val tSegProbe = minOf(3) {
+      DedupIndex.dedupBatchSegments(spark, segDir, batch,
+        "doc_id", "text", segWords = 10, dfMin = 2L)
+        .write.mode("overwrite").format("noop").save()
+    }
+    val tSegFull = minOf(3) {
+      DedupOps.segmentDedup(corpus.unionByName(batch), "doc_id", "text",
+        segWords = 10, dfMin = 2L)
+        .filter(col("doc_id") >= 10000000L)
+        .write.mode("overwrite").format("noop").save()
+    }
+
     val nCorpus = corpus.count(); val nBatch = batch.count()
     println(s"""{"corpus":$nCorpus,"batch":$nBatch,""" +
       s""""build_s":$tBuild,"probe_s":$tProbe,"full_s":$tFull,""" +
       s""""sim_build_s":$tSimBuild,"sim_probe_s":$tSimProbe,""" +
-      s""""sim_full_s":$tSimFull}""")
+      s""""sim_full_s":$tSimFull,"seg_build_s":$tSegBuild,""" +
+      s""""seg_probe_s":$tSegProbe,"seg_full_s":$tSegFull}""")
     spark.stop()
   }
 }

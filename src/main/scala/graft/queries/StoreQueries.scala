@@ -6,7 +6,7 @@ import graft.Tables
 import graft.agg.{AggFn, AggSpec}
 import graft.store._
 import graft.stream.{AggStream, StreamKeyCfg}
-import graft.streaming.StreamingAgg
+import graft.streaming.{StreamingAgg, StreamingXRows}
 
 /** Queries exercising the store layer end-to-end: ordered upsert with
   * keep-last dedup (M1-M6, W1), zone-map-pruned range scans (S2), the
@@ -72,7 +72,8 @@ object StoreQueries {
     // v12: clicks carries per-file HLL sketches (s7)
     // v13: + the sink_ds dataset fed through the native graft
     // streaming sink (t15)
-    val marker = new java.io.File(s"$base/_BUILT_v13_${inputTag(d)}")
+    // v14: + native-streaming count bins over the graft source (t16)
+    val marker = new java.io.File(s"$base/_BUILT_v14_${inputTag(d)}")
     if (marker.exists()) return st
     // wipe any partial build
     graft.LocalFs.rmTree(new java.io.File(base))
@@ -201,6 +202,18 @@ object StoreQueries {
       aggSpecs, s"$base/stream_src_hourly", s"$base/_ckpt_t14",
       NRows(5000))
     q3.awaitTermination()
+
+    // t16 fixture: native-streaming COUNT bins (G3/T1 in the state
+    // store): the same 3-commit stream_src tailed through the graft
+    // source; bins span the commit boundaries, the running ordinal
+    // and open-bin partial live in flatMapGroupsWithState state.
+    val seedStreamX = s.readStream.format("graft")
+      .load(st.dirOf("stream_src"))
+      .withColumn("ts", col("ts").cast("timestamp_ltz"))
+      .select("event_id", "ts", "value")
+    val qx = StreamingXRows.run(seedStreamX, "ts", "event_id", "value",
+      500L, s"$base/streaming_xrows", s"$base/_ckpt_t16", NRows(5000))
+    qx.awaitTermination()
 
     // t15 fixture: the store as a NATIVE streaming SINK — the same
     // events rows arrive as micro-batches through
@@ -454,6 +467,16 @@ object StoreQueries {
         .orderBy("bin")
     },
 
+    // G3/T1 in the state store: native-streaming count bins over the
+    // 3-commit graft source must equal the one-shot 500-row binning —
+    // the same oracle as the batch-incremental t7.
+    "t16_streaming_xrows" -> { (s, d) =>
+      ensure(s, d)
+      StreamingXRows.results(s, s"${baseDir(d)}/streaming_xrows")
+        .withColumn("bin_label", col("bin_label").cast("timestamp_ntz"))
+        .orderBy("bin")
+    },
+
     // The graft store AS a Structured Streaming sink: events streamed
     // in micro-batches through writeStream.format("graft") with
     // exactly-once epoch stamping; full readback equals the raw table.
@@ -665,6 +688,18 @@ object StoreQueries {
          FROM e GROUP BY 1 ORDER BY 1""",
 
     "t7_aggstream_xrows" -> s"""$EV
+         SELECT CAST(floor((rn - 1) / 500) AS BIGINT) AS bin,
+              min(ts) AS bin_label,
+              count(*) AS n_rows,
+              min_by(value, event_id) AS first_v,
+              max_by(value, event_id) AS last_v,
+              min(value) AS min_v, max(value) AS max_v,
+              CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
+         FROM (SELECT *, row_number() OVER (ORDER BY ts, event_id) AS rn
+               FROM e)
+         GROUP BY 1 ORDER BY 1""",
+
+    "t16_streaming_xrows" -> s"""$EV
          SELECT CAST(floor((rn - 1) / 500) AS BIGINT) AS bin,
               min(ts) AS bin_label,
               count(*) AS n_rows,

@@ -116,4 +116,60 @@ class ConcurrencySpec extends SparkSpec {
       s"reader failures: ${failures.toArray.mkString("; ")}")
     assert(ds.kv("i") === "149")
   }
+
+  /** A writer killed mid-commit leaves three kinds of debris: its
+    * (now heartbeat-less) lock, a partial `_tmp_write-*` job dir, and
+    * committed-but-never-referenced data files at ids ≥ nextFileId.
+    * The contract: readers never notice (they plan from the sidecar
+    * alone), and the NEXT writer breaks the stale lock, sweeps the
+    * orphans, and commits — leaving a readable, consistent generation
+    * chain with no manual intervention.
+    */
+  test("dead writer mid-commit: stale lock broken, orphans swept") {
+    import spark.implicits._
+    val dir = tmpDir("deadwriter") + "/ds"
+    val ds = new OrderedDataset(spark, dir)
+    ds.write(spark.range(0, 100).toDF("seq").withColumn("v", lit(0.0)),
+      WriteOpts("seq", NRows(50)))
+    val g1 = ds.meta.generation
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(n: String) = new org.apache.hadoop.fs.Path(dir, n)
+    // 1. the dead writer's lock: present, token nobody holds, mtime
+    //    past the staleness horizon (its heartbeat died with it)
+    val lock = fs.create(p(OrderedDataset.LockName), true)
+    lock.write("dead-writer@gone:0000".getBytes("UTF-8")); lock.close()
+    fs.setTimes(p(OrderedDataset.LockName),
+      System.currentTimeMillis() - OrderedDataset.LockStaleMs - 60000L, -1)
+    // 2. its partial Spark job dir
+    fs.mkdirs(p(OrderedDataset.TmpDirPrefix + "deadbeef"))
+    val junk = fs.create(p(OrderedDataset.TmpDirPrefix + "deadbeef/part-0"),
+      true)
+    junk.write(Array.fill(64)(7.toByte)); junk.close()
+    // 3. a data file it wrote but never published (id >= nextFileId)
+    val orphanName = f"f${ds.meta.nextFileId + 7}%08d.parquet"
+    val someData = ds.meta.files.head.name
+    org.apache.hadoop.fs.FileUtil.copy(fs, p(someData), fs, p(orphanName),
+      false, spark.sparkContext.hadoopConfiguration)
+    // readers are oblivious to all of it
+    assert(ds.df.count() === 100)
+    assert(ds.meta.generation === g1)
+    // the next writer queues 0 ms on the STALE lock (it is broken, not
+    // waited out), sweeps, and commits
+    val t0 = System.currentTimeMillis()
+    ds.write(spark.range(100, 150).toDF("seq").withColumn("v", lit(1.0)),
+      WriteOpts("seq", NRows(50)))
+    assert(System.currentTimeMillis() - t0 < OrderedDataset.LockStaleMs,
+      "writer waited on a stale lock instead of breaking it")
+    assert(!fs.exists(p(OrderedDataset.TmpDirPrefix + "deadbeef")))
+    assert(!fs.exists(p(orphanName)))
+    assert(!fs.exists(p(OrderedDataset.LockName))) // released cleanly
+    // the chain is consistent and fully readable
+    assert(ds.df.count() === 150)
+    val gens = ds.generations
+    assert(gens.contains(g1))
+    assert(ds.dfAsOf(g1).count() === 100)
+    ds.restoreTo(g1)
+    assert(ds.df.count() === 100)
+  }
 }
