@@ -244,6 +244,105 @@ object MultimodalOps {
         }.reduce(_ + _).as("ahash"))
   }
 
+  final case class AudioFeatures(id: Long, ok: Boolean, sample_rate: Int,
+      channels: Int, n_samples: Long, amp_sum: Long, peak: Long)
+
+  /** Decode one audio payload with javax.sound.sampled (JDK-built-in
+    * WAV/AIFF/AU): container-level format plus integer-exact PCM
+    * features — sample count, signed-sample sum, peak |amplitude| —
+    * over 16-bit little-endian frames. None for undecodable payloads.
+    */
+  private def decodeAudioBytes(raw: Array[Byte])
+      : Option[AudioFeatures] = {
+    val bytes = orEmpty(raw)
+    if (bytes.isEmpty) None
+    else try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+        else {
+          val buf = new Array[Byte](8192)
+          var sum = 0L; var peak = 0L; var n = 0L
+          var carry = -1 // low byte of a sample split across reads
+          var read = in.read(buf)
+          while (read > 0) {
+            var k = 0
+            if (carry >= 0 && read >= 1) {
+              val s = ((buf(0) << 8) | carry).toShort.toLong
+              sum += s; peak = math.max(peak, math.abs(s)); n += 1
+              carry = -1; k = 1
+            }
+            while (k + 1 < read) {
+              val s = ((buf(k + 1) << 8) | (buf(k) & 0xff)).toShort.toLong
+              sum += s; peak = math.max(peak, math.abs(s)); n += 1
+              k += 2
+            }
+            if (k < read) carry = buf(k) & 0xff
+            read = in.read(buf)
+          }
+          Some(AudioFeatures(0L, ok = true,
+            fmt.getSampleRate.toInt, fmt.getChannels, n, sum, peak))
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Partition-wise REAL audio decode: one AudioFeatures row per
+    * payload, `ok = false` sentinels for undecodable ones — the audio
+    * sibling of [[decodeImages]]. */
+  def decodeAudio(spark: SparkSession, df: DataFrame, idCol: String,
+      payloadCol: String): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, raw) =>
+          decodeAudioBytes(raw) match {
+            case Some(f) => f.copy(id = id)
+            case None =>
+              AudioFeatures(id, ok = false, -1, -1, -1L, -1L, -1L)
+          }
+        }
+      }
+  }
+
+  /** Deterministic synthetic WAV (PCM 16-bit mono, 8 kHz):
+    * `800 + (id % 5)·80` samples, `sample[i] = ((i·k) % 200 − 100)·50`
+    * with `k = id % 7 + 1` — every feature [[decodeAudio]] extracts is
+    * SQL-recomputable from `id`, the audio analog of [[synthPng]]. */
+  def synthWav(id: Long): Array[Byte] = {
+    val n = (800 + id % 5 * 80).toInt
+    val k = (id % 7 + 1).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = ((i.toLong * k % 200 - 100) * 50).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true,
+      false)
+    val ain = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ain,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** `(id, payload)` frame of [[synthWav]] clips — the encode half of
+    * the real-audio round trip. */
+  def synthAudio(spark: SparkSession, df: DataFrame, idCol: String)
+      : DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(it => it.map(id => (id, synthWav(id))))
+      .toDF(idCol, "payload")
+  }
+
   /** Decode a binary payload column partition-wise. Input: (id, payload);
     * output one feature row per media object. The decoder runs once per
     * row inside a partition iterator — batch-shaped like an Arrow-based

@@ -911,6 +911,18 @@ object PipelineQueries {
           round(col("luma_sum").cast("double") /
             (col("width") * col("height")), 6).as("mean_luma"))
         .orderBy("doc_id")
+    },
+
+    // REAL audio decode round trip: deterministic synthetic WAV clips
+    // (every PCM sample closed-form in doc_id) through actual
+    // javax.sound decoding — integer-exact sample features the oracle
+    // recomputes analytically.
+    "p_multimodal_audio" -> { (s, d) =>
+      val clips = MultimodalOps.synthAudio(
+        s, docs(s, d).select("doc_id"), "doc_id")
+      MultimodalOps.decodeAudio(s, clips, "doc_id", "payload")
+        .toDF().withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     }
   )
 
@@ -1817,6 +1829,19 @@ object PipelineQueries {
                    * (8 + doc_id % 5 - (8 + doc_id % 5) // 2))
                 * (8 + doc_id % 3) AS DOUBLE)
                 / ((8 + doc_id % 5) * (8 + doc_id % 3)), 6) AS mean_luma
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    "p_multimodal_audio" ->
+      """SELECT d.doc_id, true AS ok,
+              CAST(8000 AS INT) AS sample_rate,
+              CAST(1 AS INT) AS channels,
+              CAST(800 + d.doc_id % 5 * 80 AS BIGINT) AS n_samples,
+              CAST(sum((t.i * (d.doc_id % 7 + 1) % 200 - 100) * 50)
+                AS BIGINT) AS amp_sum,
+              CAST(max(abs((t.i * (d.doc_id % 7 + 1) % 200 - 100) * 50))
+                AS BIGINT) AS peak
+         FROM documents d,
+              LATERAL unnest(range(0, 800 + d.doc_id % 5 * 80)) t(i)
+         GROUP BY d.doc_id ORDER BY d.doc_id"""
   )
 }

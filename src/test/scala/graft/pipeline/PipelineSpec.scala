@@ -373,6 +373,32 @@ class PipelineSpec extends SparkSpec {
       !f.ok && f.width == -1 && f.height == -1 && f.luma_sum == -1L))
   }
 
+  test("real audio decode: WAV round trip, corrupt and null payloads") {
+    val ids = Seq(0L, 3L, 11L, 999L).toDF("doc_id")
+    val clips = MultimodalOps.synthAudio(spark, ids, "doc_id")
+    val got = MultimodalOps.decodeAudio(spark, clips, "doc_id", "payload")
+      .collect().map(f => f.id -> f).toMap
+    Seq(0L, 3L, 11L, 999L).foreach { id =>
+      val n = (800 + id % 5 * 80).toInt
+      val k = (id % 7 + 1).toInt
+      val samples = (0 until n).map(i => (i.toLong * k % 200 - 100) * 50)
+      val f = got(id)
+      assert(f.ok && f.sample_rate == 8000 && f.channels == 1,
+        s"id $id: $f")
+      assert(f.n_samples == n.toLong)
+      assert(f.amp_sum == samples.sum, s"id $id amp_sum")
+      assert(f.peak == samples.map(math.abs).max, s"id $id peak")
+    }
+    val junk = Seq(
+      (1L, Some("RIFFnope".getBytes("UTF-8"))),
+      (2L, Some(Array.emptyByteArray)),
+      (3L, None: Option[Array[Byte]]))
+      .toDF("doc_id", "payload")
+    val bad = MultimodalOps.decodeAudio(spark, junk, "doc_id", "payload")
+      .collect()
+    assert(bad.length == 3 && bad.forall(f => !f.ok && f.n_samples == -1L))
+  }
+
   test("multimodal fake decode features match byte arithmetic") {
     val bin = docs.select($"doc_id", $"text".cast("binary").as("payload"))
     val out = MultimodalOps.decodeFeatures(spark, bin, "doc_id", "payload")
