@@ -94,4 +94,52 @@ class StreamingAggSpec extends SparkSpec {
       .orderBy("bin", "snap").collect().toSeq
     assert(got == batch)
   }
+
+  test("streamed count bins: chunking-invariant, restart-safe") {
+    val events = mkEvents(200)
+    // reference: bins of 30 over (t, rid) order, five kernels + label
+    def expected: Seq[(Long, Long, Long, Double, Double, Double, Double,
+        Double)] =
+      events.sortBy(e => (e.t.getTime, e.rid)).zipWithIndex
+        .groupBy(_._2 / 30).toSeq.sortBy(_._1).map { case (bin, rows) =>
+          val vs = rows.map(_._1)
+          (bin.toLong, vs.map(_.t.getTime).min, vs.size.toLong,
+            vs.minBy(_.rid).v, vs.maxBy(_.rid).v,
+            vs.map(_.v).min, vs.map(_.v).max,
+            vs.map(e => BigDecimal(e.v).setScale(6,
+              BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+        }
+    def run(dir: String, slices: Seq[Seq[Ev]], preRestart: Int): Unit = {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+        spark.sqlContext
+      val m1 = MemoryStream[Ev]
+      slices.take(preRestart).foreach(s => m1.addData(s))
+      StreamingXRows.run(m1.toDF(), "t", "rid", "v", 30L,
+        s"$dir/out", s"$dir/ckpt").awaitTermination()
+      // restart: a NEW query on the same checkpoint; the source
+      // re-presents every block, committed offsets skip the old ones
+      val m2 = MemoryStream[Ev]
+      slices.foreach(s => m2.addData(s))
+      StreamingXRows.run(m2.toDF(), "t", "rid", "v", 30L,
+        s"$dir/out", s"$dir/ckpt").awaitTermination()
+    }
+    def read(dir: String) = StreamingXRows.results(spark, s"$dir/out")
+      .orderBy("bin")
+      .select(col("bin"),
+        (unix_micros(col("bin_label")) / 1000).cast("long"), col("n_rows"),
+        col("first_v"), col("last_v"), col("min_v"), col("max_v"),
+        col("sum_v"))
+      .as[(Long, Long, Long, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    // chunking A: bin-aligned-ish blocks; restart after the first
+    val dirA = tmpDir("sxrA")
+    run(dirA, Seq(events.slice(0, 60), events.slice(60, 145),
+      events.slice(145, 200)), 1)
+    // chunking B: mid-bin splits everywhere; restart after two
+    val dirB = tmpDir("sxrB")
+    run(dirB, Seq(events.slice(0, 7), events.slice(7, 101),
+      events.slice(101, 163), events.slice(163, 200)), 2)
+    assert(read(dirA) == expected)
+    assert(read(dirB) == expected)
+  }
 }
