@@ -62,12 +62,16 @@ object Bench {
     }
     // 4-decimal seconds: the driver records only a bounded TAIL of
     // stdout, so a 100+-query map at full double precision loses its
-    // head — 0.1 ms resolution keeps the line as small as it can be
-    val qs = results.map { case (k, v) => f""""$k":$v%.4f""" }
+    // head — 0.1 ms resolution keeps the line as small as it can be.
+    // Locale.ROOT: the f-interpolator follows the JVM default locale,
+    // and a comma-decimal locale would render invalid JSON
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val qs = results.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // the UNTRUNCATED record: the same JSON line, kept as a file so
     // per-query regression gating survives the driver's stdout-tail

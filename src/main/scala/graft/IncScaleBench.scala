@@ -20,6 +20,9 @@ object IncScaleBench {
   private val NumHashes = 12
   private val Bands = 4
   private val Threshold = 0.8
+  /** Batch doc_ids are shifted past every corpus id; the seg-full
+    * baseline filter must use the SAME offset to select batch docs. */
+  private val BatchIdOffset = 10000000L
 
   def main(args: Array[String]): Unit = {
     val Array(corpusDir, batchDir) = args.take(2)
@@ -36,7 +39,7 @@ object IncScaleBench {
       .repartition(spark.sparkContext.defaultParallelism)
     val corpus = docs(corpusDir)
     val batch = docs(batchDir).filter(col("doc_id") % 8 === 7)
-      .select((col("doc_id") + 10000000L).as("doc_id"),
+      .select((col("doc_id") + BatchIdOffset).as("doc_id"),
         concat(col("text"), lit(" zq zq zq")).as("text"))
 
     val idxDir = "/tmp/graft_incscale_idx_" +
@@ -139,7 +142,7 @@ object IncScaleBench {
     val tSegFull = minOf(3) {
       DedupOps.segmentDedup(corpus.unionByName(batch), "doc_id", "text",
         segWords = 10, dfMin = 2L)
-        .filter(col("doc_id") >= 10000000L)
+        .filter(col("doc_id") >= BatchIdOffset)
         .write.mode("overwrite").format("noop").save()
     }
 

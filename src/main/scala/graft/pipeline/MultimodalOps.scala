@@ -53,29 +53,52 @@ object MultimodalOps {
     * pixels, so features stay engine-exact integers. Returns None for
     * null/empty/corrupt/non-image payloads.
     */
+  /** Headers are validated BEFORE pixel allocation: a corrupt or
+    * adversarial header declaring absurd dimensions would otherwise
+    * drive ImageIO into a multi-GB BufferedImage and an
+    * OutOfMemoryError — which is fatal (NonFatal doesn't catch it)
+    * and WOULD kill the scan the ok=false contract protects. */
+  private val MaxImagePixels = 64L * 1024 * 1024
+
   private def decodeImage(raw: Array[Byte]): Option[(Int, Int, Long)] = {
     val bytes = orEmpty(raw)
     if (bytes.isEmpty) None
     else try {
-      val img = javax.imageio.ImageIO.read(
+      val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      if (img == null) None
-      else {
-        val w = img.getWidth; val h = img.getHeight
-        var sum = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val p = img.getRGB(x, y)
-            sum += (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
-              114 * (p & 0xff)) / 1000
-            x += 1
-          }
-          y += 1
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val w = reader.getWidth(0); val h = reader.getHeight(0)
+            if (w <= 0 || h <= 0 || w.toLong * h > MaxImagePixels) None
+            else {
+              val img = reader.read(0)
+              var sum = 0L
+              val row = new Array[Int](w)
+              var y = 0
+              while (y < h) {
+                // bulk row read: per-pixel getRGB pays a ColorModel
+                // conversion call per pixel — ~an order of magnitude
+                // slower in the hot loop for identical output
+                img.getRGB(0, y, w, 1, row, 0, w)
+                var x = 0
+                while (x < w) {
+                  val p = row(x)
+                  sum += (299 * ((p >> 16) & 0xff) +
+                    587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)) / 1000
+                  x += 1
+                }
+                y += 1
+              }
+              Some((w, h, sum))
+            }
+          } finally reader.dispose()
         }
-        Some((w, h, sum))
-      }
+      } finally if (iis != null) iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 

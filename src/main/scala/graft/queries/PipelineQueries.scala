@@ -32,6 +32,10 @@ object PipelineQueries {
   private val NPlanes = 24
   private val PlanesPerBand = 6
   private val CosThreshold = 0.4
+  /** Semantic-dedup rank-chunk size — deliberately below the driver-SF
+    * cluster sizes (~25 members at sf0.01) so the bounded-budget path
+    * runs and is oracle-gated at every driver SF. */
+  private val SemanticChunk = 8
   private val TopK = 5
   private val NQueryVecs = 20
   private val SampleRateEn = 0.5
@@ -509,11 +513,16 @@ object PipelineQueries {
 
     // Semantic (cluster-scoped) near-dup: SemDeDup shape — coarse
     // semantic clusters from the IVF quantizer, exact cosine only
-    // within a cluster.
+    // within a cluster. The cap is set BELOW the driver-SF cluster
+    // sizes so the rank-chunk budget path (the 100 TB skew backstop)
+    // is actively exercised and oracle-gated: the oracle replicates
+    // the chunk rule (|chunk diff| <= 1 on the centroid-cosine rank),
+    // not just the uncapped self-join.
     "p_dedup_semantic" -> { (s, d) =>
       val v = SimilarityOps.withNorm(embs(s, d), "vec_id", "embedding")
         .persist()
-      SimilarityOps.semanticDupPairs(v, centroidPred, CosThreshold)
+      SimilarityOps.semanticDupPairs(v, centroidPred, CosThreshold,
+          maxClusterSize = SemanticChunk)
         .orderBy("i", "j")
     },
 
@@ -1470,17 +1479,26 @@ object PipelineQueries {
                FROM v),
          cents AS (SELECT id AS cid, vec AS cvec, norm AS cnorm FROM n
                    WHERE id % 25 = 0 AND id < $CentroidCap),
-         assigned AS (SELECT id, vec, norm, cid FROM (
-                SELECT n.id, n.vec, n.norm, cents.cid, row_number() OVER (
+         assigned AS (SELECT id, vec, norm, cid, ccos FROM (
+                SELECT n.id, n.vec, n.norm, cents.cid,
+                  round(list_dot_product(n.vec, cents.cvec)
+                    / (n.norm * cents.cnorm), 6) AS ccos,
+                  row_number() OVER (
                   PARTITION BY n.id ORDER BY
                     round(list_dot_product(n.vec, cents.cvec)
                       / (n.norm * cents.cnorm), 6) DESC, cents.cid) AS crank
-                FROM n CROSS JOIN cents) WHERE crank = 1)
+                FROM n CROSS JOIN cents) WHERE crank = 1),
+         ranked AS (SELECT id, vec, norm, cid,
+                  CAST(floor((row_number() OVER (PARTITION BY cid
+                    ORDER BY ccos DESC, id) - 1) / $SemanticChunk.0)
+                    AS BIGINT) AS chunk
+                FROM assigned)
        SELECT a.id AS i, b.id AS j,
               round(list_dot_product(a.vec, b.vec)
                 / (a.norm * b.norm), 6) AS cos
-       FROM assigned a JOIN assigned b
+       FROM ranked a JOIN ranked b
          ON a.cid = b.cid AND a.id < b.id
+           AND abs(a.chunk - b.chunk) <= 1
        WHERE round(list_dot_product(a.vec, b.vec)
                 / (a.norm * b.norm), 6) >= $CosThreshold
        ORDER BY i, j""",
@@ -1582,12 +1600,15 @@ object PipelineQueries {
                   FROM segs GROUP BY 1),
          j AS (SELECT s.doc_id, s.pos, s.seg, f.df
                FROM segs s JOIN freq f USING (seg))
-         SELECT doc_id, count(*) AS n_segs,
-                CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-                  AS n_dropped,
-                md5(coalesce(string_agg(CASE WHEN df < 2 THEN seg END,
-                  ' ' ORDER BY pos), '')) AS clean_digest
-         FROM j GROUP BY doc_id ORDER BY doc_id""",
+         SELECT d.doc_id, CAST(count(j.seg) AS BIGINT) AS n_segs,
+                CAST(coalesce(sum(CASE WHEN j.df >= 2 THEN 1 ELSE 0 END),
+                  0) AS BIGINT) AS n_dropped,
+                CASE WHEN count(j.seg) = 0 THEN NULL
+                  ELSE md5(coalesce(string_agg(
+                    CASE WHEN j.df < 2 THEN j.seg END,
+                    ' ' ORDER BY j.pos), '')) END AS clean_digest
+         FROM documents d LEFT JOIN j ON d.doc_id = j.doc_id
+         GROUP BY d.doc_id ORDER BY d.doc_id""",
 
     "p_segment_dedup_inc" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
@@ -1602,13 +1623,16 @@ object PipelineQueries {
                   FROM segs GROUP BY 1),
          j AS (SELECT s.doc_id, s.pos, s.seg, f.df
                FROM segs s JOIN freq f USING (seg))
-         SELECT doc_id, count(*) AS n_segs,
-                CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-                  AS n_dropped,
-                md5(coalesce(string_agg(CASE WHEN df < 2 THEN seg END,
-                  ' ' ORDER BY pos), '')) AS clean_digest
-         FROM j WHERE doc_id % 5 = 0
-         GROUP BY doc_id ORDER BY doc_id""",
+         SELECT d.doc_id, CAST(count(j.seg) AS BIGINT) AS n_segs,
+                CAST(coalesce(sum(CASE WHEN j.df >= 2 THEN 1 ELSE 0 END),
+                  0) AS BIGINT) AS n_dropped,
+                CASE WHEN count(j.seg) = 0 THEN NULL
+                  ELSE md5(coalesce(string_agg(
+                    CASE WHEN j.df < 2 THEN j.seg END,
+                    ' ' ORDER BY j.pos), '')) END AS clean_digest
+         FROM documents d LEFT JOIN j ON d.doc_id = j.doc_id
+         WHERE d.doc_id % 5 = 0
+         GROUP BY d.doc_id ORDER BY d.doc_id""",
 
     "p_text_perplexity" ->
       """WITH tri AS (

@@ -420,20 +420,27 @@ object RefQueries {
     // are estimator-dependent, so — like s7_approx_distinct — the
     // query gates approx-vs-exact within tolerance and emits the
     // deterministic exact values plus boolean gates; the oracle
-    // recomputes the exact side and asserts the gates true.
+    // recomputes the exact side and asserts the gates true. The gate's
+    // exact percentile runs over round(value, 2): Spark's exact
+    // Percentile buffers a value→count map PER GROUP, so on the raw
+    // continuous column its memory grows with group size — the 2-dp
+    // domain caps the map at the value range × 100 entries at ANY
+    // corpus size (the ≤0.005 shift is absorbed by the tolerance).
+    // The production path remains the approx column alone.
     "g10_quantiles_approx" -> { (s, d) =>
       def ok(i: Int, exact: String) =
         (abs(col("q")(i) - col(exact)) <=
           greatest(abs(col(exact)) * 0.05, lit(0.05))).as(s"ok_$exact")
       Tables.events(s, d)
+        .withColumn("v2", round(col("value"), 2))
         .groupBy("event_type")
         .agg(
           expr("approx_percentile(value, array(0.25, 0.5, 0.75, 0.95))")
             .as("q"),
-          round(expr("percentile(value, 0.25)"), 6).as("p25"),
-          round(expr("percentile(value, 0.5)"), 6).as("p50"),
-          round(expr("percentile(value, 0.75)"), 6).as("p75"),
-          round(expr("percentile(value, 0.95)"), 6).as("p95"),
+          round(expr("percentile(v2, 0.25)"), 6).as("p25"),
+          round(expr("percentile(v2, 0.5)"), 6).as("p50"),
+          round(expr("percentile(v2, 0.75)"), 6).as("p75"),
+          round(expr("percentile(v2, 0.95)"), 6).as("p95"),
           count(lit(1)).as("n_rows"))
         .select(col("event_type"), col("p25"), col("p50"), col("p75"),
           col("p95"), col("n_rows"),
@@ -854,10 +861,10 @@ object RefQueries {
 
     "g10_quantiles_approx" -> s"""$EV
        SELECT event_type,
-              round(quantile_cont(value, 0.25), 6) AS p25,
-              round(quantile_cont(value, 0.5), 6) AS p50,
-              round(quantile_cont(value, 0.75), 6) AS p75,
-              round(quantile_cont(value, 0.95), 6) AS p95,
+              round(quantile_cont(round(value, 2), 0.25), 6) AS p25,
+              round(quantile_cont(round(value, 2), 0.5), 6) AS p50,
+              round(quantile_cont(round(value, 2), 0.75), 6) AS p75,
+              round(quantile_cont(round(value, 2), 0.95), 6) AS p95,
               count(*) AS n_rows,
               true AS ok_p25, true AS ok_p50,
               true AS ok_p75, true AS ok_p95
