@@ -84,4 +84,47 @@ class CurationPropertySpec extends SparkSpec {
       assert(got == expect, s"seed ${90 + i} budget $budget")
     }
   }
+
+  /** Random vectors, random caps: the chunked semantic-dedup candidate
+    * set must (a) be a subset of the uncapped pairs, (b) contain EVERY
+    * uncapped pair whose members sit within `cap` centroid-cosine
+    * ranks of each other (the stated recall contract), and (c) equal
+    * the uncapped set whenever cap >= the largest cluster. */
+  test("semanticDupPairs chunking: subset, rank-window recall, cap-equality") {
+    val vecGen: Gen[Seq[(Long, Array[Float])]] = for {
+      n <- Gen.choose(12, 60)
+      seeds <- Gen.listOfN(n, Gen.choose(0, 999))
+    } yield seeds.zipWithIndex.map { case (s, i) =>
+      (i.toLong, Array.tabulate(4)(j =>
+        (math.sin(s * 0.7 + j) + 2.0).toFloat)) // positive-ish: cos spread
+    }
+    (1 to 5).foreach { i =>
+      val rows = sample(vecGen, 700L + i)
+      val df = rows.toDF("vec_id", "embedding")
+      val v = SimilarityOps.withNorm(df, "vec_id", "embedding").persist()
+      val centPred = col("id") % 10 === 0
+      val thr = 0.9
+      def pairs(cap: Int) =
+        SimilarityOps.semanticDupPairs(v, centPred, thr, cap)
+          .select("i", "j").as[(Long, Long)].collect().toSet
+      val uncapped = pairs(rows.size) // cap >= any cluster: exact
+      val cap = 1 + (i % 4)
+      val capped = pairs(cap)
+      assert(capped.subsetOf(uncapped), s"seed ${700 + i}: not a subset")
+      // model the rank windows from the same assignment the op uses
+      val assigned = SimilarityOps
+        .ivfAssignTo(v, v.filter(centPred), keepScore = true)
+        .select("id", "cid", "ccos").as[(Long, Long, Double)]
+        .collect()
+      val rank = assigned.groupBy(_._2).toSeq.flatMap { case (_, members) =>
+        members.toSeq.sortBy(m => (-m._3, m._1)).zipWithIndex
+          .map { case (m, r) => m._1 -> (r / cap) }
+      }.toMap
+      val expected = uncapped.filter { case (a, b) =>
+        math.abs(rank(a) - rank(b)) <= 1 }
+      assert(capped == expected,
+        s"seed ${700 + i} cap $cap: chunk rule mismatch")
+      v.unpersist(): Unit
+    }
+  }
 }
