@@ -54,9 +54,16 @@ object StreamingXRows {
 
   def run(seed: DataFrame, orderedOn: String, tieCol: String,
       valueCol: String, xRows: Long, targetDir: String,
-      checkpointDir: String, target: RowGroupTarget = NRows(6345000L))
-      : StreamingQuery = {
+      checkpointDir: String, target: RowGroupTarget = NRows(6345000L),
+      /** The group function sorts each micro-batch in ONE task's
+        * memory; this fails fast with the remedies named instead of a
+        * silent executor OOM when a source hands over an oversized
+        * batch (e.g. a giant graft commit — rate-limit with
+        * max_generations_per_trigger, or commit smaller increments). */
+      maxBatchRows: Int = 20000000): StreamingQuery = {
     require(xRows > 0, s"xRows must be positive, got $xRows")
+    require(maxBatchRows > 0,
+      s"maxBatchRows must be positive, got $maxBatchRows")
     val spark = seed.sparkSession
     import spark.implicits._
     val typed = seed.select(
@@ -71,7 +78,13 @@ object StreamingXRows {
     val out = typed.groupByKey(_ => 0)
       .flatMapGroupsWithState[XState, XOut](OutputMode.Update,
         GroupStateTimeout.NoTimeout) { (_, it, state) =>
-        val rows = it.toArray.sortBy(r => (r.tsMicros, r.tie))
+        val rows = it.take(maxBatchRows + 1).toArray
+        require(rows.length <= maxBatchRows,
+          s"micro-batch exceeds maxBatchRows=$maxBatchRows for the " +
+            "in-memory count-bin sort — rate-limit the source " +
+            "(max_generations_per_trigger) or raise the bound")
+        java.util.Arrays.sort(rows,
+          Ordering.by((r: XIn) => (r.tsMicros, r.tie)))
         if (rows.isEmpty) Iterator.empty
         else {
           val st0 = state.getOption.getOrElse(XState(0L, None))
