@@ -263,10 +263,43 @@ object SimilarityOps {
     * cosine step and vectors join in afterwards, so each candidate pair
     * costs exactly one 64-dim dot product and the band explode never
     * replicates vector payloads.
+    *
+    * `maxBucketSize` is the skew backstop: a degenerate bucket of s
+    * rows contributes s²/2 candidate pairs, so one hot bucket (a
+    * template-duplicated corpus, or a band space too narrow for the
+    * corpus — the knob contract in SCALE.md) can quadratically spill
+    * the join. Oversized buckets are SKIPPED with a logged count
+    * (standard LSH practice; near-dups inside them go unpaired — the
+    * remedy for systematic saturation is wider planes/bands, not a
+    * bigger cap). The default never triggers at driver scale factors,
+    * so oracle parity is untouched.
     */
   def lshNearDupPairs(df: DataFrame, planes: Seq[Seq[Double]],
-      planesPerBand: Int, threshold: Double): DataFrame = {
-    val banded = lshBands(df, planes, planesPerBand)
+      planesPerBand: Int, threshold: Double,
+      maxBucketSize: Int = 100000): DataFrame = {
+    require(maxBucketSize > 0,
+      s"maxBucketSize must be positive, got $maxBucketSize")
+    val banded0 = lshBands(df, planes, planesPerBand)
+    // slim (band, bucket, n) table: bounded by bands × 2^planesPerBand
+    // live buckets — broadcastable at any corpus size
+    // not persisted: the guard's head() below and the main action each
+    // compute this one map-side-combined pass — cheaper than a cached
+    // block whose lifetime would have to outlive the caller's action
+    val sizes = banded0.groupBy("band_id", "bucket")
+      .agg(count(lit(1)).as("__bn"))
+    val over = sizes.filter(col("__bn") > maxBucketSize)
+      .agg(coalesce(count(lit(1)), lit(0L)).as("nb"),
+        coalesce(sum(col("__bn")), lit(0L)).as("nr")).head()
+    if (over.getLong(0) > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"lshNearDupPairs: skipping ${over.getLong(0)} LSH buckets " +
+          s"(${over.getLong(1)} banded rows) over " +
+          s"maxBucketSize=$maxBucketSize — near-dups inside them are " +
+          "NOT paired; widen planes/planesPerBand for this corpus size")
+    val banded = banded0.join(
+      broadcast(sizes.filter(col("__bn") <= maxBucketSize)
+        .select("band_id", "bucket")),
+      Seq("band_id", "bucket"))
     val a = banded.as("a"); val b = banded.as("b")
     val cand = a.join(b, col("a.band_id") === col("b.band_id") &&
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))

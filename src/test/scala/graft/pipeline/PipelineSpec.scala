@@ -492,6 +492,34 @@ class PipelineSpec extends SparkSpec {
     v.unpersist(): Unit
   }
 
+  test("lshNearDupPairs: degenerate buckets skipped under maxBucketSize") {
+    // a template cluster: 40 identical vectors land in ONE bucket of
+    // every band; 3 distinct near-pairs elsewhere survive the cap
+    val tpl = (0 until 40).map(i =>
+      (100L + i, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+    val others = Seq(
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.999f, 0.01f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+    val v = SimilarityOps.withNorm((tpl ++ others).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val planes = Seq(
+      Seq(1.0, 1.0, -1.0, 0.0), Seq(1.0, -1.0, 0.0, 1.0),
+      Seq(-1.0, 0.0, 1.0, 1.0), Seq(0.0, 1.0, 1.0, -1.0))
+    def pairs(cap: Int) =
+      SimilarityOps.lshNearDupPairs(v, planes, 2, 0.99, cap)
+        .select("i", "j").as[(Long, Long)].collect().toSet
+    val all = pairs(100000) // default-equivalent: nothing skipped
+    assert(all.contains((1L, 2L)))
+    assert(all.exists(p => p._1 >= 100L)) // template pairs found
+    // cap below the template bucket: its s^2/2 pairs vanish, the
+    // small-bucket pair survives
+    val capped = pairs(10)
+    assert(capped.contains((1L, 2L)))
+    assert(!capped.exists(p => p._1 >= 100L && p._2 >= 100L),
+      s"template pairs not skipped: $capped")
+  }
+
   test("semanticDupPairs: chunk cap bounds a skewed cluster's pairs") {
     // ONE degenerate cluster: every vector near the same direction, so
     // the single centroid absorbs all 300 members. Consecutive ids are
