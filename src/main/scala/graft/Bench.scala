@@ -76,11 +76,16 @@ object Bench {
     // the UNTRUNCATED record: the same JSON line, kept as a file so
     // per-query regression gating survives the driver's stdout-tail
     // bound (VERDICT r4 #7); best-effort — a read-only cwd must not
-    // fail the bench
+    // fail the bench. SPARK_GRAFT_BENCH_OUT redirects the record so a
+    // scale/experiment run can never clobber the canonical sf0.1 file
+    // (VERDICT r5 #2: a failed 100x rerun overwrote the only committed
+    // copy of the headline record — experiments write DATED files).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_FULL.json")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+      java.nio.file.Paths.get(outPath), line + "\n")
     catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] BENCH_FULL.json not written: $e") }
+      System.err.println(s"[bench] bench record not written: $e") }
     spark.stop()
   }
 }

@@ -411,11 +411,20 @@ object DedupIndex {
     val members = new OrderedDataset(spark, s"$dir/members")
     val mem = scanForProbes(spark, members,
       cand.select(col("i").as("hkey")), maxDriverKeys)
+    // Join order + hints are the scale story: the SLIM (i, j) candidate
+    // set shuffles once (16-byte rows) to meet the pruned member
+    // vectors on i; the fat (i, j, va, na) stream then meets the BATCH
+    // vectors via an explicit broadcast — the batch is the increment,
+    // bounded by contract — so candidate-cardinality rows carrying
+    // 520-byte payloads never hit a shuffle. Leaving the second join
+    // to the planner let it sort-merge on j and spill the fat stream
+    // (measured 72s for a 25k-vector batch against a 200k corpus;
+    // broadcast shape: ~17s).
     cand
       .join(mem.select(col("id").as("i"), col("vec").as("va"),
         col("norm").as("na")), Seq("i"))
-      .join(batch.select(col("id").as("j"), col("vec").as("vb"),
-        col("norm").as("nb")), Seq("j"))
+      .join(broadcast(batch.select(col("id").as("j"), col("vec").as("vb"),
+        col("norm").as("nb"))), Seq("j"))
       .select(col("i"), col("j"),
         SimilarityOps.cosine(col("va"), col("vb"), col("na"), col("nb"))
           .as("cos"))

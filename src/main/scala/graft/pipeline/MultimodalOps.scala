@@ -10,13 +10,16 @@ import org.apache.spark.sql.functions._
   * schema, batching and partitioning are real, while the actual media
   * decoder is pluggable.
   *
-  * Image decoding is REAL: [[decodeImages]]/[[realDecoder]] run
-  * javax.imageio (JDK-built-in PNG/JPEG/BMP/GIF readers) inside the
-  * partition iterator — corrupt or non-image payloads degrade to an
-  * `ok = false` row instead of killing the job. Audio/video libraries
-  * are not available in this environment, so those paths use
-  * `fakeDecoder` — a deterministic byte-level featurizer — to exercise
-  * the same distributed plumbing.
+  * Image decoding is REAL ([[decodeImages]]/[[realDecoder]]:
+  * javax.imageio's built-in PNG/JPEG/BMP/GIF readers), audio decoding
+  * is REAL ([[decodeAudio]]: javax.sound's WAV/AIFF/AU readers), and
+  * frame sampling is REAL for the one multi-frame container the JDK
+  * decodes natively ([[sampleFrames]]: animated GIF) — all inside the
+  * partition iterator, with corrupt or undecodable payloads degrading
+  * to an `ok = false` row instead of killing the job. Video codecs
+  * are not available in this environment, so the generic video path
+  * keeps `fakeDecoder`/[[frameSample]] — deterministic byte-level
+  * featurizers — to exercise the same distributed plumbing.
   */
 object MultimodalOps {
 
@@ -60,6 +63,30 @@ object MultimodalOps {
     * and WOULD kill the scan the ok=false contract protects. */
   private val MaxImagePixels = 64L * 1024 * 1024
 
+  /** Σ integer luma over every pixel (ITU-R 601 integer form — exactly
+    * `g` for gray pixels). Bulk row reads: per-pixel getRGB pays a
+    * ColorModel conversion call per pixel — ~an order of magnitude
+    * slower in the hot loop for identical output.
+    */
+  private def lumaSum(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    var sum = 0L
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val p = row(x)
+        sum += (299 * ((p >> 16) & 0xff) +
+          587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    sum
+  }
+
   private def decodeImage(raw: Array[Byte]): Option[(Int, Int, Long)] = {
     val bytes = orEmpty(raw)
     if (bytes.isEmpty) None
@@ -75,27 +102,7 @@ object MultimodalOps {
             reader.setInput(iis)
             val w = reader.getWidth(0); val h = reader.getHeight(0)
             if (w <= 0 || h <= 0 || w.toLong * h > MaxImagePixels) None
-            else {
-              val img = reader.read(0)
-              var sum = 0L
-              val row = new Array[Int](w)
-              var y = 0
-              while (y < h) {
-                // bulk row read: per-pixel getRGB pays a ColorModel
-                // conversion call per pixel — ~an order of magnitude
-                // slower in the hot loop for identical output
-                img.getRGB(0, y, w, 1, row, 0, w)
-                var x = 0
-                while (x < w) {
-                  val p = row(x)
-                  sum += (299 * ((p >> 16) & 0xff) +
-                    587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)) / 1000
-                  x += 1
-                }
-                y += 1
-              }
-              Some((w, h, sum))
-            }
+            else Some((w, h, lumaSum(reader.read(0))))
           } finally reader.dispose()
         }
       } finally if (iis != null) iis.close()
@@ -226,6 +233,134 @@ object MultimodalOps {
       }
   }
 
+  final case class FrameFeatures(id: Long, ok: Boolean, n_frames: Long,
+      n_sampled: Long, luma_sum: Long)
+
+  /** Cap on frames walked per payload: a corrupt/adversarial frame
+    * count must bound work the same way MaxImagePixels bounds one
+    * frame's allocation. */
+  private val MaxFrames = 4096
+
+  /** Decode a MULTI-FRAME image payload (animated GIF — the one
+    * multi-frame container the JDK decodes natively) and sample every
+    * k-th frame: (total frames, frames sampled, Σ luma over sampled
+    * frames). Skipped frames are counted via metadata only — the
+    * reader never materializes their pixels, which is the point of
+    * frame sampling. None for undecodable payloads.
+    */
+  private def decodeFrames(raw: Array[Byte], k: Int)
+      : Option[(Long, Long, Long)] = {
+    val bytes = orEmpty(raw)
+    if (bytes.isEmpty) None
+    else try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            // seekForwardOnly=false: frame index access is random
+            reader.setInput(iis, false)
+            var n = 0L; var sampled = 0L; var sum = 0L
+            var bad = false
+            var i = 0
+            var more = true
+            while (more && !bad && i < MaxFrames) {
+              try {
+                val w = reader.getWidth(i); val h = reader.getHeight(i)
+                if (w <= 0 || h <= 0 || w.toLong * h > MaxImagePixels)
+                  bad = true
+                else {
+                  if (i % k == 0) {
+                    sum += lumaSum(reader.read(i))
+                    sampled += 1
+                  }
+                  n += 1
+                }
+              } catch {
+                case _: IndexOutOfBoundsException => more = false
+              }
+              i += 1
+            }
+            if (bad || n == 0) None else Some((n, sampled, sum))
+          } finally reader.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Partition-wise REAL frame sampling over multi-frame payloads
+    * (animated GIF via javax.imageio — in-JDK, no codec deps): one
+    * FrameFeatures row per payload with every k-th frame decoded and
+    * luma-summed, undecodable payloads degrading to `ok = false` —
+    * the real-decode sibling of the byte-stride [[frameSample]] stub,
+    * which remains the fallback for containers the environment has no
+    * codec for. */
+  def sampleFrames(spark: SparkSession, df: DataFrame, idCol: String,
+      payloadCol: String, k: Int): Dataset[FrameFeatures] = {
+    require(k > 0, s"sampling stride k must be positive, got $k")
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, raw) =>
+          decodeFrames(raw, k) match {
+            case Some((n, s, l)) => FrameFeatures(id, ok = true, n, s, l)
+            case None => FrameFeatures(id, ok = false, -1L, -1L, -1L)
+          }
+        }
+      }
+  }
+
+  /** Deterministic synthetic animated GIF: `2 + id % 4` frames of
+    * `8 × (4 + id % 3)` pixels, frame f solid gray
+    * `(id·7 + f·13) % 200` — single-color frames survive GIF's
+    * palette quantization exactly, so every [[sampleFrames]] feature
+    * is closed-form in `id` and a SQL oracle can verify a REAL
+    * ImageIO multi-frame round trip: luma of gray g is exactly g,
+    * so luma_sum = Σ_{f ≡ 0 mod k} g_f · 8 · (4 + id % 3). */
+  def synthGif(id: Long): Array[Byte] = {
+    val nf = (2 + id % 4).toInt
+    val w = 8; val h = (4 + id % 3).toInt
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nf) {
+        val g = ((id * 7 + f * 13) % 200).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, (g << 16) | (g << 8) | g); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    baos.toByteArray
+  }
+
+  /** `(id, payload)` frame of [[synthGif]] clips for the id column of
+    * `df` — the encode half of the multi-frame round trip. */
+  def synthGifs(spark: SparkSession, df: DataFrame, idCol: String)
+      : DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(it => it.map(id => (id, synthGif(id))))
+      .toDF(idCol, "payload")
+  }
+
   /** Perceptual average-hash (aHash) of a payload viewed as bytes —
     * the image near-dup fingerprint, at byte granularity like the
     * other multimodal stubs (a media library would replace the
@@ -284,7 +419,13 @@ object MultimodalOps {
         new java.io.ByteArrayInputStream(bytes))
       try {
         val fmt = in.getFormat
-        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+        // PCM_SIGNED required: a 16-bit PCM_UNSIGNED (or μ-law etc.)
+        // stream would pass the width/endianness guard and produce
+        // wrong amp_sum/peak with ok=true, breaking the "undecodable
+        // degrades to ok=false" contract (ADVICE r5)
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+            fmt.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
         else {
           val buf = new Array[Byte](8192)
           var sum = 0L; var peak = 0L; var n = 0L

@@ -246,79 +246,117 @@ object SimilarityOps {
     * bits concatenated into a band key; returns a slim (id, band_id,
     * bucket) table — candidates are pairs sharing any (band_id, bucket).
     */
-  def lshBands(df: DataFrame, planes: Seq[Seq[Double]], planesPerBand: Int)
-      : DataFrame = {
+  def lshBands(df: DataFrame, planes: Seq[Seq[Double]], planesPerBand: Int,
+      keep: Seq[String] = Nil): DataFrame = {
     val bits: Seq[Column] = planes.map { p =>
       val pv = array(p.map(lit(_)): _*)
       when(dot(col("vec"), pv) >= 0, lit(1)).otherwise(lit(0))
     }
     val bands = bits.grouped(planesPerBand).toSeq.map(g =>
       concat(g.map(_.cast("string")): _*))
-    df.select(col("id"),
-      posexplode(array(bands: _*)).as(Seq("band_id", "bucket")))
+    df.select(col("id") +: keep.map(col) :+
+      posexplode(array(bands: _*)).as(Seq("band_id", "bucket")): _*)
   }
 
+  /** Explicit bucket-occupancy diagnostic for the banded join: one row
+    * per live (band_id, bucket) with its row count `n` — bounded by
+    * bands × 2^planesPerBand rows. Run this (or aggregate it further)
+    * when deciding whether a corpus has outgrown its key space; the
+    * production sizing path is [[LshConfig.forCorpusSize]], and
+    * [[lshNearDupPairs]] skips buckets over its cap silently.
+    */
+  def lshBucketStats(df: DataFrame, planes: Seq[Seq[Double]],
+      planesPerBand: Int): DataFrame =
+    lshBands(df, planes, planesPerBand)
+      .groupBy("band_id", "bucket").agg(count(lit(1)).as("n"))
+
   /** Near-duplicate pairs: LSH-banded candidates verified by exact
-    * cosine >= threshold. Pairs are deduplicated across bands BEFORE the
-    * cosine step and vectors join in afterwards, so each candidate pair
-    * costs exactly one 64-dim dot product and the band explode never
-    * replicates vector payloads.
+    * cosine >= threshold. The verification runs INSIDE the bucket
+    * self-join — vectors ride on the banded rows (nBands-fold payload
+    * replication of the corpus: bounded, linear) and the cosine +
+    * threshold filter apply in the join's streamed output, so only
+    * PASSING pairs ever reach a downstream shuffle (the cross-band
+    * distinct). The alternative — dedup slim (i,j) pairs first, then
+    * join vectors back — costs two candidate-cardinality shuffles
+    * carrying vector payloads: at a 200k corpus that is ~200M pairs ×
+    * 2 × 520-byte vectors ≈ 100+ GB of sort spill (the measured
+    * round-6 disk-filling death), to save a ≤ nBands-fold (measured
+    * 1.27×) redundancy in dot products. Dot products are codegen'd
+    * arithmetic inside the join loop; candidate-scale SHUFFLES are
+    * the thing that cannot scale.
     *
     * `maxBucketSize` is the skew backstop: a degenerate bucket of s
     * rows contributes s²/2 candidate pairs, so one hot bucket (a
     * template-duplicated corpus, or a band space too narrow for the
-    * corpus — the knob contract in SCALE.md) can quadratically spill
-    * the join. Oversized buckets are SKIPPED with a logged count
-    * (standard LSH practice; near-dups inside them go unpaired — the
-    * remedy for systematic saturation is wider planes/bands, not a
-    * bigger cap). The default never triggers at driver scale factors,
-    * so oracle parity is untouched.
+    * corpus — the [[LshConfig]] contract) can quadratically spill
+    * the join. Oversized buckets are SKIPPED (standard LSH practice;
+    * near-dups inside them go unpaired — the remedy for systematic
+    * saturation is wider planes/bands, not a bigger cap). The skip is
+    * a lazy single-pass window over the SAME (band_id, bucket) hash
+    * partitioning the candidate self-join shuffles on, so Catalyst's
+    * ReuseExchange serves the guard and both join sides from ONE scan
+    * + ONE shuffle, and plan construction runs no Spark action
+    * (ADVICE r5: the former eager `sizes.head()` guard both doubled
+    * the pipeline and made construction non-lazy). Skipped buckets
+    * are a silent recall deduction by design; [[lshBucketStats]] is
+    * the explicit diagnostic when occupancy needs eyes on it. The
+    * default cap never triggers at driver scale factors, so oracle
+    * parity is untouched.
+    *
+    * `corpusCount`, when the caller already knows it, arms the
+    * SATURATION fail-fast: if the uniform-hash occupancy estimate
+    * `n / 2^bits` exceeds `maxExpectedBucketRows`, the band space is
+    * too narrow for the corpus and the join blows up quadratically
+    * per bucket (the measured 200k-vector/6-bit death, SCALE.md
+    * round-5d) — die here with the remedy named instead of filling
+    * the disk. Occupancy, not total candidates, is the right gate:
+    * a PROPERLY sized space keeps buckets ~constant while candidates
+    * still grow linearly with the corpus (which is healthy). Pure
+    * arithmetic: no action, laziness preserved.
     */
   def lshNearDupPairs(df: DataFrame, planes: Seq[Seq[Double]],
       planesPerBand: Int, threshold: Double,
-      maxBucketSize: Int = 100000): DataFrame = {
+      maxBucketSize: Int = 100000,
+      corpusCount: Option[Long] = None,
+      maxExpectedBucketRows: Long = 4L * LshConfig.TargetBucketRows)
+      : DataFrame = {
     require(maxBucketSize > 0,
       s"maxBucketSize must be positive, got $maxBucketSize")
-    val banded0 = lshBands(df, planes, planesPerBand)
-    // slim (band, bucket, n) table: bounded by bands × 2^planesPerBand
-    // live buckets — broadcastable at any corpus size
-    // not persisted: the guard's head() below and the main action each
-    // compute this one map-side-combined pass — cheaper than a cached
-    // block whose lifetime would have to outlive the caller's action
-    val sizes = banded0.groupBy("band_id", "bucket")
-      .agg(count(lit(1)).as("__bn"))
-    val over = sizes.filter(col("__bn") > maxBucketSize)
-      .agg(coalesce(count(lit(1)), lit(0L)).as("nb"),
-        coalesce(sum(col("__bn")), lit(0L)).as("nr")).head()
-    if (over.getLong(0) > 0)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"lshNearDupPairs: skipping ${over.getLong(0)} LSH buckets " +
-          s"(${over.getLong(1)} banded rows) over " +
-          s"maxBucketSize=$maxBucketSize — near-dups inside them are " +
-          "NOT paired; widen planes/planesPerBand for this corpus size")
-    val banded = banded0.join(
-      broadcast(sizes.filter(col("__bn") <= maxBucketSize)
-        .select("band_id", "bucket")),
-      Seq("band_id", "bucket"))
+    corpusCount.foreach { n =>
+      val cfg = LshConfig(planes.size, planesPerBand)
+      val occ = n.toDouble / cfg.bucketsPerBand.toDouble
+      require(occ <= maxExpectedBucketRows.toDouble,
+        f"lshNearDupPairs: band space saturated — $planesPerBand-bit " +
+          f"bands expect $occ%.0f rows/bucket for a $n-vector corpus " +
+          f"(cap $maxExpectedBucketRows, ~${cfg.expectedCandidatePairs(n)}%.3g " +
+          "candidate pairs); widen the key space " +
+          "(LshConfig.forCorpusSize) instead of running a quadratic join")
+    }
+    // vectors ride the banded rows: the bucket join IS the verify step
+    val banded0 = lshBands(df, planes, planesPerBand,
+      keep = Seq("vec", "norm"))
+    // lazy single-pass skew guard: bucket size via a window over the
+    // SAME (band_id, bucket) hash partitioning the self-join shuffles
+    // on — ReuseExchange serves the guard and both join sides from ONE
+    // scan + ONE shuffle (the former eager sizes.head() guard doubled
+    // the pipeline and made construction non-lazy, ADVICE r5)
+    val wb = Window.partitionBy("band_id", "bucket")
+    val banded = banded0
+      .withColumn("__bn", count(lit(1)).over(wb))
+      .filter(col("__bn") <= maxBucketSize)
+      .drop("__bn")
     val a = banded.as("a"); val b = banded.as("b")
-    val cand = a.join(b, col("a.band_id") === col("b.band_id") &&
+    a.join(b, col("a.band_id") === col("b.band_id") &&
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("i"), col("b.id").as("j"))
-      .distinct()
-    // Verification joins vectors back by id with NO broadcast hint: the
-    // (id, vec, norm) side is the full corpus (a 64-dim vector per row)
-    // and would blow the broadcast limit long before the signature
-    // table. The candidate-pair side is the bounded one — AQE broadcasts
-    // it at runtime when it is small, and a shuffle hash join on id is
-    // the safe shape when it is not.
-    cand
-      .join(df.select(col("id"), col("vec").as("va"),
-        col("norm").as("na")), col("i") === col("id")).drop("id")
-      .join(df.select(col("id"), col("vec").as("vb"),
-        col("norm").as("nb")), col("j") === col("id")).drop("id")
-      .select(col("i"), col("j"),
-        cosine(col("va"), col("vb"), col("na"), col("nb")).as("cos"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        cosine(col("a.vec"), col("b.vec"),
+          col("a.norm"), col("b.norm")).as("cos"))
       .filter(col("cos") >= threshold)
+      // cross-band dedup AFTER the threshold: only passing pairs (a
+      // near-dup-bounded set, not the candidate set) shuffle here; cos
+      // is deterministic per (i, j), so the 3-column distinct is a
+      // pair distinct
+      .distinct()
   }
 
   /** Cluster-scoped semantic dedup (the SemDeDup shape: coarse
@@ -337,10 +375,22 @@ object SimilarityOps {
     * provably ≤ 2·|cluster|·maxClusterSize pairs per cluster — linear
     * in the corpus, never Σ|cluster|². Near-duplicates at the
     * threshold have near-identical centroid cosines, hence adjacent
-    * ranks: a pair is missed only when > maxClusterSize other members
-    * rank strictly between them (the documented SemDeDup-style
-    * approximation). Clusters at or under the cap are compared
-    * exhaustively — identical output to the unchunked self-join.
+    * ranks: a pair is missed only when ≥ maxClusterSize other members
+    * rank strictly between them — at exactly maxClusterSize between,
+    * the two land in chunks c and c+2 and are no longer adjacent (the
+    * documented SemDeDup-style approximation). Clusters at or under
+    * the cap are compared exhaustively — identical output to the
+    * unchunked self-join.
+    *
+    * NOTE (behavior contract since the cap landed): clusters larger
+    * than `maxClusterSize` have far-rank pairs DROPPED — callers that
+    * previously saw the exhaustive self-join on degenerate clusters
+    * see fewer pairs. The sizing discipline that keeps the cap from
+    * ever binding is [[centroidFilterForCorpus]] (k ∝ √n); when
+    * occupancy needs eyes on it, [[semanticClusterStats]] is the
+    * explicit truncation diagnostic (the truncation itself stays
+    * lazy/silent by design — same contract as lshNearDupPairs'
+    * bucket cap).
     *
     * The chunk-pair dedup is the `greatest(chunk_a, chunk_b)` key
     * rule, a join-side predicate instead of a distinct shuffle: a
@@ -371,6 +421,42 @@ object SimilarityOps {
           .as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** The semantic-dedup / IVF k-sizing contract AS CODE (SCALE.md:
+    * production keeps centroids ~√n so clusters stay constant-sized
+    * and [[semanticDupPairs]]' chunk cap never binds): deterministic
+    * id-subset quantizer predicate `id % idStep == 0 && id <
+    * idStep·k` with `k = clamp(ceil(√n), minCentroids,
+    * maxCentroids)`. The floor is the historical fixed cap
+    * (CentroidCap 5000 = 25·200), so every driver scale factor (n ≤
+    * 200k... √n ≤ 448 only binds past n = minCentroids² = 40k)
+    * resolves to a SUPERSET cap of its id range or the exact
+    * historical predicate — centroid sets at driver SFs are unchanged
+    * and every oracle stays byte-identical (pinned by spec).
+    */
+  def centroidFilterForCorpus(n: Long, idStep: Long = 25L,
+      minCentroids: Long = 200L,
+      maxCentroids: Long = 1000000L): Column = {
+    require(n >= 0 && idStep > 0 && minCentroids > 0 &&
+      maxCentroids >= minCentroids,
+      s"bad centroid sizing args: n=$n idStep=$idStep " +
+        s"min=$minCentroids max=$maxCentroids")
+    val k = math.min(maxCentroids,
+      math.max(minCentroids, math.ceil(math.sqrt(n.toDouble)).toLong))
+    col("id") % idStep === 0 && col("id") < idStep * k
+  }
+
+  /** Explicit cluster-occupancy diagnostic for [[semanticDupPairs]]:
+    * one row per cluster with member count `n` and whether the given
+    * chunk cap would truncate its pair set — bounded by the centroid
+    * count. Run when auditing whether a corpus has outgrown its
+    * centroid set; the sizing path is [[centroidFilterForCorpus]].
+    */
+  def semanticClusterStats(corpus: DataFrame, centroidFilter: Column,
+      maxClusterSize: Int = 4096): DataFrame =
+    ivfAssign(corpus, centroidFilter)
+      .groupBy("cid").agg(count(lit(1)).as("n"))
+      .withColumn("truncated", col("n") > maxClusterSize)
 
   // ------------------------------------------------------------------
   // Product quantization (the FAISS IVFADC shape): vectors compressed

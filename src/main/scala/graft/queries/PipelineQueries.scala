@@ -26,9 +26,14 @@ object PipelineQueries {
   // Sign-projection key width bounds the random-collision floor of the
   // banded candidate join (~bands·n²/2^(bits+1) pairs): 4-bit bands
   // (16 buckets) measured 29s at a 50k-vector corpus — the same band
-  // saturation the simhash family hit and fixed in r3. 6-bit bands cut
-  // candidates 4×; the knob must keep growing with the corpus (a
-  // production 100 TB config uses wider keys still — SCALE.md).
+  // saturation the simhash family hit and fixed in r3, and the fixed
+  // 6-bit width in turn died at a 200k-vector corpus (SCALE.md r5d).
+  // The knob is now CODE: queries size the key space from the corpus
+  // via LshConfig.forCorpusSize (lshCfg below). These two constants
+  // are the DRIVER-SF resolution of that sizing (every driver corpus
+  // ≤ 32k vectors → 24×6, pinned by LshConfigSpec) and exist only to
+  // generate the static oracle SQL, which the driver runs at driver
+  // SFs by contract.
   private val NPlanes = 24
   private val PlanesPerBand = 6
   private val CosThreshold = 0.4
@@ -225,14 +230,17 @@ object PipelineQueries {
     synchronized {
       // plane config in the tag: the probe validates its parameters
       // against the build-time config, so a config change must land in
-      // a fresh fixture dir, not collide with a stale one
-      val dir = s"/tmp/graft_embidx_${NPlanes}x${PlanesPerBand}_" +
+      // a fresh fixture dir, not collide with a stale one. The config
+      // is corpus-size-adaptive (lshCfg) — driver SFs keep the 24x6
+      // fixture dirs, a 100x corpus builds a wider-keyed index
+      val cfg = lshCfg(s, d)
+      val dir = s"/tmp/graft_embidx_${cfg.nPlanes}x${cfg.planesPerBand}_" +
         inputTag(d, "embeddings")
       if (!new graft.store.OrderedDataset(s, s"$dir/bands").exists ||
           !new graft.store.OrderedDataset(s, s"$dir/members").exists) {
         val v = SimilarityOps.withNorm(embs(s, d), "vec_id", "embedding")
         DedupIndex.buildEmbedding(s, dir, v,
-          SimilarityOps.hyperplanes(NPlanes, 64), PlanesPerBand,
+          SimilarityOps.hyperplanes(cfg.nPlanes, 64), cfg.planesPerBand,
           rowsPerFile = 2000)
       }
       dir
@@ -309,6 +317,23 @@ object PipelineQueries {
   /** See CentroidCap: every 25th id, capped to a fixed count. */
   private def centroidPred =
     col("id") % 25 === 0 && col("id") < CentroidCap
+
+  /** Embedding-corpus size per scale dir, counted once per JVM — the
+    * input to the adaptive key-space/centroid sizing below (a count()
+    * over one slim parquet table; trivially cheap next to the joins it
+    * protects).
+    */
+  private val embCountCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def nEmbs(s: SparkSession, d: String): Long =
+    embCountCache.getOrElseUpdate(d, Tables.embeddings(s, d).count())
+
+  /** Corpus-size-adaptive sign-projection config: every driver SF
+    * resolves to the historical 24×6 (so the static oracle SQL above
+    * stays exact), larger corpora widen per LshConfig.forCorpusSize.
+    */
+  private def lshCfg(s: SparkSession, d: String): LshConfig =
+    LshConfig.forCorpusSize(nEmbs(s, d))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on content digest, keep-min-id winner.
@@ -429,10 +454,13 @@ object PipelineQueries {
     // Embedding near-dup: sign-random-projection LSH bands + exact
     // cosine verification of candidates.
     "p_dedup_embedding_lsh" -> { (s, d) =>
+      val n = nEmbs(s, d)
+      val cfg = lshCfg(s, d)
       val v = SimilarityOps.withNorm(embs(s, d), "vec_id", "embedding")
         .persist()
-      val planes = SimilarityOps.hyperplanes(NPlanes, 64)
-      SimilarityOps.lshNearDupPairs(v, planes, PlanesPerBand, CosThreshold)
+      val planes = SimilarityOps.hyperplanes(cfg.nPlanes, 64)
+      SimilarityOps.lshNearDupPairs(v, planes, cfg.planesPerBand,
+          CosThreshold, corpusCount = Some(n))
         .orderBy("i", "j")
     },
 
@@ -449,8 +477,9 @@ object PipelineQueries {
         "vec_id", "embedding")
         .select(col("id"), transform(col("vec"), x => x * 1.5).as("vec"),
           (col("norm") * 1.5).as("norm"))
+      val cfg = lshCfg(s, d)
       DedupIndex.probeEmbedding(s, dir, batch,
-        SimilarityOps.hyperplanes(NPlanes, 64), PlanesPerBand,
+        SimilarityOps.hyperplanes(cfg.nPlanes, 64), cfg.planesPerBand,
         CosThreshold)
         .orderBy("i", "j")
     },
@@ -521,8 +550,13 @@ object PipelineQueries {
     "p_dedup_semantic" -> { (s, d) =>
       val v = SimilarityOps.withNorm(embs(s, d), "vec_id", "embedding")
         .persist()
-      SimilarityOps.semanticDupPairs(v, centroidPred, CosThreshold,
-          maxClusterSize = SemanticChunk)
+      // k ∝ √n centroid sizing as code: resolves to centroidPred at
+      // every driver SF (floor 200 centroids = CentroidCap/25, pinned
+      // by spec), grows past 40k vectors so cluster sizes — and with
+      // them the chunk-cap recall deduction — stay flat with corpus
+      SimilarityOps.semanticDupPairs(v,
+          SimilarityOps.centroidFilterForCorpus(nEmbs(s, d)),
+          CosThreshold, maxClusterSize = SemanticChunk)
         .orderBy("i", "j")
     },
 
@@ -930,6 +964,20 @@ object PipelineQueries {
       val clips = MultimodalOps.synthAudio(
         s, docs(s, d).select("doc_id"), "doc_id")
       MultimodalOps.decodeAudio(s, clips, "doc_id", "payload")
+        .toDF().withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // REAL multi-frame sampling round trip: deterministic animated
+    // GIFs (2 + id%4 solid-gray frames, every frame value closed-form
+    // in doc_id) through actual ImageIO sequence decoding, every 2nd
+    // frame materialized — the oracle recomputes frame counts and
+    // sampled-luma analytically. The generic (no-codec) video path
+    // remains the byte-stride p_multimodal_framesample stub.
+    "p_multimodal_frames_real" -> { (s, d) =>
+      val clips = MultimodalOps.synthGifs(
+        s, docs(s, d).select("doc_id"), "doc_id")
+      MultimodalOps.sampleFrames(s, clips, "doc_id", "payload", 2)
         .toDF().withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }
@@ -1866,6 +1914,23 @@ object PipelineQueries {
                 AS BIGINT) AS peak
          FROM documents d,
               LATERAL unnest(range(0, 800 + d.doc_id % 5 * 80)) t(i)
+         GROUP BY d.doc_id ORDER BY d.doc_id""",
+
+    // synthGif analytics: nf = 2 + id%4 frames of 8×(4 + id%3) solid
+    // gray (id·7 + f·13) % 200; stride-2 sampling decodes f = 0, 2, 4
+    // (present iff nf > f), and gray-pixel luma is exactly the gray
+    // value, so sampled luma is Σ g_f · 8 · h
+    "p_multimodal_frames_real" ->
+      """SELECT d.doc_id, true AS ok,
+              CAST(2 + d.doc_id % 4 AS BIGINT) AS n_frames,
+              CAST(sum(CASE WHEN t.f % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sampled,
+              CAST(sum(CASE WHEN t.f % 2 = 0
+                     THEN ((d.doc_id * 7 + t.f * 13) % 200)
+                          * 8 * (4 + d.doc_id % 3)
+                     ELSE 0 END) AS BIGINT) AS luma_sum
+         FROM documents d,
+              LATERAL unnest(range(0, 2 + d.doc_id % 4)) t(f)
          GROUP BY d.doc_id ORDER BY d.doc_id"""
   )
 }

@@ -73,7 +73,9 @@ object StoreQueries {
     // v13: + the sink_ds dataset fed through the native graft
     // streaming sink (t15)
     // v14: + native-streaming count bins over the graft source (t16)
-    val marker = new java.io.File(s"$base/_BUILT_v14_${inputTag(d)}")
+    // v15: + per-key (event_type) streaming count bins — the count-bin
+    // scale-out path (t17)
+    val marker = new java.io.File(s"$base/_BUILT_v15_${inputTag(d)}")
     if (marker.exists()) return st
     // wipe any partial build
     graft.LocalFs.rmTree(new java.io.File(base))
@@ -214,6 +216,20 @@ object StoreQueries {
     val qx = StreamingXRows.run(seedStreamX, "ts", "event_id", "value",
       500L, s"$base/streaming_xrows", s"$base/_ckpt_t16", NRows(5000))
     qx.awaitTermination()
+
+    // t17 fixture: the documented count-bin SCALE-OUT path — the same
+    // 3-commit stream, but bins maintained independently per
+    // event_type (5 parallel sequential folds in the state store
+    // instead of one global one); per-key ordinals span the commit
+    // boundaries exactly like t16's global one.
+    val seedStreamXK = s.readStream.format("graft")
+      .load(st.dirOf("stream_src"))
+      .withColumn("ts", col("ts").cast("timestamp_ltz"))
+      .select("event_id", "ts", "event_type", "value")
+    val qxk = StreamingXRows.runKeyed(seedStreamXK, "event_type", "ts",
+      "event_id", "value", 300L, s"$base/streaming_xrows_keyed",
+      s"$base/_ckpt_t17", NRows(5000))
+    qxk.awaitTermination()
 
     // t15 fixture: the store as a NATIVE streaming SINK — the same
     // events rows arrive as micro-batches through
@@ -477,6 +493,18 @@ object StoreQueries {
         .orderBy("bin")
     },
 
+    // The count-bin SCALE-OUT path, tested rather than asserted:
+    // per-event_type 300-row bins over the same 3-commit stream — N
+    // independent sequential folds whose per-key results must each
+    // equal the one-shot per-key binning.
+    "t17_streaming_xrows_keyed" -> { (s, d) =>
+      ensure(s, d)
+      StreamingXRows.results(s, s"${baseDir(d)}/streaming_xrows_keyed")
+        .withColumn("bin_label", col("bin_label").cast("timestamp_ntz"))
+        .withColumnRenamed("key", "event_type")
+        .orderBy("event_type", "bin")
+    },
+
     // The graft store AS a Structured Streaming sink: events streamed
     // in micro-batches through writeStream.format("graft") with
     // exactly-once epoch stamping; full readback equals the raw table.
@@ -710,6 +738,20 @@ object StoreQueries {
          FROM (SELECT *, row_number() OVER (ORDER BY ts, event_id) AS rn
                FROM e)
          GROUP BY 1 ORDER BY 1""",
+
+    "t17_streaming_xrows_keyed" -> s"""$EV
+         SELECT event_type,
+              CAST(floor((rn - 1) / 300) AS BIGINT) AS bin,
+              min(ts) AS bin_label,
+              count(*) AS n_rows,
+              min_by(value, event_id) AS first_v,
+              max_by(value, event_id) AS last_v,
+              min(value) AS min_v, max(value) AS max_v,
+              CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
+         FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                            ORDER BY ts, event_id) AS rn
+               FROM e)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "t8_streaming_native" -> s"""$EV
          SELECT date_trunc('hour', ts) AS bin,

@@ -234,20 +234,27 @@ object Sidecar {
     val out = raw.create(tmp, true)
     try out.write(bytes) finally out.close()
     val dst = new HPath(dir, name)
-    if (fs.getScheme == "file") {
-      // retire any stale checksum shadows from files written by older
-      // (checksummed) versions — a raw overwrite would otherwise leave
-      // them mismatched forever
+    if (raw ne fs) {
+      // checksummed fs (whatever its scheme — the same condition that
+      // picked the raw write above): retire any stale checksum shadows
+      // from files written by older (checksummed) versions — a raw
+      // overwrite would otherwise leave them mismatched forever
       raw.delete(new HPath(dir, s".$name.crc"), false)
       raw.delete(new HPath(dir, s".$name.tmp.crc"), false)
+    }
+    if (fs.getScheme == "file") {
       java.nio.file.Files.move(
         java.nio.file.Paths.get(tmp.toUri.getPath),
         java.nio.file.Paths.get(dst.toUri.getPath),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     } else {
-      val fc = FileContext.getFileContext(fs.getUri, fs.getConf)
-      fc.rename(fs.makeQualified(tmp), fs.makeQualified(dst),
+      // rename through the RAW layer's FileContext: tmp is crc-less,
+      // so the rename must not engage a checksum layer's two-step
+      // data+crc move (non-checksummed fs: raw eq fs, same behavior
+      // as before)
+      val fc = FileContext.getFileContext(raw.getUri, raw.getConf)
+      fc.rename(raw.makeQualified(tmp), raw.makeQualified(dst),
         Options.Rename.OVERWRITE)
     }
   }

@@ -399,6 +399,43 @@ class PipelineSpec extends SparkSpec {
     assert(bad.length == 3 && bad.forall(f => !f.ok && f.n_samples == -1L))
   }
 
+  test("real frame sampling: animated GIF round trip, stride, junk") {
+    val ids = Seq(0L, 1L, 2L, 3L, 42L).toDF("doc_id")
+    val clips = MultimodalOps.synthGifs(spark, ids, "doc_id")
+    def run(k: Int) =
+      MultimodalOps.sampleFrames(spark, clips, "doc_id", "payload", k)
+        .collect().map(f => f.id -> f).toMap
+    val got = run(2)
+    Seq(0L, 1L, 2L, 3L, 42L).foreach { id =>
+      val nf = (2 + id % 4).toInt; val h = (4 + id % 3).toInt
+      val sampled = 0 until nf filter (_ % 2 == 0)
+      val luma = sampled.map(f => (id * 7 + f * 13) % 200 * 8 * h).sum
+      val f = got(id)
+      assert(f.ok && f.n_frames == nf && f.n_sampled == sampled.size,
+        s"id $id: $f")
+      assert(f.luma_sum == luma, s"id $id: ${f.luma_sum} != $luma")
+    }
+    // stride 1 decodes EVERY frame: n_sampled == n_frames
+    assert(run(1).values.forall(f => f.ok && f.n_sampled == f.n_frames))
+    // stride past the clip: only frame 0
+    assert(run(100).values.forall(f => f.ok && f.n_sampled == 1L))
+    // corrupt / empty / null payloads degrade to ok=false
+    val junk = Seq(
+      (1L, Some("GIF89a but not really".getBytes("UTF-8"))),
+      (2L, Some(Array.emptyByteArray)),
+      (3L, None: Option[Array[Byte]]))
+      .toDF("doc_id", "payload")
+    val bad = MultimodalOps.sampleFrames(spark, junk, "doc_id",
+      "payload", 2).collect()
+    assert(bad.length == 3 && bad.forall(f => !f.ok && f.n_frames == -1L))
+    // a single-frame PNG is still a valid 1-frame container
+    val png = MultimodalOps.synthImages(spark, Seq(7L).toDF("doc_id"),
+      "doc_id")
+    val one = MultimodalOps.sampleFrames(spark, png, "doc_id",
+      "payload", 2).collect().head
+    assert(one.ok && one.n_frames == 1L && one.n_sampled == 1L)
+  }
+
   test("multimodal fake decode features match byte arithmetic") {
     val bin = docs.select($"doc_id", $"text".cast("binary").as("payload"))
     val out = MultimodalOps.decodeFeatures(spark, bin, "doc_id", "payload")

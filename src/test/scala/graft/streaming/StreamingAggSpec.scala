@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
 final case class Ev(t: Timestamp, v: Double, rid: Long)
+final case class KEv(k: String, t: Timestamp, v: Double, rid: Long)
 
 /** Structured-Streaming AggStream: chunked streaming ingestion (with a
   * query restart from checkpoint mid-stream) must converge to the
@@ -141,5 +142,83 @@ class StreamingAggSpec extends SparkSpec {
       events.slice(101, 163), events.slice(163, 200)), 2)
     assert(read(dirA) == expected)
     assert(read(dirB) == expected)
+  }
+
+  test("per-key streamed count bins equal per-key one-shot binning") {
+    // 3 keys interleaved in time: each key's ordinal must advance
+    // independently across micro-batch boundaries
+    val events = (0 until 180).map { i =>
+      KEv(s"k${i % 3}", new Timestamp(1700000000000L + i * 50000L),
+        i * 1.0 + (i % 5), i.toLong)
+    }
+    def expected: Seq[(String, Long, Long, Double, Double, Double)] =
+      events.groupBy(_.k).toSeq.flatMap { case (k, evs) =>
+        evs.sortBy(e => (e.t.getTime, e.rid)).zipWithIndex
+          .groupBy(_._2 / 25).toSeq.map { case (bin, rows) =>
+            val vs = rows.map(_._1)
+            (k, bin.toLong, vs.size.toLong, vs.minBy(_.rid).v,
+              vs.maxBy(_.rid).v,
+              vs.map(e => BigDecimal(e.v).setScale(6,
+                BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+          }
+      }.sortBy(r => (r._1, r._2))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmpDir("sxrK")
+    // mid-bin splits for every key + a restart after the first block
+    val m1 = MemoryStream[KEv]
+    m1.addData(events.slice(0, 40))
+    StreamingXRows.runKeyed(m1.toDF(), "k", "t", "rid", "v", 25L,
+      s"$dir/out", s"$dir/ckpt").awaitTermination()
+    val m2 = MemoryStream[KEv]
+    m2.addData(events.slice(0, 40))
+    m2.addData(events.slice(40, 110))
+    m2.addData(events.slice(110, 180))
+    StreamingXRows.runKeyed(m2.toDF(), "k", "t", "rid", "v", 25L,
+      s"$dir/out", s"$dir/ckpt").awaitTermination()
+    val got = StreamingXRows.results(spark, s"$dir/out")
+      .orderBy("key", "bin")
+      .select(col("key"), col("bin"), col("n_rows"), col("first_v"),
+        col("last_v"), col("sum_v"))
+      .as[(String, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(got == expected)
+  }
+
+  test("count bins fail fast on out-of-order cross-batch arrivals") {
+    val events = mkEvents(60)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmpDir("sxrOoo")
+    // batch 1: the LATER half; batch 2: the earlier half — ordinals
+    // already past it, so convergence is impossible and the query
+    // must die with the contract named (strictOrder default)
+    val m = MemoryStream[Ev]
+    m.addData(events.slice(30, 60))
+    StreamingXRows.run(m.toDF(), "t", "rid", "v", 10L,
+      s"$dir/out", s"$dir/ckpt").awaitTermination()
+    val m2 = MemoryStream[Ev]
+    m2.addData(events.slice(30, 60))
+    m2.addData(events.slice(0, 30))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamingXRows.run(m2.toDF(), "t", "rid", "v", 10L,
+        s"$dir/out", s"$dir/ckpt").awaitTermination()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ rootMessages(x.getCause))
+    assert(rootMessages(e).exists(_.contains("out of")),
+      s"wrong failure: ${rootMessages(e)}")
+    // strictOrder=false: same replay proceeds (counted, not fatal)
+    val dir2 = tmpDir("sxrOoo2")
+    val m3 = MemoryStream[Ev]
+    m3.addData(events.slice(30, 60))
+    StreamingXRows.run(m3.toDF(), "t", "rid", "v", 10L,
+      s"$dir2/out", s"$dir2/ckpt", strictOrder = false).awaitTermination()
+    val m4 = MemoryStream[Ev]
+    m4.addData(events.slice(30, 60))
+    m4.addData(events.slice(0, 30))
+    StreamingXRows.run(m4.toDF(), "t", "rid", "v", 10L,
+      s"$dir2/out", s"$dir2/ckpt", strictOrder = false).awaitTermination()
+    assert(StreamingXRows.results(spark, s"$dir2/out")
+      .agg(sum("n_rows")).as[Long].head() == 60L)
   }
 }
