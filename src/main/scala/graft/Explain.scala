@@ -21,9 +21,16 @@ object Explain {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_EXPLAIN_EXEC=1: execute first, then print the FINAL
+    // adaptive plan — AQE-only effects (shuffle-stage reuse, runtime
+    // broadcast/skew decisions) are invisible in the pre-execution
+    // plan (isFinalPlan=false shows the unoptimized duplicate subtrees)
+    val exec = sys.env.contains("SPARK_GRAFT_EXPLAIN_EXEC")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      println(SparkEntry.queries(n)(spark, d).queryExecution.explainString(
+      val df = SparkEntry.queries(n)(spark, d)
+      if (exec) df.write.mode("overwrite").format("noop").save()
+      println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()

@@ -293,11 +293,18 @@ object SimilarityOps {
     * near-dups inside them go unpaired — the remedy for systematic
     * saturation is wider planes/bands, not a bigger cap). The skip is
     * a lazy single-pass window over the SAME (band_id, bucket) hash
-    * partitioning the candidate self-join shuffles on, so Catalyst's
-    * ReuseExchange serves the guard and both join sides from ONE scan
-    * + ONE shuffle, and plan construction runs no Spark action
-    * (ADVICE r5: the former eager `sizes.head()` guard both doubled
-    * the pipeline and made construction non-lazy). Skipped buckets
+    * partitioning the self-join requires, so per join side the guard
+    * adds NO extra exchange — it rides the join's own shuffle
+    * (audited in the executed plan: Exchange → Window → Filter feeds
+    * the join directly, ENSURE_REQUIREMENTS satisfied) — and plan
+    * construction runs no Spark action (ADVICE r5: the former eager
+    * `sizes.head()` guard both doubled the pipeline and made
+    * construction non-lazy). The two join SIDES each shuffle the
+    * banded table once; AQE's stage reuse did not deduplicate the
+    * identical subtrees in the audited sf0.01 final plan, so the
+    * banding+shuffle cost is honestly 2× — both linear in
+    * nBands·corpus, and included in the measured 100× numbers.
+    * Skipped buckets
     * are a silent recall deduction by design; [[lshBucketStats]] is
     * the explicit diagnostic when occupancy needs eyes on it. The
     * default cap never triggers at driver scale factors, so oracle
@@ -336,10 +343,10 @@ object SimilarityOps {
     val banded0 = lshBands(df, planes, planesPerBand,
       keep = Seq("vec", "norm"))
     // lazy single-pass skew guard: bucket size via a window over the
-    // SAME (band_id, bucket) hash partitioning the self-join shuffles
-    // on — ReuseExchange serves the guard and both join sides from ONE
-    // scan + ONE shuffle (the former eager sizes.head() guard doubled
-    // the pipeline and made construction non-lazy, ADVICE r5)
+    // SAME (band_id, bucket) hash partitioning the self-join requires,
+    // so the guard rides each side's join shuffle with no extra
+    // exchange (the former eager sizes.head() guard doubled the
+    // pipeline and made construction non-lazy, ADVICE r5)
     val wb = Window.partitionBy("band_id", "bucket")
     val banded = banded0
       .withColumn("__bn", count(lit(1)).over(wb))
