@@ -85,6 +85,50 @@ class LshConfigSpec extends SparkSpec {
     assert(big.size == 448 && big.max < 11200L && big.max >= 5000L)
   }
 
+  test("lshNearDupPairs across band widths: exact precision always, " +
+      "exact-duplicate recall at any width") {
+    // 30 base directions + 5 exact-duplicate pairs; the widened-key
+    // contract is (a) every returned pair passes the exact cosine
+    // verify (precision 1 at ANY width — verification is exact), and
+    // (b) identical vectors collide in every band at every width, so
+    // exact-dup recall is 1 at ANY width. Near-threshold recall may
+    // differ across widths by design (documented trade-off).
+    val rnd = new scala.util.Random(7)
+    def unit(dim: Int): Array[Float] = {
+      val a = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(a.map(x => x * x.toDouble).sum).toFloat
+      a.map(_ / n)
+    }
+    val base = (0 until 30).map(i => (i.toLong, unit(16)))
+    val dups = (0 until 5).map(i => (100L + i, base(i)._2.clone()))
+    val v = SimilarityOps.withNorm((base ++ dups)
+      .toDF("vec_id", "embedding"), "vec_id", "embedding").persist()
+    val thr = 0.8
+    // exact pair set by brute force (the precision oracle)
+    val ids = (base ++ dups)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x * x.toDouble).sum)
+      d / (na * nb)
+    }
+    val exact = (for {
+      (i, va) <- ids; (j, vb) <- ids if i < j && cos(va, vb) >= thr
+    } yield (i, j)).toSet
+    val exactDups = (0 until 5).map(i => (i.toLong, 100L + i)).toSet
+    assert(exactDups.subsetOf(exact))
+    for (bits <- Seq(2, 6, 9); bands <- Seq(2, 4)) {
+      val planes = SimilarityOps.hyperplanes(bands * bits, 16)
+      val got = SimilarityOps.lshNearDupPairs(v, planes, bits, thr)
+        .select("i", "j").as[(Long, Long)].collect().toSet
+      assert(got.subsetOf(exact),
+        s"false positive at $bands x $bits: ${got.diff(exact)}")
+      assert(exactDups.subsetOf(got),
+        s"exact dup missed at $bands x $bits: ${exactDups.diff(got)}")
+    }
+    v.unpersist(): Unit
+  }
+
   test("semanticClusterStats flags exactly the over-cap clusters") {
     val vecs = ((0 until 40).map(i => (i.toLong, Array(1.0f, 0.01f * i))) ++
       Seq((100L, Array(-1.0f, 0.0f)), (101L, Array(-1.0f, 0.01f))))
