@@ -87,12 +87,25 @@ object MultimodalOps {
     sum
   }
 
+  /** Explicit MEMORY-cached ImageIO stream over in-heap bytes.
+    * `ImageIO.createImageInputStream` consults `ImageIO.getUseCache`
+    * (default TRUE) and then backs even a ByteArrayInputStream with a
+    * TEMP FILE per image in java.io.tmpdir — a create+write+delete of
+    * a local-disk file in the decode hot loop, whose cost tracks tmpfs
+    * pressure (measured: the sf0.1 decode line drifted 0.9 → 2+ s as
+    * /tmp filled with scale fixtures). The payload is already in
+    * memory; executors must not depend on local-disk state to decode
+    * it. */
+  private def memIis(bytes: Array[Byte])
+      : javax.imageio.stream.ImageInputStream =
+    new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+
   private def decodeImage(raw: Array[Byte]): Option[(Int, Int, Long)] = {
     val bytes = orEmpty(raw)
     if (bytes.isEmpty) None
     else try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+      val iis = memIis(bytes)
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         if (!readers.hasNext) None
@@ -159,7 +172,16 @@ object MultimodalOps {
       y += 1
     }
     val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", baos)
+    // ImageIO.write(img, fmt, OutputStream) internally opens the
+    // default (FILE-cached) image output stream — same per-image
+    // temp-file hazard as memIis documents; encode through an
+    // explicit memory-cached stream instead
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    try {
+      val w2 = javax.imageio.ImageIO
+        .getImageWritersByFormatName("png").next()
+      try { w2.setOutput(ios); w2.write(img) } finally w2.dispose()
+    } finally ios.close()
     baos.toByteArray
   }
 
@@ -253,8 +275,7 @@ object MultimodalOps {
     val bytes = orEmpty(raw)
     if (bytes.isEmpty) None
     else try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+      val iis = memIis(bytes)
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         if (!readers.hasNext) None
@@ -325,7 +346,9 @@ object MultimodalOps {
     val nf = (2 + id % 4).toInt
     val w = 8; val h = (4 + id % 3).toInt
     val baos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    // memory-cached for the same reason as memIis: the default
+    // createImageOutputStream writes a temp FILE per encoded clip
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
     val writer =
       javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     try {
