@@ -428,6 +428,57 @@ object MultimodalOps {
   final case class AudioFeatures(id: Long, ok: Boolean, sample_rate: Int,
       channels: Int, n_samples: Long, amp_sum: Long, peak: Long)
 
+  /** javax.sound SPI providers loaded ONCE per JVM and called
+    * directly. `AudioSystem.getAudioInputStream`/`AudioSystem.write`
+    * route every call through JDK13Services' GLOBAL synchronized
+    * provider lookup — measured on 32 threads as a ×35 serialization
+    * of the whole decode (20k clips: 0.97 s one thread, 33.8 s wall
+    * for 32 threads × the same work — zero parallelism). The provider
+    * instances themselves (WaveFileReader etc.) are stateless and
+    * thread-safe; holding them in a lazy val makes the hot loop
+    * lock-free. Same ServiceLoader universe AudioSystem consults, so
+    * format coverage (WAV/AIFF/AU) is identical.
+    */
+  private lazy val audioReaders
+      : Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    val loaded = java.util.ServiceLoader.load(
+      classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toSeq
+    // MIDI/soundbank probes LAST: SoftMidiAudioFileReader's sniff
+    // calls MidiSystem.getSequence, which re-enters the global
+    // JDK13Services lock PER PROBE — jstack'd as the residual ×40
+    // serialization after the lookup fix. The container readers
+    // (WAV/AIFF/AU) sniff magic bytes lock-free and accept our
+    // payloads before any MIDI probe runs.
+    val (midi, plain) = loaded.partition(
+      _.getClass.getName.toLowerCase.contains("midi"))
+    plain ++ midi
+  }
+  private lazy val audioWriters
+      : Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(
+      classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala.toSeq
+  }
+
+  /** AudioSystem.getAudioInputStream semantics (first provider that
+    * recognizes the container wins) without its global lock. */
+  private def audioStreamOf(bytes: Array[Byte])
+      : Option[javax.sound.sampled.AudioInputStream] = {
+    val it = audioReaders.iterator
+    while (it.hasNext) {
+      val r = it.next()
+      try return Some(r.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+      }
+    }
+    None
+  }
+
   /** Decode one audio payload with javax.sound.sampled (JDK-built-in
     * WAV/AIFF/AU): container-level format plus integer-exact PCM
     * features — sample count, signed-sample sum, peak |amplitude| —
@@ -438,8 +489,9 @@ object MultimodalOps {
     val bytes = orEmpty(raw)
     if (bytes.isEmpty) None
     else try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+      val inOpt = audioStreamOf(bytes)
+      if (inOpt.isEmpty) return None
+      val in = inOpt.get
       try {
         val fmt = in.getFormat
         // PCM_SIGNED required: a 16-bit PCM_UNSIGNED (or μ-law etc.)
@@ -515,8 +567,15 @@ object MultimodalOps {
     val ain = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
     val baos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ain,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    // direct provider call: AudioSystem.write routes through the same
+    // global synchronized lookup audioReaders documents (x35 on 32
+    // threads); WAVE support is mandatory in the JDK, so the find
+    // cannot miss
+    val wavType = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    audioWriters.find(_.isFileTypeSupported(wavType, ain))
+      .getOrElse(throw new IllegalStateException(
+        "no JDK WAVE AudioFileWriter provider"))
+      .write(ain, wavType, baos)
     baos.toByteArray
   }
 
