@@ -366,6 +366,86 @@ object SimilarityOps {
       .distinct()
   }
 
+  /** Single-shuffle alternative to [[lshNearDupPairs]]: the banded
+    * table (vectors riding, nBands-fold) shuffles ONCE into its
+    * (band_id, bucket) groups and the i<j pair loop + exact cosine
+    * verify run INSIDE `flatMapGroups` — no self-join, so no second
+    * banding pass, no second shuffle, and no sort of either join
+    * side. Memory is bounded by `maxBucketSize` rows per group (the
+    * same skew cap, enforced by take(cap+1) — oversized buckets are
+    * skipped exactly like the join version) and the output is
+    * streamed, never materialized per group. The inner loop is plain
+    * JIT'd Scala instead of codegen'd join output, summing the dot
+    * product in index order so the cosine is bit-identical to the
+    * [[cosine]] Column and the cross-band `distinct` dedups exactly.
+    *
+    * Identical results to [[lshNearDupPairs]] (same bands, same cap
+    * semantics, same exact verify — ParitySpec asserts equality);
+    * measured faster at 100× (see SCALE.md round-6i), because the
+    * join's candidate-scale streamed output — mostly discarded by the
+    * threshold — still costs sort-merge machinery per candidate,
+    * while here each candidate is one fused loop iteration.
+    */
+  def lshNearDupPairsGrouped(df: DataFrame, planes: Seq[Seq[Double]],
+      planesPerBand: Int, threshold: Double,
+      maxBucketSize: Int = 100000,
+      corpusCount: Option[Long] = None,
+      maxExpectedBucketRows: Long = 4L * LshConfig.TargetBucketRows)
+      : DataFrame = {
+    require(maxBucketSize > 0,
+      s"maxBucketSize must be positive, got $maxBucketSize")
+    corpusCount.foreach { n =>
+      val cfg = LshConfig(planes.size, planesPerBand)
+      val occ = n.toDouble / cfg.bucketsPerBand.toDouble
+      require(occ <= maxExpectedBucketRows.toDouble,
+        f"lshNearDupPairsGrouped: band space saturated — " +
+          f"$planesPerBand-bit bands expect $occ%.0f rows/bucket for " +
+          f"a $n-vector corpus (cap $maxExpectedBucketRows); widen " +
+          "the key space (LshConfig.forCorpusSize)")
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val banded = lshBands(df, planes, planesPerBand,
+      keep = Seq("vec", "norm"))
+      .select(col("band_id"), col("bucket"), col("id"),
+        col("vec"), col("norm"))
+      .as[(Int, String, Long, Array[Double], Double)]
+    banded.groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (_, it) =>
+        val rows = it.take(maxBucketSize + 1).toArray
+        if (rows.length > maxBucketSize || rows.length < 2)
+          Iterator.empty
+        else {
+          val n = rows.length
+          // id-sorted so emitted (i, j) is (min, max) like the join's
+          // a.id < b.id predicate
+          java.util.Arrays.sort(rows,
+            Ordering.by((r: (Int, String, Long, Array[Double], Double))
+              => r._3))
+          Iterator.range(0, n).flatMap { a =>
+            val (_, _, ia, va, na) = rows(a)
+            Iterator.range(a + 1, n).flatMap { b =>
+              val (_, _, ib, vb, nb) = rows(b)
+              var s = 0.0
+              var k = 0
+              while (k < va.length) { s += va(k) * vb(k); k += 1 }
+              // same 6-dp HALF_UP rounding as the [[cosine]] Column
+              // (and threshold applied AFTER it, like the join path),
+              // so the two implementations are bit-identical
+              val cos = java.math.BigDecimal.valueOf(s / (na * nb))
+                .setScale(6, java.math.RoundingMode.HALF_UP)
+                .doubleValue()
+              if (cos >= threshold && ia != ib)
+                Iterator.single((ia, ib, cos))
+              else Iterator.empty
+            }
+          }
+        }
+      }
+      .toDF("i", "j", "cos")
+      .distinct()
+  }
+
   /** Cluster-scoped semantic dedup (the SemDeDup shape: coarse
     * semantic clustering, then pairwise cosine ONLY within a cluster).
     * Candidates come from the clustering itself — near-duplicates land

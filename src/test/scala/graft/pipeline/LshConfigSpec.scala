@@ -129,6 +129,33 @@ class LshConfigSpec extends SparkSpec {
     v.unpersist(): Unit
   }
 
+  test("lshNearDupPairsGrouped == lshNearDupPairs (pairs, cosines, " +
+      "bucket-cap semantics)") {
+    val rnd = new scala.util.Random(11)
+    // 60 clustered vectors (guaranteed near-dups) + 40 random
+    val vecs = ((0 until 60).map { i =>
+      val base = Array.tabulate(16)(d => math.sin(d + i / 20).toFloat)
+      (i.toLong, base.map(x => x + rnd.nextFloat() * 0.05f))
+    } ++ (100 until 140).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat))))
+      .toDF("vec_id", "embedding")
+    val v = SimilarityOps.withNorm(vecs, "vec_id", "embedding").persist()
+    val planes = SimilarityOps.hyperplanes(12, 16)
+    def collect(dfp: org.apache.spark.sql.DataFrame) =
+      dfp.select("i", "j", "cos").as[(Long, Long, Double)]
+        .collect().toSet
+    for (cap <- Seq(100000, 25)) {
+      val a = collect(SimilarityOps.lshNearDupPairs(
+        v, planes, 3, 0.6, maxBucketSize = cap))
+      val b = collect(SimilarityOps.lshNearDupPairsGrouped(
+        v, planes, 3, 0.6, maxBucketSize = cap))
+      assert(a == b, s"cap=$cap: join=${a.size} grouped=${b.size}, " +
+        s"diff=${(a.diff(b) ++ b.diff(a)).take(5)}")
+      assert(a.nonEmpty || cap < 100000)
+    }
+    v.unpersist(): Unit
+  }
+
   test("semanticClusterStats flags exactly the over-cap clusters") {
     val vecs = ((0 until 40).map(i => (i.toLong, Array(1.0f, 0.01f * i))) ++
       Seq((100L, Array(-1.0f, 0.0f)), (101L, Array(-1.0f, 0.01f))))
