@@ -46,15 +46,30 @@ object LshConfig {
   /** Band count: recall knob, kept at the historical 4 bands. */
   val DefaultBands = 4
 
+  /** Rank-chunk size for the grouped pair loop
+    * ([[SimilarityOps.lshNearDupPairsGrouped]]): 8× the expected
+    * bucket target, so a properly-sized corpus NEVER chunks (bit-parity
+    * with the unchunked loop at every driver SF) while a hot bucket —
+    * template skew, or occupancy past the [[MaxBits]] ceiling — becomes
+    * ⌈s/4000⌉ bounded tasks instead of one s²/2 straggler.
+    */
+  val DefaultChunkRows = 4000
+
   /** Floor = the historical 6-bit bands: every corpus up to
     * `TargetBucketRows · 2^6 = 32k` vectors resolves to the exact
     * 24×6 config all driver-SF oracles were built against.
     */
   val MinBits = 6
 
-  /** 2^20 buckets/band — beyond this, grow `nBands`/sharding, not bits
-    * (a 20-bit band already keeps million-row buckets sub-target for
-    * corpora up to ~5×10^8 vectors).
+  /** 2^20 buckets/band — beyond this, grow `nBands`, not bits (a
+    * 20-bit band already keeps million-row buckets sub-target for
+    * corpora up to ~5×10^8 vectors, and wider bands crater sub-unity
+    * recall). Past the clamp, expected occupancy grows linearly with
+    * the corpus: [[SimilarityOps.lshNearDupPairsGrouped]]'s rank-chunked
+    * pair loop keeps per-task work bounded there (its saturation gate
+    * admits over-cap occupancy exactly when bits are already maxed),
+    * and [[bandsForRecall]] is the coded nBands growth path for
+    * callers holding a recall floor.
     */
   val MaxBits = 20
 
@@ -84,5 +99,43 @@ object LshConfig {
         math.log(n.toDouble / targetBucketRows) / math.log(2.0)).toInt
     val bits = math.min(maxBits, math.max(minBits, raw))
     LshConfig(nBands * bits, bits)
+  }
+
+  /** Per-band collision probability of two vectors at cosine `t` under
+    * sign-random-projection with `bits` planes per band: `p^bits` with
+    * `p = 1 - acos(t)/π` (the standard SRP-LSH collision model,
+    * Charikar 2002). Exact duplicates (t = 1) collide at any width.
+    */
+  def bandCollisionProb(t: Double, bits: Int): Double = {
+    require(t >= -1.0 && t <= 1.0, s"cosine must be in [-1, 1], got $t")
+    require(bits > 0, s"bits must be positive, got $bits")
+    math.pow(1.0 - math.acos(t) / math.Pi, bits.toDouble)
+  }
+
+  /** The >MaxBits growth path AS CODE: the band count that holds
+    * recall ≥ `targetRecall` for pairs at cosine `t` with `bits`-wide
+    * bands — `L = ⌈ln(1-R) / ln(1-p^bits)⌉` from
+    * `R = 1-(1-p^bits)^L`. Once [[forCorpusSize]]'s bits clamp at
+    * [[MaxBits]] (occupancy then grows linearly with the corpus and
+    * the CHUNKED grouped pair loop bounds the per-task work), widening
+    * bands further would crater sub-unity recall — the remaining
+    * recall knob is MORE BANDS, and this is that knob's sizing
+    * function. Compute scales linearly with the result (nBands·n
+    * banded rows), which is the honest cost of holding a recall floor
+    * on a 10⁹⁺-vector corpus.
+    */
+  def bandsForRecall(t: Double, bits: Int,
+      targetRecall: Double = 0.9): Int = {
+    require(targetRecall > 0 && targetRecall < 1,
+      s"targetRecall must be in (0, 1), got $targetRecall")
+    val pBand = bandCollisionProb(t, bits)
+    if (pBand >= 1.0) 1
+    else {
+      require(pBand > 0,
+        f"collision probability vanished at cosine $t%.3f × $bits bits" +
+          " — no band count can reach the recall target")
+      math.max(1, math.ceil(
+        math.log1p(-targetRecall) / math.log1p(-pBand)).toInt)
+    }
   }
 }

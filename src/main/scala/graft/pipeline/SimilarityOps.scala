@@ -270,6 +270,44 @@ object SimilarityOps {
     lshBands(df, planes, planesPerBand)
       .groupBy("band_id", "bucket").agg(count(lit(1)).as("n"))
 
+  /** Saturation fail-fast shared by both pair generators. Occupancy is
+    * computed DIRECTLY from `planesPerBand` (`n / 2^planesPerBand`) —
+    * not via an [[LshConfig]] constructor — so ragged plane sets
+    * (`planes.size` not a multiple of `planesPerBand`, which
+    * [[lshBands]] supports via its grouped final band) arm the check
+    * without tripping the config's multiple-of invariant; the ragged
+    * final band is NARROWER, so the full-width occupancy estimate is
+    * conservative for it by ≤ 2^(missing bits) and the gate errs
+    * strict, never lax.
+    *
+    * `chunked = true` (the grouped rank-chunked loop) admits over-cap
+    * occupancy exactly when `planesPerBand >= LshConfig.MaxBits`: no
+    * wider band space exists to widen INTO, and the chunked loop
+    * bounds per-task work linearly — that is the coded >MaxBits growth
+    * path ([[LshConfig.MaxBits]]); the unchunked join form stays
+    * strict everywhere because its in-bucket work is quadratic.
+    */
+  private def requireUnsaturated(op: String, n: Long, nPlanes: Int,
+      planesPerBand: Int, maxExpectedBucketRows: Long,
+      chunked: Boolean): Unit = {
+    require(planesPerBand > 0 && planesPerBand <= 62,
+      s"planesPerBand must be in 1..62, got $planesPerBand")
+    val bucketsPerBand = 1L << planesPerBand
+    val occ = n.toDouble / bucketsPerBand.toDouble
+    val atCeiling = planesPerBand >= LshConfig.MaxBits
+    val nBands = math.ceil(nPlanes.toDouble / planesPerBand).toLong
+    val expPairs = nBands * n.toDouble * n.toDouble /
+      (2.0 * bucketsPerBand.toDouble)
+    require(occ <= maxExpectedBucketRows.toDouble || (chunked && atCeiling),
+      f"$op: band space saturated — $planesPerBand-bit " +
+        f"bands expect $occ%.0f rows/bucket for a $n-vector corpus " +
+        f"(cap $maxExpectedBucketRows, ~$expPairs%.3g candidate " +
+        "pairs); widen the key space (LshConfig.forCorpusSize)" +
+        (if (chunked) "" else
+          " or use the rank-chunked lshNearDupPairsGrouped") +
+        " instead of running a quadratic join")
+  }
+
   /** Near-duplicate pairs: LSH-banded candidates verified by exact
     * cosine >= threshold. The verification runs INSIDE the bucket
     * self-join — vectors ride on the banded rows (nBands-fold payload
@@ -320,6 +358,15 @@ object SimilarityOps {
     * a PROPERLY sized space keeps buckets ~constant while candidates
     * still grow linearly with the corpus (which is healthy). Pure
     * arithmetic: no action, laziness preserved.
+    *
+    * ENTRY-POINT GUIDANCE: prefer [[lshNearDupPairsGrouped]] — it is
+    * the canonical production shape (single banding pass, rank-chunked
+    * per-bucket tasks, and a saturation gate that stays runnable at
+    * the [[LshConfig.MaxBits]] ceiling). THIS join form is retained as
+    * the SQL-plannable reference the DuckDB oracle restates, and it
+    * honestly pays the 2× banding+shuffle of its two identical join
+    * sides (AQE stage reuse does not deduplicate them); its unchunked
+    * in-bucket work is quadratic, so its gate stays strict everywhere.
     */
   def lshNearDupPairs(df: DataFrame, planes: Seq[Seq[Double]],
       planesPerBand: Int, threshold: Double,
@@ -330,14 +377,8 @@ object SimilarityOps {
     require(maxBucketSize > 0,
       s"maxBucketSize must be positive, got $maxBucketSize")
     corpusCount.foreach { n =>
-      val cfg = LshConfig(planes.size, planesPerBand)
-      val occ = n.toDouble / cfg.bucketsPerBand.toDouble
-      require(occ <= maxExpectedBucketRows.toDouble,
-        f"lshNearDupPairs: band space saturated — $planesPerBand-bit " +
-          f"bands expect $occ%.0f rows/bucket for a $n-vector corpus " +
-          f"(cap $maxExpectedBucketRows, ~${cfg.expectedCandidatePairs(n)}%.3g " +
-          "candidate pairs); widen the key space " +
-          "(LshConfig.forCorpusSize) instead of running a quadratic join")
+      requireUnsaturated("lshNearDupPairs", n, planes.size, planesPerBand,
+        maxExpectedBucketRows, chunked = false)
     }
     // vectors ride the banded rows: the bucket join IS the verify step
     val banded0 = lshBands(df, planes, planesPerBand,
@@ -366,78 +407,131 @@ object SimilarityOps {
       .distinct()
   }
 
-  /** Single-shuffle alternative to [[lshNearDupPairs]]: the banded
-    * table (vectors riding, nBands-fold) shuffles ONCE into its
-    * (band_id, bucket) groups and the i<j pair loop + exact cosine
-    * verify run INSIDE `flatMapGroups` — no self-join, so no second
-    * banding pass, no second shuffle, and no sort of either join
-    * side. Memory is bounded by `maxBucketSize` rows per group (the
-    * same skew cap, enforced by take(cap+1) — oversized buckets are
-    * skipped exactly like the join version) and the output is
-    * streamed, never materialized per group. The inner loop is plain
-    * JIT'd Scala instead of codegen'd join output, summing the dot
-    * product in index order so the cosine is bit-identical to the
-    * [[cosine]] Column and the cross-band `distinct` dedups exactly.
+  /** The CANONICAL near-dup pair generator (one banding pass instead
+    * of the join form's two) with a rank-chunked, bounded-task pair
+    * loop: the banded table (vectors riding, nBands-fold) is ranked
+    * within each (band_id, bucket) by a deterministic projection (one
+    * extra hyperplane from a seed disjoint from the banding planes,
+    * id tiebreak), cut into rank chunks of `chunkSize`, and each row
+    * exploded to chunk keys {c, c+1}; groups form on (band_id,
+    * bucket, chunk key), so a group holds members of TWO adjacent
+    * chunks — ≤ 2·chunkSize rows — and the i<j pair loop + exact
+    * cosine verify run inside `flatMapGroups` over that bounded set.
+    * A pair is emitted in exactly one group (the
+    * `ck == max(chunk_a, chunk_b)` rule, the [[semanticDupPairs]]
+    * chunk-pair dedup as a loop predicate), and the cross-band
+    * `distinct` dedups bands exactly as before.
     *
-    * Identical results to [[lshNearDupPairs]] (same bands, same cap
-    * semantics, same exact verify — ParitySpec asserts equality);
-    * measured faster at 100× (see SCALE.md round-6i), because the
-    * join's candidate-scale streamed output — mostly discarded by the
-    * threshold — still costs sort-merge machinery per candidate,
-    * while here each candidate is one fused loop iteration.
+    * WHY (the 100 TB straggler bound, round-6 verdict): the former
+    * single-group loop processed any bucket under `maxBucketSize` as
+    * ONE task — a 90k-row template bucket is ~4×10⁹ dot products on
+    * one core while the rest idle. Chunked, that bucket is ~23 chunk
+    * groups of ≤ 1.5·chunkSize² pairs each — many bounded tasks. Work
+    * per bucket drops from s²/2 to ≤ 2·s·chunkSize pairs (linear in
+    * s), which also makes over-cap OCCUPANCY runnable: past
+    * [[LshConfig.MaxBits]] there is no wider band space to size into,
+    * so the saturation gate here admits it (the join form's cannot).
+    * Near-dups at the threshold have near-identical projections,
+    * hence near ranks: a pair is missed only when ≥ chunkSize other
+    * bucket members rank strictly between them — and for DEDUP
+    * consumption (connected components / keep-canonical) adjacent-rank
+    * pairs still chain the whole duplicate set into one cluster, so
+    * cluster membership survives chunking even when far-rank pairs
+    * are dropped. `chunkSize` defaults to 8× the expected-occupancy
+    * target ([[LshConfig.DefaultChunkRows]]), so a properly-sized
+    * corpus NEVER chunks: single-chunk buckets emit every pair under
+    * the ck=max rule in their c=0 group, bit-identical to the
+    * unchunked loop (LshConfigSpec pins grouped == join parity at
+    * driver SFs).
+    *
+    * `maxBucketSize` keeps the join form's skip semantics (buckets
+    * above it are dropped entirely) — with chunking it is an OUTPUT
+    * bound, not a compute bound: a skipped mega-bucket is one whose
+    * ~2·s·chunkSize emitted pairs the caller does not want to pay
+    * for. Cost of chunking: one extra exchange (the rank window
+    * partitions by (band_id, bucket); the group key adds the chunk) —
+    * two shuffles of the banded table, same count as the join form,
+    * but with NO second banding pass and no candidate-scale sort.
+    * The inner loop sums the dot product in index order with the same
+    * 6-dp HALF_UP rounding as the [[cosine]] Column, so pair sets and
+    * cosines match the join form exactly wherever chunking does not
+    * bind.
     */
   def lshNearDupPairsGrouped(df: DataFrame, planes: Seq[Seq[Double]],
       planesPerBand: Int, threshold: Double,
       maxBucketSize: Int = 100000,
       corpusCount: Option[Long] = None,
-      maxExpectedBucketRows: Long = 4L * LshConfig.TargetBucketRows)
+      maxExpectedBucketRows: Long = 4L * LshConfig.TargetBucketRows,
+      chunkSize: Int = LshConfig.DefaultChunkRows)
       : DataFrame = {
     require(maxBucketSize > 0,
       s"maxBucketSize must be positive, got $maxBucketSize")
+    require(chunkSize > 1, s"chunkSize must be > 1, got $chunkSize")
     corpusCount.foreach { n =>
-      val cfg = LshConfig(planes.size, planesPerBand)
-      val occ = n.toDouble / cfg.bucketsPerBand.toDouble
-      require(occ <= maxExpectedBucketRows.toDouble,
-        f"lshNearDupPairsGrouped: band space saturated — " +
-          f"$planesPerBand-bit bands expect $occ%.0f rows/bucket for " +
-          f"a $n-vector corpus (cap $maxExpectedBucketRows); widen " +
-          "the key space (LshConfig.forCorpusSize)")
+      requireUnsaturated("lshNearDupPairsGrouped", n, planes.size,
+        planesPerBand, maxExpectedBucketRows, chunked = true)
     }
     val spark = df.sparkSession
     import spark.implicits._
+    // deterministic chunk-rank direction: a single extra hyperplane
+    // from a seed disjoint from the banding planes' (near-identical
+    // vectors project near-identically, so near-dups land in the same
+    // or adjacent rank chunks); normalized so the ordering is scale-free
+    val dim = planes.head.size
+    val chunkPlane = hyperplanes(1, dim, seed = 9917L).head
+    val pv = array(chunkPlane.map(lit(_)): _*)
+    val wb = Window.partitionBy("band_id", "bucket")
+    val wr = wb.orderBy(col("__proj"), col("id"))
     val banded = lshBands(df, planes, planesPerBand,
-      keep = Seq("vec", "norm"))
+        keep = Seq("vec", "norm"))
+      .withColumn("__proj", dot(col("vec"), pv) / col("norm"))
+      // skip cap: same single-pass window trick as the join form —
+      // rides the rank window's own (band_id, bucket) exchange
+      .withColumn("__bn", count(lit(1)).over(wb))
+      .filter(col("__bn") <= maxBucketSize)
+      .withColumn("__chunk",
+        ((row_number().over(wr) - 1) / chunkSize).cast("int"))
       .select(col("band_id"), col("bucket"), col("id"),
-        col("vec"), col("norm"))
-      .as[(Int, String, Long, Array[Double], Double)]
-    banded.groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (_, it) =>
-        val rows = it.take(maxBucketSize + 1).toArray
-        if (rows.length > maxBucketSize || rows.length < 2)
-          Iterator.empty
+        col("vec"), col("norm"), col("__chunk"),
+        explode(array(col("__chunk"), col("__chunk") + 1)).as("__ck"))
+      .as[(Int, String, Long, Array[Double], Double, Int, Int)]
+    banded.groupByKey(r => (r._1, r._2, r._7))
+      .flatMapGroups { (key, it) =>
+        val ck = key._3
+        // bounded by construction: members of chunks ck-1 and ck only,
+        // ≤ 2·chunkSize rows per group
+        val rows = it.toArray
+        if (rows.length < 2) Iterator.empty
         else {
           val n = rows.length
           // id-sorted so emitted (i, j) is (min, max) like the join's
           // a.id < b.id predicate
           java.util.Arrays.sort(rows,
-            Ordering.by((r: (Int, String, Long, Array[Double], Double))
-              => r._3))
+            Ordering.by((r: (Int, String, Long, Array[Double], Double,
+              Int, Int)) => r._3))
           Iterator.range(0, n).flatMap { a =>
-            val (_, _, ia, va, na) = rows(a)
+            val ra = rows(a); val ia = ra._3; val va = ra._4
+            val na = ra._5; val ca = ra._6
             Iterator.range(a + 1, n).flatMap { b =>
-              val (_, _, ib, vb, nb) = rows(b)
-              var s = 0.0
-              var k = 0
-              while (k < va.length) { s += va(k) * vb(k); k += 1 }
-              // same 6-dp HALF_UP rounding as the [[cosine]] Column
-              // (and threshold applied AFTER it, like the join path),
-              // so the two implementations are bit-identical
-              val cos = java.math.BigDecimal.valueOf(s / (na * nb))
-                .setScale(6, java.math.RoundingMode.HALF_UP)
-                .doubleValue()
-              if (cos >= threshold && ia != ib)
-                Iterator.single((ia, ib, cos))
-              else Iterator.empty
+              val rb = rows(b)
+              // each pair counted once across its exploded copies:
+              // only the group keyed by the LATER member's chunk emits
+              if (math.max(ca, rb._6) != ck) Iterator.empty
+              else {
+                val ib = rb._3; val vb = rb._4; val nb = rb._5
+                var s = 0.0
+                var k = 0
+                while (k < va.length) { s += va(k) * vb(k); k += 1 }
+                // same 6-dp HALF_UP rounding as the [[cosine]] Column
+                // (and threshold applied AFTER it, like the join
+                // path), so the two implementations are bit-identical
+                val cos = java.math.BigDecimal.valueOf(s / (na * nb))
+                  .setScale(6, java.math.RoundingMode.HALF_UP)
+                  .doubleValue()
+                if (cos >= threshold && ia != ib)
+                  Iterator.single((ia, ib, cos))
+                else Iterator.empty
+              }
             }
           }
         }

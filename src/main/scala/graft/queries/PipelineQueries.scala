@@ -452,11 +452,13 @@ object PipelineQueries {
     },
 
     // Embedding near-dup: sign-random-projection LSH bands + exact
-    // cosine verification of candidates. The GROUPED shape: one
-    // shuffle of the banded table, pair loop + verify inside
-    // flatMapGroups — proven bit-identical to the self-join form
-    // (LshConfigSpec parity) and measured 1.6×/1.2× faster at
-    // 10×/100× (SCALE.md round-6i).
+    // cosine verification of candidates. The GROUPED shape (canonical
+    // entry point): one banding pass, rank-chunked pair loop + verify
+    // inside flatMapGroups so a hot bucket is many bounded tasks —
+    // proven bit-identical to the self-join form wherever the chunk
+    // cap has slack (LshConfigSpec parity; driver-SF buckets are far
+    // under DefaultChunkRows) and measured faster at 10×/100×
+    // (SCALE.md round-6i).
     "p_dedup_embedding_lsh" -> { (s, d) =>
       val n = nEmbs(s, d)
       val cfg = lshCfg(s, d)

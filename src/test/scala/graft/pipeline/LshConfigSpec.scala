@@ -156,6 +156,118 @@ class LshConfigSpec extends SparkSpec {
     v.unpersist(): Unit
   }
 
+  test("grouped chunking bounds a template bucket: linear pair count, " +
+      "cluster connectivity preserved, unchunked parity when cap slack") {
+    // the round-6 straggler shape: one hot bucket of identical
+    // (template-duplicated) vectors — every pair is a true dup, so an
+    // unchunked loop owes C(s,2) pairs in ONE task. Chunked at 100,
+    // the bucket becomes many ≤200-row groups and the output is the
+    // exact chunk-contract count: within-chunk 8·C(100,2) plus
+    // adjacent-chunk 7·100² = 109600 pairs (not 319600), and those
+    // adjacent-rank pairs still CHAIN all 800 copies into one
+    // connected component — dedup semantics survive the truncation.
+    val template = Array.tabulate(8)(d => (0.3 + 0.1 * d).toFloat)
+    val v = SimilarityOps.withNorm(
+      (0 until 800).map(i => (i.toLong, template.clone())).toDF(
+        "vec_id", "embedding"), "vec_id", "embedding").persist()
+    val planes = SimilarityOps.hyperplanes(3, 8)
+    val chunked = SimilarityOps.lshNearDupPairsGrouped(
+      v, planes, 3, 0.9, chunkSize = 100)
+    assert(chunked.count() == 8L * 4950 + 7L * 100 * 100)
+    // connectivity: union-find over the chunked pairs → one component
+    val parent = Array.tabulate(800)(identity)
+    def find(x: Int): Int = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    chunked.select("i", "j").as[(Long, Long)].collect().foreach {
+      case (i, j) => parent(find(i.toInt)) = find(j.toInt)
+    }
+    assert((0 until 800).map(find).distinct.size == 1,
+      "chunked pairs must still connect the whole template cluster")
+    // chunk cap ≥ bucket size → bit-identical to the unchunked loop
+    val full = SimilarityOps.lshNearDupPairsGrouped(
+      v, planes, 3, 0.9, chunkSize = 1000)
+    assert(full.count() == 799L * 800 / 2)
+    v.unpersist(): Unit
+  }
+
+  test("saturation gate: grouped form runnable at the MaxBits ceiling " +
+      "(the coded >20-bit growth path), join form strict everywhere") {
+    val v = SimilarityOps.withNorm(
+      Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding")
+    // forCorpusSize(5e9) clamps at MaxBits: occupancy 5e9/2^20 ≈ 4768
+    // exceeds the 2000-row cap, but no wider space exists — the
+    // CHUNKED grouped loop must accept the config it produced...
+    val n = 5000000000L
+    val cfg = LshConfig.forCorpusSize(n)
+    assert(cfg.planesPerBand == LshConfig.MaxBits)
+    val planes = SimilarityOps.hyperplanes(cfg.nPlanes, 2)
+    SimilarityOps.lshNearDupPairsGrouped(v, planes, cfg.planesPerBand,
+      0.5, corpusCount = Some(n)): Unit // plan constructs, no throw
+    // ...while the unchunked join form still fails fast (quadratic
+    // in-bucket work has no bound there)
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.lshNearDupPairs(v, planes, cfg.planesPerBand,
+        0.5, corpusCount = Some(n))
+    }
+    assert(e.getMessage.contains("lshNearDupPairsGrouped"))
+    // expected occupancy is monotone THROUGH the clamp boundary
+    // (n/500 = 2^20 at n ≈ 5.24e8): below it the sizing holds
+    // occupancy ~flat, past it occupancy grows linearly — never drops
+    val sizes = Seq(1e8, 5.24e8, 2.1e9, 5e9, 1e10).map(_.toLong)
+    val occs = sizes.map { s =>
+      val c = LshConfig.forCorpusSize(s)
+      s.toDouble / c.bucketsPerBand
+    }
+    assert(occs == occs.sorted,
+      s"occupancy not monotone through the clamp: ${sizes.zip(occs)}")
+  }
+
+  test("ragged plane sets arm the saturation gate without tripping " +
+      "the LshConfig multiple-of invariant") {
+    val v = SimilarityOps.withNorm(
+      Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding")
+    // 7 planes / 3 per band: lshBands supports the ragged final band;
+    // LshConfig(7, 3) would throw, so occupancy must be computed
+    // directly from planesPerBand (ADVICE r6)
+    val planes = SimilarityOps.hyperplanes(7, 2)
+    SimilarityOps.lshNearDupPairsGrouped(v, planes, 3, 0.5,
+      corpusCount = Some(100L)): Unit
+    SimilarityOps.lshNearDupPairs(v, planes, 3, 0.5,
+      corpusCount = Some(100L)): Unit
+    // and a genuinely saturated ragged config still dies
+    intercept[IllegalArgumentException] {
+      SimilarityOps.lshNearDupPairs(v, planes, 3, 0.5,
+        corpusCount = Some(10000000L))
+    }: Unit
+  }
+
+  test("bandsForRecall: the nBands growth formula") {
+    // exact duplicates collide at any width — one band suffices
+    assert(LshConfig.bandCollisionProb(1.0, 20) == 1.0)
+    assert(LshConfig.bandsForRecall(1.0, 20) == 1)
+    // spot value: p(0.9) = 1 - acos(0.9)/pi, R = 0.9 at 6-bit bands
+    val p6 = math.pow(1.0 - math.acos(0.9) / math.Pi, 6)
+    val expected6 =
+      math.ceil(math.log(0.1) / math.log(1.0 - p6)).toInt
+    assert(LshConfig.bandsForRecall(0.9, 6) == expected6)
+    assert(expected6 >= 4 && expected6 <= 6) // sanity: ~5
+    // wider bands need (many) more bands for the same recall floor —
+    // the honest cost of holding recall at the MaxBits ceiling
+    val l6 = LshConfig.bandsForRecall(0.9, 6)
+    val l12 = LshConfig.bandsForRecall(0.9, 12)
+    val l20 = LshConfig.bandsForRecall(0.9, 20)
+    assert(l6 < l12 && l12 < l20 && l20 >= 40)
+    // and a higher recall target is monotone too
+    assert(LshConfig.bandsForRecall(0.9, 20, 0.99) >
+      LshConfig.bandsForRecall(0.9, 20, 0.5))
+  }
+
   test("semanticClusterStats flags exactly the over-cap clusters") {
     val vecs = ((0 until 40).map(i => (i.toLong, Array(1.0f, 0.01f * i))) ++
       Seq((100L, Array(-1.0f, 0.0f)), (101L, Array(-1.0f, 0.01f))))
