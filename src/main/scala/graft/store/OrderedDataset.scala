@@ -1167,7 +1167,8 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
       throw new IllegalStateException(
         s"dataset $dir would hold ${kept.size + written.length} files, " +
           s"over the $MaxFilesPerDataset-file stats limit; raise the " +
-          "row-group target or compact")
+          "row-group target, compact, or shard the corpus across store " +
+          "keys (Store.shardedWrite)")
     }
     written.find(_.getAs[Long]("rows") > MaxRowsPerFile).foreach { r =>
       fs.delete(new HPath(tmpDir), true)

@@ -125,6 +125,80 @@ final class Store[K](val spark: SparkSession, val basepath: String,
     }
   }
 
+  /** The growth path past the per-dataset stats ceiling
+    * ([[OrderedDataset.MaxFilesPerDataset]] × the default row-group
+    * target caps ONE dataset at ≈ 19 TB): split a batch into
+    * VALUE-RANGE shards of the ordered column and write each shard to
+    * its own store key — the store-key sharding remedy as code, not
+    * prose. Shard boundaries are the (i/nShards)-quantiles of
+    * `opts.orderedOn` (Spark's `percentile_approx`, which accepts the
+    * numeric AND timestamp ordered types), so shards hold DISJOINT
+    * value ranges: every per-dataset invariant — sidecar zone maps,
+    * ordered scans, upsert planning — holds unchanged per shard, and a
+    * range query prunes whole KEYS before the per-file zone maps even
+    * load (each shard records its range in kv:
+    * `graft.shard.index/lo/hiExcl`). Read back with [[rangeDFAcross]]
+    * (or [[intersectionsDF]] when the key tag is wanted).
+    *
+    * Scale notes, stated honestly: each shard's write filters the
+    * input again — callers at data scale should persist (or
+    * re-read from a source with pushdown) `df` so the nShards passes
+    * prune instead of recompute; heavy value skew can collapse
+    * adjacent quantiles, in which case FEWER, larger shards come back
+    * (duplicate boundaries are coalesced — a single over-represented
+    * value never splits across shards, keeping ranges disjoint).
+    * Incremental growth: route APPENDS to the shard whose recorded
+    * range covers them (`keys` + kv), and re-shard a key that
+    * approaches the file cap by `shardedWrite`-ing ITS rows across
+    * fresh keys — each step is ordinary per-dataset commits, so
+    * readers never see a torn store.
+    */
+  def shardedWrite(df: DataFrame, opts: WriteOpts, keyOf: Int => K,
+      targetRowsPerShard: Long,
+      quantileAccuracy: Int = 10000): Seq[K] = {
+    import org.apache.spark.sql.functions.{array, col, lit, percentile_approx}
+    require(targetRowsPerShard > 0,
+      s"targetRowsPerShard must be positive, got $targetRowsPerShard")
+    val ordCol = opts.orderedOn
+    val n = df.count()
+    val nShards =
+      math.max(1L, math.ceil(n.toDouble / targetRowsPerShard).toLong).toInt
+    val bounds: Seq[Any] =
+      if (nShards == 1) Nil
+      else {
+        val probs = (1 until nShards).map(_.toDouble / nShards)
+        df.select(percentile_approx(col(ordCol),
+            array(probs.map(lit(_)): _*), lit(quantileAccuracy)).as("q"))
+          .head().getSeq[Any](0).distinct
+      }
+    val ranges: Seq[(Option[Any], Option[Any])] =
+      (None +: bounds.map(Option(_))).zip(bounds.map(Option(_)) :+ None)
+    ranges.zipWithIndex.map { case ((lo, hi), i) =>
+      val pred = (lo.map(l => col(ordCol) >= lit(l)) ++
+        hi.map(h => col(ordCol) < lit(h)))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val k = keyOf(i)
+      get(k).write(df.filter(pred), opts.copy(kv = opts.kv ++ Map(
+        "graft.shard.index" -> i.toString,
+        "graft.shard.lo" -> lo.map(_.toString).getOrElse(""),
+        "graft.shard.hiExcl" -> hi.map(_.toString).getOrElse("")))): Unit
+      k
+    }
+  }
+
+  /** Pruned union read across keys (the [[shardedWrite]] read-back):
+    * one zone-map-pruned [[OrderedDataset.rangeDF]] per key, unioned.
+    * A key whose files all miss the range contributes a zero-file
+    * scan — driver-side sidecar metadata work only — so a point/range
+    * query over a sharded corpus touches just the shard(s) covering
+    * it.
+    */
+  def rangeDFAcross(ks: Seq[K], start: Option[OrdVal] = None,
+      endExcl: Option[OrdVal] = None): DataFrame = {
+    require(ks.nonEmpty, "no keys")
+    ks.map(k => get(k).rangeDF(start, endExcl)).reduce(_ unionByName _)
+  }
+
   /** Synchronized range scan across datasets sharing the ordered column
     * (ref store.py:303-326, iter_intersections.py:66-302). Boundaries
     * are the union of per-file min values from the sidecars — driver-side
