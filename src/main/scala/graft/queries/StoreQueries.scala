@@ -251,6 +251,27 @@ object StoreQueries {
     st
   }
 
+  /** Sharded-store fixture: the SAME events rows value-range-sharded
+    * across 4 keys by [[Store.shardedWrite]] (the growth path past the
+    * per-dataset ≈19 TB stats ceiling). Separate base + marker so the
+    * main v-numbered fixture set never rebuilds for it.
+    */
+  def ensureSharded(s: SparkSession, d: String): Store[String] =
+    synchronized {
+      val base = baseDir(d) + "_sharded"
+      val st = new Store(s, base, idx)
+      val marker = new java.io.File(s"$base/_BUILT_SHARD_v1_${inputTag(d)}")
+      if (marker.exists()) return st
+      graft.LocalFs.rmTree(new java.io.File(base))
+      val e = ev5(s, d)
+      val n = e.count()
+      st.shardedWrite(e, WriteOpts("ts", NRows(20000)), i => s"shard$i",
+        targetRowsPerShard = math.max(1L, math.ceil(n / 4.0).toLong)): Unit
+      marker.getParentFile.mkdirs()
+      marker.createNewFile(): Unit
+      st
+    }
+
   /** DuckDB-side events projection with µs timestamps. */
   private val EV =
     """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
@@ -297,6 +318,19 @@ object StoreQueries {
       val lo = tsAt(2024, 1, 8); val hi = tsAt(2024, 1, 20)
       st.get("clustered").rangeDF(Some(lo), Some(hi))
         .filter(col("user_id") === 7L)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    },
+
+    // M-family growth path: a corpus value-range-sharded across store
+    // KEYS (Store.shardedWrite), read back through the key-pruned
+    // union (rangeDFAcross) — shards whose recorded range misses the
+    // query contribute zero-file scans, then per-file zone maps prune
+    // within the covering shard(s).
+    "m12_sharded_readback" -> { (s, d) =>
+      val st = ensureSharded(s, d)
+      st.rangeDFAcross(st.keys.toSeq,
+          Some(tsAt(2024, 1, 10)), Some(tsAt(2024, 1, 20)))
         .select("event_id", "ts", "user_id", "event_type", "value")
         .orderBy("event_id")
     },
@@ -631,6 +665,14 @@ object StoreQueries {
          SELECT event_id, ts, user_id, event_type, value FROM e
          WHERE user_id = 7
            AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+           AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+         ORDER BY event_id""",
+
+    // sharding is a physical re-layout: readback of the range is just
+    // the events rows inside it
+    "m12_sharded_readback" -> s"""$EV
+         SELECT event_id, ts, user_id, event_type, value FROM e
+         WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
            AND ts <  TIMESTAMP '2024-01-20 00:00:00'
          ORDER BY event_id""",
 

@@ -152,15 +152,42 @@ final class Store[K](val spark: SparkSession, val basepath: String,
     * approaches the file cap by `shardedWrite`-ing ITS rows across
     * fresh keys — each step is ordinary per-dataset commits, so
     * readers never see a torn store.
+    *
+    * Contract guards, enforced BEFORE the first shard commits:
+    * `orderedOn` must be a supported ordered type
+    * ([[OrderedDataset.typeTag]] — the quantile split needs a totally
+    * ordered numeric/timestamp column; strings are zone-map stat
+    * values, not ordered_on values) and must be null-free — a shard
+    * predicate `col >= lo` evaluates NULL and would silently drop
+    * null-ordered rows into NO shard whenever nShards > 1, while the
+    * single-shard path (`lit(true)`) defers to [[OrderedDataset.write]]
+    * which rejects them loudly; same batch, error at small scale,
+    * silent loss at large — so the null reject here mirrors write()'s.
+    * The shard loop runs inside [[transaction]] over the (precomputed)
+    * key list: a failure mid-loop rolls already-committed shards back
+    * (created datasets removed, pre-existing keys restored), so a
+    * caller never inherits an undocumented half-sharded corpus.
     */
   def shardedWrite(df: DataFrame, opts: WriteOpts, keyOf: Int => K,
       targetRowsPerShard: Long,
       quantileAccuracy: Int = 10000): Seq[K] = {
-    import org.apache.spark.sql.functions.{array, col, lit, percentile_approx}
+    import org.apache.spark.sql.functions.{array, col, count, lit,
+      percentile_approx}
     require(targetRowsPerShard > 0,
       s"targetRowsPerShard must be positive, got $targetRowsPerShard")
     val ordCol = opts.orderedOn
-    val n = df.count()
+    // fail fast with the store's own named error instead of letting
+    // percentile_approx die in analysis naming neither limitation nor
+    // remedy (string-typed ordered_on is legal nowhere in the store)
+    OrderedDataset.typeTag(df.schema(ordCol).dataType): Unit
+    // row count + non-null count in ONE action; reject nulls up front
+    val cnts = df.agg(count(lit(1)), count(col(ordCol))).head()
+    val n = cnts.getLong(0)
+    require(cnts.getLong(1) == n,
+      s"ordered_on '$ordCol' contains ${n - cnts.getLong(1)} null " +
+        "values; the ordered store requires a total order — drop or " +
+        "fill them first (sharding predicates would silently route " +
+        "them to no shard)")
     val nShards =
       math.max(1L, math.ceil(n.toDouble / targetRowsPerShard).toLong).toInt
     val bounds: Seq[Any] =
@@ -173,17 +200,22 @@ final class Store[K](val spark: SparkSession, val basepath: String,
       }
     val ranges: Seq[(Option[Any], Option[Any])] =
       (None +: bounds.map(Option(_))).zip(bounds.map(Option(_)) :+ None)
-    ranges.zipWithIndex.map { case ((lo, hi), i) =>
-      val pred = (lo.map(l => col(ordCol) >= lit(l)) ++
-        hi.map(h => col(ordCol) < lit(h)))
-        .reduceOption(_ && _).getOrElse(lit(true))
-      val k = keyOf(i)
-      get(k).write(df.filter(pred), opts.copy(kv = opts.kv ++ Map(
-        "graft.shard.index" -> i.toString,
-        "graft.shard.lo" -> lo.map(_.toString).getOrElse(""),
-        "graft.shard.hiExcl" -> hi.map(_.toString).getOrElse("")))): Unit
-      k
+    val ks = ranges.indices.map(keyOf)
+    require(ks.distinct.size == ks.size,
+      s"keyOf must be injective over shard indices 0..${ranges.size - 1}" +
+        s", got duplicate keys in $ks")
+    transaction(ks) { dss =>
+      ranges.zipWithIndex.foreach { case ((lo, hi), i) =>
+        val pred = (lo.map(l => col(ordCol) >= lit(l)) ++
+          hi.map(h => col(ordCol) < lit(h)))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        dss(ks(i)).write(df.filter(pred), opts.copy(kv = opts.kv ++ Map(
+          "graft.shard.index" -> i.toString,
+          "graft.shard.lo" -> lo.map(_.toString).getOrElse(""),
+          "graft.shard.hiExcl" -> hi.map(_.toString).getOrElse("")))): Unit
+      }
     }
+    ks
   }
 
   /** Pruned union read across keys (the [[shardedWrite]] read-back):

@@ -1,0 +1,163 @@
+package graft.store
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [[Store.shardedWrite]] / [[Store.rangeDFAcross]] — the growth path
+  * past the per-dataset stats ceiling ([[OrderedDataset.MaxFilesPerDataset]]
+  * × row-group target ≈ 19 TB per dataset; ref base.py:338-357 ×
+  * write.py:32): value-range shards of the ordered column land under
+  * separate store keys with disjoint recorded ranges, and a range read
+  * prunes whole KEYS before per-file zone maps load.
+  */
+class ShardedWriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val idx: Indexer[String] =
+    Indexer.of[String](1)(k => Seq(Seq(k)))(l =>
+      if (l.head.length == 1) Some(l.head.head) else None)
+
+  private def newStore(): Store[String] =
+    new Store(spark, s"${tmpDir("shardstore")}/st", idx)
+
+  private def evDf(n: Int): DataFrame =
+    spark.range(n.toLong).toDF("t")
+      .withColumn("v", col("t") * 1.5)
+
+  test("multi-shard write: disjoint covering ranges, kv round-trip, full readback") {
+    val st = newStore()
+    val ks = st.shardedWrite(evDf(10000), WriteOpts("t", NRows(1500)),
+      i => s"shard$i", targetRowsPerShard = 3000L)
+    assert(ks.size == 4, s"10000 rows / 3000 per shard -> 4, got $ks")
+    assert(st.keys.toSeq == ks.sorted)
+
+    // recorded ranges: shard i's hiExcl is shard i+1's lo (half-open
+    // chain covering the whole domain), index kv round-trips
+    val kvs = ks.map(k => st.get(k).meta.kv)
+    kvs.zipWithIndex.foreach { case (kv, i) =>
+      assert(kv("graft.shard.index") == i.toString)
+    }
+    assert(kvs.head("graft.shard.lo") == "")      // open at the bottom
+    assert(kvs.last("graft.shard.hiExcl") == "")  // open at the top
+    kvs.sliding(2).foreach { case Seq(a, b) =>
+      assert(a("graft.shard.hiExcl").nonEmpty &&
+        a("graft.shard.hiExcl") == b("graft.shard.lo"),
+        s"adjacent shard ranges must chain: $a | $b")
+    }
+
+    // per-shard data really honors its recorded range (disjointness)
+    ks.foreach { k =>
+      val kv = st.get(k).meta.kv
+      val mm = st.get(k).df.agg(min("t"), max("t")).head()
+      if (kv("graft.shard.lo").nonEmpty)
+        assert(mm.getLong(0) >= kv("graft.shard.lo").toLong)
+      if (kv("graft.shard.hiExcl").nonEmpty)
+        assert(mm.getLong(1) < kv("graft.shard.hiExcl").toLong)
+    }
+    assert(ks.map(k => st.get(k).meta.totalRows).sum == 10000L)
+
+    // full readback across shards == the input
+    val back = st.rangeDFAcross(ks)
+    assert(back.count() == 10000L)
+    assert(back.agg(sum("t")).head().getLong(0) == (0L until 10000L).sum)
+  }
+
+  test("rangeDFAcross reads only the shard(s) covering the range") {
+    val st = newStore()
+    val ks = st.shardedWrite(evDf(8000), WriteOpts("t", NRows(1000)),
+      i => s"s$i", targetRowsPerShard = 2000L)
+    assert(ks.size == 4)
+    // a range interior to ONE shard: [lo+10, lo+200) of shard 2
+    val lo2 = st.get(ks(2)).meta.kv("graft.shard.lo").toLong
+    val r = st.rangeDFAcross(ks,
+      Some(OrdLong(lo2 + 10)), Some(OrdLong(lo2 + 200)))
+    assert(r.count() == 190L)
+    val scannedDirs = r.select(input_file_name()).distinct()
+      .as[String].collect().map(_.split('/').dropRight(1).last).toSet
+    assert(scannedDirs == Set(ks(2)),
+      s"expected only shard ${ks(2)} scanned, got $scannedDirs")
+  }
+
+  test("value skew coalesces duplicate quantile boundaries into fewer shards") {
+    // 9000 copies of one hot value + 1000 distinct: most quantiles
+    // collapse onto the hot value; duplicates coalesce so the hot value
+    // never splits across shards and ranges stay disjoint
+    val hot = Seq.fill(9000)(500L) ++ (1000L until 2000L)
+    val df = hot.toDF("t").withColumn("v", col("t") * 1.0)
+    val st = newStore()
+    val ks = st.shardedWrite(df, WriteOpts("t", NRows(3000)),
+      i => s"s$i", targetRowsPerShard = 2000L)
+    assert(ks.size < 5, s"duplicate boundaries must coalesce, got $ks")
+    assert(ks.map(k => st.get(k).meta.totalRows).sum == 10000L)
+    // the hot value lands wholly in one shard
+    val holders = ks.filter(k =>
+      st.get(k).df.filter(col("t") === 500L).limit(1).count() > 0)
+    assert(holders.size == 1, s"hot value split across $holders")
+    assert(st.get(holders.head).df.filter(col("t") === 500L).count() == 9000L)
+  }
+
+  test("null ordered_on rejected up front; no shard is created") {
+    val st = newStore()
+    val df = Seq[(java.lang.Long, Double)]((1L, 1.0), (null, 2.0),
+      (3L, 3.0)).toDF("t", "v")
+    val e = intercept[IllegalArgumentException] {
+      st.shardedWrite(df, WriteOpts("t", NRows(10)), i => s"s$i",
+        targetRowsPerShard = 1L)
+    }
+    assert(e.getMessage.contains("null"), e.getMessage)
+    assert(st.keys.isEmpty, "a failed sharded write must commit nothing")
+  }
+
+  test("string ordered_on fails fast with the store's named error") {
+    val st = newStore()
+    val df = Seq(("a", 1.0), ("b", 2.0)).toDF("t", "v")
+    val e = intercept[IllegalArgumentException] {
+      st.shardedWrite(df, WriteOpts("t", NRows(10)), i => s"s$i",
+        targetRowsPerShard = 1L)
+    }
+    assert(e.getMessage.contains("unsupported ordered_on type"),
+      e.getMessage)
+    assert(st.keys.isEmpty)
+  }
+
+  test("mid-loop shard failure rolls back already-committed shards") {
+    val st = newStore()
+    // poison shard 2's key: a pre-existing dataset with a DIFFERENT
+    // ordered column makes its write() throw after shards 0-1 committed
+    st.get("s2").write(Seq((1L, 1.0)).toDF("x", "v"),
+      WriteOpts("x", NRows(10)))
+    val pre = st.get("s2").df.collect().toSeq
+    val e = intercept[Exception] {
+      st.shardedWrite(evDf(8000), WriteOpts("t", NRows(1000)),
+        i => s"s$i", targetRowsPerShard = 2000L)
+    }
+    assert(e.getMessage.contains("ordered_on is fixed at creation"),
+      e.getMessage)
+    // created shards were rolled back; the bystander dataset survives
+    assert(st.keys.toSeq == Seq("s2"),
+      s"rollback must remove created shards, keys = ${st.keys}")
+    assert(st.get("s2").df.collect().toSeq == pre)
+  }
+
+  test("single-shard batch defers to write()'s own contract") {
+    val st = newStore()
+    val ks = st.shardedWrite(evDf(100), WriteOpts("t", NRows(50)),
+      i => s"only$i", targetRowsPerShard = 1000L)
+    assert(ks == Seq("only0"))
+    val kv = st.get("only0").meta.kv
+    assert(kv("graft.shard.index") == "0" &&
+      kv("graft.shard.lo") == "" && kv("graft.shard.hiExcl") == "")
+    assert(st.get("only0").df.count() == 100L)
+  }
+
+  test("non-injective keyOf rejected before any commit") {
+    val st = newStore()
+    val e = intercept[IllegalArgumentException] {
+      st.shardedWrite(evDf(4000), WriteOpts("t", NRows(1000)),
+        _ => "same", targetRowsPerShard = 1000L)
+    }
+    assert(e.getMessage.contains("injective"), e.getMessage)
+    assert(st.keys.isEmpty)
+  }
+}
