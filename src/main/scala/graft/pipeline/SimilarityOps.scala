@@ -271,38 +271,50 @@ object SimilarityOps {
       .groupBy("band_id", "bucket").agg(count(lit(1)).as("n"))
 
   /** Saturation fail-fast shared by both pair generators. Occupancy is
-    * computed DIRECTLY from `planesPerBand` (`n / 2^planesPerBand`) —
-    * not via an [[LshConfig]] constructor — so ragged plane sets
-    * (`planes.size` not a multiple of `planesPerBand`, which
-    * [[lshBands]] supports via its grouped final band) arm the check
-    * without tripping the config's multiple-of invariant; the ragged
-    * final band is NARROWER, so the full-width occupancy estimate is
-    * conservative for it by ≤ 2^(missing bits) and the gate errs
-    * strict, never lax.
+    * computed directly from the band widths — not via an [[LshConfig]]
+    * constructor — so ragged plane sets (`planes.size` not a multiple
+    * of `planesPerBand`, which [[lshBands]] supports via its grouped
+    * final band) arm the check without tripping the config's
+    * multiple-of invariant. The binding check is at the NARROWEST band
+    * width: a ragged final band has FEWER bits → fewer buckets →
+    * HIGHER occupancy, so gating only on the full width would err LAX
+    * for ragged sets (a 1-bit leftover band puts the whole corpus in
+    * two n/2-row buckets the full-width estimate never sees — a
+    * straggler stage plus a silent recall hole when `maxBucketSize`
+    * then drops them).
     *
     * `chunked = true` (the grouped rank-chunked loop) admits over-cap
-    * occupancy exactly when `planesPerBand >= LshConfig.MaxBits`: no
-    * wider band space exists to widen INTO, and the chunked loop
-    * bounds per-task work linearly — that is the coded >MaxBits growth
-    * path ([[LshConfig.MaxBits]]); the unchunked join form stays
-    * strict everywhere because its in-bucket work is quadratic.
+    * occupancy exactly when even the NARROWEST band is at
+    * `LshConfig.MaxBits`: no wider band space exists to widen INTO,
+    * and the chunked loop bounds per-task work linearly — that is the
+    * coded >MaxBits growth path ([[LshConfig.MaxBits]]). A ragged set
+    * whose leftover band saturates is NOT admitted — the remedy there
+    * is dropping/widening the ragged band, and the error names it.
+    * The unchunked join form stays strict everywhere because its
+    * in-bucket work is quadratic.
     */
   private def requireUnsaturated(op: String, n: Long, nPlanes: Int,
       planesPerBand: Int, maxExpectedBucketRows: Long,
       chunked: Boolean): Unit = {
     require(planesPerBand > 0 && planesPerBand <= 62,
       s"planesPerBand must be in 1..62, got $planesPerBand")
-    val bucketsPerBand = 1L << planesPerBand
-    val occ = n.toDouble / bucketsPerBand.toDouble
-    val atCeiling = planesPerBand >= LshConfig.MaxBits
-    val nBands = math.ceil(nPlanes.toDouble / planesPerBand).toLong
-    val expPairs = nBands * n.toDouble * n.toDouble /
-      (2.0 * bucketsPerBand.toDouble)
+    val rem = nPlanes % planesPerBand
+    val minWidth = if (rem == 0) planesPerBand else rem
+    val occ = n.toDouble / (1L << minWidth).toDouble
+    val atCeiling = minWidth >= LshConfig.MaxBits
+    // candidate estimate summed over the ACTUAL band widths
+    val widths = Seq.fill(nPlanes / planesPerBand)(planesPerBand) ++
+      (if (rem > 0) Seq(rem) else Nil)
+    val expPairs = widths.map(w =>
+      n.toDouble * n.toDouble / (2.0 * (1L << w).toDouble)).sum
     require(occ <= maxExpectedBucketRows.toDouble || (chunked && atCeiling),
-      f"$op: band space saturated — $planesPerBand-bit " +
+      f"$op: band space saturated — $minWidth-bit " +
+        (if (rem > 0) "(ragged final) " else "") +
         f"bands expect $occ%.0f rows/bucket for a $n-vector corpus " +
         f"(cap $maxExpectedBucketRows, ~$expPairs%.3g candidate " +
-        "pairs); widen the key space (LshConfig.forCorpusSize)" +
+        "pairs); widen the key space (LshConfig.forCorpusSize" +
+        (if (rem > 0) "; or drop/widen the ragged final band" else "") +
+        ")" +
         (if (chunked) "" else
           " or use the rank-chunked lshNearDupPairsGrouped") +
         " instead of running a quadratic join")
@@ -444,6 +456,17 @@ object SimilarityOps {
     * unchunked loop (LshConfigSpec pins grouped == join parity at
     * driver SFs).
     *
+    * CHAINING CAVEAT, stated honestly: the cluster-membership claim
+    * above holds for DENSE duplicate clusters (template corpora, the
+    * dedup hot case) where the rows ranked between two members are
+    * themselves members and chain them transitively. A SPARSE pair —
+    * two near-dups with ≥ chunkSize unrelated bucket rows ranked
+    * strictly between them (one scalar projection gives no tight rank
+    * bound at moderate thresholds) — has no chaining path and is
+    * missed. Properly sized corpora never enter this regime (buckets
+    * stay under chunkSize); callers running over-cap occupancy at the
+    * MaxBits ceiling accept it as the recall cost of bounded tasks.
+    *
     * `maxBucketSize` keeps the join form's skip semantics (buckets
     * above it are dropped entirely) — with chunking it is an OUTPUT
     * bound, not a compute bound: a skipped mega-bucket is one whose
@@ -452,10 +475,25 @@ object SimilarityOps {
     * partitions by (band_id, bucket); the group key adds the chunk) —
     * two shuffles of the banded table, same count as the join form,
     * but with NO second banding pass and no candidate-scale sort.
-    * The inner loop sums the dot product in index order with the same
-    * 6-dp HALF_UP rounding as the [[cosine]] Column, so pair sets and
-    * cosines match the join form exactly wherever chunking does not
-    * bind.
+    * Two further costs are engineered away rather than paid (the
+    * measured r7 1.48× sf0.1 overhead): the chunk projection is
+    * computed ONCE per vector BEFORE banding (banding replicates rows
+    * nBands-fold — computing it after would redo the dot product per
+    * copy), and the explode is CONDITIONAL — a bucket's top chunk
+    * (hence every single-chunk bucket, i.e. all of them on a
+    * properly-sized corpus) gets exactly one copy, because its {c+1}
+    * group would hold only rows of chunk c and the `ck == max` rule
+    * emits nothing there; grouped-row traffic is therefore ~1× except
+    * inside genuinely hot buckets. The inner loop sums the dot
+    * product in index order with the same 6-dp HALF_UP rounding as
+    * the [[cosine]] Column, so pair sets and cosines match the join
+    * form exactly wherever chunking does not bind.
+    *
+    * The chunk plane is drawn from a seed disjoint from the banding
+    * planes'; at SMALL dim the ±1 plane can still coincide with a
+    * banding plane, which only weakens rank discrimination inside a
+    * bucket (ties fall to the deterministic id tiebreak — correct,
+    * just less spread).
     */
   def lshNearDupPairsGrouped(df: DataFrame, planes: Seq[Seq[Double]],
       planesPerBand: Int, threshold: Double,
@@ -467,6 +505,9 @@ object SimilarityOps {
     require(maxBucketSize > 0,
       s"maxBucketSize must be positive, got $maxBucketSize")
     require(chunkSize > 1, s"chunkSize must be > 1, got $chunkSize")
+    require(planes.nonEmpty,
+      "lshNearDupPairsGrouped needs at least one hyperplane — " +
+        "LshConfig.forCorpusSize sizes a plane set")
     corpusCount.foreach { n =>
       requireUnsaturated("lshNearDupPairsGrouped", n, planes.size,
         planesPerBand, maxExpectedBucketRows, chunked = true)
@@ -482,18 +523,29 @@ object SimilarityOps {
     val pv = array(chunkPlane.map(lit(_)): _*)
     val wb = Window.partitionBy("band_id", "bucket")
     val wr = wb.orderBy(col("__proj"), col("id"))
-    val banded = lshBands(df, planes, planesPerBand,
-        keep = Seq("vec", "norm"))
-      .withColumn("__proj", dot(col("vec"), pv) / col("norm"))
+    // chunk projection computed ONCE per vector, BEFORE the nBands-fold
+    // banding replication, and carried through `keep`
+    val banded = lshBands(
+        df.withColumn("__proj", dot(col("vec"), pv) / col("norm")),
+        planes, planesPerBand, keep = Seq("vec", "norm", "__proj"))
       // skip cap: same single-pass window trick as the join form —
       // rides the rank window's own (band_id, bucket) exchange
       .withColumn("__bn", count(lit(1)).over(wb))
       .filter(col("__bn") <= maxBucketSize)
       .withColumn("__chunk",
         ((row_number().over(wr) - 1) / chunkSize).cast("int"))
+      // conditional explode: the bucket's TOP chunk — hence every
+      // single-chunk bucket — gets exactly one copy; its {c+1} group
+      // would hold only chunk-c rows and the `ck == max` rule emits
+      // nothing there, so the second copy is provably dead weight
+      .withColumn("__cks",
+        when(col("__chunk") ===
+            ((col("__bn") - 1) / chunkSize).cast("int"),
+          array(col("__chunk")))
+        .otherwise(array(col("__chunk"), col("__chunk") + 1)))
       .select(col("band_id"), col("bucket"), col("id"),
         col("vec"), col("norm"), col("__chunk"),
-        explode(array(col("__chunk"), col("__chunk") + 1)).as("__ck"))
+        explode(col("__cks")).as("__ck"))
       .as[(Int, String, Long, Array[Double], Double, Int, Int)]
     banded.groupByKey(r => (r._1, r._2, r._7))
       .flatMapGroups { (key, it) =>

@@ -247,6 +247,39 @@ class LshConfigSpec extends SparkSpec {
     }: Unit
   }
 
+  test("saturation gate binds at the NARROWEST band: a ragged leftover " +
+      "band is not admitted by the chunked MaxBits exception") {
+    val v = SimilarityOps.withNorm(
+      Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding")
+    // 21 planes / 20 per band leaves a 1-BIT final band: two n/2-row
+    // buckets that the full-width (20-bit) occupancy estimate never
+    // sees (ADVICE r7 — the gate erred LAX here). The chunked form's
+    // at-ceiling exception must NOT cover it: the remedy is fixing the
+    // ragged band, and the error names it.
+    val planes = SimilarityOps.hyperplanes(21, 2)
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.lshNearDupPairsGrouped(v, planes, 20, 0.5,
+        corpusCount = Some(5000000000L))
+    }
+    assert(e.getMessage.contains("ragged"), e.getMessage)
+    assert(e.getMessage.contains("1-bit"), e.getMessage)
+    // the same width WITHOUT the ragged band stays admitted at ceiling
+    SimilarityOps.lshNearDupPairsGrouped(v,
+      SimilarityOps.hyperplanes(20, 2), 20, 0.5,
+      corpusCount = Some(5000000000L)): Unit
+  }
+
+  test("empty plane set rejected with a named error, not a head crash") {
+    val v = SimilarityOps.withNorm(
+      Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.lshNearDupPairsGrouped(v, Nil, 3, 0.5)
+    }
+    assert(e.getMessage.contains("at least one hyperplane"), e.getMessage)
+  }
+
   test("bandsForRecall: the nBands growth formula") {
     // exact duplicates collide at any width — one band suffices
     assert(LshConfig.bandCollisionProb(1.0, 20) == 1.0)
