@@ -393,13 +393,32 @@ object DedupIndex {
     */
   def probeEmbedding(spark: SparkSession, dir: String, batch: DataFrame,
       planes: Seq[Seq[Double]], planesPerBand: Int, threshold: Double,
-      maxDriverKeys: Int = 65536): DataFrame = {
+      maxDriverKeys: Int = 65536,
+      maxExpectedBucketRows: Long = 4L * LshConfig.TargetBucketRows,
+      maxBroadcastRows: Long = 1000000L): DataFrame = {
     val bBanded = SimilarityOps.lshBands(batch, planes, planesPerBand)
       .select((col("band_id") * lit(1L << planesPerBand) +
         conv(col("bucket"), 2, 10).cast("long")).as("hkey"),
         col("id").as("j"))
     val bands = new OrderedDataset(spark, s"$dir/bands")
     requireCfg(bands, "embedding", Some(planesTag(planes, planesPerBand)))
+    // index-vs-corpus drift guard: an index keeps its build-time band
+    // width forever while the corpus under it grows — once expected
+    // occupancy outgrows the width, every probe degrades toward
+    // quadratic bucket joins SILENTLY (the config "matches", the data
+    // does not). The band table's own sidecar row count says how big
+    // the indexed corpus is (rows = corpus × nBands, a driver-side
+    // metadata read) — fail with the rebuild remedy instead.
+    val nBands = math.max(1L,
+      math.ceil(planes.size.toDouble / planesPerBand).toLong)
+    val indexedCorpus = bands.meta.totalRows / nBands
+    val occ = indexedCorpus.toDouble / (1L << planesPerBand).toDouble
+    require(occ <= maxExpectedBucketRows.toDouble,
+      f"embedding index at $dir has outgrown its $planesPerBand-bit " +
+        f"band width: ~$indexedCorpus indexed vectors expect $occ%.0f " +
+        f"rows/bucket (cap $maxExpectedBucketRows) — rebuild with " +
+        f"LshConfig.forCorpusSize($indexedCorpus) " +
+        "(buildEmbedding keeps its width for the index's lifetime)")
     val index = scanForProbes(spark, bands, bBanded.select("hkey"),
       maxDriverKeys)
     // localCheckpoint — see probeSimhash: cand feeds the member-key
@@ -420,11 +439,20 @@ object DedupIndex {
     // to the planner let it sort-merge on j and spill the fat stream
     // (measured 72s for a 25k-vector batch against a 200k corpus;
     // broadcast shape: ~17s).
+    // the broadcast is FORCED, so its size must be enforced, not
+    // assumed: a bounded probe (scan stops at maxBroadcastRows + 1 —
+    // never a full count of an unboundedly large batch) downgrades to
+    // a planner-chosen join instead of OOM-ing every executor when a
+    // caller violates the bounded-increment contract
+    val bTbl = batch.select(col("id").as("j"), col("vec").as("vb"),
+      col("norm").as("nb"))
+    val bSmall =
+      batch.select(col("id")).limit((maxBroadcastRows + 1).toInt)
+        .count() <= maxBroadcastRows
     cand
       .join(mem.select(col("id").as("i"), col("vec").as("va"),
         col("norm").as("na")), Seq("i"))
-      .join(broadcast(batch.select(col("id").as("j"), col("vec").as("vb"),
-        col("norm").as("nb"))), Seq("j"))
+      .join(if (bSmall) broadcast(bTbl) else bTbl, Seq("j"))
       .select(col("i"), col("j"),
         SimilarityOps.cosine(col("va"), col("vb"), col("na"), col("nb"))
           .as("cos"))

@@ -325,8 +325,25 @@ object PipelineQueries {
     */
   private val embCountCache =
     scala.collection.concurrent.TrieMap.empty[String, Long]
+  /** Cache key = path + file fingerprint (size + mtime), NOT the path
+    * alone: a corpus regenerated or appended in place must invalidate
+    * the cached count, or lshCfg would size the band space for a
+    * corpus that no longer exists (the index-vs-corpus drift this
+    * round's probe guard also defends against).
+    */
+  private def embTag(d: String): String = {
+    val f = new java.io.File(s"$d/embeddings.parquet")
+    val parts =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName)
+          .map(p => s"${p.getName}:${p.length}:${p.lastModified}")
+          .mkString("|")
+      else s"${f.length}:${f.lastModified}"
+    s"$d|$parts"
+  }
   private def nEmbs(s: SparkSession, d: String): Long =
-    embCountCache.getOrElseUpdate(d, Tables.embeddings(s, d).count())
+    embCountCache.getOrElseUpdate(embTag(d),
+      Tables.embeddings(s, d).count())
 
   /** Corpus-size-adaptive sign-projection config: every driver SF
     * resolves to the historical 24×6 (so the static oracle SQL above
@@ -1928,6 +1945,7 @@ object PipelineQueries {
     // value, so sampled luma is Σ g_f · 8 · h
     "p_multimodal_frames_real" ->
       """SELECT d.doc_id, true AS ok,
+              false AS truncated,
               CAST(2 + d.doc_id % 4 AS BIGINT) AS n_frames,
               CAST(sum(CASE WHEN t.f % 2 = 0 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_sampled,

@@ -189,6 +189,56 @@ class DedupIndexSpec extends SparkSpec {
     assert(viaJoin == pairs)
   }
 
+  test("embedding index: probe rejects an index its corpus has outgrown " +
+      "(drift guard) and detects growth from the live sidecar count") {
+    val dir = tmpDir("embdrift") + "/idx"
+    def mkVecs(lo: Long, hi: Long) = SimilarityOps.withNorm(
+      (lo until hi).map { i =>
+        (i, Array.tabulate(8)(j => math.sin(i * 0.61 + j)))
+      }.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val planes = SimilarityOps.hyperplanes(8, 8) // 4 bands x 2 bits
+    DedupIndex.buildEmbedding(spark, dir, mkVecs(0L, 100L), planes,
+      planesPerBand = 2, rowsPerFile = 100)
+    val batch = mkVecs(0L, 1L)
+      .select(($"id" + 1000L).as("id"), $"vec", $"norm")
+    // occupancy 100/2^2 = 25: fine under a 30-row cap...
+    DedupIndex.probeEmbedding(spark, dir, batch, planes,
+      planesPerBand = 2, threshold = 0.99,
+      maxExpectedBucketRows = 30L).count(): Unit
+    // ...then the corpus GROWS under the same index; the probe must
+    // see the new occupancy (50) from the sidecar and name the remedy
+    DedupIndex.buildEmbedding(spark, dir, mkVecs(100L, 200L), planes,
+      planesPerBand = 2, rowsPerFile = 100)
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.probeEmbedding(spark, dir, batch, planes,
+        planesPerBand = 2, threshold = 0.99,
+        maxExpectedBucketRows = 30L)
+    }
+    assert(e.getMessage.contains("outgrown"), e.getMessage)
+    assert(e.getMessage.contains("LshConfig.forCorpusSize"), e.getMessage)
+  }
+
+  test("embedding probe: over-bound batch downgrades the forced " +
+      "broadcast to a planner join with identical results") {
+    val dir = tmpDir("embbc") + "/idx"
+    val vecs = (0L until 50L).map { i =>
+      (i, Array.tabulate(8)(j => math.cos(i * 0.37 + j)))
+    }.toDF("vec_id", "embedding")
+    val v = SimilarityOps.withNorm(vecs, "vec_id", "embedding")
+    val planes = SimilarityOps.hyperplanes(8, 8)
+    DedupIndex.buildEmbedding(spark, dir, v, planes, planesPerBand = 2,
+      rowsPerFile = 100)
+    val batch = v.filter($"id".isin(3L, 7L, 11L))
+      .select(($"id" + 500L).as("id"), $"vec", $"norm")
+    def run(maxBc: Long) = DedupIndex.probeEmbedding(spark, dir, batch,
+      planes, planesPerBand = 2, threshold = 0.99,
+      maxBroadcastRows = maxBc)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val viaBroadcast = run(1000000L)
+    val viaPlanner = run(1L) // 3-row batch exceeds a 1-row bound
+    assert(viaBroadcast == viaPlanner && viaBroadcast.nonEmpty)
+  }
+
   test("segment index: incremental batches equal whole-corpus dedup") {
     val dir = tmpDir("segidx") + "/idx"
     def mkDoc(id: Long, words: Seq[String]) = (id, words.mkString(" "))
