@@ -256,7 +256,7 @@ object MultimodalOps {
   }
 
   final case class FrameFeatures(id: Long, ok: Boolean, n_frames: Long,
-      n_sampled: Long, luma_sum: Long)
+      n_sampled: Long, luma_sum: Long, truncated: Boolean)
 
   /** Cap on frames walked per payload: a corrupt/adversarial frame
     * count must bound work the same way MaxImagePixels bounds one
@@ -266,12 +266,18 @@ object MultimodalOps {
   /** Decode a MULTI-FRAME image payload (animated GIF — the one
     * multi-frame container the JDK decodes natively) and sample every
     * k-th frame: (total frames, frames sampled, Σ luma over sampled
-    * frames). Skipped frames are counted via metadata only — the
-    * reader never materializes their pixels, which is the point of
-    * frame sampling. None for undecodable payloads.
+    * frames, truncated). Skipped frames are counted via metadata only —
+    * the reader never materializes their pixels, which is the point of
+    * frame sampling. None for undecodable payloads. `truncated = true`
+    * means the `maxFrames` work cap stopped the walk with frames
+    * UNREAD — counts cover a prefix of the clip, not the clip
+    * (disambiguated from an exact-cap-length clip by one metadata
+    * probe past the cap): the caller sees the degradation instead of
+    * trusting a silently short count, mirroring how MaxImagePixels
+    * degrades a too-large single frame to ok = false.
     */
-  private def decodeFrames(raw: Array[Byte], k: Int)
-      : Option[(Long, Long, Long)] = {
+  private def decodeFrames(raw: Array[Byte], k: Int, maxFrames: Int)
+      : Option[(Long, Long, Long, Boolean)] = {
     val bytes = orEmpty(raw)
     if (bytes.isEmpty) None
     else try {
@@ -288,7 +294,7 @@ object MultimodalOps {
             var bad = false
             var i = 0
             var more = true
-            while (more && !bad && i < MaxFrames) {
+            while (more && !bad && i < maxFrames) {
               try {
                 val w = reader.getWidth(i); val h = reader.getHeight(i)
                 if (w <= 0 || h <= 0 || w.toLong * h > MaxImagePixels)
@@ -305,7 +311,13 @@ object MultimodalOps {
               }
               i += 1
             }
-            if (bad || n == 0) None else Some((n, sampled, sum))
+            // stopped BY the cap, not by the container's end: one
+            // metadata probe tells an exact-cap clip (not truncated)
+            // from one with unread frames (truncated)
+            val truncated = more && !bad && i >= maxFrames &&
+              (try { reader.getWidth(i); true }
+               catch { case _: IndexOutOfBoundsException => false })
+            if (bad || n == 0) None else Some((n, sampled, sum, truncated))
           } finally reader.dispose()
         }
       } finally if (iis != null) iis.close()
@@ -320,16 +332,21 @@ object MultimodalOps {
     * which remains the fallback for containers the environment has no
     * codec for. */
   def sampleFrames(spark: SparkSession, df: DataFrame, idCol: String,
-      payloadCol: String, k: Int): Dataset[FrameFeatures] = {
+      payloadCol: String, k: Int,
+      maxFrames: Int = MaxFrames): Dataset[FrameFeatures] = {
     require(k > 0, s"sampling stride k must be positive, got $k")
+    require(maxFrames > 0, s"maxFrames must be positive, got $maxFrames")
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, raw) =>
-          decodeFrames(raw, k) match {
-            case Some((n, s, l)) => FrameFeatures(id, ok = true, n, s, l)
-            case None => FrameFeatures(id, ok = false, -1L, -1L, -1L)
+          decodeFrames(raw, k, maxFrames) match {
+            case Some((n, s, l, t)) =>
+              FrameFeatures(id, ok = true, n, s, l, truncated = t)
+            case None =>
+              FrameFeatures(id, ok = false, -1L, -1L, -1L,
+                truncated = false)
           }
         }
       }

@@ -54,6 +54,18 @@ object StreamingXRows {
   final case class OpenBin(bin: Long, labelMicros: Long, n: Long,
       firstTie: Long, firstV: Double, lastTie: Long, lastV: Double,
       minV: Double, maxV: Double, sumStr: String)
+  /** STATE-SCHEMA COMPATIBILITY CONTRACT: `XState` (with the nested
+    * [[OpenBin]]) is persisted in the streaming state store via its
+    * product encoder — any field added, removed, reordered, or
+    * retyped here is a BREAKING change for existing checkpoints
+    * (Spark fails the restarted query with a state-schema
+    * incompatibility, it does not migrate). Schema history:
+    * v1 = the current shape, unchanged since introduction. To evolve:
+    * start the changed query against a FRESH checkpoint directory and
+    * re-seed from the source (the graft-source offsets replay
+    * deterministically), or write a one-off state migration — do not
+    * edit these fields in place and point at an old checkpoint.
+    */
   final case class XState(rowsSoFar: Long, open: Option[OpenBin],
       lastTsMicros: Long, lastTie: Long)
   final case class XOut(bin: Long, label_micros: Long, n_rows: Long,

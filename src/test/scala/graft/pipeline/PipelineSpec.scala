@@ -434,6 +434,25 @@ class PipelineSpec extends SparkSpec {
     val one = MultimodalOps.sampleFrames(spark, png, "doc_id",
       "payload", 2).collect().head
     assert(one.ok && one.n_frames == 1L && one.n_sampled == 1L)
+    // untruncated clips report truncated = false
+    assert(got.values.forall(f => !f.truncated))
+  }
+
+  test("frame-cap truncation is SURFACED, not a silently short count") {
+    // id 42 -> 4 frames. A 3-frame cap stops with a frame unread:
+    // ok stays true (the prefix decoded fine) but truncated flags it.
+    val clip = MultimodalOps.synthGifs(spark, Seq(42L).toDF("doc_id"),
+      "doc_id")
+    val capped = MultimodalOps.sampleFrames(spark, clip, "doc_id",
+      "payload", 1, maxFrames = 3).collect().head
+    assert(capped.ok && capped.n_frames == 3L && capped.truncated,
+      s"$capped")
+    // an EXACT-cap clip is complete, not truncated (the one-probe
+    // disambiguation past the cap)
+    val exact = MultimodalOps.sampleFrames(spark, clip, "doc_id",
+      "payload", 1, maxFrames = 4).collect().head
+    assert(exact.ok && exact.n_frames == 4L && !exact.truncated,
+      s"$exact")
   }
 
   test("multimodal fake decode features match byte arithmetic") {
