@@ -78,6 +78,19 @@ object LshConfig {
     */
   val TargetBucketRows = 500L
 
+  /** Occupancy headroom for the grouped pair loop's fast path
+    * ([[SimilarityOps.lshNearDupPairsGrouped]]): the no-window shape
+    * is taken only while `expected occupancy × headroom ≤ chunkSize`,
+    * i.e. a bucket must exceed its expectation 8-fold (skew the
+    * estimate cannot see) before it even needs in-task chunking —
+    * and past the [[MaxBits]] ceiling, where occupancy grows linearly
+    * with the corpus, the gate flips back to the many-bounded-tasks
+    * window shape. 8 = DefaultChunkRows / TargetBucketRows by
+    * construction, so a [[forCorpusSize]]-sized corpus always takes
+    * the fast path until the clamp binds.
+    */
+  val FastPathHeadroom = 8.0
+
   /** Size the band width for an n-vector corpus:
     * `bits = clamp(ceil(log2(n / targetBucketRows)), minBits, maxBits)`,
     * `nPlanes = nBands · bits`. Driver scale factors (500 / 2k / 20k

@@ -475,19 +475,24 @@ object SimilarityOps {
     * partitions by (band_id, bucket); the group key adds the chunk) —
     * two shuffles of the banded table, same count as the join form,
     * but with NO second banding pass and no candidate-scale sort.
-    * Two further costs are engineered away rather than paid (the
-    * measured r7 1.48× sf0.1 overhead): the chunk projection is
-    * computed ONCE per vector BEFORE banding (banding replicates rows
-    * nBands-fold — computing it after would redo the dot product per
-    * copy), and the explode is CONDITIONAL — a bucket's top chunk
-    * (hence every single-chunk bucket, i.e. all of them on a
-    * properly-sized corpus) gets exactly one copy, because its {c+1}
-    * group would hold only rows of chunk c and the `ck == max` rule
-    * emits nothing there; grouped-row traffic is therefore ~1× except
-    * inside genuinely hot buckets. The inner loop sums the dot
-    * product in index order with the same 6-dp HALF_UP rounding as
-    * the [[cosine]] Column, so pair sets and cosines match the join
-    * form exactly wherever chunking does not bind.
+    * Three further costs are engineered away rather than paid (the
+    * measured r7 overheads: 1.48× at sf0.1, 55.8s vs 41.0s at the
+    * 100× bench): the chunk projection is computed ONCE per vector
+    * BEFORE banding (banding replicates rows nBands-fold — computing
+    * it after would redo the dot product per copy); the explode is
+    * CONDITIONAL — a bucket's top chunk (hence every single-chunk
+    * bucket) gets exactly one copy, because its {c+1} group would
+    * hold only rows of chunk c and the `ck == max` rule emits nothing
+    * there; and above all the OCCUPANCY-GATED FAST PATH (see the
+    * inline note at the gate) drops the rank window + explode
+    * entirely while expected occupancy × [[LshConfig.FastPathHeadroom]]
+    * stays ≤ chunkSize — a surprise hot bucket then chunks by the
+    * same (projection, id) rank IN-TASK, so the emitted set is
+    * bit-identical to the window path on any data; only task
+    * granularity differs. The inner loop sums the dot product in
+    * index order with the same 6-dp HALF_UP rounding as the
+    * [[cosine]] Column, so pair sets and cosines match the join form
+    * exactly wherever chunking does not bind.
     *
     * The chunk plane is drawn from a seed disjoint from the banding
     * planes'; at SMALL dim the ±1 plane can still coincide with a
@@ -522,74 +527,150 @@ object SimilarityOps {
     val chunkPlane = hyperplanes(1, dim, seed = 9917L).head
     val pv = array(chunkPlane.map(lit(_)): _*)
     val wb = Window.partitionBy("band_id", "bucket")
-    val wr = wb.orderBy(col("__proj"), col("id"))
     // chunk projection computed ONCE per vector, BEFORE the nBands-fold
     // banding replication, and carried through `keep`
-    val banded = lshBands(
+    val banded0 = lshBands(
         df.withColumn("__proj", dot(col("vec"), pv) / col("norm")),
         planes, planesPerBand, keep = Seq("vec", "norm", "__proj"))
       // skip cap: same single-pass window trick as the join form —
-      // rides the rank window's own (band_id, bucket) exchange
+      // rides the (band_id, bucket) exchange both paths need anyway
       .withColumn("__bn", count(lit(1)).over(wb))
       .filter(col("__bn") <= maxBucketSize)
-      .withColumn("__chunk",
-        ((row_number().over(wr) - 1) / chunkSize).cast("int"))
-      // conditional explode: the bucket's TOP chunk — hence every
-      // single-chunk bucket — gets exactly one copy; its {c+1} group
-      // would hold only chunk-c rows and the `ck == max` rule emits
-      // nothing there, so the second copy is provably dead weight
-      .withColumn("__cks",
-        when(col("__chunk") ===
-            ((col("__bn") - 1) / chunkSize).cast("int"),
-          array(col("__chunk")))
-        .otherwise(array(col("__chunk"), col("__chunk") + 1)))
-      .select(col("band_id"), col("bucket"), col("id"),
-        col("vec"), col("norm"), col("__chunk"),
-        explode(col("__cks")).as("__ck"))
-      .as[(Int, String, Long, Array[Double], Double, Int, Int)]
-    banded.groupByKey(r => (r._1, r._2, r._7))
-      .flatMapGroups { (key, it) =>
-        val ck = key._3
-        // bounded by construction: members of chunks ck-1 and ck only,
-        // ≤ 2·chunkSize rows per group
-        val rows = it.toArray
-        if (rows.length < 2) Iterator.empty
-        else {
-          val n = rows.length
-          // id-sorted so emitted (i, j) is (min, max) like the join's
-          // a.id < b.id predicate
-          java.util.Arrays.sort(rows,
-            Ordering.by((r: (Int, String, Long, Array[Double], Double,
-              Int, Int)) => r._3))
-          Iterator.range(0, n).flatMap { a =>
-            val ra = rows(a); val ia = ra._3; val va = ra._4
-            val na = ra._5; val ca = ra._6
-            Iterator.range(a + 1, n).flatMap { b =>
-              val rb = rows(b)
-              // each pair counted once across its exploded copies:
-              // only the group keyed by the LATER member's chunk emits
-              if (math.max(ca, rb._6) != ck) Iterator.empty
-              else {
-                val ib = rb._3; val vb = rb._4; val nb = rb._5
-                var s = 0.0
-                var k = 0
-                while (k < va.length) { s += va(k) * vb(k); k += 1 }
-                // same 6-dp HALF_UP rounding as the [[cosine]] Column
-                // (and threshold applied AFTER it, like the join
-                // path), so the two implementations are bit-identical
-                val cos = java.math.BigDecimal.valueOf(s / (na * nb))
-                  .setScale(6, java.math.RoundingMode.HALF_UP)
-                  .doubleValue()
-                if (cos >= threshold && ia != ib)
-                  Iterator.single((ia, ib, cos))
-                else Iterator.empty
+    // FAST PATH (the measured-default shape): when the caller-supplied
+    // corpus count says expected occupancy stays ≤ chunkSize /
+    // FastPathHeadroom, skip the rank WINDOW and the explode entirely
+    // and group once per (band, bucket) — the window's per-partition
+    // sort of the whole banded table (8M rows at the 100× bench) was
+    // pure overhead when no bucket can chunk. Chunk semantics do NOT
+    // change: a surprise hot bucket (skew the estimate cannot see)
+    // sorts by the SAME (projection, id) rank in-task and pairs only
+    // same/adjacent chunks — output is bit-identical to the window
+    // path on any data (spec-pinned), work stays linear in bucket
+    // size; the single concession is task granularity (one task per
+    // hot bucket instead of one per chunk), which is why the path is
+    // GATED on occupancy rather than unconditional: corpora whose
+    // expected occupancy approaches chunkSize — including everything
+    // past the MaxBits ceiling — keep the many-bounded-tasks window
+    // shape. corpusCount = None keeps the window path (no estimate,
+    // no shortcut).
+    val rem = planes.size % planesPerBand
+    val minBits = if (rem == 0) planesPerBand else rem
+    val fastPath = corpusCount.exists(n =>
+      n.toDouble / (1L << math.min(minBits, 62)).toDouble *
+        LshConfig.FastPathHeadroom <= chunkSize.toDouble)
+    val pairs =
+      if (fastPath) {
+        banded0
+          .select(col("band_id"), col("bucket"), col("id"),
+            col("vec"), col("norm"), col("__proj"))
+          .as[(Int, String, Long, Array[Double], Double, Double)]
+          .groupByKey(r => (r._1, r._2))
+          .flatMapGroups { (_, it) =>
+            val rows = it.toArray
+            if (rows.length < 2) Iterator.empty
+            else if (rows.length <= chunkSize) {
+              // single-chunk bucket: every pair, identical to the
+              // window path's lone c = 0 group
+              java.util.Arrays.sort(rows, Ordering.by((r: (Int, String,
+                Long, Array[Double], Double, Double)) => r._3))
+              val n = rows.length
+              Iterator.range(0, n).flatMap { a =>
+                val ra = rows(a)
+                Iterator.range(a + 1, n).flatMap { b =>
+                  val rb = rows(b)
+                  emitPair(ra._3, ra._4, ra._5, rb._3, rb._4, rb._5,
+                    threshold)
+                }
+              }
+            } else {
+              // in-task chunking: the same (projection, id) rank and
+              // adjacent-chunk rule as the window path, so the emitted
+              // set is identical — work ≤ 2·s·chunkSize pairs
+              java.util.Arrays.sort(rows, Ordering.by((r: (Int, String,
+                Long, Array[Double], Double, Double)) => (r._6, r._3)))
+              val n = rows.length
+              Iterator.range(0, n).flatMap { a =>
+                val ra = rows(a); val ca = a / chunkSize
+                Iterator.range(a + 1,
+                    math.min(n, (ca + 2) * chunkSize)).flatMap { b =>
+                  val rb = rows(b)
+                  val ia = ra._3; val ib = rb._3
+                  emitPair(math.min(ia, ib), if (ia <= ib) ra._4 else rb._4,
+                    if (ia <= ib) ra._5 else rb._5,
+                    math.max(ia, ib), if (ia <= ib) rb._4 else ra._4,
+                    if (ia <= ib) rb._5 else ra._5, threshold)
+                }
               }
             }
           }
-        }
+      } else {
+        val wr = wb.orderBy(col("__proj"), col("id"))
+        val banded = banded0
+          .withColumn("__chunk",
+            ((row_number().over(wr) - 1) / chunkSize).cast("int"))
+          // conditional explode: the bucket's TOP chunk — hence every
+          // single-chunk bucket — gets exactly one copy; its {c+1}
+          // group would hold only chunk-c rows and the `ck == max`
+          // rule emits nothing there, so the second copy is provably
+          // dead weight
+          .withColumn("__cks",
+            when(col("__chunk") ===
+                ((col("__bn") - 1) / chunkSize).cast("int"),
+              array(col("__chunk")))
+            .otherwise(array(col("__chunk"), col("__chunk") + 1)))
+          .select(col("band_id"), col("bucket"), col("id"),
+            col("vec"), col("norm"), col("__chunk"),
+            explode(col("__cks")).as("__ck"))
+          .as[(Int, String, Long, Array[Double], Double, Int, Int)]
+        banded.groupByKey(r => (r._1, r._2, r._7))
+          .flatMapGroups { (key, it) =>
+            val ck = key._3
+            // bounded by construction: members of chunks ck-1 and ck
+            // only, ≤ 2·chunkSize rows per group
+            val rows = it.toArray
+            if (rows.length < 2) Iterator.empty
+            else {
+              val n = rows.length
+              // id-sorted so emitted (i, j) is (min, max) like the
+              // join's a.id < b.id predicate
+              java.util.Arrays.sort(rows,
+                Ordering.by((r: (Int, String, Long, Array[Double],
+                  Double, Int, Int)) => r._3))
+              Iterator.range(0, n).flatMap { a =>
+                val ra = rows(a); val ca = ra._6
+                Iterator.range(a + 1, n).flatMap { b =>
+                  val rb = rows(b)
+                  // each pair counted once across its exploded copies:
+                  // only the group keyed by the LATER member's chunk
+                  // emits
+                  if (math.max(ca, rb._6) != ck) Iterator.empty
+                  else emitPair(ra._3, ra._4, ra._5, rb._3, rb._4,
+                    rb._5, threshold)
+                }
+              }
+            }
+          }
       }
-      .toDF("i", "j", "cos")
-      .distinct()
+    pairs.toDF("i", "j", "cos").distinct()
+  }
+
+  /** Shared inner emit of both grouped-path pair loops: fused dot
+    * product in index order with the same 6-dp HALF_UP rounding as the
+    * [[cosine]] Column (threshold applied AFTER it, like the join
+    * path), so every implementation is bit-identical. Caller passes
+    * ids already ordered (i < j).
+    */
+  @inline private def emitPair(ia: Long, va: Array[Double], na: Double,
+      ib: Long, vb: Array[Double], nb: Double, threshold: Double)
+      : Iterator[(Long, Long, Double)] = {
+    var s = 0.0
+    var k = 0
+    while (k < va.length) { s += va(k) * vb(k); k += 1 }
+    val cos = java.math.BigDecimal.valueOf(s / (na * nb))
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+    if (cos >= threshold && ia != ib) Iterator.single((ia, ib, cos))
+    else Iterator.empty
   }
 
   /** Cluster-scoped semantic dedup (the SemDeDup shape: coarse

@@ -191,6 +191,19 @@ class LshConfigSpec extends SparkSpec {
     val full = SimilarityOps.lshNearDupPairsGrouped(
       v, planes, 3, 0.9, chunkSize = 1000)
     assert(full.count() == 799L * 800 / 2)
+    // the occupancy-gated FAST PATH (no rank window, in-task chunking)
+    // must emit the bit-identical pair set on the same hot bucket:
+    // corpusCount = 8 passes the gate (occupancy 1 × headroom ≤ 100)
+    // while the 800-row template bucket still forces in-task chunking
+    val fastSet = SimilarityOps.lshNearDupPairsGrouped(
+      v, planes, 3, 0.9, chunkSize = 100, corpusCount = Some(8L))
+      .select("i", "j", "cos").as[(Long, Long, Double)].collect().toSet
+    val windowSet = chunked
+      .select("i", "j", "cos").as[(Long, Long, Double)].collect().toSet
+    assert(fastSet == windowSet,
+      s"fast=${fastSet.size} window=${windowSet.size}, " +
+        s"diff=${(fastSet.diff(windowSet) ++
+          windowSet.diff(fastSet)).take(5)}")
     v.unpersist(): Unit
   }
 
