@@ -147,11 +147,12 @@ final class Store[K](val spark: SparkSession, val basepath: String,
     * adjacent quantiles, in which case FEWER, larger shards come back
     * (duplicate boundaries are coalesced — a single over-represented
     * value never splits across shards, keeping ranges disjoint).
-    * Incremental growth: route APPENDS to the shard whose recorded
-    * range covers them (`keys` + kv), and re-shard a key that
-    * approaches the file cap by `shardedWrite`-ing ITS rows across
-    * fresh keys — each step is ordinary per-dataset commits, so
-    * readers never see a torn store.
+    * Incremental growth is code, not prose: [[appendSharded]] routes
+    * appends to the shard whose recorded range covers them
+    * (chain-validated), [[reShard]] splits a key approaching the file
+    * cap across fresh keys with the family chain preserved — each
+    * step is ordinary per-dataset commits, so readers never see a
+    * torn store.
     *
     * Contract guards, enforced BEFORE the first shard commits:
     * `orderedOn` must be a supported ordered type
@@ -216,6 +217,152 @@ final class Store[K](val spark: SparkSession, val basepath: String,
       }
     }
     ks
+  }
+
+  /** Parse a kv-recorded shard boundary back to a literal comparable
+    * with the ordered COLUMN's type (the inverse of [[shardedWrite]]'s
+    * toString stamp; both `LocalDateTime.toString` ISO and
+    * `java.sql.Timestamp.toString` space-separated forms accepted for
+    * the timestamp types).
+    */
+  private def boundLiteral(s: String,
+      dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    def ldt = try java.time.LocalDateTime.parse(s)
+      catch { case _: java.time.format.DateTimeParseException =>
+        java.sql.Timestamp.valueOf(s).toLocalDateTime }
+    dt match {
+      case LongType | IntegerType       => s.toLong
+      case DoubleType | FloatType       => s.toDouble
+      case TimestampNTZType             => ldt
+      case TimestampType                =>
+        try java.time.Instant.parse(s)
+        catch { case _: java.time.format.DateTimeParseException =>
+          ldt.toInstant(java.time.ZoneOffset.UTC) }
+      case other => throw new IllegalArgumentException(
+        s"unsupported ordered_on type $other for shard bounds")
+    }
+  }
+
+  /** The shard family `ks` as a VALIDATED chain: exactly one member
+    * with an open lo, each `hiExcl` linking to exactly one member's
+    * `lo`, ending at the one open `hiExcl`, visiting every key —
+    * i.e. the recorded ranges tile the whole line and every ordered
+    * value has exactly ONE covering shard. Pure string link-following
+    * (no parsing), so it also works after [[reShard]] renumbers a
+    * sub-family. Returns (key, lo, hiExcl) in range order.
+    */
+  private def shardChain(ks: Seq[K]): Seq[(K, String, String)] = {
+    require(ks.nonEmpty, "no keys")
+    val recs = ks.map { k =>
+      val kv = get(k).meta.kv
+      require(kv.contains("graft.shard.index"),
+        s"$k carries no graft.shard.* kv — not a shardedWrite dataset")
+      (k, kv.getOrElse("graft.shard.lo", ""),
+        kv.getOrElse("graft.shard.hiExcl", ""))
+    }
+    val heads = recs.filter(_._2.isEmpty)
+    require(heads.size == 1,
+      s"shard family must have exactly one open-lo head, got " +
+        s"${heads.map(_._1)} — pass the COMPLETE family")
+    val byLo = recs.filter(_._2.nonEmpty).groupBy(_._2)
+    byLo.collect { case (lo, rs) if rs.size > 1 =>
+      throw new IllegalArgumentException(
+        s"shard ranges overlap: ${rs.map(_._1)} all start at $lo")
+    }: Unit
+    val buf = scala.collection.mutable.ListBuffer.empty[(K, String, String)]
+    var cur: Option[(K, String, String)] = Some(heads.head)
+    while (cur.isDefined) {
+      buf += cur.get
+      require(buf.size <= recs.size,
+        s"shard ranges form a cycle: ${buf.map(_._1)}")
+      val hi = cur.get._3
+      cur = if (hi.isEmpty) None else byLo.get(hi).map(_.head)
+    }
+    val chain = buf.toSeq
+    require(chain.size == recs.size && chain.last._3.isEmpty,
+      s"shard ranges do not chain: covered ${chain.map(_._1)} of " +
+        s"${recs.map(_._1)} — a shard is missing or ranges are torn")
+    chain
+  }
+
+  /** Route an APPEND batch across an existing shard family — the
+    * incremental-growth step of the [[shardedWrite]] story as code:
+    * each row lands in the shard whose kv-recorded `[lo, hiExcl)`
+    * covers its ordered value (the open-ended first/last shards absorb
+    * values below/above every recorded boundary, so growth at the
+    * edges needs no re-ranging). `ks` must be the COMPLETE family —
+    * the recorded ranges are chain-validated first ([[shardChain]]),
+    * making "exactly one covering shard per row" a checked property,
+    * not an assumption. Per-shard writes are ordinary ordered upserts
+    * (overlap planning, dedup, file caps — all per-dataset invariants
+    * unchanged) with the same null/type fail-fasts as
+    * [[shardedWrite]], run inside [[transaction]] so a mid-family
+    * failure rolls the committed shards back. A shard whose slice is
+    * empty gets a metadata-only commit.
+    */
+  def appendSharded(df: DataFrame, opts: WriteOpts, ks: Seq[K]): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val ordCol = opts.orderedOn
+    OrderedDataset.typeTag(df.schema(ordCol).dataType): Unit
+    val cnts = df.agg(count(lit(1)), count(col(ordCol))).head()
+    require(cnts.getLong(1) == cnts.getLong(0),
+      s"ordered_on '$ordCol' contains " +
+        s"${cnts.getLong(0) - cnts.getLong(1)} null values; the " +
+        "ordered store requires a total order — drop or fill them " +
+        "first (shard routing would silently drop them)")
+    val chain = shardChain(ks)
+    val dt = df.schema(ordCol).dataType
+    transaction(chain.map(_._1)) { dss =>
+      chain.foreach { case (k, lo, hi) =>
+        val pred = (Option(lo).filter(_.nonEmpty)
+            .map(l => col(ordCol) >= lit(boundLiteral(l, dt))) ++
+          Option(hi).filter(_.nonEmpty)
+            .map(h => col(ordCol) < lit(boundLiteral(h, dt))))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        dss(k).write(df.filter(pred), opts): Unit
+      }
+    }
+  }
+
+  /** Split ONE key's rows across fresh keys — the re-shard step of the
+    * growth path, for a shard approaching
+    * [[OrderedDataset.MaxFilesPerDataset]]: its rows are value-range
+    * sharded to `keyOf` (atomically, via [[shardedWrite]]'s
+    * transaction), the old shard's recorded OUTER bounds are
+    * re-stamped on the first/last new shard so the family chain stays
+    * intact ([[appendSharded]] keeps working across the renumbered
+    * family), and the old key is deleted. Also works on a standalone
+    * (never-sharded) dataset — open outer bounds — turning an over-cap
+    * dataset into a fresh family in place.
+    *
+    * NOT atomic end-to-end, stated plainly: between the new shards'
+    * commit and the delete, a reader unioning the whole family sees
+    * the moved rows TWICE — quiesce family readers across the call. A
+    * crash in that window leaves both; the remedy is deleting the old
+    * key (`delete(k)`), which is also what a re-run must NOT shortcut
+    * around (re-running shardedWrite into the same new keys would
+    * upsert duplicates).
+    */
+  def reShard(k: K, opts: WriteOpts, keyOf: Int => K,
+      targetRowsPerShard: Long): Seq[K] = {
+    val old = get(k)
+    require(old.exists, s"cannot re-shard $k: no dataset")
+    val m = old.meta
+    require(m.orderedOn == opts.orderedOn,
+      s"ordered_on is fixed at creation: ${m.orderedOn} != " +
+        opts.orderedOn)
+    val oldLo = m.kv.getOrElse("graft.shard.lo", "")
+    val oldHi = m.kv.getOrElse("graft.shard.hiExcl", "")
+    val ks2 = shardedWrite(old.df, opts, keyOf, targetRowsPerShard)
+    require(!ks2.contains(k),
+      s"keyOf must not reuse the re-sharded key $k")
+    if (oldLo.nonEmpty)
+      get(ks2.head).updateKv(Map("graft.shard.lo" -> oldLo))
+    if (oldHi.nonEmpty)
+      get(ks2.last).updateKv(Map("graft.shard.hiExcl" -> oldHi))
+    delete(k)
+    ks2
   }
 
   /** Pruned union read across keys (the [[shardedWrite]] read-back):

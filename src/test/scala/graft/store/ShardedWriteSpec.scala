@@ -151,6 +151,128 @@ class ShardedWriteSpec extends SparkSpec {
     assert(st.get("only0").df.count() == 100L)
   }
 
+  test("appendSharded routes every row to its covering shard, " +
+      "including the open-ended edges") {
+    val st = newStore()
+    val ks = st.shardedWrite(
+      spark.range(1000L, 9000L).toDF("t").withColumn("v", col("t") * 1.0),
+      WriteOpts("t", NRows(1000)), i => s"s$i",
+      targetRowsPerShard = 2000L)
+    assert(ks.size == 4)
+    // append spans: below every boundary, interior, above every
+    // boundary — plus a value AT an interior boundary (routes to the
+    // half-open right side exactly like the original split)
+    val mid = st.get(ks(2)).meta.kv("graft.shard.lo").toLong
+    val app = Seq(5L, 4000L, mid, 20000L).toDF("t")
+      .withColumn("v", lit(-1.0))
+    st.appendSharded(app, WriteOpts("t", NRows(1000)), ks)
+    assert(st.keys.size == 4, "append must create no new keys")
+    // every appended row is in the shard whose recorded range covers it
+    ks.foreach { k =>
+      val kv = st.get(k).meta.kv
+      val rows = st.get(k).df.filter(col("v") === -1.0)
+        .select("t").as[Long].collect().toSet
+      rows.foreach { t =>
+        if (kv("graft.shard.lo").nonEmpty)
+          assert(t >= kv("graft.shard.lo").toLong, s"$k: $t")
+        if (kv("graft.shard.hiExcl").nonEmpty)
+          assert(t < kv("graft.shard.hiExcl").toLong, s"$k: $t")
+      }
+    }
+    assert(st.rangeDFAcross(st.keys.toSeq).count() == 8004L)
+    assert(st.rangeDFAcross(st.keys.toSeq)
+      .filter(col("v") === -1.0).count() == 4L)
+    // shard kv survived the appends
+    assert(st.get(ks.head).meta.kv("graft.shard.lo") == "")
+  }
+
+  test("appendSharded rejects an incomplete or non-shard family") {
+    val st = newStore()
+    val ks = st.shardedWrite(evDf(8000), WriteOpts("t", NRows(1000)),
+      i => s"s$i", targetRowsPerShard = 2000L)
+    val app = Seq(1L).toDF("t").withColumn("v", lit(0.0))
+    // missing middle shard: the chain is torn
+    val e = intercept[IllegalArgumentException] {
+      st.appendSharded(app, WriteOpts("t", NRows(1000)),
+        Seq(ks(0), ks(1), ks(3)))
+    }
+    assert(e.getMessage.contains("chain"), e.getMessage)
+    // a dataset without shard kv is not a family member
+    st.get("plain").write(Seq((1L, 1.0)).toDF("t", "v"),
+      WriteOpts("t", NRows(10)))
+    val e2 = intercept[IllegalArgumentException] {
+      st.appendSharded(app, WriteOpts("t", NRows(1000)),
+        Seq("plain") ++ ks)
+    }
+    assert(e2.getMessage.contains("graft.shard"), e2.getMessage)
+    // nulls rejected before any routing
+    val e3 = intercept[IllegalArgumentException] {
+      st.appendSharded(Seq[(java.lang.Long, Double)]((null, 1.0))
+        .toDF("t", "v"), WriteOpts("t", NRows(10)), ks)
+    }
+    assert(e3.getMessage.contains("null"), e3.getMessage)
+  }
+
+  test("reShard splits one shard into a sub-family; the chain and the " +
+      "rows survive") {
+    val st = newStore()
+    val ks = st.shardedWrite(evDf(9000), WriteOpts("t", NRows(1000)),
+      i => s"s$i", targetRowsPerShard = 3000L)
+    assert(ks.size == 3)
+    val midKey = ks(1)
+    val midLo = st.get(midKey).meta.kv("graft.shard.lo")
+    val midHi = st.get(midKey).meta.kv("graft.shard.hiExcl")
+    val sub = st.reShard(midKey, WriteOpts("t", NRows(1000)),
+      i => s"s1sub$i", targetRowsPerShard = 1500L)
+    assert(sub.size == 2)
+    assert(!st.keys.contains(midKey), "old shard must be deleted")
+    assert(st.keys.size == 4)
+    // outer bounds re-stamped so the family still chains
+    assert(st.get(sub.head).meta.kv("graft.shard.lo") == midLo)
+    assert(st.get(sub.last).meta.kv("graft.shard.hiExcl") == midHi)
+    // all rows preserved across the move
+    assert(st.rangeDFAcross(st.keys.toSeq).count() == 9000L)
+    assert(st.rangeDFAcross(st.keys.toSeq).agg(sum("t")).head()
+      .getLong(0) == (0L until 9000L).sum)
+    // the renumbered family still accepts routed appends (chain
+    // validation passes over the mixed index spaces)
+    st.appendSharded(Seq(4500L).toDF("t").withColumn("v", lit(-1.0)),
+      WriteOpts("t", NRows(1000)), st.keys.toSeq)
+    assert(st.rangeDFAcross(st.keys.toSeq).count() == 9001L)
+  }
+
+  test("reShard turns a standalone over-grown dataset into a family") {
+    val st = newStore()
+    st.get("solo").write(evDf(4000), WriteOpts("t", NRows(500)))
+    val ks = st.reShard("solo", WriteOpts("t", NRows(500)),
+      i => s"part$i", targetRowsPerShard = 2000L)
+    assert(ks.size == 2 && !st.keys.contains("solo"))
+    assert(st.get(ks.head).meta.kv("graft.shard.lo") == "")
+    assert(st.get(ks.last).meta.kv("graft.shard.hiExcl") == "")
+    assert(st.rangeDFAcross(ks).count() == 4000L)
+  }
+
+  test("appendSharded routes timestamp bounds through the string " +
+      "round-trip") {
+    val st = newStore()
+    import java.time.LocalDateTime
+    def ts(h: Int) = LocalDateTime.of(2024, 1, 1, h, 0)
+    val base = (0 until 24).map(h => (ts(h), h.toDouble))
+      .toDF("t", "v")
+      .withColumn("t", col("t").cast("timestamp_ntz"))
+    val ks = st.shardedWrite(base, WriteOpts("t", NRows(6)),
+      i => s"h$i", targetRowsPerShard = 12L)
+    assert(ks.size == 2)
+    val app = Seq((ts(3), -1.0), (ts(20), -1.0)).toDF("t", "v")
+      .withColumn("t", col("t").cast("timestamp_ntz"))
+    st.appendSharded(app, WriteOpts("t", NRows(6)), ks)
+    val hi0 = st.get(ks.head).meta.kv("graft.shard.hiExcl")
+    assert(hi0.nonEmpty)
+    assert(st.get(ks.head).df.filter(col("v") === -1.0).count() == 1L)
+    assert(st.get(ks.last).df.filter(col("v") === -1.0).count() == 1L)
+    assert(st.rangeDFAcross(ks).count() == 26L)
+  }
+
   test("non-injective keyOf rejected before any commit") {
     val st = newStore()
     val e = intercept[IllegalArgumentException] {
