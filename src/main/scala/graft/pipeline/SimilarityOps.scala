@@ -529,13 +529,9 @@ object SimilarityOps {
     val wb = Window.partitionBy("band_id", "bucket")
     // chunk projection computed ONCE per vector, BEFORE the nBands-fold
     // banding replication, and carried through `keep`
-    val banded0 = lshBands(
-        df.withColumn("__proj", dot(col("vec"), pv) / col("norm")),
-        planes, planesPerBand, keep = Seq("vec", "norm", "__proj"))
-      // skip cap: same single-pass window trick as the join form —
-      // rides the (band_id, bucket) exchange both paths need anyway
-      .withColumn("__bn", count(lit(1)).over(wb))
-      .filter(col("__bn") <= maxBucketSize)
+    def bandedProj = lshBands(
+      df.withColumn("__proj", dot(col("vec"), pv) / col("norm")),
+      planes, planesPerBand, keep = Seq("vec", "norm", "__proj"))
     // FAST PATH (the measured-default shape): when the caller-supplied
     // corpus count says expected occupancy stays ≤ chunkSize /
     // FastPathHeadroom, skip the rank WINDOW and the explode entirely
@@ -560,13 +556,31 @@ object SimilarityOps {
         LshConfig.FastPathHeadroom <= chunkSize.toDouble)
     val pairs =
       if (fastPath) {
-        banded0
+        // the fast path carries NO window at all: the maxBucketSize
+        // skip runs IN-TASK instead (bounded materialization below),
+        // because even the unordered count window forces its own
+        // Exchange + Sort of the whole vector-carrying banded table
+        // (audited plan, PLANS.md r8) — in-task skipping halves the
+        // banded shuffle traffic while the memory bound stays exactly
+        // maxBucketSize rows
+        bandedProj
           .select(col("band_id"), col("bucket"), col("id"),
             col("vec"), col("norm"), col("__proj"))
           .as[(Int, String, Long, Array[Double], Double, Double)]
           .groupByKey(r => (r._1, r._2))
           .flatMapGroups { (_, it) =>
-            val rows = it.toArray
+            // collect at most maxBucketSize + 1 rows: an over-cap
+            // bucket is SKIPPED (same semantics as the window filter)
+            // without ever materializing past the bound
+            val buf = new scala.collection.mutable.ArrayBuffer[
+              (Int, String, Long, Array[Double], Double, Double)](64)
+            var over = false
+            while (it.hasNext && !over) {
+              buf += it.next()
+              if (buf.length > maxBucketSize) over = true
+            }
+            val rows = if (over) Array.empty[(Int, String, Long,
+              Array[Double], Double, Double)] else buf.toArray
             if (rows.length < 2) Iterator.empty
             else if (rows.length <= chunkSize) {
               // single-chunk bucket: every pair, identical to the
@@ -605,7 +619,12 @@ object SimilarityOps {
           }
       } else {
         val wr = wb.orderBy(col("__proj"), col("id"))
-        val banded = banded0
+        val banded = bandedProj
+          // skip cap: single-pass window trick shared with the join
+          // form — rides the rank window's own (band_id, bucket)
+          // exchange, so the guard adds no exchange of its own here
+          .withColumn("__bn", count(lit(1)).over(wb))
+          .filter(col("__bn") <= maxBucketSize)
           .withColumn("__chunk",
             ((row_number().over(wr) - 1) / chunkSize).cast("int"))
           // conditional explode: the bucket's TOP chunk — hence every

@@ -151,6 +151,13 @@ class LshConfigSpec extends SparkSpec {
         v, planes, 3, 0.6, maxBucketSize = cap))
       assert(a == b, s"cap=$cap: join=${a.size} grouped=${b.size}, " +
         s"diff=${(a.diff(b) ++ b.diff(a)).take(5)}")
+      // the fast path's IN-TASK skip must keep the window filter's
+      // exact cap semantics (corpusCount arms the occupancy gate and
+      // the tiny count takes the no-window shape)
+      val c = collect(SimilarityOps.lshNearDupPairsGrouped(
+        v, planes, 3, 0.6, maxBucketSize = cap,
+        corpusCount = Some(4L)))
+      assert(a == c, s"cap=$cap fast path: join=${a.size} fast=${c.size}")
       assert(a.nonEmpty || cap < 100000)
     }
     v.unpersist(): Unit
