@@ -505,7 +505,8 @@ object SimilarityOps {
       maxBucketSize: Int = 100000,
       corpusCount: Option[Long] = None,
       maxExpectedBucketRows: Long = 4L * LshConfig.TargetBucketRows,
-      chunkSize: Int = LshConfig.DefaultChunkRows)
+      chunkSize: Int = LshConfig.DefaultChunkRows,
+      assumeTemplateSkew: Boolean = false)
       : DataFrame = {
     require(maxBucketSize > 0,
       s"maxBucketSize must be positive, got $maxBucketSize")
@@ -549,9 +550,17 @@ object SimilarityOps {
     // past the MaxBits ceiling — keep the many-bounded-tasks window
     // shape. corpusCount = None keeps the window path (no estimate,
     // no shortcut).
+    // `assumeTemplateSkew` is the caller's skew knowledge the
+    // occupancy estimate cannot have: a corpus with a heavily
+    // duplicated template concentrates one bucket per band far past
+    // expectation, and there the window shape's many chunk-tasks beat
+    // the fast path's one-task-per-hot-bucket (measured 1.38× on a
+    // 17%-template corpus, SCALE.md r8d; graft.SkewBench reproduces).
+    // Passing it keeps the saturation gate armed via corpusCount —
+    // unlike dropping corpusCount, which was the only opt-out before.
     val rem = planes.size % planesPerBand
     val minBits = if (rem == 0) planesPerBand else rem
-    val fastPath = corpusCount.exists(n =>
+    val fastPath = !assumeTemplateSkew && corpusCount.exists(n =>
       n.toDouble / (1L << math.min(minBits, 62)).toDouble *
         LshConfig.FastPathHeadroom <= chunkSize.toDouble)
     val pairs =

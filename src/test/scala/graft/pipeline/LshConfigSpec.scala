@@ -202,8 +202,9 @@ class LshConfigSpec extends SparkSpec {
     // must emit the bit-identical pair set on the same hot bucket:
     // corpusCount = 8 passes the gate (occupancy 1 × headroom ≤ 100)
     // while the 800-row template bucket still forces in-task chunking
-    val fastSet = SimilarityOps.lshNearDupPairsGrouped(
+    val fastDf = SimilarityOps.lshNearDupPairsGrouped(
       v, planes, 3, 0.9, chunkSize = 100, corpusCount = Some(8L))
+    val fastSet = fastDf
       .select("i", "j", "cos").as[(Long, Long, Double)].collect().toSet
     val windowSet = chunked
       .select("i", "j", "cos").as[(Long, Long, Double)].collect().toSet
@@ -211,6 +212,18 @@ class LshConfigSpec extends SparkSpec {
       s"fast=${fastSet.size} window=${windowSet.size}, " +
         s"diff=${(fastSet.diff(windowSet) ++
           windowSet.diff(fastSet)).take(5)}")
+    // the explicit skew knob selects the WINDOW shape (the rank
+    // window is in the plan) while corpusCount — and so the
+    // saturation gate — stays armed; output unchanged
+    val viaKnob = SimilarityOps.lshNearDupPairsGrouped(
+      v, planes, 3, 0.9, chunkSize = 100, corpusCount = Some(8L),
+      assumeTemplateSkew = true)
+    assert(viaKnob.queryExecution.optimizedPlan.toString
+      .contains("row_number"), "skew knob must select the window shape")
+    assert(!fastDf.queryExecution.optimizedPlan.toString
+      .contains("row_number"), "fast path must carry no rank window")
+    assert(viaKnob.select("i", "j", "cos").as[(Long, Long, Double)]
+      .collect().toSet == windowSet)
     v.unpersist(): Unit
   }
 
