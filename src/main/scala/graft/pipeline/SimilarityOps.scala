@@ -245,8 +245,31 @@ object SimilarityOps {
   /** Sign-bit LSH bucket ids, banded: bit per plane, `planesPerBand`
     * bits concatenated into a band key; returns a slim (id, band_id,
     * bucket) table — candidates are pairs sharing any (band_id, bucket).
+    *
+    * Computed by ONE looped [[graft.functions.SignBands]] expression:
+    * the former per-plane `when(dot(...) >= 0, ...)` composition
+    * unrolled a fused loop per plane into the whole-stage-codegen
+    * method, whose bytecode crossed the JIT compile ceiling between 24
+    * and 48 planes — a measured 43× interpreted-execution cliff
+    * landing exactly on the corpora (≥ ~16M vectors) whose
+    * [[LshConfig.forCorpusSize]] width needs ≥ 48 planes. Bit-parity
+    * with the composition (incl. null/ragged/NaN edges) is pinned by
+    * SignBandsSpec against [[lshBandsComposed]].
     */
   def lshBands(df: DataFrame, planes: Seq[Seq[Double]], planesPerBand: Int,
+      keep: Seq[String] = Nil): DataFrame =
+    df.select(col("id") +: keep.map(col) :+
+      posexplode(graft.functions.SignBands.sign_bands(
+        col("vec"), planes, planesPerBand))
+        .as(Seq("band_id", "bucket")): _*)
+
+  /** The pre-r8 builtin composition of [[lshBands]] — retained as the
+    * reference implementation its spec compares the looped expression
+    * against (same role as [[dotBuiltin]] for [[dot]]). Do not use on
+    * wide plane sets: see the cliff note on [[lshBands]].
+    */
+  private[graft] def lshBandsComposed(df: DataFrame,
+      planes: Seq[Seq[Double]], planesPerBand: Int,
       keep: Seq[String] = Nil): DataFrame = {
     val bits: Seq[Column] = planes.map { p =>
       val pv = array(p.map(lit(_)): _*)
