@@ -412,12 +412,19 @@ object DedupIndex {
     val nBands = math.max(1L,
       math.ceil(planes.size.toDouble / planesPerBand).toLong)
     val indexedCorpus = bands.meta.totalRows / nBands
-    val occ = indexedCorpus.toDouble / (1L << planesPerBand).toDouble
+    // occupancy at the NARROWEST band (a ragged plane set's leftover
+    // band has rem < planesPerBand bits and saturates 2^(ppb-rem)×
+    // sooner) — mirrors SimilarityOps.requireUnsaturated; guarding at
+    // the full width would admit indexes whose ragged band has already
+    // degraded toward quadratic probes
+    val rem = planes.size % planesPerBand
+    val minBits = if (rem == 0) planesPerBand else rem
+    val occ = indexedCorpus.toDouble / (1L << minBits).toDouble
     require(occ <= maxExpectedBucketRows.toDouble,
-      f"embedding index at $dir has outgrown its $planesPerBand-bit " +
-        f"band width: ~$indexedCorpus indexed vectors expect $occ%.0f " +
-        f"rows/bucket (cap $maxExpectedBucketRows) — rebuild with " +
-        f"LshConfig.forCorpusSize($indexedCorpus) " +
+      f"embedding index at $dir has outgrown its $minBits-bit " +
+        f"(narrowest) band width: ~$indexedCorpus indexed vectors " +
+        f"expect $occ%.0f rows/bucket (cap $maxExpectedBucketRows) — " +
+        f"rebuild with LshConfig.forCorpusSize($indexedCorpus) " +
         "(buildEmbedding keeps its width for the index's lifetime)")
     val index = scanForProbes(spark, bands, bBanded.select("hkey"),
       maxDriverKeys)
@@ -447,7 +454,8 @@ object DedupIndex {
     val bTbl = batch.select(col("id").as("j"), col("vec").as("vb"),
       col("norm").as("nb"))
     val bSmall =
-      batch.select(col("id")).limit((maxBroadcastRows + 1).toInt)
+      batch.select(col("id"))
+        .limit(math.min(maxBroadcastRows + 1, Int.MaxValue.toLong).toInt)
         .count() <= maxBroadcastRows
     cand
       .join(mem.select(col("id").as("i"), col("vec").as("va"),

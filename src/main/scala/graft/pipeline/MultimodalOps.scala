@@ -316,7 +316,14 @@ object MultimodalOps {
             // from one with unread frames (truncated)
             val truncated = more && !bad && i >= maxFrames &&
               (try { reader.getWidth(i); true }
-               catch { case _: IndexOutOfBoundsException => false })
+               catch {
+                 case _: IndexOutOfBoundsException => false
+                 // a corrupt header AT the cap is exactly the
+                 // adversarial tail the cap bounds: anything else the
+                 // reader throws here must not void the decoded prefix
+                 // (the cap guarantees a result) — report it truncated
+                 case scala.util.control.NonFatal(_) => true
+               })
             if (bad || n == 0) None else Some((n, sampled, sum, truncated))
           } finally reader.dispose()
         }

@@ -553,8 +553,13 @@ object SimilarityOps {
     val wb = Window.partitionBy("band_id", "bucket")
     // chunk projection computed ONCE per vector, BEFORE the nBands-fold
     // banding replication, and carried through `keep`
+    // `+ 0.0` collapses IEEE -0.0 to 0.0: the fast path's in-task sort
+    // (Ordering[Double]: -0.0 < 0.0) and the window path's Spark sort
+    // (SortOrder: -0.0 == 0.0, id breaks the tie) must rank a
+    // zero-projection tie identically, or chunk membership — and the
+    // emitted pair set — could diverge at a chunk boundary
     def bandedProj = lshBands(
-      df.withColumn("__proj", dot(col("vec"), pv) / col("norm")),
+      df.withColumn("__proj", dot(col("vec"), pv) / col("norm") + lit(0d)),
       planes, planesPerBand, keep = Seq("vec", "norm", "__proj"))
     // FAST PATH (the measured-default shape): when the caller-supplied
     // corpus count says expected occupancy stays ≤ chunkSize /

@@ -238,7 +238,12 @@ final class Store[K](val spark: SparkSession, val basepath: String,
       case TimestampType                =>
         try java.time.Instant.parse(s)
         catch { case _: java.time.format.DateTimeParseException =>
-          ldt.toInstant(java.time.ZoneOffset.UTC) }
+          // java.sql.Timestamp.toString renders the instant as JVM
+          // default-zone wall time; valueOf(s).toInstant reverses it in
+          // the SAME zone. (Reinterpreting via toLocalDateTime + UTC
+          // would shift every bound by the zone offset on non-UTC JVMs
+          // and route boundary-adjacent appends to the wrong shard.)
+          java.sql.Timestamp.valueOf(s).toInstant }
       case other => throw new IllegalArgumentException(
         s"unsupported ordered_on type $other for shard bounds")
     }

@@ -218,6 +218,31 @@ class DedupIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("LshConfig.forCorpusSize"), e.getMessage)
   }
 
+  test("embedding index drift guard binds at the NARROWEST band of a " +
+      "ragged plane set") {
+    val dir = tmpDir("embragged") + "/idx"
+    val vecs = SimilarityOps.withNorm(
+      (0L until 100L).map { i =>
+        (i, Array.tabulate(8)(j => math.sin(i * 0.61 + j)))
+      }.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    // 9 planes / 4 per band -> bands of 4, 4 and a ragged 1-bit band:
+    // full-width occupancy 100/2^4 = 6.25 passes a 30-row cap, but the
+    // 1-bit band runs at 100/2 = 50 — the guard must bind THERE
+    // (mirroring requireUnsaturated), not at the full width
+    val planes = SimilarityOps.hyperplanes(9, 8)
+    DedupIndex.buildEmbedding(spark, dir, vecs, planes, planesPerBand = 4,
+      rowsPerFile = 100)
+    val batch = vecs.limit(1)
+      .select(($"id" + 1000L).as("id"), $"vec", $"norm")
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.probeEmbedding(spark, dir, batch, planes,
+        planesPerBand = 4, threshold = 0.99,
+        maxExpectedBucketRows = 30L)
+    }
+    assert(e.getMessage.contains("narrowest"), e.getMessage)
+    assert(e.getMessage.contains("1-bit"), e.getMessage)
+  }
+
   test("embedding probe: over-bound batch downgrades the forced " +
       "broadcast to a planner join with identical results") {
     val dir = tmpDir("embbc") + "/idx"

@@ -455,6 +455,25 @@ class PipelineSpec extends SparkSpec {
       s"$exact")
   }
 
+  test("a corrupt frame header AT the cap reports truncated, not " +
+      "ok=false (the cap guarantees the decoded prefix)") {
+    // id 1 -> 3 frames. Strip the GIF trailer and append an unknown
+    // block type where frame 3 would start: the cap probe's getWidth
+    // throws a NON-IndexOutOfBounds reader error — exactly the
+    // adversarial tail the cap exists to bound. The successfully
+    // decoded 3-frame prefix must survive as truncated=true, not be
+    // voided to ok=false by the probe's failure.
+    val g3 = MultimodalOps.synthGifs(spark, Seq(1L).toDF("doc_id"),
+      "doc_id").select("payload").as[Array[Byte]].head()
+    assert(g3.last == 0x3B.toByte, "synth GIF must end with the trailer")
+    val corrupt = g3.dropRight(1) ++ Array.fill(8)(0x99.toByte)
+    val row = Seq((1L, corrupt)).toDF("doc_id", "payload")
+    val f = MultimodalOps.sampleFrames(spark, row, "doc_id", "payload",
+      1, maxFrames = 3).collect().head
+    assert(f.ok && f.n_frames == 3L, s"prefix must survive: $f")
+    assert(f.truncated, s"non-IOOBE probe failure must read truncated: $f")
+  }
+
   test("multimodal fake decode features match byte arithmetic") {
     val bin = docs.select($"doc_id", $"text".cast("binary").as("payload"))
     val out = MultimodalOps.decodeFeatures(spark, bin, "doc_id", "payload")

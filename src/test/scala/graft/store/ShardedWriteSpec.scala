@@ -273,6 +273,61 @@ class ShardedWriteSpec extends SparkSpec {
     assert(st.rangeDFAcross(ks).count() == 26L)
   }
 
+  test("appendSharded TimestampType bounds survive the string " +
+      "round-trip on a non-UTC JVM (Timestamp.toString is default-zone " +
+      "wall time)") {
+    // With java8API DISABLED (the Spark ≤3 default; dynamic conf)
+    // shardedWrite stamps TimestampType bounds as
+    // java.sql.Timestamp.toString — wall time in the JVM DEFAULT zone.
+    // boundLiteral must reverse it in the same zone; reinterpreting
+    // that wall time as UTC shifts the bound by the zone offset and
+    // routes every row within the offset of a boundary into the wrong
+    // shard. Asia/Kolkata (+05:30) also catches half-hour errors.
+    // (Under Spark 4's java8API default the stamp is Instant.toString,
+    // which is zone-independent — this test pins the legacy regime.)
+    val oldTz = java.util.TimeZone.getDefault
+    val oldSessionTz = spark.conf.get("spark.sql.session.timeZone")
+    val oldJava8 = spark.conf.get("spark.sql.datetime.java8API.enabled")
+    try {
+      val tz = java.util.TimeZone.getTimeZone("Asia/Kolkata")
+      java.util.TimeZone.setDefault(tz)
+      spark.conf.set("spark.sql.session.timeZone", tz.getID)
+      spark.conf.set("spark.sql.datetime.java8API.enabled", "false")
+      val st = newStore()
+      import java.time.LocalDateTime
+      def ts(h: Int) = LocalDateTime.of(2024, 1, 1, h, 0)
+      // timestamp_ltz explicitly: the suite session maps the bare
+      // "timestamp" alias to TIMESTAMP_NTZ (Tables.configure)
+      val base = (0 until 24).map(h => (ts(h), h.toDouble)).toDF("t", "v")
+        .withColumn("t", col("t").cast("timestamp_ltz"))
+      val ks = st.shardedWrite(base, WriteOpts("t", NRows(6)),
+        i => s"z$i", targetRowsPerShard = 12L)
+      assert(ks.size == 2)
+      val hi0 = st.get(ks.head).meta.kv("graft.shard.hiExcl")
+      assert(hi0.nonEmpty)
+      val boundTs = java.sql.Timestamp.valueOf(hi0)
+      // rows ONE HOUR either side of the boundary — well within the
+      // 5h30 offset, exactly where a UTC-reinterpreted bound misroutes
+      val boundLdt = boundTs.toLocalDateTime
+      val app = Seq((boundLdt.minusHours(1), -1.0),
+        (boundLdt.plusHours(1), -1.0)).toDF("t", "v")
+        .withColumn("t", col("t").cast("timestamp_ltz"))
+      st.appendSharded(app, WriteOpts("t", NRows(6)), ks)
+      val low = st.get(ks.head).df.filter(col("v") === -1.0)
+        .select("t").as[java.sql.Timestamp].collect().toSeq
+      val high = st.get(ks.last).df.filter(col("v") === -1.0)
+        .select("t").as[java.sql.Timestamp].collect().toSeq
+      assert(low.size == 1 && high.size == 1,
+        s"boundary-adjacent appends misrouted: low=$low high=$high")
+      assert(low.head.toInstant.isBefore(boundTs.toInstant))
+      assert(!high.head.toInstant.isBefore(boundTs.toInstant))
+    } finally {
+      spark.conf.set("spark.sql.datetime.java8API.enabled", oldJava8)
+      spark.conf.set("spark.sql.session.timeZone", oldSessionTz)
+      java.util.TimeZone.setDefault(oldTz)
+    }
+  }
+
   test("non-injective keyOf rejected before any commit") {
     val st = newStore()
     val e = intercept[IllegalArgumentException] {
