@@ -55,12 +55,13 @@ object SkewBench {
       s"template=$nTemplate chunk=$chunkSize " +
       s"occ=${n / cfg.bucketsPerBand}")
 
-    def time(label: String, fast: Boolean): Long = {
+    def time(label: String, fast: Boolean, dual: Boolean): Long = {
       val counts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val c = SimilarityOps.lshNearDupPairsGrouped(v, planes,
           cfg.planesPerBand, 0.95, chunkSize = chunkSize,
-          corpusCount = if (fast) Some(n) else None).count()
+          corpusCount = if (fast) Some(n) else None,
+          dualChunkProjections = dual).count()
         val dt = (System.nanoTime() - t0) / 1e9
         (c, dt)
       }
@@ -68,10 +69,20 @@ object SkewBench {
         s""""pairs":${counts.head._1},"reps":$reps}""")
       counts.head._1
     }
-    // window path first (corpusCount = None keeps it), then fast path
-    val pw = time("window", fast = false)
-    val pf = time("fast", fast = true)
-    require(pw == pf, s"path outputs diverge: window=$pw fast=$pf")
+    // window path first (corpusCount = None keeps it), then fast path;
+    // each in single- and dual-ranking form — the dual columns measure
+    // what the second chunk projection costs in each shape. Counts
+    // must match across SHAPES for the same ranking mode; dual ≥
+    // single because the second ranking can only rescue extra pairs
+    // (it did: +61k real pairs on this corpus's hot random buckets)
+    val pw1 = time("window-single", fast = false, dual = false)
+    val pw2 = time("window-dual", fast = false, dual = true)
+    val pf1 = time("fast-single", fast = true, dual = false)
+    val pf2 = time("fast-dual", fast = true, dual = true)
+    require(pw1 == pf1 && pw2 == pf2,
+      s"shape outputs diverge: single $pw1/$pf1, dual $pw2/$pf2")
+    require(pw2 >= pw1,
+      s"dual ranking lost pairs vs single: $pw2 < $pw1")
     spark.stop()
   }
 }

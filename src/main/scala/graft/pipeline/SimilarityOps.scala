@@ -479,16 +479,27 @@ object SimilarityOps {
     * unchunked loop (LshConfigSpec pins grouped == join parity at
     * driver SFs).
     *
-    * CHAINING CAVEAT, stated honestly: the cluster-membership claim
-    * above holds for DENSE duplicate clusters (template corpora, the
-    * dedup hot case) where the rows ranked between two members are
-    * themselves members and chain them transitively. A SPARSE pair —
-    * two near-dups with ≥ chunkSize unrelated bucket rows ranked
-    * strictly between them (one scalar projection gives no tight rank
-    * bound at moderate thresholds) — has no chaining path and is
-    * missed. Properly sized corpora never enter this regime (buckets
-    * stay under chunkSize); callers running over-cap occupancy at the
-    * MaxBits ceiling accept it as the recall cost of bounded tasks.
+    * CHAINING CAVEAT, stated honestly and MEASURED: the
+    * cluster-membership claim above holds for DENSE duplicate clusters
+    * (template corpora, the dedup hot case) where the rows ranked
+    * between two members are themselves members and chain them
+    * transitively. A SPARSE pair — two near-dups with ≥ chunkSize
+    * unrelated bucket rows ranked strictly between them (one scalar
+    * projection gives no tight rank bound at moderate thresholds) —
+    * has no chaining path under that ranking and is missed. The
+    * mitigation is `dualChunkProjections` (default ON): a SECOND
+    * independent ranking, paid only inside buckets that actually
+    * chunk, under which the same unrelated interlopers land elsewhere —
+    * miss probabilities MULTIPLY instead of adding. Measured
+    * (RecallFloorSpec, buckets at 28× chunkSize — far past anything
+    * the MaxBits ceiling produces): single-ranking pair recall 0.543
+    * vs unchunked ground truth, dual 0.793, and the dual miss rate
+    * 0.207 ≈ 0.457² validates the independence model; at the 100×
+    * bench's real over-cap shape see SCALE.md r9. Properly sized
+    * corpora never enter this regime (buckets stay under chunkSize);
+    * callers running over-cap occupancy at the MaxBits ceiling accept
+    * the REMAINING (quadratically shrunken) miss rate as the recall
+    * cost of bounded tasks.
     *
     * `maxBucketSize` keeps the join form's skip semantics (buckets
     * above it are dropped entirely) — with chunking it is an OUTPUT
@@ -529,7 +540,8 @@ object SimilarityOps {
       corpusCount: Option[Long] = None,
       maxExpectedBucketRows: Long = 4L * LshConfig.TargetBucketRows,
       chunkSize: Int = LshConfig.DefaultChunkRows,
-      assumeTemplateSkew: Boolean = false)
+      assumeTemplateSkew: Boolean = false,
+      dualChunkProjections: Boolean = true)
       : DataFrame = {
     require(maxBucketSize > 0,
       s"maxBucketSize must be positive, got $maxBucketSize")
@@ -549,18 +561,33 @@ object SimilarityOps {
     // or adjacent rank chunks); normalized so the ordering is scale-free
     val dim = planes.head.size
     val chunkPlane = hyperplanes(1, dim, seed = 9917L).head
+    // second INDEPENDENT chunk ranking (its own disjoint seed): a
+    // sparse pair missed because ≥ chunkSize unrelated bucket rows
+    // rank between its members under ONE scalar projection is
+    // recovered unless the same rows also crowd between them under
+    // the second — for unrelated interlopers the two events are
+    // near-independent, so the miss probability multiplies instead of
+    // adding (measured on the adversarial seeded-bucket corpus,
+    // RecallFloorSpec / SCALE.md r9). Computed and paid ONLY where
+    // chunking can bind: single-chunk buckets never emit pass-1
+    // copies, so a properly-sized corpus pays one extra projection
+    // column and nothing else.
+    val chunkPlane2 = hyperplanes(1, dim, seed = 7753L).head
     val pv = array(chunkPlane.map(lit(_)): _*)
+    val pv2 = array(chunkPlane2.map(lit(_)): _*)
     val wb = Window.partitionBy("band_id", "bucket")
-    // chunk projection computed ONCE per vector, BEFORE the nBands-fold
-    // banding replication, and carried through `keep`
+    // chunk projections computed ONCE per vector, BEFORE the
+    // nBands-fold banding replication, and carried through `keep`
     // `+ 0.0` collapses IEEE -0.0 to 0.0: the fast path's in-task sort
     // (Ordering[Double]: -0.0 < 0.0) and the window path's Spark sort
     // (SortOrder: -0.0 == 0.0, id breaks the tie) must rank a
     // zero-projection tie identically, or chunk membership — and the
     // emitted pair set — could diverge at a chunk boundary
     def bandedProj = lshBands(
-      df.withColumn("__proj", dot(col("vec"), pv) / col("norm") + lit(0d)),
-      planes, planesPerBand, keep = Seq("vec", "norm", "__proj"))
+      df.withColumn("__proj", dot(col("vec"), pv) / col("norm") + lit(0d))
+        .withColumn("__proj2",
+          dot(col("vec"), pv2) / col("norm") + lit(0d)),
+      planes, planesPerBand, keep = Seq("vec", "norm", "__proj", "__proj2"))
     // FAST PATH (the measured-default shape): when the caller-supplied
     // corpus count says expected occupancy stays ≤ chunkSize /
     // FastPathHeadroom, skip the rank WINDOW and the explode entirely
@@ -602,28 +629,29 @@ object SimilarityOps {
         // maxBucketSize rows
         bandedProj
           .select(col("band_id"), col("bucket"), col("id"),
-            col("vec"), col("norm"), col("__proj"))
-          .as[(Int, String, Long, Array[Double], Double, Double)]
+            col("vec"), col("norm"), col("__proj"), col("__proj2"))
+          .as[(Int, String, Long, Array[Double], Double, Double, Double)]
           .groupByKey(r => (r._1, r._2))
           .flatMapGroups { (_, it) =>
             // collect at most maxBucketSize + 1 rows: an over-cap
             // bucket is SKIPPED (same semantics as the window filter)
             // without ever materializing past the bound
             val buf = new scala.collection.mutable.ArrayBuffer[
-              (Int, String, Long, Array[Double], Double, Double)](64)
+              (Int, String, Long, Array[Double], Double, Double, Double)](
+              64)
             var over = false
             while (it.hasNext && !over) {
               buf += it.next()
               if (buf.length > maxBucketSize) over = true
             }
             val rows = if (over) Array.empty[(Int, String, Long,
-              Array[Double], Double, Double)] else buf.toArray
+              Array[Double], Double, Double, Double)] else buf.toArray
             if (rows.length < 2) Iterator.empty
             else if (rows.length <= chunkSize) {
               // single-chunk bucket: every pair, identical to the
               // window path's lone c = 0 group
               java.util.Arrays.sort(rows, Ordering.by((r: (Int, String,
-                Long, Array[Double], Double, Double)) => r._3))
+                Long, Array[Double], Double, Double, Double)) => r._3))
               val n = rows.length
               Iterator.range(0, n).flatMap { a =>
                 val ra = rows(a)
@@ -636,53 +664,93 @@ object SimilarityOps {
             } else {
               // in-task chunking: the same (projection, id) rank and
               // adjacent-chunk rule as the window path, so the emitted
-              // set is identical — work ≤ 2·s·chunkSize pairs
-              java.util.Arrays.sort(rows, Ordering.by((r: (Int, String,
-                Long, Array[Double], Double, Double)) => (r._6, r._3)))
-              val n = rows.length
-              Iterator.range(0, n).flatMap { a =>
-                val ra = rows(a); val ca = a / chunkSize
-                Iterator.range(a + 1,
-                    math.min(n, (ca + 2) * chunkSize)).flatMap { b =>
-                  val rb = rows(b)
-                  val ia = ra._3; val ib = rb._3
-                  emitPair(math.min(ia, ib), if (ia <= ib) ra._4 else rb._4,
-                    if (ia <= ib) ra._5 else rb._5,
-                    math.max(ia, ib), if (ia <= ib) rb._4 else ra._4,
-                    if (ia <= ib) rb._5 else ra._5, threshold)
+              // set is identical — work ≤ 2·s·chunkSize pairs per pass
+              def chunkLoop(sorted: Array[(Int, String, Long,
+                  Array[Double], Double, Double, Double)])
+                  : Iterator[(Long, Long, Double)] = {
+                val n = sorted.length
+                Iterator.range(0, n).flatMap { a =>
+                  val ra = sorted(a); val ca = a / chunkSize
+                  Iterator.range(a + 1,
+                      math.min(n, (ca + 2) * chunkSize)).flatMap { b =>
+                    val rb = sorted(b)
+                    val ia = ra._3; val ib = rb._3
+                    emitPair(math.min(ia, ib),
+                      if (ia <= ib) ra._4 else rb._4,
+                      if (ia <= ib) ra._5 else rb._5,
+                      math.max(ia, ib), if (ia <= ib) rb._4 else ra._4,
+                      if (ia <= ib) rb._5 else ra._5, threshold)
+                  }
                 }
+              }
+              java.util.Arrays.sort(rows, Ordering.by((r: (Int, String,
+                Long, Array[Double], Double, Double, Double)) =>
+                (r._6, r._3)))
+              if (!dualChunkProjections) chunkLoop(rows)
+              else {
+                // second pass over the SAME rows ranked by the second
+                // projection — cloned so the first (lazy) pass keeps
+                // its order; cross-pass duplicate pairs die in the
+                // terminal distinct
+                val rows2 = rows.clone()
+                java.util.Arrays.sort(rows2, Ordering.by((r: (Int,
+                  String, Long, Array[Double], Double, Double,
+                  Double)) => (r._7, r._3)))
+                chunkLoop(rows) ++ chunkLoop(rows2)
               }
             }
           }
       } else {
         val wr = wb.orderBy(col("__proj"), col("id"))
-        val banded = bandedProj
+        val wr2 = wb.orderBy(col("__proj2"), col("id"))
+        val topChunk = ((col("__bn") - 1) / chunkSize).cast("int")
+        // one exploded copy per (pass, chunk key): pass p's copies
+        // carry the row's chunk under pass p's ranking. The explode
+        // stays conditional twice over — the bucket's TOP chunk (hence
+        // every single-chunk bucket) gets exactly one {c} copy per
+        // pass, because its {c+1} group would hold only chunk-c rows
+        // and the `ck == max` rule emits nothing there; and pass-1
+        // copies exist ONLY for buckets that actually chunk
+        // (__bn > chunkSize), so the second ranking costs nothing
+        // where chunking cannot bind
+        def copies(p: Int, c: Column) =
+          when(c === topChunk,
+            array(struct(lit(p).as("p"), c.as("c"), c.as("ck"))))
+          .otherwise(array(
+            struct(lit(p).as("p"), c.as("c"), c.as("ck")),
+            struct(lit(p).as("p"), c.as("c"),
+              (c + 1).cast("int").as("ck"))))
+        val withChunks0 = bandedProj
           // skip cap: single-pass window trick shared with the join
           // form — rides the rank window's own (band_id, bucket)
           // exchange, so the guard adds no exchange of its own here
           .withColumn("__bn", count(lit(1)).over(wb))
           .filter(col("__bn") <= maxBucketSize)
-          .withColumn("__chunk",
+          .withColumn("__c1",
             ((row_number().over(wr) - 1) / chunkSize).cast("int"))
-          // conditional explode: the bucket's TOP chunk — hence every
-          // single-chunk bucket — gets exactly one copy; its {c+1}
-          // group would hold only chunk-c rows and the `ck == max`
-          // rule emits nothing there, so the second copy is provably
-          // dead weight
-          .withColumn("__cks",
-            when(col("__chunk") ===
-                ((col("__bn") - 1) / chunkSize).cast("int"),
-              array(col("__chunk")))
-            .otherwise(array(col("__chunk"), col("__chunk") + 1)))
+        val withCopies =
+          if (!dualChunkProjections)
+            withChunks0.withColumn("__copies", copies(0, col("__c1")))
+          else withChunks0
+            .withColumn("__c2",
+              ((row_number().over(wr2) - 1) / chunkSize).cast("int"))
+            .withColumn("__copies",
+              when(col("__bn") <= chunkSize, copies(0, col("__c1")))
+              .otherwise(concat(copies(0, col("__c1")),
+                copies(1, col("__c2")))))
+        val banded = withCopies
           .select(col("band_id"), col("bucket"), col("id"),
-            col("vec"), col("norm"), col("__chunk"),
-            explode(col("__cks")).as("__ck"))
-          .as[(Int, String, Long, Array[Double], Double, Int, Int)]
-        banded.groupByKey(r => (r._1, r._2, r._7))
+            col("vec"), col("norm"),
+            explode(col("__copies")).as("__e"))
+          .select(col("band_id"), col("bucket"), col("id"),
+            col("vec"), col("norm"), col("__e.p").as("__p"),
+            col("__e.c").as("__chunk"), col("__e.ck").as("__ck"))
+          .as[(Int, String, Long, Array[Double], Double, Int, Int, Int)]
+        banded.groupByKey(r => (r._1, r._2, r._6, r._8))
           .flatMapGroups { (key, it) =>
-            val ck = key._3
-            // bounded by construction: members of chunks ck-1 and ck
-            // only, ≤ 2·chunkSize rows per group
+            val ck = key._4
+            // bounded by construction: members of the pass's chunks
+            // ck-1 and ck only, ≤ 2·chunkSize rows per group
             val rows = it.toArray
             if (rows.length < 2) Iterator.empty
             else {
@@ -691,15 +759,16 @@ object SimilarityOps {
               // join's a.id < b.id predicate
               java.util.Arrays.sort(rows,
                 Ordering.by((r: (Int, String, Long, Array[Double],
-                  Double, Int, Int)) => r._3))
+                  Double, Int, Int, Int)) => r._3))
               Iterator.range(0, n).flatMap { a =>
-                val ra = rows(a); val ca = ra._6
+                val ra = rows(a); val ca = ra._7
                 Iterator.range(a + 1, n).flatMap { b =>
                   val rb = rows(b)
-                  // each pair counted once across its exploded copies:
-                  // only the group keyed by the LATER member's chunk
-                  // emits
-                  if (math.max(ca, rb._6) != ck) Iterator.empty
+                  // each pair counted once per pass across its
+                  // exploded copies: only the group keyed by the
+                  // LATER member's chunk emits (cross-pass and
+                  // cross-band duplicates die in the distinct)
+                  if (math.max(ca, rb._7) != ck) Iterator.empty
                   else emitPair(ra._3, ra._4, ra._5, rb._3, rb._4,
                     rb._5, threshold)
                 }
