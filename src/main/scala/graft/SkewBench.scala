@@ -83,6 +83,38 @@ object SkewBench {
       s"shape outputs diverge: single $pw1/$pf1, dual $pw2/$pf2")
     require(pw2 >= pw1,
       s"dual ranking lost pairs vs single: $pw2 < $pw1")
+
+    // the AUTO chooser: probe cost, estimate, and the shape it picks
+    // on this skewed corpus vs a skew-free one (the base vectors
+    // alone) — the round-9 done-criterion is "picks the winning shape
+    // on both, probe cost < 5% of query time"
+    def probeAndShape(name: String, corpus: org.apache.spark.sql
+        .DataFrame, cnt: Long): Unit = {
+      // min-of-reps like every other number this bench prints (the
+      // first call carries the probe plan's one-time codegen + JIT)
+      val timed = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val e = SimilarityOps.estimatedTopBucket(corpus, planes,
+          cfg.planesPerBand, cnt)
+        (e, (System.nanoTime() - t0) / 1e9)
+      }
+      val est = timed.head._1
+      val auto = SimilarityOps.lshNearDupPairsGrouped(corpus, planes,
+        cfg.planesPerBand, 0.95, chunkSize = chunkSize,
+        corpusCount = Some(cnt))
+      val windowShape = auto.queryExecution.optimizedPlan.toString
+        .contains("row_number")
+      println(f"""{"auto":"$name","probeSec":${timed.map(_._2).min}%.3f,""" +
+        f""""estTopBucket":$est%.0f,""" +
+        s""""cutover":${(LshConfig.SkewCutoverChunks *
+          chunkSize).toLong},"shape":"${
+          if (windowShape) "window" else "fast"}"}""")
+    }
+    probeAndShape("skewed", v, n)
+    val vBase = SimilarityOps.withNorm(base, "vec_id", "embedding")
+      .persist()
+    val nb = vBase.count()
+    probeAndShape("skew-free", vBase, nb)
     spark.stop()
   }
 }

@@ -78,6 +78,27 @@ object LshConfig {
     */
   val TargetBucketRows = 500L
 
+  /** Row budget for the grouped pair loop's sampled shape probe
+    * ([[SimilarityOps.estimatedTopBucket]]): the probe bands at most
+    * this many sampled vectors regardless of corpus size, so its cost
+    * is a small constant fraction of the query's own banding pass
+    * (measured ≤ ~2% of SkewBench's query time at this budget). At
+    * the decision boundary the estimate needs only ~10% relative
+    * accuracy — a bucket at the 4-chunk cutover samples hundreds of
+    * rows even at a 2.5% rate — so a small budget loses nothing.
+    */
+  val ShapeProbeRows = 50000L
+
+  /** Window-vs-fast cutover for the AUTO shape probe: the window
+    * shape is chosen when the estimated hottest bucket exceeds this
+    * many chunks. At 1 chunk the fast path never even in-task-chunks;
+    * the measured crossover sits well past that (SkewBench: the
+    * window shape wins clearly at a 16-chunk hot bucket, r8's 1.38×
+    * at ~34 chunks), and 4 chunks is conservatively inside the
+    * window-wins region while far above sampling noise.
+    */
+  val SkewCutoverChunks = 4.0
+
   /** Occupancy headroom for the grouped pair loop's fast path
     * ([[SimilarityOps.lshNearDupPairsGrouped]]): the no-window shape
     * is taken only while `expected occupancy × headroom ≤ chunkSize`,

@@ -293,6 +293,51 @@ object SimilarityOps {
     lshBands(df, planes, planesPerBand)
       .groupBy("band_id", "bucket").agg(count(lit(1)).as("n"))
 
+  /** Estimated hottest (band_id, bucket) size from a DETERMINISTIC
+    * hash sample — the skew signal the expected-occupancy estimate
+    * cannot have (a template-duplicated corpus concentrates one bucket
+    * per band far past expectation). Sampling is by `xxhash64(id)`
+    * (salted, disjoint from every banding/bucketing hash in the
+    * family), so the estimate is reproducible; the sample rate is
+    * `min(1, sampleRows / corpusCount)`, which bounds the probe's
+    * work at ~`sampleRows · nBands` banded rows regardless of corpus
+    * size — one cheap aggregate, scaled back up by 1/rate. A bucket
+    * of s rows samples Binomial(s, rate), so for buckets anywhere
+    * near a chunking decision (thousands of rows at default rates)
+    * the estimate concentrates tightly; tiny buckets are noisy and
+    * irrelevant. Corpora at or under `sampleRows` probe exactly
+    * (rate 1).
+    */
+  def estimatedTopBucket(df: DataFrame, planes: Seq[Seq[Double]],
+      planesPerBand: Int, corpusCount: Long,
+      sampleRows: Long = LshConfig.ShapeProbeRows): Double = {
+    require(corpusCount >= 0, s"corpusCount must be >= 0: $corpusCount")
+    require(sampleRows > 0, s"sampleRows must be positive: $sampleRows")
+    val denom = 1000000L
+    val num = math.min(denom, math.max(1L,
+      math.round(sampleRows.toDouble /
+        math.max(1L, corpusCount) * denom)))
+    val rate = num.toDouble / denom
+    val sampled =
+      if (num >= denom) df
+      else df.filter(
+        pmod(xxhash64(col("id"), lit(0x51575157L)), lit(denom)) <
+          lit(num))
+    // the FIRST band only: the skew this probe hunts (a template-
+    // duplicated corpus) concentrates its hot bucket in EVERY band, so
+    // one band carries the signal at 1/nBands of the banding work and
+    // a slimmer aggregate; for skew-free corpora band 0's top sits
+    // slightly under the max over all bands — an underestimate that
+    // errs toward the fast shape, safely inside the cutover's margin
+    // (the cutover is 4 chunks; the measured window-wins regime starts
+    // far past that)
+    val top = lshBands(sampled, planes.take(planesPerBand),
+        planesPerBand)
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head()
+    if (top.isNullAt(0)) 0.0 else top.getLong(0).toDouble / rate
+  }
+
   /** Saturation fail-fast shared by both pair generators. Occupancy is
     * computed directly from the band widths — not via an [[LshConfig]]
     * constructor — so ragged plane sets (`planes.size` not a multiple
@@ -541,7 +586,8 @@ object SimilarityOps {
       maxExpectedBucketRows: Long = 4L * LshConfig.TargetBucketRows,
       chunkSize: Int = LshConfig.DefaultChunkRows,
       assumeTemplateSkew: Boolean = false,
-      dualChunkProjections: Boolean = true)
+      dualChunkProjections: Boolean = true,
+      autoShapeProbe: Boolean = true)
       : DataFrame = {
     require(maxBucketSize > 0,
       s"maxBucketSize must be positive, got $maxBucketSize")
@@ -615,9 +661,24 @@ object SimilarityOps {
     // unlike dropping corpusCount, which was the only opt-out before.
     val rem = planes.size % planesPerBand
     val minBits = if (rem == 0) planesPerBand else rem
-    val fastPath = !assumeTemplateSkew && corpusCount.exists(n =>
+    val occupancyFast = !assumeTemplateSkew && corpusCount.exists(n =>
       n.toDouble / (1L << math.min(minBits, 62)).toDouble *
         LshConfig.FastPathHeadroom <= chunkSize.toDouble)
+    // AUTO shape selection (round-9 verdict): when the occupancy gate
+    // says fast, a sampled top-bucket probe ([[estimatedTopBucket]])
+    // looks for the skew the expectation cannot see; a hottest bucket
+    // past SkewCutoverChunks × chunkSize flips to the window shape —
+    // its one-task-per-chunk layout beats the fast path's
+    // one-task-per-hot-bucket exactly there (measured: window 4.5 s
+    // vs fast 7.8 s on the SkewBench template corpus; probe ≪ 5% of
+    // query time). The probe is ONE small Spark action, run only on
+    // this gate-fast branch — `autoShapeProbe = false` restores the
+    // action-free construction (and is how a caller FORCES the fast
+    // shape, e.g. for parity testing); `assumeTemplateSkew = true`
+    // remains the probe-free window override.
+    val fastPath = occupancyFast && (!autoShapeProbe ||
+      estimatedTopBucket(df, planes, planesPerBand, corpusCount.get) <
+        LshConfig.SkewCutoverChunks * chunkSize)
     val pairs =
       if (fastPath) {
         // the fast path carries NO window at all: the maxBucketSize

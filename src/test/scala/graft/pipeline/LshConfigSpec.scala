@@ -201,9 +201,13 @@ class LshConfigSpec extends SparkSpec {
     // the occupancy-gated FAST PATH (no rank window, in-task chunking)
     // must emit the bit-identical pair set on the same hot bucket:
     // corpusCount = 8 passes the gate (occupancy 1 × headroom ≤ 100)
-    // while the 800-row template bucket still forces in-task chunking
+    // while the 800-row template bucket still forces in-task chunking.
+    // autoShapeProbe = false FORCES the fast shape — the auto probe
+    // would (correctly) flip this 8-chunk hot bucket to the window
+    // shape, which is asserted separately below
     val fastDf = SimilarityOps.lshNearDupPairsGrouped(
-      v, planes, 3, 0.9, chunkSize = 100, corpusCount = Some(8L))
+      v, planes, 3, 0.9, chunkSize = 100, corpusCount = Some(8L),
+      autoShapeProbe = false)
     val fastSet = fastDf
       .select("i", "j", "cos").as[(Long, Long, Double)].collect().toSet
     val windowSet = chunked
@@ -224,6 +228,50 @@ class LshConfigSpec extends SparkSpec {
       .contains("row_number"), "fast path must carry no rank window")
     assert(viaKnob.select("i", "j", "cos").as[(Long, Long, Double)]
       .collect().toSet == windowSet)
+    // the AUTO probe (the default) sees the 800-row template bucket —
+    // 8× the 100-row chunk, past the 4-chunk cutover — and picks the
+    // window shape on its own, no knob needed; output unchanged
+    val auto = SimilarityOps.lshNearDupPairsGrouped(
+      v, planes, 3, 0.9, chunkSize = 100, corpusCount = Some(8L))
+    assert(auto.queryExecution.optimizedPlan.toString
+      .contains("row_number"),
+      "auto probe must flip a template-skewed corpus to the window " +
+        "shape")
+    assert(auto.select("i", "j", "cos").as[(Long, Long, Double)]
+      .collect().toSet == windowSet)
+    v.unpersist(): Unit
+  }
+
+  test("auto shape probe keeps the fast path on a skew-free corpus " +
+      "and estimates the hot bucket within sampling error") {
+    // 4000 hash-noise vectors, 24×6 config: expected occupancy 62,
+    // hottest bucket nowhere near 4 × chunk — auto stays fast
+    val v = SimilarityOps.withNorm(
+      (0 until 4000).map { i =>
+        (i.toLong, Array.tabulate(8)(j =>
+          math.sin(i * 12.9898 + j * 78.233) * 43758.5453 % 1.0))
+      }.toDF("vec_id", "embedding"), "vec_id", "embedding").persist()
+    val planes = SimilarityOps.hyperplanes(24, 8)
+    val auto = SimilarityOps.lshNearDupPairsGrouped(
+      v, planes, 6, 0.95, corpusCount = Some(4000L))
+    assert(!auto.queryExecution.optimizedPlan.toString
+      .contains("row_number"),
+      "auto probe must keep the fast shape on a skew-free corpus")
+    // the estimator: corpus ≤ ShapeProbeRows probes EXACTLY — equal
+    // to the true hottest band-0 bucket from lshBucketStats (the
+    // probe reads one band; a hot template bucket is hot in every)
+    val est = SimilarityOps.estimatedTopBucket(v, planes, 6, 4000L)
+    val truth = SimilarityOps.lshBucketStats(v, planes, 6)
+      .filter(org.apache.spark.sql.functions.col("band_id") === 0)
+      .agg(org.apache.spark.sql.functions.max("n")).head().getLong(0)
+    assert(est == truth.toDouble, s"exact-rate probe drifted: $est " +
+      s"vs $truth")
+    // sub-sampled estimate (forced tiny sample) lands within a factor
+    // of 2 of truth — plenty for a 4×-chunk cutover decision
+    val est2 = SimilarityOps.estimatedTopBucket(v, planes, 6, 4000L,
+      sampleRows = 1000L)
+    assert(est2 > truth / 2.0 && est2 < truth * 2.0,
+      s"sampled estimate off: $est2 vs $truth")
     v.unpersist(): Unit
   }
 

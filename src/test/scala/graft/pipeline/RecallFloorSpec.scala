@@ -126,7 +126,10 @@ class RecallFloorSpec extends SparkSpec {
         corpusCount: Option[Long] = None) =
       pairsOf(SimilarityOps.lshNearDupPairsGrouped(v, planes, 1,
         threshold, chunkSize = chunkSize, corpusCount = corpusCount,
-        dualChunkProjections = dual))
+        dualChunkProjections = dual,
+        // this test FORCES each shape to compare them; the auto probe
+        // is its own test (LshConfigSpec)
+        autoShapeProbe = false))
     val planted = (1000L, 1001L)
     // ground truth: no chunking
     val gt = grouped(1000, dual = true)
