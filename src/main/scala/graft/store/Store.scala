@@ -11,6 +11,16 @@ import scala.collection.immutable.TreeSet
 final case class Intersection[K](lo: OrdVal, hiExcl: Option[OrdVal],
                                  slices: Map[K, DataFrame])
 
+/** One shard's distance to the per-dataset file-stats ceiling
+  * ([[OrderedDataset.MaxFilesPerDataset]]): `files` in the shard now,
+  * `capFraction` = files / cap, `nearCap` once the fraction reaches
+  * the warning threshold ([[Store.ShardPressureWarnAt]]). The remedy
+  * for a near-cap shard is [[Store.reShard]] — BEFORE the cap, which
+  * fails the write loudly but only at the cliff.
+  */
+final case class ShardPressure[K](key: K, files: Int,
+    capFraction: Double, nearCap: Boolean)
+
 /** Collection of ordered datasets under one basepath, keyed by a typed
   * indexer (ref oups/store/store/store.py:67-131). Key discovery scans
   * the directory tree at indexer depth for sidecar files
@@ -219,6 +229,28 @@ final class Store[K](val spark: SparkSession, val basepath: String,
     ks
   }
 
+  /** Files-per-shard vs [[OrderedDataset.MaxFilesPerDataset]] for every
+    * key — the operational signal the growth path was missing: daily
+    * appends route correctly forever, but a shard that quietly
+    * approaches the cap fails its NEXT write at the cliff with the
+    * whole family behind it. Driver-side sidecar metadata only (one
+    * read per key). Keys with ≥ [[Store.ShardPressureWarnAt]] of the
+    * cap come back `nearCap = true`; [[appendSharded]] calls this
+    * after every routed append and WARNS for near-cap shards, naming
+    * the [[reShard]] remedy.
+    */
+  def shardPressure(ks: Seq[K],
+      warnAt: Double = Store.ShardPressureWarnAt)
+      : Seq[ShardPressure[K]] = {
+    require(ks.nonEmpty, "no keys")
+    require(warnAt > 0 && warnAt <= 1, s"warnAt must be in (0, 1]: $warnAt")
+    ks.map { k =>
+      val nf = get(k).meta.files.size
+      val frac = nf.toDouble / OrderedDataset.MaxFilesPerDataset
+      ShardPressure(k, nf, frac, frac >= warnAt)
+    }
+  }
+
   /** Parse a kv-recorded shard boundary back to a literal comparable
     * with the ordered COLUMN's type (the inverse of [[shardedWrite]]'s
     * toString stamp; both `LocalDateTime.toString` ISO and
@@ -263,6 +295,12 @@ final class Store[K](val spark: SparkSession, val basepath: String,
       val kv = get(k).meta.kv
       require(kv.contains("graft.shard.index"),
         s"$k carries no graft.shard.* kv — not a shardedWrite dataset")
+      require(!kv.contains(Store.RetiringKey),
+        s"$k is mid-reShard (its rows were re-sharded but the old key " +
+          "is not yet deleted — a crash in reShard's commit window); " +
+          s"finish with delete($k) before touching the family, or " +
+          s"remove kv '${Store.RetiringKey}' if the re-shard never " +
+          "committed its new shards")
       (k, kv.getOrElse("graft.shard.lo", ""),
         kv.getOrElse("graft.shard.hiExcl", ""))
     }
@@ -306,7 +344,8 @@ final class Store[K](val spark: SparkSession, val basepath: String,
     * failure rolls the committed shards back. A shard whose slice is
     * empty gets a metadata-only commit.
     */
-  def appendSharded(df: DataFrame, opts: WriteOpts, ks: Seq[K]): Unit = {
+  def appendSharded(df: DataFrame, opts: WriteOpts, ks: Seq[K])
+      : Seq[ShardPressure[K]] = {
     import org.apache.spark.sql.functions.{col, count, lit}
     val ordCol = opts.orderedOn
     OrderedDataset.typeTag(df.schema(ordCol).dataType): Unit
@@ -328,6 +367,19 @@ final class Store[K](val spark: SparkSession, val basepath: String,
         dss(k).write(df.filter(pred), opts): Unit
       }
     }
+    // the growth path's pressure signal: report every shard's distance
+    // to the file cap and WARN before the cliff, so the operator
+    // reaches for reShard while it is still a planned move, not a
+    // failed-write incident
+    val pressure = shardPressure(chain.map(_._1))
+    pressure.filter(_.nearCap).foreach { p =>
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        f"shard ${p.key} holds ${p.files} files — ${p.capFraction * 100}%.0f%% " +
+          s"of MaxFilesPerDataset (${OrderedDataset.MaxFilesPerDataset}); " +
+          "reShard it across fresh keys before appends start failing " +
+          "at the cap")
+    }
+    pressure
   }
 
   /** Split ONE key's rows across fresh keys — the re-shard step of the
@@ -341,13 +393,21 @@ final class Store[K](val spark: SparkSession, val basepath: String,
     * (never-sharded) dataset — open outer bounds — turning an over-cap
     * dataset into a fresh family in place.
     *
-    * NOT atomic end-to-end, stated plainly: between the new shards'
-    * commit and the delete, a reader unioning the whole family sees
-    * the moved rows TWICE — quiesce family readers across the call. A
-    * crash in that window leaves both; the remedy is deleting the old
-    * key (`delete(k)`), which is also what a re-run must NOT shortcut
-    * around (re-running shardedWrite into the same new keys would
-    * upsert duplicates).
+    * NOT atomic end-to-end, stated plainly — but the window is now
+    * LOUD, not silent: before anything moves, the old key is stamped
+    * `graft.shard.retiring` (an atomic metadata commit), and every
+    * family-aware reader/router ([[rangeDFAcross]],
+    * [[intersectionsDF]], [[iterIntersections]], [[appendSharded]]'s
+    * chain validation) REJECTS a key carrying the stamp with the
+    * remedy named — so the old double-read (rows seen twice between
+    * the new shards' commit and the delete) and the old lost-append
+    * (routed to a shard about to be deleted) fail fast instead of
+    * silently corrupting counts. A crash inside the window leaves the
+    * stamp in place: readers stay loud until the operator finishes
+    * with `delete(k)` (new shards committed) or removes the stamp
+    * (they did not — the error message carries both). A FAILED
+    * shardedWrite inside this call rolls its shards back and clears
+    * the stamp itself.
     */
   def reShard(k: K, opts: WriteOpts, keyOf: Int => K,
       targetRowsPerShard: Long): Seq[K] = {
@@ -359,9 +419,26 @@ final class Store[K](val spark: SparkSession, val basepath: String,
         opts.orderedOn)
     val oldLo = m.kv.getOrElse("graft.shard.lo", "")
     val oldHi = m.kv.getOrElse("graft.shard.hiExcl", "")
-    val ks2 = shardedWrite(old.df, opts, keyOf, targetRowsPerShard)
-    require(!ks2.contains(k),
-      s"keyOf must not reuse the re-sharded key $k")
+    old.updateKv(Map(Store.RetiringKey -> "1"))
+    // key-reuse is checked INSIDE keyOf — shardedWrite evaluates every
+    // key before its transaction opens, so the violation fails
+    // pre-commit (checking the returned list would be too late: the
+    // write into k itself would already have committed)
+    val guardedKeyOf: Int => K = { i =>
+      val kk = keyOf(i)
+      require(kk != k, s"keyOf must not reuse the re-sharded key $k")
+      kk
+    }
+    val ks2 =
+      try shardedWrite(old.df, opts, guardedKeyOf, targetRowsPerShard)
+      catch {
+        case e: Throwable =>
+          // nothing committed (shardedWrite's transaction rolled its
+          // shards back) — un-stamp so the family is readable again
+          try old.updateKv(Map.empty, remove = Seq(Store.RetiringKey))
+          catch { case e2: Throwable => e.addSuppressed(e2) }
+          throw e
+      }
     if (oldLo.nonEmpty)
       get(ks2.head).updateKv(Map("graft.shard.lo" -> oldLo))
     if (oldHi.nonEmpty)
@@ -369,6 +446,20 @@ final class Store[K](val spark: SparkSession, val basepath: String,
     delete(k)
     ks2
   }
+
+  /** Fail fast when any key is mid-reShard (see [[reShard]]): a union
+    * read over such a family counts the moved rows twice.
+    */
+  private def requireNotRetiring(ks: Seq[K]): Unit =
+    ks.foreach { k =>
+      val d = get(k)
+      require(!(d.exists && d.meta.kv.contains(Store.RetiringKey)),
+        s"$k is mid-reShard: its rows exist both under it and under " +
+          "its replacement shards, and a union read would count them " +
+          s"twice. Finish the re-shard with delete($k) (new shards " +
+          s"committed), or remove kv '${Store.RetiringKey}' if they " +
+          "never committed.")
+    }
 
   /** Pruned union read across keys (the [[shardedWrite]] read-back):
     * one zone-map-pruned [[OrderedDataset.rangeDF]] per key, unioned.
@@ -380,6 +471,7 @@ final class Store[K](val spark: SparkSession, val basepath: String,
   def rangeDFAcross(ks: Seq[K], start: Option[OrdVal] = None,
       endExcl: Option[OrdVal] = None): DataFrame = {
     require(ks.nonEmpty, "no keys")
+    requireNotRetiring(ks)
     ks.map(k => get(k).rangeDF(start, endExcl)).reduce(_ unionByName _)
   }
 
@@ -400,6 +492,7 @@ final class Store[K](val spark: SparkSession, val basepath: String,
   def intersectionsDF(ks: Seq[K], start: Option[OrdVal],
       endExcl: Option[OrdVal], keyName: K => String): DataFrame = {
     require(ks.nonEmpty, "no keys")
+    requireNotRetiring(ks)
     ks.map { k =>
       get(k).rangeDF(start, endExcl)
         .withColumn("ds_key", org.apache.spark.sql.functions.lit(keyName(k)))
@@ -409,6 +502,7 @@ final class Store[K](val spark: SparkSession, val basepath: String,
   def iterIntersections(ks: Seq[K], start: Option[OrdVal] = None,
       endExcl: Option[OrdVal] = None): Iterator[Intersection[K]] = {
     require(ks.nonEmpty, "no keys")
+    requireNotRetiring(ks)
     val dss = ks.map(k => k -> get(k))
     val metas = dss.map { case (k, d) => k -> d.meta }
     val names = metas.map(_._2.orderedOn).distinct
@@ -430,4 +524,21 @@ final class Store[K](val spark: SparkSession, val basepath: String,
           dss.map { case (k, d) => k -> d.rangeDF(Some(lo), hi) }.toMap)
       }
   }
+}
+
+object Store {
+  /** kv marker [[Store.reShard]] stamps on the key being retired: set
+    * before its rows move, removed with the key's deletion (or by the
+    * operator after a crash). Family readers and routers reject keys
+    * carrying it — the re-shard commit window fails loudly instead of
+    * double-counting.
+    */
+  val RetiringKey = "graft.shard.retiring"
+
+  /** [[Store.shardPressure]] warning threshold, as a fraction of
+    * [[OrderedDataset.MaxFilesPerDataset]]: at 80% the operator still
+    * has ~13k appends of headroom to schedule a [[Store.reShard]]
+    * as a planned move.
+    */
+  val ShardPressureWarnAt = 0.8
 }

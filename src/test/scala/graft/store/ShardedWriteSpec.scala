@@ -328,6 +328,75 @@ class ShardedWriteSpec extends SparkSpec {
     }
   }
 
+  test("shardPressure reports files vs cap; the warn threshold fires; " +
+      "appendSharded returns the pressure rows") {
+    val st = newStore()
+    val ks = st.shardedWrite(evDf(8000), WriteOpts("t", NRows(1000)),
+      i => s"s$i", targetRowsPerShard = 2000L)
+    val p = st.shardPressure(ks)
+    assert(p.map(_.key) == ks)
+    p.foreach { sp =>
+      assert(sp.files == st.get(sp.key).meta.files.size && sp.files > 0)
+      assert(sp.capFraction ==
+        sp.files.toDouble / OrderedDataset.MaxFilesPerDataset)
+      assert(!sp.nearCap, s"2-file shards cannot be near a 65535 cap: $sp")
+    }
+    // the threshold FIRES when files/cap reaches warnAt (injected low
+    // — a real 52k-file shard is not buildable in a unit test; the
+    // comparison is the same code path appendSharded warns through)
+    val tiny = st.shardPressure(ks,
+      warnAt = 1.0 / OrderedDataset.MaxFilesPerDataset)
+    assert(tiny.forall(_.nearCap), s"injected threshold must fire: $tiny")
+    // appendSharded surfaces the same signal to its caller
+    val ret = st.appendSharded(Seq(4000L).toDF("t")
+      .withColumn("v", lit(-1.0)), WriteOpts("t", NRows(1000)), ks)
+    assert(ret.map(_.key).sorted == ks.sorted)
+    assert(ret.forall(sp => sp.files > 0 && !sp.nearCap))
+  }
+
+  test("a mid-reShard (retiring) key makes family reads and appends " +
+      "fail loudly; a failed reShard un-stamps itself") {
+    val st = newStore()
+    val ks = st.shardedWrite(evDf(6000), WriteOpts("t", NRows(1000)),
+      i => s"s$i", targetRowsPerShard = 2000L)
+    // simulate a crash inside reShard's commit window: the old key is
+    // stamped but not yet deleted
+    st.get(ks(1)).updateKv(Map(Store.RetiringKey -> "1"))
+    val e1 = intercept[IllegalArgumentException] {
+      st.rangeDFAcross(ks)
+    }
+    assert(e1.getMessage.contains("mid-reShard") &&
+      e1.getMessage.contains("delete"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      st.appendSharded(Seq(1L).toDF("t").withColumn("v", lit(0.0)),
+        WriteOpts("t", NRows(1000)), ks)
+    }
+    assert(e2.getMessage.contains("mid-reShard"), e2.getMessage)
+    intercept[IllegalArgumentException] {
+      st.intersectionsDF(ks, None, None, identity)
+    }: Unit
+    // the operator's un-stamp remedy restores the family
+    st.get(ks(1)).updateKv(Map.empty, remove = Seq(Store.RetiringKey))
+    assert(st.rangeDFAcross(ks).count() == 6000L)
+    // a reShard that fails BEFORE its shards commit (keyOf reuses the
+    // old key — caught pre-commit) clears its own stamp
+    val e3 = intercept[IllegalArgumentException] {
+      st.reShard(ks(1), WriteOpts("t", NRows(1000)),
+        _ => ks(1), targetRowsPerShard = 1000L)
+    }
+    assert(e3.getMessage.contains("must not reuse"), e3.getMessage)
+    assert(!st.get(ks(1)).meta.kv.contains(Store.RetiringKey),
+      "failed reShard must remove its retiring stamp")
+    assert(st.rangeDFAcross(ks).count() == 6000L)
+    // and a SUCCESSFUL reShard leaves no stamp anywhere
+    val sub = st.reShard(ks(1), WriteOpts("t", NRows(1000)),
+      i => s"s1b$i", targetRowsPerShard = 1000L)
+    assert(st.keys.toSeq.forall(k =>
+      !st.get(k).meta.kv.contains(Store.RetiringKey)))
+    assert(st.rangeDFAcross(st.keys.toSeq).count() == 6000L)
+    assert(sub.nonEmpty)
+  }
+
   test("non-injective keyOf rejected before any commit") {
     val st = newStore()
     val e = intercept[IllegalArgumentException] {
