@@ -59,15 +59,27 @@ object StreamingXRows {
     * product encoder — any field added, removed, reordered, or
     * retyped here is a BREAKING change for existing checkpoints
     * (Spark fails the restarted query with a state-schema
-    * incompatibility, it does not migrate). Schema history:
-    * v1 = the current shape, unchanged since introduction. To evolve:
-    * start the changed query against a FRESH checkpoint directory and
-    * re-seed from the source (the graft-source offsets replay
-    * deterministically), or write a one-off state migration — do not
-    * edit these fields in place and point at an old checkpoint.
+    * incompatibility, it does not migrate). The `version` field is
+    * the SEMANTIC guard Spark's field-shape check cannot be: a
+    * change that keeps the encoder shape but alters what the fields
+    * MEAN (binning rule, sum encoding, ordinal semantics) must bump
+    * [[StateVersion]], and a restart over a checkpoint stamped with
+    * an older version then fails with the named remedy instead of
+    * folding new batches onto reinterpreted state. Schema history:
+    * v1 = the original shape (no version field); v2 = v1 + version.
+    * To evolve: start the changed query against a FRESH checkpoint
+    * directory and re-seed from the source (the graft-source offsets
+    * replay deterministically), or write a one-off state migration —
+    * do not edit these fields in place and point at an old
+    * checkpoint.
     */
-  final case class XState(rowsSoFar: Long, open: Option[OpenBin],
-      lastTsMicros: Long, lastTie: Long)
+  final case class XState(version: Int, rowsSoFar: Long,
+      open: Option[OpenBin], lastTsMicros: Long, lastTie: Long)
+
+  /** Current [[XState]] semantic version — bump on ANY change to what
+    * persisted state means, even when the encoder shape is unchanged.
+    */
+  val StateVersion = 2
   final case class XOut(bin: Long, label_micros: Long, n_rows: Long,
       first_v: Double, last_v: Double, min_v: Double, max_v: Double,
       sum_str: String)
@@ -85,14 +97,25 @@ object StreamingXRows {
     * paths — the ONLY difference between them is the group key.
     */
   private def foldBatch(keyDesc: String, rows0: Array[XIn],
-      state: GroupState[XState], xRows: Long, strictOrder: Boolean)
+      state: GroupState[XState], xRows: Long, strictOrder: Boolean,
+      expectVersion: Int)
       : Iterator[XOut] = {
     java.util.Arrays.sort(rows0,
       Ordering.by((r: XIn) => (r.tsMicros, r.tie)))
     if (rows0.isEmpty) Iterator.empty
     else {
+      state.getOption.filter(_.version != expectVersion).foreach { st =>
+        throw new IllegalStateException(
+          s"StreamingXRows($keyDesc): checkpoint state version " +
+            s"${st.version} != code state version $expectVersion — " +
+            "the persisted count-bin state predates a semantic " +
+            "change and folding onto it would corrupt bins. Start " +
+            "the query against a FRESH checkpoint directory and " +
+            "re-seed (graft-source offsets replay deterministically), " +
+            "or migrate the state offline.")
+      }
       val st0 = state.getOption.getOrElse(
-        XState(0L, None, Long.MinValue, Long.MinValue))
+        XState(expectVersion, 0L, None, Long.MinValue, Long.MinValue))
       val late = rows0.count(r =>
         r.tsMicros < st0.lastTsMicros ||
           (r.tsMicros == st0.lastTsMicros && r.tie < st0.lastTie))
@@ -145,7 +168,7 @@ object StreamingXRows {
       }
       open.foreach(o => emitted += snap(o)) // open-bin update
       val last = rows0.last
-      state.update(XState(rowsSoFar, open,
+      state.update(XState(expectVersion, rowsSoFar, open,
         math.max(st0.lastTsMicros, last.tsMicros),
         if (last.tsMicros > st0.lastTsMicros ||
           (last.tsMicros == st0.lastTsMicros && last.tie > st0.lastTie))
@@ -174,7 +197,10 @@ object StreamingXRows {
         * batch (e.g. a giant graft commit — rate-limit with
         * max_generations_per_trigger, or commit smaller increments). */
       maxBatchRows: Int = 20000000,
-      strictOrder: Boolean = true): StreamingQuery = {
+      strictOrder: Boolean = true,
+      /** Override ONLY to simulate/stage a version bump (specs, or a
+        * deliberate migration); production callers take the default. */
+      stateVersion: Int = StateVersion): StreamingQuery = {
     require(xRows > 0, s"xRows must be positive, got $xRows")
     require(maxBatchRows > 0,
       s"maxBatchRows must be positive, got $maxBatchRows")
@@ -193,7 +219,7 @@ object StreamingXRows {
       .flatMapGroupsWithState[XState, XOut](OutputMode.Update,
         GroupStateTimeout.NoTimeout) { (_, it, state) =>
         foldBatch("global", boundedArray(it, maxBatchRows), state,
-          xRows, strictOrder)
+          xRows, strictOrder, stateVersion)
       }
 
     out.toDF()
@@ -231,7 +257,8 @@ object StreamingXRows {
       tieCol: String, valueCol: String, xRows: Long, targetDir: String,
       checkpointDir: String, target: RowGroupTarget = NRows(6345000L),
       maxBatchRows: Int = 20000000,
-      strictOrder: Boolean = true): StreamingQuery = {
+      strictOrder: Boolean = true,
+      stateVersion: Int = StateVersion): StreamingQuery = {
     require(xRows > 0, s"xRows must be positive, got $xRows")
     require(maxBatchRows > 0,
       s"maxBatchRows must be positive, got $maxBatchRows")
@@ -248,7 +275,8 @@ object StreamingXRows {
         GroupStateTimeout.NoTimeout) { (key, it, state) =>
         val rows = boundedArray(
           it.map(r => XIn(r.tie, r.tsMicros, r.value)), maxBatchRows)
-        foldBatch(s"key=$key", rows, state, xRows, strictOrder)
+        foldBatch(s"key=$key", rows, state, xRows, strictOrder,
+          stateVersion)
           .map(o => KXOut(key, o.bin, o.label_micros, o.n_rows,
             o.first_v, o.last_v, o.min_v, o.max_v, o.sum_str))
       }

@@ -184,6 +184,37 @@ class StreamingAggSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("restart across a state-version bump fails with the named " +
+      "remedy, not reinterpreted state") {
+    val events = mkEvents(60)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmpDir("sxrVer")
+    // a query stamps its checkpoint with the CURRENT version...
+    val m1 = MemoryStream[Ev]
+    m1.addData(events.slice(0, 30))
+    StreamingXRows.run(m1.toDF(), "t", "rid", "v", 10L,
+      s"$dir/out", s"$dir/ckpt").awaitTermination()
+    // ...then code with a bumped semantic version (simulated via the
+    // injection hook) restarts over the same checkpoint: the encoder
+    // shape is identical, so Spark's own schema check passes — only
+    // the version field can refuse the reinterpretation
+    val m2 = MemoryStream[Ev]
+    m2.addData(events.slice(0, 30))
+    m2.addData(events.slice(30, 60))
+    val e = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] {
+      StreamingXRows.run(m2.toDF(), "t", "rid", "v", 10L,
+        s"$dir/out", s"$dir/ckpt",
+        stateVersion = StreamingXRows.StateVersion + 1)
+        .awaitTermination()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ rootMessages(x.getCause))
+    assert(rootMessages(e).exists(m => m.contains("state version") &&
+      m.contains("FRESH checkpoint")), s"wrong failure: ${rootMessages(e)}")
+  }
+
   test("count bins fail fast on out-of-order cross-batch arrivals") {
     val events = mkEvents(60)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
