@@ -651,14 +651,16 @@ object SimilarityOps {
     // past the MaxBits ceiling — keep the many-bounded-tasks window
     // shape. corpusCount = None keeps the window path (no estimate,
     // no shortcut).
-    // `assumeTemplateSkew` is the caller's skew knowledge the
-    // occupancy estimate cannot have: a corpus with a heavily
-    // duplicated template concentrates one bucket per band far past
-    // expectation, and there the window shape's many chunk-tasks beat
-    // the fast path's one-task-per-hot-bucket (measured 1.38× on a
-    // 17%-template corpus, SCALE.md r8d; graft.SkewBench reproduces).
-    // Passing it keeps the saturation gate armed via corpusCount —
-    // unlike dropping corpusCount, which was the only opt-out before.
+    // `assumeTemplateSkew` is the caller's a-priori skew knowledge: a
+    // corpus with a heavily duplicated template concentrates one
+    // bucket per band far past expectation, and there the window
+    // shape's many chunk-tasks beat the fast path's
+    // one-task-per-hot-bucket (measured 1.38× on a 17%-template
+    // corpus, SCALE.md r8d; graft.SkewBench reproduces). Passing it
+    // keeps the saturation gate armed via corpusCount. Since r9 the
+    // DEFAULT discovers the same skew from the data (the sampled
+    // probe below), so the knob is an override for callers who know —
+    // or need the probe's Spark action not to run.
     val rem = planes.size % planesPerBand
     val minBits = if (rem == 0) planesPerBand else rem
     val occupancyFast = !assumeTemplateSkew && corpusCount.exists(n =>
