@@ -792,15 +792,33 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
       val d = d0.filter(survive).persist()
       try {
         val survivors = d.count()
-        val tgt =
-          target.getOrElse(NRows(math.max(1L, partial.map(_.rows).max)))
-        val opts = WriteOpts(m.orderedOn, tgt,
-          colStats = m.files.exists(_.cols.nonEmpty))
-        val rep = materialize(d, survivors, partial ++ dropped, kept,
-          Some(m), opts, m.orderedType, hasProvenance = false)
-        DeleteReport(dropped.size, partial.size, kept.size,
-          partial.map(_.rows).sum + dropped.map(_.rows).sum -
-            rep.rowsWritten)
+        val partialRows = partial.map(_.rows).sum
+        if (survivors == partialRows) {
+          // the straddling files hold NO rows inside the range — file
+          // min/max stats cannot see an empty interior, but the count
+          // just did (an idempotent repeat of a delete is the common
+          // case). Rewriting them would churn bytes to delete
+          // nothing: drop any covered files metadata-only and leave
+          // the boundary files untouched.
+          if (dropped.isEmpty) DeleteReport(0, 0, m.files.size, 0L)
+          else {
+            Sidecar.write(conf, dir, m.copy(files =
+              (kept ++ partial).sortBy(f => (f.min, f.id))))
+            retire(dropped)
+            cleanOrphans(fs)
+            DeleteReport(dropped.size, 0, kept.size + partial.size,
+              dropped.map(_.rows).sum)
+          }
+        } else {
+          val tgt =
+            target.getOrElse(NRows(math.max(1L, partial.map(_.rows).max)))
+          val opts = WriteOpts(m.orderedOn, tgt,
+            colStats = m.files.exists(_.cols.nonEmpty))
+          val rep = materialize(d, survivors, partial ++ dropped, kept,
+            Some(m), opts, m.orderedType, hasProvenance = false)
+          DeleteReport(dropped.size, partial.size, kept.size,
+            partialRows + dropped.map(_.rows).sum - rep.rowsWritten)
+        }
       } finally d.unpersist(): Unit
     }
   }

@@ -67,6 +67,33 @@ class DeleteSpec extends SparkSpec {
       ds.delete(Some(OrdLong(500)), Some(OrdLong(500))))
   }
 
+  test("an idempotent repeat delete is metadata-cheap: boundary files " +
+      "with an empty interior are NOT re-rewritten") {
+    val (ds, _) = mk("del-repeat")
+    val rep1 = ds.delete(Some(OrdLong(250)), Some(OrdLong(750)))
+    assert(rep1.filesRewritten === 2 && rep1.rowsDeleted === 500L)
+    // premise: the rewrite packs both boundary survivors into a file
+    // whose [min, max] STRADDLES the deleted range — wide stats
+    // around an empty interior, which is what makes the naive repeat
+    // re-rewrite (and what the fix detects by counting)
+    assert(ds.meta.files.exists(f =>
+      f.min < OrdLong(750) && f.max >= OrdLong(250) &&
+        !(f.min >= OrdLong(250) && f.max < OrdLong(750))),
+      s"no straddling file — repeat-delete premise broke: ${ds.meta.files}")
+    val filesAfter = ds.meta.files.map(f => (f.name, f.rows)).toSet
+    // the repeat: the two boundary files still STRADDLE 250/750 by
+    // min/max, but the survivor count proves the interior empty —
+    // zero files touched, zero rows deleted, file set bit-identical
+    val rep2 = ds.delete(Some(OrdLong(250)), Some(OrdLong(750)))
+    assert(rep2 === DeleteReport(0, 0, ds.meta.files.size, 0L), s"$rep2")
+    assert(ds.meta.files.map(f => (f.name, f.rows)).toSet === filesAfter,
+      "repeat delete must not rewrite any file")
+    assert(ds.df.count() === 500)
+    // a SUB-range of the emptied hole is equally a no-op
+    val rep3 = ds.delete(Some(OrdLong(300)), Some(OrdLong(700)))
+    assert(rep3 === DeleteReport(0, 0, ds.meta.files.size, 0L), s"$rep3")
+  }
+
   test("deleting every row leaves a readable empty dataset") {
     val (ds, _) = mk("del-all")
     val rep = ds.delete(Some(OrdLong(0)), Some(OrdLong(100000)))
