@@ -678,7 +678,14 @@ object SimilarityOps {
     // action-free construction (and is how a caller FORCES the fast
     // shape, e.g. for parity testing); `assumeTemplateSkew = true`
     // remains the probe-free window override.
-    val fastPath = occupancyFast && (!autoShapeProbe ||
+    // exactness shortcut, not a heuristic: a bucket cannot hold more
+    // rows than the corpus, so when corpusCount itself sits under the
+    // cutover NO probe outcome could flip the decision — skip the
+    // probe's Spark action entirely (small corpora keep action-free
+    // fast-path construction and pay nothing)
+    val probeCouldFlip = corpusCount.exists(
+      _ >= LshConfig.SkewCutoverChunks * chunkSize)
+    val fastPath = occupancyFast && (!autoShapeProbe || !probeCouldFlip ||
       estimatedTopBucket(df, planes, planesPerBand, corpusCount.get) <
         LshConfig.SkewCutoverChunks * chunkSize)
     val pairs =

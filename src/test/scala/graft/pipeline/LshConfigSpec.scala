@@ -228,17 +228,36 @@ class LshConfigSpec extends SparkSpec {
       .contains("row_number"), "fast path must carry no rank window")
     assert(viaKnob.select("i", "j", "cos").as[(Long, Long, Double)]
       .collect().toSet == windowSet)
-    // the AUTO probe (the default) sees the 800-row template bucket —
-    // 8× the 100-row chunk, past the 4-chunk cutover — and picks the
-    // window shape on its own, no knob needed; output unchanged
-    val auto = SimilarityOps.lshNearDupPairsGrouped(
-      v, planes, 3, 0.9, chunkSize = 100, corpusCount = Some(8L))
+    // the AUTO probe (the default) sees a template bucket past the
+    // 4-chunk cutover and picks the window shape on its own, no knob
+    // needed. The corpus needs enough NON-template rows that the
+    // occupancy gate still says fast and the probe's exactness
+    // shortcut does not skip (n ≥ cutover × chunk): 800 template
+    // copies + 800 distinct vectors under one 8-bit band
+    val pad = (1000 until 1800).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 0.73 + j * 1.1))))
+    val v2 = SimilarityOps.withNorm(
+      ((0 until 800).map(i => (i.toLong,
+        template.clone().map(_.toDouble))) ++ pad)
+        .toDF("vec_id", "embedding"), "vec_id", "embedding").persist()
+    val planes8 = SimilarityOps.hyperplanes(8, 8)
+    def g2(skew: Boolean, probe: Boolean) =
+      SimilarityOps.lshNearDupPairsGrouped(v2, planes8, 8, 0.9,
+        chunkSize = 100, corpusCount = Some(1600L),
+        assumeTemplateSkew = skew, autoShapeProbe = probe)
+    val auto = g2(skew = false, probe = true)
     assert(auto.queryExecution.optimizedPlan.toString
       .contains("row_number"),
       "auto probe must flip a template-skewed corpus to the window " +
         "shape")
-    assert(auto.select("i", "j", "cos").as[(Long, Long, Double)]
-      .collect().toSet == windowSet)
+    // same pairs as the knob-forced window and the forced fast shape
+    val autoSet = auto.select("i", "j", "cos")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(autoSet == g2(skew = true, probe = false)
+      .select("i", "j", "cos").as[(Long, Long, Double)].collect().toSet)
+    assert(autoSet == g2(skew = false, probe = false)
+      .select("i", "j", "cos").as[(Long, Long, Double)].collect().toSet)
+    v2.unpersist(): Unit
     v.unpersist(): Unit
   }
 
@@ -252,11 +271,20 @@ class LshConfigSpec extends SparkSpec {
           math.sin(i * 12.9898 + j * 78.233) * 43758.5453 % 1.0))
       }.toDF("vec_id", "embedding"), "vec_id", "embedding").persist()
     val planes = SimilarityOps.hyperplanes(24, 8)
+    // chunkSize 1000 puts the corpus (4000) past cutover × chunk, so
+    // the probe RUNS (not the exactness skip) and still keeps fast
     val auto = SimilarityOps.lshNearDupPairsGrouped(
-      v, planes, 6, 0.95, corpusCount = Some(4000L))
+      v, planes, 6, 0.95, corpusCount = Some(4000L), chunkSize = 1000)
     assert(!auto.queryExecution.optimizedPlan.toString
       .contains("row_number"),
       "auto probe must keep the fast shape on a skew-free corpus")
+    // and when the corpus CANNOT contain a cutover-sized bucket
+    // (n < cutover × chunkSize), the probe is skipped exactly — same
+    // fast shape, no Spark action in construction
+    val skipped = SimilarityOps.lshNearDupPairsGrouped(
+      v, planes, 6, 0.95, corpusCount = Some(4000L))
+    assert(!skipped.queryExecution.optimizedPlan.toString
+      .contains("row_number"))
     // the estimator: corpus ≤ ShapeProbeRows probes EXACTLY — equal
     // to the true hottest band-0 bucket from lshBucketStats (the
     // probe reads one band; a hot template bucket is hot in every)
