@@ -63,6 +63,15 @@ object OverCapBench {
     val inCap = run("within-cap", cfgIn.nPlanes, cfgIn.planesPerBand,
       dual = true, maxExp = 4L * LshConfig.TargetBucketRows,
       chunkSize = LshConfig.DefaultChunkRows)
+    // in-session A/B: the same canonical config single-ranked — on a
+    // non-chunking corpus the pair sets must be identical and the
+    // delta is the honest dual cost (one projection column + probe)
+    val inCapSingle = run("within-cap-single", cfgIn.nPlanes,
+      cfgIn.planesPerBand, dual = false,
+      maxExp = 4L * LshConfig.TargetBucketRows,
+      chunkSize = LshConfig.DefaultChunkRows)
+    require(inCapSingle == inCap,
+      "a non-chunking corpus must emit identical pairs either ranking")
     // the over-cap chunked regime: 4 bands × 5 bits → ~6.2k/bucket,
     // ~12 chunks deep — the MaxBits-ceiling shape, executed for real
     val single = run("over-cap-single", 20, 5, dual = false,
