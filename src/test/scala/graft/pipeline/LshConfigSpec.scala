@@ -261,6 +261,33 @@ class LshConfigSpec extends SparkSpec {
     v.unpersist(): Unit
   }
 
+  test("dual window path: the second ranking reuses the banded " +
+      "exchange — ONE (band_id, bucket) shuffle, in-partition sorts " +
+      "only") {
+    // the window+dual shape's cost claim (PLANS.md r9) as a pinned
+    // plan property: both row_number rankings and the count window
+    // ride a single hashpartitioning(band_id, bucket) exchange;
+    // adding the second projection must never add a shuffle
+    val v = SimilarityOps.withNorm(
+      (0 until 400).map(i => (i.toLong,
+        Array.tabulate(8)(j => math.sin(i * 0.37 + j))))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val planes = SimilarityOps.hyperplanes(6, 8)
+    val df = SimilarityOps.lshNearDupPairsGrouped(v, planes, 3, 0.9,
+      chunkSize = 50, corpusCount = Some(400L),
+      assumeTemplateSkew = true) // force the window shape, gate armed
+    val plan = df.queryExecution.executedPlan.toString
+    val bandedExchanges =
+      raw"Exchange hashpartitioning\(band_id".r.findAllIn(plan).size
+    assert(bandedExchanges == 1,
+      s"expected ONE banded exchange, found $bandedExchanges:\n" +
+        plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    val rankWindows =
+      raw"row_number\(\)".r.findAllIn(plan).size
+    assert(rankWindows >= 2,
+      s"expected both rankings in the plan, found $rankWindows")
+  }
+
   test("auto shape probe keeps the fast path on a skew-free corpus " +
       "and estimates the hot bucket within sampling error") {
     // 4000 hash-noise vectors, 24×6 config: expected occupancy 62,
