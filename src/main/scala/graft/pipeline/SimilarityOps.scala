@@ -901,27 +901,88 @@ object SimilarityOps {
     * lazy/silent by design — same contract as lshNearDupPairs'
     * bucket cap).
     *
+    * `dualChunkProjections` (default on, round 9 — the same remedy
+    * [[lshNearDupPairsGrouped]] measured): members of an OVER-CAP
+    * cluster are additionally rank-chunked under a SECOND, independent
+    * ordering (a deterministic index-hashed ±1 projection of the
+    * vector, dimension-free so no plan-time dim is needed) and paired
+    * under both rankings — a sparse pair is lost only when ≥
+    * maxClusterSize members rank between it in BOTH orderings, so the
+    * miss probability multiplies instead of adding. Pass-1 copies
+    * exist only for rows of clusters past the cap: a healthy corpus
+    * pays one extra projection column and nothing else; clusters at
+    * or under the cap emit bit-identically to the single-ranking
+    * form.
+    *
     * The chunk-pair dedup is the `greatest(chunk_a, chunk_b)` key
-    * rule, a join-side predicate instead of a distinct shuffle: a
-    * same-chunk pair co-occurs under both its keys (c, c+1) and is
-    * kept only at c; an adjacent-chunk pair shares exactly one key.
+    * rule per pass, a join-side predicate instead of a distinct
+    * shuffle: a same-chunk pair co-occurs under both its keys
+    * (c, c+1) and is kept only at c; an adjacent-chunk pair shares
+    * exactly one key. Cross-PASS duplicates (a pair found under both
+    * rankings) are removed by a terminal distinct — present only in
+    * dual mode, and a no-op whenever no cluster chunks.
     */
   def semanticDupPairs(corpus: DataFrame, centroidFilter: Column,
-      threshold: Double, maxClusterSize: Int = 4096): DataFrame = {
+      threshold: Double, maxClusterSize: Int = 4096,
+      dualChunkProjections: Boolean = true): DataFrame = {
     require(maxClusterSize > 0,
       s"maxClusterSize must be positive, got $maxClusterSize")
     val assigned =
       ivfAssignTo(corpus, corpus.filter(centroidFilter), keepScore = true)
-    val w = Window.partitionBy("cid")
-      .orderBy(col("ccos").desc, col("id"))
-    val keyed = assigned
+    val wcid = Window.partitionBy("cid")
+    val w = wcid.orderBy(col("ccos").desc, col("id"))
+    val chunked = assigned
       .withColumn("__chunk",
         ((row_number().over(w) - 1) / maxClusterSize).cast("int"))
-      .select(col("id"), col("vec"), col("norm"), col("cid"),
-        col("__chunk"),
-        explode(array(col("__chunk"), col("__chunk") + 1)).as("__ck"))
+    val keyed =
+      if (!dualChunkProjections)
+        chunked.select(col("id"), col("vec"), col("norm"), col("cid"),
+          lit(0).as("__p"), col("__chunk"),
+          explode(array(col("__chunk"), col("__chunk") + 1)).as("__ck"))
+      else {
+        // second independent in-cluster ranking: an index-hashed ±1
+        // projection (locality-preserving like any fixed projection —
+        // near-identical vectors project near-identically — but
+        // needing no plan-time dimension); `+ 0.0` collapses -0.0 as
+        // in the LSH chunk projections
+        val pm = (i: Column) =>
+          when(pmod(xxhash64(i, lit(7753L)), lit(2L)) === 0L, lit(1.0))
+            .otherwise(lit(-1.0))
+        val proj2 = aggregate(
+          zip_with(col("vec"),
+            transform(col("vec"), (_, i) => pm(i)), (x, s) => x * s),
+          lit(0.0), (acc, x) => acc + x) / col("norm") + lit(0d)
+        val w2 = wcid.orderBy(col("__proj2"), col("id"))
+        chunked
+          .withColumn("__proj2", proj2)
+          .withColumn("__cn", count(lit(1)).over(wcid))
+          .withColumn("__chunk2",
+            ((row_number().over(w2) - 1) / maxClusterSize).cast("int"))
+          .withColumn("__copies",
+            when(col("__cn") <= maxClusterSize,
+              array(
+                struct(lit(0).as("p"), col("__chunk").as("c"),
+                  col("__chunk").as("ck")),
+                struct(lit(0).as("p"), col("__chunk").as("c"),
+                  (col("__chunk") + 1).cast("int").as("ck"))))
+            .otherwise(array(
+              struct(lit(0).as("p"), col("__chunk").as("c"),
+                col("__chunk").as("ck")),
+              struct(lit(0).as("p"), col("__chunk").as("c"),
+                (col("__chunk") + 1).cast("int").as("ck")),
+              struct(lit(1).as("p"), col("__chunk2").as("c"),
+                col("__chunk2").as("ck")),
+              struct(lit(1).as("p"), col("__chunk2").as("c"),
+                (col("__chunk2") + 1).cast("int").as("ck")))))
+          .select(col("id"), col("vec"), col("norm"), col("cid"),
+            explode(col("__copies")).as("__e"))
+          .select(col("id"), col("vec"), col("norm"), col("cid"),
+            col("__e.p").as("__p"), col("__e.c").as("__chunk"),
+            col("__e.ck").as("__ck"))
+      }
     val a = keyed.as("a"); val b = keyed.as("b")
-    a.join(b, col("a.cid") === col("b.cid") &&
+    val joined = a.join(b, col("a.cid") === col("b.cid") &&
+        col("a.__p") === col("b.__p") &&
         col("a.__ck") === col("b.__ck") &&
         col("a.__ck") === greatest(col("a.__chunk"), col("b.__chunk")) &&
         col("a.id") < col("b.id"))
@@ -929,6 +990,7 @@ object SimilarityOps {
         cosine(col("a.vec"), col("b.vec"), col("a.norm"), col("b.norm"))
           .as("cos"))
       .filter(col("cos") >= threshold)
+    if (dualChunkProjections) joined.distinct() else joined
   }
 
   /** The semantic-dedup / IVF k-sizing contract AS CODE (SCALE.md:

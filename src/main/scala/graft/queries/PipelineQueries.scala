@@ -577,9 +577,15 @@ object PipelineQueries {
       // every driver SF (floor 200 centroids = CentroidCap/25, pinned
       // by spec), grows past 40k vectors so cluster sizes — and with
       // them the chunk-cap recall deduction — stay flat with corpus
+      // single-ranking form HERE because the oracle replicates the
+      // rank-window rule in SQL; the dual-ranking default's extra
+      // rescues hinge on xxhash64, which DuckDB cannot reproduce —
+      // dual behavior is spec-gated instead (RecallFloorSpec,
+      // CurationPropertySpec sandwich)
       SimilarityOps.semanticDupPairs(v,
           SimilarityOps.centroidFilterForCorpus(nEmbs(s, d)),
-          CosThreshold, maxClusterSize = SemanticChunk)
+          CosThreshold, maxClusterSize = SemanticChunk,
+          dualChunkProjections = false)
         .orderBy("i", "j")
     },
 

@@ -104,13 +104,21 @@ class CurationPropertySpec extends SparkSpec {
       val v = SimilarityOps.withNorm(df, "vec_id", "embedding").persist()
       val centPred = col("id") % 10 === 0
       val thr = 0.9
-      def pairs(cap: Int) =
-        SimilarityOps.semanticDupPairs(v, centPred, thr, cap)
+      def pairs(cap: Int, dual: Boolean = false) =
+        SimilarityOps.semanticDupPairs(v, centPred, thr, cap,
+          dualChunkProjections = dual)
           .select("i", "j").as[(Long, Long)].collect().toSet
       val uncapped = pairs(rows.size) // cap >= any cluster: exact
       val cap = 1 + (i % 4)
+      // the EXACT rank-window rule is a single-ranking property; the
+      // dual default only ADDS second-ranking rescues, asserted below
       val capped = pairs(cap)
       assert(capped.subsetOf(uncapped), s"seed ${700 + i}: not a subset")
+      val cappedDual = pairs(cap, dual = true)
+      assert(capped.subsetOf(cappedDual) && cappedDual.subsetOf(uncapped),
+        s"seed ${700 + i}: dual must sit between single and uncapped")
+      assert(pairs(rows.size, dual = true) == uncapped,
+        s"seed ${700 + i}: dual must equal uncapped when nothing chunks")
       // model the rank windows from the same assignment the op uses
       val assigned = SimilarityOps
         .ivfAssignTo(v, v.filter(centPred), keepScore = true)

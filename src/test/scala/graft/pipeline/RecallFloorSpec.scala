@@ -200,4 +200,45 @@ class RecallFloorSpec extends SparkSpec {
       f"dual miss $missD%.3f should track the independence model " +
         f"(single² = ${missS * missS}%.3f)")
   }
+
+  test("semantic dedup: dual in-cluster ranking lifts chunked pair " +
+      "recall toward the unchunked self-join") {
+    // the same concession, same remedy, in the SemDeDup-shaped
+    // operator: clusters far past maxClusterSize rank-chunk by
+    // centroid cosine, and a sparse pair with ≥ cap members ranked
+    // between its ends is lost — unless the second (index-hashed
+    // projection) ranking separates them
+    val dim = 32
+    val rnd = new scala.util.Random(77L)
+    def gauss(n: Int) = Array.fill(n)(rnd.nextGaussian())
+    val base = (0 until 2000).map(i => (i.toLong, gauss(dim)))
+    val dups = (0 until 150).map { i =>
+      (10000L + i, plus(base(i)._2, scale(gauss(dim), 0.25)))
+    }
+    val v = SimilarityOps.withNorm(
+      (base ++ dups).toDF("vec_id", "embedding"), "vec_id", "embedding")
+    // 4 centroids over ~2150 members → clusters ≈ 540 ≈ 11× the cap
+    val centroids = org.apache.spark.sql.functions.col("id") % 500 === 0
+    def run(cap: Int, dual: Boolean) =
+      pairsOf(SimilarityOps.semanticDupPairs(v, centroids, 0.9,
+        maxClusterSize = cap, dualChunkProjections = dual))
+    val gt = run(100000, dual = true) // nothing chunks: exhaustive
+    assert(gt.size >= 100, s"ground truth too small: ${gt.size}")
+    val single = run(50, dual = false)
+    val dual = run(50, dual = true)
+    assert(single.subsetOf(gt) && dual.subsetOf(gt),
+      "chunking must never invent pairs")
+    val rS = single.size.toDouble / gt.size
+    val rD = dual.size.toDouble / gt.size
+    info(f"semantic pair recall vs unchunked: single=$rS%.3f " +
+      f"dual=$rD%.3f (gt=${gt.size})")
+    assert(rD > rS, f"dual must beat single: $rD%.3f <= $rS%.3f")
+    // measured on this deterministic corpus: single = 0.805,
+    // dual = 0.976 — the dual miss 0.024 beats even the independence
+    // product 0.195² = 0.038 (the index-hash ranking decorrelates
+    // well from centroid cosine). Pins guard regression below the
+    // measured values minus slack.
+    assert(rS >= 0.75 && rD >= 0.95,
+      f"semantic chunked recall regressed: single=$rS%.3f dual=$rD%.3f")
+  }
 }
