@@ -13,13 +13,50 @@ final case class Intersection[K](lo: OrdVal, hiExcl: Option[OrdVal],
 
 /** One shard's distance to the per-dataset file-stats ceiling
   * ([[OrderedDataset.MaxFilesPerDataset]]): `files` in the shard now,
-  * `capFraction` = files / cap, `nearCap` once the fraction reaches
-  * the warning threshold ([[Store.ShardPressureWarnAt]]). The remedy
-  * for a near-cap shard is [[Store.reShard]] — BEFORE the cap, which
-  * fails the write loudly but only at the cliff.
+  * `rows` it holds, `capFraction` = files / cap, `nearCap` once the
+  * fraction reaches the warning threshold `warnAt` (default
+  * [[Store.ShardPressureWarnAt]]). The remedy for a near-cap shard is
+  * [[Store.reShard]] — BEFORE the cap, which fails the write loudly
+  * but only at the cliff — and the remedy comes with its ARGUMENTS:
+  * [[suggestedShards]] / [[suggestedTargetRowsPerShard]] split the
+  * shard so each piece sits at half the warn threshold, leaving the
+  * same headroom the original had when it was first sharded.
   */
-final case class ShardPressure[K](key: K, files: Int,
-    capFraction: Double, nearCap: Boolean)
+final case class ShardPressure[K](key: K, files: Int, rows: Long,
+    capFraction: Double, nearCap: Boolean,
+    warnAt: Double = Store.ShardPressureWarnAt) {
+  /** Fresh-shard count that brings every piece to ~warnAt/2 of the
+    * file cap (never fewer than 2 — a 1-way re-shard is a no-op).
+    */
+  def suggestedShards: Int = math.max(2, math.ceil(files /
+    (OrderedDataset.MaxFilesPerDataset * warnAt / 2.0)).toInt)
+
+  /** `targetRowsPerShard` to pass to [[Store.reShard]] so it produces
+    * [[suggestedShards]] pieces of this shard's current rows.
+    */
+  def suggestedTargetRowsPerShard: Long =
+    math.max(1L, math.ceil(rows.toDouble / suggestedShards).toLong)
+}
+
+/** Outcome of [[Store.finishReShard]] — which way the interrupted
+  * re-shard was converged.
+  */
+sealed trait ReShardResolution[+K]
+
+/** The replacement shards had fully committed: outer bounds were
+  * (re-)stamped where the crash had skipped them and the old key was
+  * deleted — the family now chains through `shards`.
+  */
+final case class ReShardCompleted[K](shards: Seq[K])
+  extends ReShardResolution[K]
+
+/** The replacement shards had not (or only partially) committed:
+  * any partial replacements (`removedPartial`) were deleted and the
+  * retiring stamp removed — the family reads exactly as before the
+  * re-shard attempt.
+  */
+final case class ReShardRolledBack[K](removedPartial: Seq[K])
+  extends ReShardResolution[K]
 
 /** Collection of ordered datasets under one basepath, keyed by a typed
   * indexer (ref oups/store/store/store.py:67-131). Key discovery scans
@@ -245,9 +282,10 @@ final class Store[K](val spark: SparkSession, val basepath: String,
     require(ks.nonEmpty, "no keys")
     require(warnAt > 0 && warnAt <= 1, s"warnAt must be in (0, 1]: $warnAt")
     ks.map { k =>
-      val nf = get(k).meta.files.size
+      val m = get(k).meta
+      val nf = m.files.size
       val frac = nf.toDouble / OrderedDataset.MaxFilesPerDataset
-      ShardPressure(k, nf, frac, frac >= warnAt)
+      ShardPressure(k, nf, m.totalRows, frac, frac >= warnAt, warnAt)
     }
   }
 
@@ -298,9 +336,8 @@ final class Store[K](val spark: SparkSession, val basepath: String,
       require(!kv.contains(Store.RetiringKey),
         s"$k is mid-reShard (its rows were re-sharded but the old key " +
           "is not yet deleted — a crash in reShard's commit window); " +
-          s"finish with delete($k) before touching the family, or " +
-          s"remove kv '${Store.RetiringKey}' if the re-shard never " +
-          "committed its new shards")
+          s"run finishReShard($k) to converge the family in one " +
+          "command before touching it")
       (k, kv.getOrElse("graft.shard.lo", ""),
         kv.getOrElse("graft.shard.hiExcl", ""))
     }
@@ -373,11 +410,16 @@ final class Store[K](val spark: SparkSession, val basepath: String,
     // failed-write incident
     val pressure = shardPressure(chain.map(_._1))
     pressure.filter(_.nearCap).foreach { p =>
+      // the remedy with its arguments, not just its name: the
+      // suggested split leaves each piece at half the warn threshold
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         f"shard ${p.key} holds ${p.files} files — ${p.capFraction * 100}%.0f%% " +
           s"of MaxFilesPerDataset (${OrderedDataset.MaxFilesPerDataset}); " +
-          "reShard it across fresh keys before appends start failing " +
-          "at the cap")
+          s"reShard it across fresh keys before appends start failing " +
+          s"at the cap — suggested: reShard(${p.key}, opts, keyOf, " +
+          s"targetRowsPerShard = ${p.suggestedTargetRowsPerShard}) " +
+          s"(≈${p.suggestedShards} shards of ~${p.files / p.suggestedShards} " +
+          "files each)")
     }
     pressure
   }
@@ -395,22 +437,27 @@ final class Store[K](val spark: SparkSession, val basepath: String,
     *
     * NOT atomic end-to-end, stated plainly — but the window is now
     * LOUD, not silent: before anything moves, the old key is stamped
-    * `graft.shard.retiring` (an atomic metadata commit), and every
-    * family-aware reader/router ([[rangeDFAcross]],
-    * [[intersectionsDF]], [[iterIntersections]], [[appendSharded]]'s
-    * chain validation) REJECTS a key carrying the stamp with the
-    * remedy named — so the old double-read (rows seen twice between
-    * the new shards' commit and the delete) and the old lost-append
-    * (routed to a shard about to be deleted) fail fast instead of
-    * silently corrupting counts. A crash inside the window leaves the
-    * stamp in place: readers stay loud until the operator finishes
-    * with `delete(k)` (new shards committed) or removes the stamp
-    * (they did not — the error message carries both). A FAILED
-    * shardedWrite inside this call rolls its shards back and clears
-    * the stamp itself.
+    * `graft.shard.retiring` with a UNIQUE re-shard token (an atomic
+    * metadata commit), every replacement shard records the same token
+    * as `graft.shard.replaces`, and every family-aware reader/router
+    * ([[rangeDFAcross]], [[intersectionsDF]], [[iterIntersections]],
+    * [[appendSharded]]'s chain validation) REJECTS a key carrying the
+    * stamp with the remedy named — so the old double-read (rows seen
+    * twice between the new shards' commit and the delete) and the old
+    * lost-append (routed to a shard about to be deleted) fail fast
+    * instead of silently corrupting counts. A crash inside the window
+    * leaves the stamp in place: readers stay loud until the operator
+    * runs [[finishReShard]], which follows the token to the
+    * replacement shards and converges the family in ONE command. A
+    * FAILED shardedWrite inside this call (non-fatal error) rolls its
+    * shards back; the stamp is cleared only after VERIFYING no
+    * token-tagged replacement survived the rollback — on a fatal
+    * error (OOM/VM error) or an incomplete rollback the stamp stays,
+    * keeping the guard armed for finishReShard.
     */
   def reShard(k: K, opts: WriteOpts, keyOf: Int => K,
       targetRowsPerShard: Long): Seq[K] = {
+    import scala.util.control.NonFatal
     val old = get(k)
     require(old.exists, s"cannot re-shard $k: no dataset")
     val m = old.meta
@@ -419,7 +466,9 @@ final class Store[K](val spark: SparkSession, val basepath: String,
         opts.orderedOn)
     val oldLo = m.kv.getOrElse("graft.shard.lo", "")
     val oldHi = m.kv.getOrElse("graft.shard.hiExcl", "")
-    old.updateKv(Map(Store.RetiringKey -> "1"))
+    val token = Store.ReShardTokenPrefix +
+      java.util.UUID.randomUUID().toString
+    old.updateKv(Map(Store.RetiringKey -> token))
     // key-reuse is checked INSIDE keyOf — shardedWrite evaluates every
     // key before its transaction opens, so the violation fails
     // pre-commit (checking the returned list would be too late: the
@@ -430,13 +479,25 @@ final class Store[K](val spark: SparkSession, val basepath: String,
       kk
     }
     val ks2 =
-      try shardedWrite(old.df, opts, guardedKeyOf, targetRowsPerShard)
+      try shardedWrite(old.df,
+        opts.copy(kv = opts.kv + (Store.ReplacesKey -> token)),
+        guardedKeyOf, targetRowsPerShard)
       catch {
-        case e: Throwable =>
-          // nothing committed (shardedWrite's transaction rolled its
-          // shards back) — un-stamp so the family is readable again
-          try old.updateKv(Map.empty, remove = Seq(Store.RetiringKey))
-          catch { case e2: Throwable => e.addSuppressed(e2) }
+        // NonFatal only: a fatal error (OOM/VM error) mid-commit gives
+        // no grounds to assume the transaction rolled back — leave the
+        // stamp armed and let finishReShard converge the family
+        case NonFatal(e) =>
+          // trust the transaction's rollback, but VERIFY before
+          // disarming the guard: un-stamp only if no token-tagged
+          // replacement shard survived (an incomplete rollback leaves
+          // some — readers must stay loud over that state)
+          val leaked =
+            try replacementsOf(token).nonEmpty
+            catch { case NonFatal(_) => true }
+          if (!leaked) {
+            try old.updateKv(Map.empty, remove = Seq(Store.RetiringKey))
+            catch { case NonFatal(e2) => e.addSuppressed(e2) }
+          }
           throw e
       }
     if (oldLo.nonEmpty)
@@ -445,6 +506,90 @@ final class Store[K](val spark: SparkSession, val basepath: String,
       get(ks2.last).updateKv(Map("graft.shard.hiExcl" -> oldHi))
     delete(k)
     ks2
+  }
+
+  /** Every dataset in the store recording `token` as its
+    * `graft.shard.replaces` provenance — the replacement shards of the
+    * re-shard attempt that minted the token. Driver-side sidecar
+    * metadata only (one read per key).
+    */
+  private def replacementsOf(token: String): Seq[(K, Map[String, String])] =
+    keys.toSeq.flatMap { kk =>
+      val kv = get(kk).meta.kv
+      if (kv.get(Store.ReplacesKey).contains(token)) Some(kk -> kv)
+      else None
+    }
+
+  /** ONE-command crash recovery for an interrupted [[reShard]]: follow
+    * the retiring stamp's token to the replacement shards and converge
+    * the family, whichever side of the commit the crash landed on.
+    *
+    * Decision rule, stated plainly: [[shardedWrite]] commits all
+    * replacement shards inside one transaction, so after a crash the
+    * token-tagged replacements are either ABSENT (nothing committed —
+    * remove the stamp, the family reads as before), COMPLETE (their
+    * recorded ranges tile the old key's recorded range — re-stamp any
+    * outer bound the crash skipped, delete the old key), or a PARTIAL
+    * PREFIX (a hard kill mid-transaction, detectable because only the
+    * full chain's last shard has the old range's upper bound — delete
+    * the partial shards, whose rows all still live under the old key,
+    * and remove the stamp). Idempotent: re-running after its own
+    * crash converges to the same state. Stamps written by hand (or by
+    * a pre-token build) carry no token to follow — those fail with
+    * the manual two-option remedy rather than guessing.
+    */
+  def finishReShard(k: K): ReShardResolution[K] = {
+    val old = get(k)
+    require(old.exists, s"cannot finish re-shard of $k: no dataset " +
+      "(a completed reShard deletes the old key — nothing to finish)")
+    val kv = old.meta.kv
+    val token = kv.getOrElse(Store.RetiringKey,
+      throw new IllegalArgumentException(
+        s"$k is not mid-reShard: no '${Store.RetiringKey}' kv"))
+    require(token.startsWith(Store.ReShardTokenPrefix),
+      s"$k carries a legacy or hand-written retiring stamp ('$token') " +
+        "with no replacement token to follow — resolve manually: " +
+        s"delete($k) if the replacement shards committed, or remove " +
+        s"kv '${Store.RetiringKey}' if they did not")
+    val repl = replacementsOf(token)
+    if (repl.isEmpty) {
+      old.updateKv(Map.empty, remove = Seq(Store.RetiringKey))
+      return ReShardRolledBack(Nil)
+    }
+    val oldLo = kv.getOrElse("graft.shard.lo", "")
+    val oldHi = kv.getOrElse("graft.shard.hiExcl", "")
+    val sorted = repl.sortBy(_._2("graft.shard.index").toInt)
+    val idxs = sorted.map(_._2("graft.shard.index").toInt)
+    val contiguous = idxs == (0 until idxs.size: Seq[Int])
+    val linked = sorted.sliding(2).forall {
+      case Seq(a, b) =>
+        val hi = a._2.getOrElse("graft.shard.hiExcl", "")
+        hi.nonEmpty && hi == b._2.getOrElse("graft.shard.lo", "")
+      case _ => true
+    }
+    val headLo = sorted.head._2.getOrElse("graft.shard.lo", "")
+    val lastHi = sorted.last._2.getOrElse("graft.shard.hiExcl", "")
+    // the top end is the discriminator: shardedWrite's own last shard
+    // has an OPEN hiExcl (re-stamped to oldHi only after the commit),
+    // while a partial prefix ends on a nonEmpty interior quantile
+    // bound that can never equal the old exclusive upper bound
+    val complete = contiguous && linked &&
+      (headLo.isEmpty || headLo == oldLo) &&
+      (lastHi.isEmpty || (oldHi.nonEmpty && lastHi == oldHi))
+    if (complete) {
+      if (oldLo.nonEmpty && headLo.isEmpty)
+        get(sorted.head._1).updateKv(Map("graft.shard.lo" -> oldLo))
+      if (oldHi.nonEmpty && lastHi.isEmpty)
+        get(sorted.last._1).updateKv(Map("graft.shard.hiExcl" -> oldHi))
+      delete(k)
+      ReShardCompleted(sorted.map(_._1))
+    } else {
+      // partial/torn replacements: every row they hold still lives
+      // under the old key, so deleting them loses nothing
+      sorted.foreach(p => delete(p._1))
+      old.updateKv(Map.empty, remove = Seq(Store.RetiringKey))
+      ReShardRolledBack(sorted.map(_._1))
+    }
   }
 
   /** Fail fast when any key is mid-reShard (see [[reShard]]): a union
@@ -456,9 +601,8 @@ final class Store[K](val spark: SparkSession, val basepath: String,
       require(!(d.exists && d.meta.kv.contains(Store.RetiringKey)),
         s"$k is mid-reShard: its rows exist both under it and under " +
           "its replacement shards, and a union read would count them " +
-          s"twice. Finish the re-shard with delete($k) (new shards " +
-          s"committed), or remove kv '${Store.RetiringKey}' if they " +
-          "never committed.")
+          s"twice. Run finishReShard($k) to converge the family in " +
+          "one command.")
     }
 
   /** Pruned union read across keys (the [[shardedWrite]] read-back):
@@ -534,6 +678,22 @@ object Store {
     * double-counting.
     */
   val RetiringKey = "graft.shard.retiring"
+
+  /** kv provenance every replacement shard records during
+    * [[Store.reShard]]: the retiring key's unique re-shard token.
+    * [[Store.finishReShard]] follows it to decide whether the
+    * replacements committed. Kept after a successful re-shard as
+    * provenance (tokens are unique per attempt, so stale tags never
+    * match a later recovery).
+    */
+  val ReplacesKey = "graft.shard.replaces"
+
+  /** Prefix of the unique token [[Store.reShard]] stamps as the
+    * [[RetiringKey]] value — distinguishes a followable stamp from a
+    * legacy/hand-written one, which [[Store.finishReShard]] refuses
+    * to guess about.
+    */
+  val ReShardTokenPrefix = "reshard:"
 
   /** [[Store.shardPressure]] warning threshold, as a fraction of
     * [[OrderedDataset.MaxFilesPerDataset]]: at 80% the operator still

@@ -366,7 +366,7 @@ class ShardedWriteSpec extends SparkSpec {
       st.rangeDFAcross(ks)
     }
     assert(e1.getMessage.contains("mid-reShard") &&
-      e1.getMessage.contains("delete"), e1.getMessage)
+      e1.getMessage.contains("finishReShard"), e1.getMessage)
     val e2 = intercept[IllegalArgumentException] {
       st.appendSharded(Seq(1L).toDF("t").withColumn("v", lit(0.0)),
         WriteOpts("t", NRows(1000)), ks)
