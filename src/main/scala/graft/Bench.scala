@@ -26,6 +26,51 @@ object Bench {
       SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
     } catch { case _: Throwable => () }
+    // ---- session drift sentinel (VERDICT r9 #5): the shared host
+    // drifts 2-3x on sub-second lines in bad windows, and every such
+    // session used to cost a hand min-of-5 adjudication. Three FIXED
+    // synthetic probes (no sfDir dependence, so the sentinel means the
+    // same thing at sf0.1 and on the 10x/100x replicas) run up front;
+    // the session is flagged `drifted` when their median ratio vs the
+    // pinned healthy-host canonicals exceeds DriftFlagAt. A drifted
+    // session's timings are NOT records — SCALE.md names the
+    // acceptance rule that consumes this flag.
+    def noopSave(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    def med(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    import org.apache.spark.sql.functions.{col, expr, hash, sum}
+    val driftProbes: Seq[(String, () => Unit)] = Seq(
+      "probe_shuffle_agg" -> (() => noopSave(
+        spark.range(20000000L).groupBy(expr("id % 1000")).count())),
+      "probe_sort" -> (() => noopSave(
+        spark.range(5000000L).toDF("id").sort(col("id").desc))),
+      "probe_hash_scan" -> (() => noopSave(
+        spark.range(40000000L).select(sum(hash(col("id")))))))
+    // canonical medians pinned from a healthy-host session (r10,
+    // 32-thread local, two runs within 6%; see SCALE.md convention
+    // paragraph for the acceptance rule this feeds)
+    val driftCanon = Map(
+      "probe_shuffle_agg" -> 0.23, "probe_sort" -> 0.69,
+      "probe_hash_scan" -> 0.11)
+    val DriftFlagAt = 1.5
+    val probeMed: Seq[(String, Double)] = driftProbes.map {
+      case (n, body) =>
+        body() // untimed warm pass per probe shape
+        n -> med((1 to 3).map(_ => timed(body())))
+    }
+    val driftRatio = med(probeMed.map { case (n, t) => t / driftCanon(n) })
+    val drifted = driftRatio > DriftFlagAt
+    if (drifted) System.err.println(
+      f"[bench] DRIFTED SESSION: sentinel ratio $driftRatio%.2f > " +
+        s"$DriftFlagAt vs healthy-host canonicals — timings in this " +
+        "run are not records")
     // Optional subsetting for local iteration: SPARK_GRAFT_QUERIES is a
     // comma-separated allowlist; SPARK_GRAFT_REPS overrides min-of-n.
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
@@ -45,7 +90,9 @@ object Bench {
       // noop sink: forces full computation of every output column
       // (count() would let Catalyst prune the projections away);
       // min-of-reps is the standard steady-state estimator under the
-      // shared host's ±50% scheduling noise.
+      // shared host's ±50% scheduling noise, and the MEDIAN is kept
+      // beside it so a drifted session self-diagnoses per line (min
+      // far under median = one clean rep among noisy ones).
       var ok = true
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -58,7 +105,8 @@ object Bench {
         spark.catalog.clearCache()
         dt
       }
-      if (ok) Some(name -> times.min) else { failed += name; None }
+      if (ok) Some(name -> ((times.min, med(times))))
+      else { failed += name; None }
     }
     // 4-decimal seconds: the driver records only a bounded TAIL of
     // stdout, so a 100+-query map at full double precision loses its
@@ -67,11 +115,18 @@ object Bench {
     // and a comma-decimal locale would render invalid JSON
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    val qs = results.map { case (k, v) => s""""$k":${fmt(v)}""" }
+    val qs = results.map { case (k, v) => s""""$k":${fmt(v._1)}""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val qsMed = results.map { case (k, v) => s""""$k":${fmt(v._2)}""" }
+      .mkString("{", ",", "}")
+    val total =
+      if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val probesJson = probeMed.map { case (k, v) => s""""$k":${fmt(v)}""" }
+      .mkString("{", ",", "}")
+    val driftJson = s"""{"probes":$probesJson,"ratio":${fmt(driftRatio)},""" +
+      s""""flag_at":$DriftFlagAt,"drifted":$drifted}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","drift":$driftJson,"queries":$qs,"queries_median":$qsMed,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // the UNTRUNCATED record: the same JSON line, kept as a file so
     // per-query regression gating survives the driver's stdout-tail

@@ -58,10 +58,17 @@ object SkewBench {
     def time(label: String, fast: Boolean, dual: Boolean): Long = {
       val counts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
+        // autoShapeProbe = false on the fast rows: these A/B rows time
+        // the LABELED shape, and on this template-skewed corpus the
+        // default probe (est ≫ cutover) would silently flip the "fast"
+        // runs to the window shape — making the cross-shape parity
+        // check window-vs-window and the fast timings fiction
+        // (ADVICE r9; LshConfigSpec's parity test does the same)
         val c = SimilarityOps.lshNearDupPairsGrouped(v, planes,
           cfg.planesPerBand, 0.95, chunkSize = chunkSize,
           corpusCount = if (fast) Some(n) else None,
-          dualChunkProjections = dual).count()
+          dualChunkProjections = dual,
+          autoShapeProbe = !fast).count()
         val dt = (System.nanoTime() - t0) / 1e9
         (c, dt)
       }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.pipeline._
@@ -59,6 +59,11 @@ object PipelineQueries {
   private val TokenBudget = 1500L
   private val TopNgrams = 20
   private val ResizeLen = 32
+  // p_pipeline_e2e re-crawl duplicate shift: divisible by 5·7·11·13
+  // (so a copy lands in the SAME clean-injection branch as its
+  // original — the copies are true exact duplicates of the cleaned
+  // text) and far above every real doc_id.
+  private val DupShift = 1001000000L
   // Coarse-quantizer predicate: FIXED centroid count at any corpus
   // size (ids < CentroidCap at every driver SF, so small-SF results
   // are unchanged). A pure `id % 25` set grows linearly with the
@@ -313,6 +318,29 @@ object PipelineQueries {
   private def embs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .repartition(s.sparkContext.defaultParallelism)
+
+  /** Deterministic scrub-target injection (the synthetic corpus has no
+    * URLs/emails/phones/IPs of its own) — shared by p_text_clean and
+    * the composed pipeline so both clean something real.
+    */
+  private def injectNoise(id: Column, text: Column): Column =
+    when(id % 5 === 0,
+      concat(text, lit(" visit https://example.com/a-b_c now")))
+      .when(id % 7 === 0,
+        concat(text, lit(" mail info@example.org today")))
+      .when(id % 11 === 0,
+        concat(text, lit(" call +1 555-014-2398 now")))
+      .when(id % 13 === 0,
+        concat(text, lit(" from 192.168.0.17 last night")))
+      .otherwise(text)
+
+  /** The full cleaning chain (URL/email/phone/IP scrub + whitespace
+    * normalization) — the map-side stage-1 transform of the composed
+    * pipeline, identical to p_text_clean's digest input.
+    */
+  private def cleanText(text: Column): Column =
+    TextOps.normalizeWs(TextOps.scrubIps(TextOps.scrubPhones(
+      TextOps.scrubEmails(TextOps.scrubUrls(text)))))
 
   /** See CentroidCap: every 25th id, capped to a fixed count. */
   private def centroidPred =
@@ -689,15 +717,7 @@ object PipelineQueries {
     // synthetic corpus has none of its own). Map-side regexp chains.
     "p_text_clean" -> { (s, d) =>
       val injected = docs(s, d).select(col("doc_id"),
-        when(col("doc_id") % 5 === 0,
-          concat(col("text"), lit(" visit https://example.com/a-b_c now")))
-          .when(col("doc_id") % 7 === 0,
-            concat(col("text"), lit(" mail info@example.org today")))
-          .when(col("doc_id") % 11 === 0,
-            concat(col("text"), lit(" call +1 555-014-2398 now")))
-          .when(col("doc_id") % 13 === 0,
-            concat(col("text"), lit(" from 192.168.0.17 last night")))
-          .otherwise(col("text")).as("text"))
+        injectNoise(col("doc_id"), col("text")).as("text"))
       injected.select(col("doc_id"),
           size(regexp_extract_all(col("text"), lit(TextOps.UrlRe), lit(0)))
             .cast("long").as("n_urls"),
@@ -707,9 +727,7 @@ object PipelineQueries {
             .cast("long").as("n_phones"),
           size(regexp_extract_all(col("text"), lit(TextOps.Ipv4Re), lit(0)))
             .cast("long").as("n_ips"),
-          md5(TextOps.normalizeWs(TextOps.scrubIps(TextOps.scrubPhones(
-            TextOps.scrubEmails(TextOps.scrubUrls(col("text")))))))
-            .as("clean_digest"))
+          md5(cleanText(col("text"))).as("clean_digest"))
         .orderBy("doc_id")
     },
 
@@ -1009,6 +1027,83 @@ object PipelineQueries {
       MultimodalOps.sampleFrames(s, clips, "doc_id", "payload", 2)
         .toDF().withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
+    },
+
+    // THE COMPOSED CURATION PIPELINE — every stage above chained as
+    // ONE job, the workload the engine exists for: a re-crawl batch
+    // (train split + exact duplicates of a sixth of it) is cleaned
+    // (scrub + ws-normalize, map-side), quality-filtered (classifier
+    // w_sum > 0, one map-side scoring pass with the text riding
+    // along), exact-deduped (keep-min-id per cleaned digest), embed-
+    // near-dup'd (sign-LSH bands + cosine verify over the SURVIVORS'
+    // vectors only), decontaminated against the held-out eval split
+    // (word 5-grams of the CLEANED text vs eval's raw text), and
+    // greedily packed to a per-shard token budget, best classifier
+    // score first. Cross-stage plan discipline: exactly TWO persist
+    // boundaries — `survivors` (feeds the vector semi-join, the
+    // near-dup anti-join and, through it, everything downstream) and
+    // `s4` (feeds the contamination shingles and the final pack) — so
+    // the corpus is scanned once per stage boundary, not once per
+    // operator; every other stage is a map-side projection or a
+    // single keyed shuffle riding the chain.
+    "p_pipeline_e2e" -> { (s, d) =>
+      val base = docs(s, d)
+      val thr = lit(SampleOps.thresholdHex(EvalRate))
+      val evalDocs = base.filter(SampleOps.hashBucket(col("doc_id")) < thr)
+      val train0 = base.filter(SampleOps.hashBucket(col("doc_id")) >= thr)
+      // re-crawl duplicates injected via a conditional explode, not a
+      // union: the union's second branch would re-scan the whole
+      // documents table (a %-predicate never pushes down) — one scan
+      // feeds both the originals and their shifted copies
+      val crawl = train0.select(
+        explode(when(col("doc_id") % 6 === 1,
+            array(col("doc_id"), col("doc_id") + DupShift))
+          .otherwise(array(col("doc_id")))).as("doc_id"),
+        col("text"))
+      // stage 1 — clean (map-side): inject scrub targets, scrub, trim
+      val cleaned = crawl.select(col("doc_id"),
+        cleanText(injectNoise(col("doc_id"), col("text"))).as("text"))
+      // stage 2 — quality gate: one scoring pass, w_sum carried along
+      val scored = TextOps.classifierScoreDF(cleaned, "doc_id", "text",
+          keep = Seq("text"))
+        .filter(col("w_sum") > 0)
+        .select("doc_id", "text", "w_sum")
+      // stage 3 — exact dedup on the cleaned text (re-crawl copies die
+      // here: min doc_id wins, originals are below DupShift)
+      val survivors = DedupOps.exactDedup(scored, "text", "doc_id")
+        .persist()
+      // stage 4 — embedding near-dup over the survivor subset only:
+      // semi-join prunes the vector table to survivors, the banded
+      // grouped LSH never sees a dropped doc. corpusCount uses the
+      // cached full-table count — a safe UPPER bound for the survivor
+      // corpus (saturation and shape gates are conservative under it,
+      // and no extra Spark action runs at plan-construction time).
+      val cfg = lshCfg(s, d)
+      val v = SimilarityOps.withNorm(
+        embs(s, d).join(survivors.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi"),
+        "vec_id", "embedding").persist()
+      val pairs = SimilarityOps.lshNearDupPairsGrouped(v,
+        SimilarityOps.hyperplanes(cfg.nPlanes, 64), cfg.planesPerBand,
+        CosThreshold, corpusCount = Some(nEmbs(s, d)))
+      val lshLosers = pairs.select(col("j").as("doc_id")).distinct()
+      val s4 = survivors.join(lshLosers, Seq("doc_id"), "left_anti")
+        .persist()
+      // stage 5 — decontaminate: drop survivors sharing any word
+      // 5-gram with the held-out eval split (AQE broadcasts the
+      // benchmark-sized eval gram set on its own)
+      val contaminated = ContaminationOps.overlap(s4, evalDocs,
+          "doc_id", "text", ContamN)
+        .select(col("id").as("doc_id"))
+      val s5 = s4.join(contaminated, Seq("doc_id"), "left_anti")
+      // stage 6 — pack: greedy per-shard token budget, best w_sum first
+      SampleOps.tokenBudgetPerShard(
+          s5.withColumn("n_tokens",
+            size(TextOps.wsTokens(col("text"))).cast("long")),
+          "doc_id", col("n_tokens"), Seq(col("w_sum").desc),
+          PackShards, TokenBudget)
+        .select("doc_id", "shard", "n_tokens", "cum_tokens")
+        .orderBy("doc_id")
     }
   )
 
@@ -1024,13 +1119,17 @@ object PipelineQueries {
   /** DuckDB CTEs reproducing [[TextOps.classifierScoreDF]]'s integer
     * per-doc weight sum (`cagg(doc_id, n_feats, w_sum)`) — shared by
     * the classifier oracle and the curation oracles built on it. */
-  private def classifierCte: String = {
+  private def classifierCte: String = classifierCteFrom("documents")
+
+  /** Same classifier CTEs over an arbitrary (doc_id, text) source —
+    * the composed-pipeline oracle scores CLEANED text, not raw. */
+  private def classifierCteFrom(src: String): String = {
     val hexVal = (0 until 6).map { k =>
       s"(strpos('0123456789abcdef', substr(h, ${k + 1}, 1)) - 1) * " +
         s"${1L << (4 * (5 - k))}"
     }.mkString(" + ")
     s"""wrds AS (SELECT DISTINCT doc_id,
-              unnest(string_split(text, ' ')) AS w FROM documents),
+              unnest(string_split(text, ' ')) AS w FROM $src),
        wt AS (SELECT doc_id,
                 CAST(($hexVal) % 2001 AS BIGINT) - 1000 AS wgt
               FROM (SELECT doc_id, md5(w) AS h FROM wrds)),
@@ -1215,6 +1314,102 @@ object PipelineQueries {
                AND a.id < b.id)
      SELECT i, j, cos FROM cand WHERE cos >= $CosThreshold
      ORDER BY i, j"""
+  }
+
+  /** The composed-pipeline oracle — the full chain restated in DuckDB:
+    * split → re-crawl duplicates → inject+clean → classifier gate →
+    * exact dedup (min-id per cleaned digest) → sign-LSH near-dup over
+    * survivor vectors (same plane literals as the Spark side, losers =
+    * the j of every verified pair) → 5-gram decontamination vs the
+    * held-out eval split → per-shard token-budget prefix. Like
+    * [[embeddingLshOracle]], the banded self-join form is exact
+    * wherever the grouped form's chunk cap has slack — survivor
+    * buckets are a subset of the full-corpus buckets, which sit far
+    * under DefaultChunkRows at every driver SF.
+    */
+  private def pipelineE2eOracle: String = {
+    val hex = SampleOps.thresholdHex(EvalRate)
+    val planes = SimilarityOps.hyperplanes(NPlanes, 64)
+    val bitExprs = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(vec, ${planeLiteral(p)}) >= 0 " +
+        s"THEN 1 ELSE 0 END) AS b$i"
+    }.mkString(", ")
+    val nBands = NPlanes / PlanesPerBand
+    val bandSelects = (0 until nBands).map { b =>
+      val cc = (b * PlanesPerBand until (b + 1) * PlanesPerBand)
+        .map(i => s"b$i::VARCHAR").mkString(" || ")
+      s"SELECT id, vec, norm, $b AS band_id, $cc AS bucket FROM bits"
+    }.mkString(" UNION ALL ")
+    val gram = (0 until ContamN).map(k => s"ws[i+$k]")
+      .mkString(" || ' ' || ")
+    val clean = """trim(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(text,
+             'https?://[\w./-]+', '<URL>', 'g'),
+             '[\w.+-]+@[\w.-]+', '<EMAIL>', 'g'),
+             '\+[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g'),
+             '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+             ' {2,}', ' ', 'g'))"""
+    s"""WITH train0 AS (SELECT doc_id, text FROM documents
+             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) >= '$hex'),
+       ev AS (SELECT doc_id, string_split(text, ' ') AS ws
+             FROM documents
+             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$hex'),
+       crawl AS (SELECT doc_id, text FROM train0
+             UNION ALL
+             SELECT doc_id + $DupShift, text FROM train0
+             WHERE doc_id % 6 = 1),
+       inj AS (SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0
+                THEN text || ' visit https://example.com/a-b_c now'
+                WHEN doc_id % 7 = 0
+                THEN text || ' mail info@example.org today'
+                WHEN doc_id % 11 = 0
+                THEN text || ' call +1 555-014-2398 now'
+                WHEN doc_id % 13 = 0
+                THEN text || ' from 192.168.0.17 last night'
+                ELSE text END AS text FROM crawl),
+       cleaned AS (SELECT doc_id, $clean AS text FROM inj),
+       ${classifierCteFrom("cleaned")},
+       q AS (SELECT c.doc_id, c.text, a.w_sum
+             FROM cleaned c JOIN cagg a USING (doc_id)
+             WHERE a.w_sum > 0),
+       dd AS (SELECT doc_id, text, w_sum FROM (
+             SELECT q.*, row_number() OVER (PARTITION BY md5(text)
+               ORDER BY doc_id) AS rn FROM q) WHERE rn = 1),
+       v AS (SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS vec
+             FROM embeddings e JOIN dd ON e.vec_id = dd.doc_id),
+       nrm AS (SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS norm
+             FROM v),
+       bits AS (SELECT id, vec, norm, $bitExprs FROM nrm),
+       banded AS ($bandSelects),
+       cand AS (SELECT DISTINCT a.id AS i, b.id AS j,
+              round(list_dot_product(a.vec, b.vec) / (a.norm * b.norm), 6)
+                AS cos
+              FROM banded a JOIN banded b
+                ON a.band_id = b.band_id AND a.bucket = b.bucket
+               AND a.id < b.id),
+       losers AS (SELECT DISTINCT j AS doc_id FROM cand
+             WHERE cos >= $CosThreshold),
+       s4 AS (SELECT dd.* FROM dd
+             WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+       tws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM s4),
+       tsh AS (SELECT DISTINCT doc_id, $gram AS g
+               FROM tws,
+                 unnest(generate_series(1, len(ws) - ${ContamN - 1})) t(i)),
+       esh AS (SELECT DISTINCT $gram AS g
+               FROM ev,
+                 unnest(generate_series(1, len(ws) - ${ContamN - 1})) t(i)),
+       contam AS (SELECT DISTINCT tsh.doc_id FROM tsh JOIN esh USING (g)),
+       s5 AS (SELECT s4.* FROM s4
+             WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+       t AS (SELECT doc_id, CAST(doc_id % $PackShards AS BIGINT) AS shard,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               w_sum FROM s5),
+       cum AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard
+               ORDER BY w_sum DESC, doc_id ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum_tokens FROM t)
+     SELECT doc_id, shard, n_tokens, cum_tokens FROM cum
+     WHERE cum_tokens <= $TokenBudget ORDER BY doc_id"""
   }
 
   /** Incremental-embedding oracle: sign bits computed independently
@@ -1543,6 +1738,8 @@ object PipelineQueries {
          FROM dims GROUP BY cid, dim ORDER BY cid, dim""",
 
     "p_dedup_embedding_lsh" -> embeddingLshOracle,
+
+    "p_pipeline_e2e" -> pipelineE2eOracle,
     "p_ann_topk" -> annTopkOracle,
     "p_ann_ivf" -> annIvfOracle,
     "p_ann_ivf_indexed" -> annIvfOracle,

@@ -45,6 +45,41 @@ class DocCountsSpec extends AnyFunSuite {
         "summary instead")
   }
 
+  private def read(p: String): String = {
+    val src = scala.io.Source.fromFile(p)(scala.io.Codec.UTF8)
+    try src.mkString finally src.close()
+  }
+
+  test("SCALE.md and COVERAGE.md never quote a query count above the " +
+      "live surface, and hand-type no test count") {
+    // These files are partly HISTORICAL logs: an old section saying
+    // "102-query surface" was true for its round and must not be
+    // rewritten. The drift that CAN be gated: the surface only grows,
+    // so any quoted count larger than SparkEntry.queries.size is a
+    // stale overstatement (or a typo) in every era — and test counts
+    // are banned outright, same as README (they drifted three rounds
+    // running there).
+    val patterns = Seq(
+      raw"(\d+)/(\d+) pass".r,
+      raw"all (\d+) queries".r,
+      raw"(\d+)-query".r)
+    Seq("SCALE.md", "COVERAGE.md").foreach { f =>
+      val txt = read(f)
+      patterns.flatMap(_.findAllMatchIn(txt))
+        .flatMap(m => (1 to m.groupCount).map(m.group))
+        .map(_.toInt)
+        .foreach { q =>
+          assert(q <= n,
+            s"$f quotes a $q-query count but SparkEntry declares only " +
+              s"$n — a count above the live surface is stale in any era")
+        }
+      val hit = raw"(\d+)\s+tests".r.findFirstIn(txt)
+      assert(hit.isEmpty,
+        s"$f hand-types a test count ('${hit.getOrElse("")}') — quote " +
+          "the suite summary instead")
+    }
+  }
+
   test("every query has an oracle, and vice versa") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
