@@ -43,17 +43,19 @@ object OverCapBench {
     println(s"corpus=$n chunk=$chunk")
 
     def run(label: String, nPlanes: Int, bits: Int, dual: Boolean,
-        maxExp: Long, chunkSize: Int): Set[(Long, Long)] = {
+        maxExp: Long, chunkSize: Int, rankings: Int = 2)
+        : Set[(Long, Long)] = {
       val planes = SimilarityOps.hyperplanes(nPlanes, 64)
       val t0 = System.nanoTime()
       val pairs = SimilarityOps.lshNearDupPairsGrouped(v, planes, bits,
           threshold, corpusCount = Some(n),
           maxExpectedBucketRows = maxExp, chunkSize = chunkSize,
-          dualChunkProjections = dual)
+          dualChunkProjections = dual, chunkRankings = rankings)
         .select("i", "j").as[(Long, Long)].collect().toSet
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"run":"$label","cfg":"${nPlanes}x$bits",""" +
-        f""""occ":${n / (1L << bits)},"dual":$dual,"chunk":$chunkSize,""" +
+        f""""occ":${n / (1L << bits)},"dual":$dual,""" +
+        f""""rankings":${if (dual) rankings else 1},"chunk":$chunkSize,""" +
         f""""sec":$sec%.1f,"pairs":${pairs.size}}""")
       pairs
     }
@@ -79,9 +81,17 @@ object OverCapBench {
     val dual = run("over-cap-dual", 20, 5, dual = true,
       maxExp = 1000000L, chunkSize = chunk)
     require(single.subsetOf(dual), "dual must be a superset of single")
+    // the round-10 question: does a THIRD independent ranking square
+    // the residual miss again, and at what in-regime cost?
+    val triple = run("over-cap-triple", 20, 5, dual = true,
+      maxExp = 1000000L, chunkSize = chunk, rankings = 3)
+    require(dual.subsetOf(triple),
+      "triple must be a superset of dual (passes 1-2 are identical)")
     def pct(a: Int, b: Int) = if (b == 0) 0.0 else a.toDouble / b * 100
     println(f"""{"dual_lift_pairs":${dual.size - single.size},""" +
+      f""""triple_lift_pairs":${triple.size - dual.size},""" +
       f""""single_of_dual_pct":${pct(single.size, dual.size)}%.1f,""" +
+      f""""dual_of_triple_pct":${pct(dual.size, triple.size)}%.1f,""" +
       f""""incap_found_by_overcap_dual_pct":${
         pct(inCap.intersect(dual).size, inCap.size)}%.1f,""" +
       f""""incap_found_by_overcap_single_pct":${

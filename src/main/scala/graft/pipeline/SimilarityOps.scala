@@ -16,6 +16,15 @@ import org.apache.spark.sql.expressions.Window
   */
 object SimilarityOps {
 
+  /** Seeds of the independent chunk-ranking hyperplanes in
+    * [[SimilarityOps.lshNearDupPairsGrouped]] — each disjoint from the
+    * banding planes' seed and from each other. The first two are the
+    * historical single/dual contract (RecallFloorSpec's adversarial
+    * construction aims at them BY SEED, so they are part of the
+    * observable behavior); the list's length caps `chunkRankings`.
+    */
+  val ChunkSeeds: Seq[Long] = Seq(9917L, 7753L, 5581L, 3371L)
+
   /** Dot product of two double arrays: native codegen'd Expression
     * (single fused loop, no intermediate array — see
     * graft.functions.DotProduct). Same sequential accumulation order and
@@ -338,6 +347,29 @@ object SimilarityOps {
     if (top.isNullAt(0)) 0.0 else top.getLong(0).toDouble / rate
   }
 
+  /** Memoized [[estimatedTopBucket]] results (ADVICE r9): the probe is
+    * one small Spark action but runs at DataFrame-CONSTRUCTION time,
+    * so a hot caller re-building the same plan re-pays it on every
+    * rebuild. Keyed by the input's canonicalized logical-plan hash +
+    * the probe parameters; per-JVM. Staleness caveat, stated: a
+    * source whose FILES change under an identical plan (a corpus
+    * appended in place and re-read by path) keeps the old estimate
+    * for the JVM's lifetime — the estimate only picks a task LAYOUT
+    * (fast vs window), never affects the emitted pair set, and
+    * callers in that regime can pass `autoShapeProbe = false` and
+    * choose the shape themselves.
+    */
+  private val probeCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, Int, Int, Long), Double]
+
+  private[pipeline] def cachedTopBucket(df: DataFrame,
+      planes: Seq[Seq[Double]], planesPerBand: Int,
+      corpusCount: Long): Double =
+    probeCache.getOrElseUpdate(
+      (df.queryExecution.logical.semanticHash(), planes.hashCode,
+        planesPerBand, corpusCount),
+      estimatedTopBucket(df, planes, planesPerBand, corpusCount))
+
   /** Saturation fail-fast shared by both pair generators. Occupancy is
     * computed directly from the band widths — not via an [[LshConfig]]
     * constructor — so ragged plane sets (`planes.size` not a multiple
@@ -532,19 +564,25 @@ object SimilarityOps {
     * unrelated bucket rows ranked strictly between them (one scalar
     * projection gives no tight rank bound at moderate thresholds) —
     * has no chaining path under that ranking and is missed. The
-    * mitigation is `dualChunkProjections` (default ON): a SECOND
-    * independent ranking, paid only inside buckets that actually
-    * chunk, under which the same unrelated interlopers land elsewhere —
-    * miss probabilities MULTIPLY instead of adding. Measured
-    * (RecallFloorSpec, buckets at 28× chunkSize — far past anything
-    * the MaxBits ceiling produces): single-ranking pair recall 0.543
-    * vs unchunked ground truth, dual 0.793, and the dual miss rate
-    * 0.207 ≈ 0.457² validates the independence model; at the 100×
-    * bench's real over-cap shape see SCALE.md r9. Properly sized
-    * corpora never enter this regime (buckets stay under chunkSize);
-    * callers running over-cap occupancy at the MaxBits ceiling accept
-    * the REMAINING (quadratically shrunken) miss rate as the recall
-    * cost of bounded tasks.
+    * mitigation is `chunkRankings` INDEPENDENT rankings (default 2,
+    * the historical `dualChunkProjections`; max bounded by
+    * [[SimilarityOps.ChunkSeeds]]), each paid only inside buckets
+    * that actually chunk, under which the same unrelated interlopers
+    * land elsewhere — miss probabilities MULTIPLY once per ranking
+    * instead of adding. Measured (RecallFloorSpec, buckets at 28×
+    * chunkSize — far past anything the MaxBits ceiling produces):
+    * single-ranking pair recall 0.543 vs unchunked ground truth, dual
+    * 0.793, TRIPLE 0.924 — the dual miss 0.207 ≈ 0.457² and the
+    * triple miss 0.076 ≤ 0.457³ validate the independence model twice
+    * over. In-regime cost at the 100× over-cap shape: dual 1.7×
+    * single, triple 1.36× dual (SCALE.md r10); a HEALTHY
+    * (non-chunking) corpus pays nothing measurable for any K
+    * (in-session min-of-3 A/B: 5.9/6.2/5.7 s single/dual/triple,
+    * identical pair sets — InCapABBench). Properly sized corpora
+    * never enter this regime (buckets stay under chunkSize); callers
+    * running over-cap occupancy at the MaxBits ceiling choose their
+    * residual miss rate: the default dual's 0.207, or 0.076 with
+    * `chunkRankings = 3` at +36% in-regime wall.
     *
     * `maxBucketSize` keeps the join form's skip semantics (buckets
     * above it are dropped entirely) — with chunking it is an OUTPUT
@@ -587,11 +625,25 @@ object SimilarityOps {
       chunkSize: Int = LshConfig.DefaultChunkRows,
       assumeTemplateSkew: Boolean = false,
       dualChunkProjections: Boolean = true,
-      autoShapeProbe: Boolean = true)
+      autoShapeProbe: Boolean = true,
+      chunkRankings: Int = 2)
       : DataFrame = {
     require(maxBucketSize > 0,
       s"maxBucketSize must be positive, got $maxBucketSize")
     require(chunkSize > 1, s"chunkSize must be > 1, got $chunkSize")
+    // effective independent chunk rankings: dualChunkProjections=false
+    // forces 1 (the historical single-ranking switch); otherwise
+    // chunkRankings (2 = the measured default; 3 squares the residual
+    // miss again for over-cap callers — see SCALE.md r10 for the A/B)
+    val nRank =
+      if (!dualChunkProjections) 1
+      else {
+        require(chunkRankings >= 1 &&
+            chunkRankings <= SimilarityOps.ChunkSeeds.size,
+          s"chunkRankings must be in [1, ${SimilarityOps.ChunkSeeds.size}]" +
+            s", got $chunkRankings")
+        chunkRankings
+      }
     require(planes.nonEmpty,
       "lshNearDupPairsGrouped needs at least one hyperplane — " +
         "LshConfig.forCorpusSize sizes a plane set")
@@ -606,21 +658,19 @@ object SimilarityOps {
     // vectors project near-identically, so near-dups land in the same
     // or adjacent rank chunks); normalized so the ordering is scale-free
     val dim = planes.head.size
-    val chunkPlane = hyperplanes(1, dim, seed = 9917L).head
-    // second INDEPENDENT chunk ranking (its own disjoint seed): a
+    // nRank INDEPENDENT chunk rankings (each its own disjoint seed): a
     // sparse pair missed because ≥ chunkSize unrelated bucket rows
     // rank between its members under ONE scalar projection is
     // recovered unless the same rows also crowd between them under
-    // the second — for unrelated interlopers the two events are
-    // near-independent, so the miss probability multiplies instead of
-    // adding (measured on the adversarial seeded-bucket corpus,
-    // RecallFloorSpec / SCALE.md r9). Computed and paid ONLY where
-    // chunking can bind: single-chunk buckets never emit pass-1
-    // copies, so a properly-sized corpus pays one extra projection
-    // column and nothing else.
-    val chunkPlane2 = hyperplanes(1, dim, seed = 7753L).head
-    val pv = array(chunkPlane.map(lit(_)): _*)
-    val pv2 = array(chunkPlane2.map(lit(_)): _*)
+    // EVERY ranking — for unrelated interlopers the events are
+    // near-independent, so the miss probability multiplies once per
+    // ranking instead of adding (measured on the adversarial
+    // seeded-bucket corpus, RecallFloorSpec / SCALE.md r9-r10).
+    // Computed and paid ONLY where chunking can bind: single-chunk
+    // buckets never emit pass-k>0 copies, so a properly-sized corpus
+    // pays nRank-1 extra projection doubles per row and nothing else.
+    val chunkPlanes = SimilarityOps.ChunkSeeds.take(nRank)
+      .map(s => hyperplanes(1, dim, seed = s).head)
     val wb = Window.partitionBy("band_id", "bucket")
     // chunk projections computed ONCE per vector, BEFORE the
     // nBands-fold banding replication, and carried through `keep`
@@ -630,10 +680,10 @@ object SimilarityOps {
     // zero-projection tie identically, or chunk membership — and the
     // emitted pair set — could diverge at a chunk boundary
     def bandedProj = lshBands(
-      df.withColumn("__proj", dot(col("vec"), pv) / col("norm") + lit(0d))
-        .withColumn("__proj2",
-          dot(col("vec"), pv2) / col("norm") + lit(0d)),
-      planes, planesPerBand, keep = Seq("vec", "norm", "__proj", "__proj2"))
+      df.withColumn("__projs", array(chunkPlanes.map { p =>
+        dot(col("vec"), array(p.map(lit(_)): _*)) / col("norm") + lit(0d)
+      }: _*)),
+      planes, planesPerBand, keep = Seq("vec", "norm", "__projs"))
     // FAST PATH (the measured-default shape): when the caller-supplied
     // corpus count says expected occupancy stays ≤ chunkSize /
     // FastPathHeadroom, skip the rank WINDOW and the explode entirely
@@ -686,7 +736,7 @@ object SimilarityOps {
     val probeCouldFlip = corpusCount.exists(
       _ >= LshConfig.SkewCutoverChunks * chunkSize)
     val fastPath = occupancyFast && (!autoShapeProbe || !probeCouldFlip ||
-      estimatedTopBucket(df, planes, planesPerBand, corpusCount.get) <
+      cachedTopBucket(df, planes, planesPerBand, corpusCount.get) <
         LshConfig.SkewCutoverChunks * chunkSize)
     val pairs =
       if (fastPath) {
@@ -699,15 +749,15 @@ object SimilarityOps {
         // maxBucketSize rows
         bandedProj
           .select(col("band_id"), col("bucket"), col("id"),
-            col("vec"), col("norm"), col("__proj"), col("__proj2"))
-          .as[(Int, String, Long, Array[Double], Double, Double, Double)]
+            col("vec"), col("norm"), col("__projs"))
+          .as[(Int, String, Long, Array[Double], Double, Array[Double])]
           .groupByKey(r => (r._1, r._2))
           .flatMapGroups { (_, it) =>
             // collect at most maxBucketSize + 1 rows: an over-cap
             // bucket is SKIPPED (same semantics as the window filter)
             // without ever materializing past the bound
             val buf = new scala.collection.mutable.ArrayBuffer[
-              (Int, String, Long, Array[Double], Double, Double, Double)](
+              (Int, String, Long, Array[Double], Double, Array[Double])](
               64)
             var over = false
             while (it.hasNext && !over) {
@@ -715,13 +765,13 @@ object SimilarityOps {
               if (buf.length > maxBucketSize) over = true
             }
             val rows = if (over) Array.empty[(Int, String, Long,
-              Array[Double], Double, Double, Double)] else buf.toArray
+              Array[Double], Double, Array[Double])] else buf.toArray
             if (rows.length < 2) Iterator.empty
             else if (rows.length <= chunkSize) {
               // single-chunk bucket: every pair, identical to the
               // window path's lone c = 0 group
               java.util.Arrays.sort(rows, Ordering.by((r: (Int, String,
-                Long, Array[Double], Double, Double, Double)) => r._3))
+                Long, Array[Double], Double, Array[Double])) => r._3))
               val n = rows.length
               Iterator.range(0, n).flatMap { a =>
                 val ra = rows(a)
@@ -736,7 +786,7 @@ object SimilarityOps {
               // adjacent-chunk rule as the window path, so the emitted
               // set is identical — work ≤ 2·s·chunkSize pairs per pass
               def chunkLoop(sorted: Array[(Int, String, Long,
-                  Array[Double], Double, Double, Double)])
+                  Array[Double], Double, Array[Double])])
                   : Iterator[(Long, Long, Double)] = {
                 val n = sorted.length
                 Iterator.range(0, n).flatMap { a =>
@@ -753,35 +803,32 @@ object SimilarityOps {
                   }
                 }
               }
-              java.util.Arrays.sort(rows, Ordering.by((r: (Int, String,
-                Long, Array[Double], Double, Double, Double)) =>
-                (r._6, r._3)))
-              if (!dualChunkProjections) chunkLoop(rows)
-              else {
-                // second pass over the SAME rows ranked by the second
-                // projection — cloned so the first (lazy) pass keeps
-                // its order; cross-pass duplicate pairs die in the
-                // terminal distinct
-                val rows2 = rows.clone()
-                java.util.Arrays.sort(rows2, Ordering.by((r: (Int,
-                  String, Long, Array[Double], Double, Double,
-                  Double)) => (r._7, r._3)))
-                chunkLoop(rows) ++ chunkLoop(rows2)
+              // one pass per ranking over the SAME rows, each cloned
+              // and sorted by its own projection (the passes are lazy
+              // iterators — an in-place re-sort would corrupt an
+              // earlier pass); cross-pass duplicate pairs die in the
+              // terminal distinct
+              Iterator.range(0, nRank).flatMap { k =>
+                val rk = if (k == 0) rows else rows.clone()
+                java.util.Arrays.sort(rk, Ordering.by((r: (Int,
+                  String, Long, Array[Double], Double,
+                  Array[Double])) => (r._6(k), r._3)))
+                chunkLoop(rk)
               }
             }
           }
       } else {
-        val wr = wb.orderBy(col("__proj"), col("id"))
-        val wr2 = wb.orderBy(col("__proj2"), col("id"))
+        val wrs = (0 until nRank).map(k =>
+          wb.orderBy(col("__projs")(k), col("id")))
         val topChunk = ((col("__bn") - 1) / chunkSize).cast("int")
         // one exploded copy per (pass, chunk key): pass p's copies
         // carry the row's chunk under pass p's ranking. The explode
         // stays conditional twice over — the bucket's TOP chunk (hence
         // every single-chunk bucket) gets exactly one {c} copy per
         // pass, because its {c+1} group would hold only chunk-c rows
-        // and the `ck == max` rule emits nothing there; and pass-1
+        // and the `ck == max` rule emits nothing there; and pass-k>0
         // copies exist ONLY for buckets that actually chunk
-        // (__bn > chunkSize), so the second ranking costs nothing
+        // (__bn > chunkSize), so the extra rankings cost nothing
         // where chunking cannot bind
         def copies(p: Int, c: Column) =
           when(c === topChunk,
@@ -794,20 +841,25 @@ object SimilarityOps {
           // skip cap: single-pass window trick shared with the join
           // form — rides the rank window's own (band_id, bucket)
           // exchange, so the guard adds no exchange of its own here
+          // (the nRank rank windows share that one exchange too: same
+          // partitioning, one in-partition sort each)
           .withColumn("__bn", count(lit(1)).over(wb))
           .filter(col("__bn") <= maxBucketSize)
-          .withColumn("__c1",
-            ((row_number().over(wr) - 1) / chunkSize).cast("int"))
+          .withColumn("__c0",
+            ((row_number().over(wrs(0)) - 1) / chunkSize).cast("int"))
         val withCopies =
-          if (!dualChunkProjections)
-            withChunks0.withColumn("__copies", copies(0, col("__c1")))
-          else withChunks0
-            .withColumn("__c2",
-              ((row_number().over(wr2) - 1) / chunkSize).cast("int"))
-            .withColumn("__copies",
-              when(col("__bn") <= chunkSize, copies(0, col("__c1")))
-              .otherwise(concat(copies(0, col("__c1")),
-                copies(1, col("__c2")))))
+          if (nRank == 1)
+            withChunks0.withColumn("__copies", copies(0, col("__c0")))
+          else {
+            val withCs = (1 until nRank).foldLeft(withChunks0) {
+              (d, k) => d.withColumn(s"__c$k",
+                ((row_number().over(wrs(k)) - 1) / chunkSize).cast("int"))
+            }
+            withCs.withColumn("__copies",
+              when(col("__bn") <= chunkSize, copies(0, col("__c0")))
+              .otherwise(concat((0 until nRank).map(k =>
+                copies(k, col(s"__c$k"))): _*)))
+          }
         val banded = withCopies
           .select(col("band_id"), col("bucket"), col("id"),
             col("vec"), col("norm"),

@@ -67,11 +67,22 @@ object StreamingXRows {
     * an older version then fails with the named remedy instead of
     * folding new batches onto reinterpreted state. Schema history:
     * v1 = the original shape (no version field); v2 = v1 + version.
-    * To evolve: start the changed query against a FRESH checkpoint
-    * directory and re-seed from the source (the graft-source offsets
-    * replay deterministically), or write a one-off state migration —
-    * do not edit these fields in place and point at an old
-    * checkpoint.
+    *
+    * RELEASE NOTE for the v1 → v2 upgrade itself (ADVICE r9, stated
+    * where operators will find it): adding the `version` field IS an
+    * encoder-shape break — every v1 checkpoint fails its first
+    * restarted batch on this build with SPARK'S RAW state-schema
+    * incompatibility error (the friendly versioned message only
+    * protects shape-preserving semantic bumps from v2 on). The
+    * migration step is mandatory: stop the query, point it at a
+    * FRESH checkpoint directory, and re-seed from the source — the
+    * graft-source offsets replay deterministically and the count-bin
+    * fold is replay-idempotent, so the rebuilt state converges to
+    * exactly the pre-upgrade bins.
+    *
+    * To evolve in general: fresh checkpoint + re-seed as above, or
+    * write a one-off state migration — do not edit these fields in
+    * place and point at an old checkpoint.
     */
   final case class XState(version: Int, rowsSoFar: Long,
       open: Option[OpenBin], lastTsMicros: Long, lastTie: Long)

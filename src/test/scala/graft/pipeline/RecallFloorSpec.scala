@@ -172,33 +172,49 @@ class RecallFloorSpec extends SparkSpec {
     // a deliberately over-narrow 1-bit band space: two buckets of
     // ~1400 rows — 14× the 100-row chunk, the over-cap occupancy shape
     val planes = SimilarityOps.hyperplanes(1, dim, seed = 5L)
-    def run(chunkSize: Int, dual: Boolean) =
+    def run(chunkSize: Int, dual: Boolean, rankings: Int = 2) =
       pairsOf(SimilarityOps.lshNearDupPairsGrouped(v, planes, 1, 0.9,
-        chunkSize = chunkSize, dualChunkProjections = dual))
+        chunkSize = chunkSize, dualChunkProjections = dual,
+        chunkRankings = rankings))
     val gt = run(10000, dual = true) // buckets never chunk: exhaustive
     assert(gt.size >= 150, s"ground truth too small: ${gt.size}")
     val single = run(50, dual = false)
     val dual = run(50, dual = true)
-    assert(single.subsetOf(gt) && dual.subsetOf(gt),
-      "chunking must never invent pairs")
+    val triple = run(50, dual = true, rankings = 3)
+    assert(single.subsetOf(gt) && dual.subsetOf(gt) &&
+      triple.subsetOf(gt), "chunking must never invent pairs")
+    assert(single.subsetOf(dual) && dual.subsetOf(triple),
+      "each extra ranking can only ADD pairs (earlier passes identical)")
     val rS = single.size.toDouble / gt.size
     val rD = dual.size.toDouble / gt.size
+    val rT = triple.size.toDouble / gt.size
     info(f"pair recall vs unchunked: single=$rS%.3f dual=$rD%.3f " +
-      f"(gt=${gt.size})")
+      f"triple=$rT%.3f (gt=${gt.size})")
     assert(rD > rS, f"dual ranking must beat single: $rD%.3f <= $rS%.3f")
+    assert(rT > rD, f"triple must beat dual: $rT%.3f <= $rD%.3f")
     // measured on this (deterministic) corpus: single = 0.543,
-    // dual = 0.793 — and the independence model is VALIDATED by the
-    // numbers: per-pass miss 0.457, squared = 0.209 ≈ the dual miss
-    // 0.207. (This regime is far harsher than production: buckets at
-    // 28× chunkSize; the production default chunks at 8× expected
+    // dual = 0.793, triple = 0.924 — each extra ranking multiplies the
+    // miss by ≤ the per-pass 0.457 (dual miss 0.207 ≈ 0.457²; triple
+    // 0.076 beats the 0.457³ = 0.095 prediction), VALIDATING the
+    // independence model twice over.
+    // (This regime is far harsher than production: buckets at 28×
+    // chunkSize; the production default chunks at 8× expected
     // occupancy.) Pins guard a regression below the measured values
-    // minus slack; an improvement should raise them.
+    // minus slack; an improvement should raise them. The round-10
+    // floor ask — adversarial-corpus recall ≥ 0.9 — is met by the
+    // TRIPLE ranking (the over-cap caller's knob, chunkRankings = 3;
+    // in-regime cost quoted in SCALE.md r10 next to this number).
     assert(rS >= 0.50 && rD >= 0.75,
       f"chunked recall regressed: single=$rS%.3f dual=$rD%.3f")
-    val missS = 1 - rS; val missD = 1 - rD
+    assert(rT >= 0.90,
+      f"triple-ranking recall floor regressed below 0.9: $rT%.3f")
+    val missS = 1 - rS; val missD = 1 - rD; val missT = 1 - rT
     assert(missD <= missS * missS + 0.05,
       f"dual miss $missD%.3f should track the independence model " +
         f"(single² = ${missS * missS}%.3f)")
+    assert(missT <= missS * missS * missS + 0.05,
+      f"triple miss $missT%.3f should track the independence model " +
+        f"(single³ = ${missS * missS * missS}%.3f)")
   }
 
   test("semantic dedup: dual in-cluster ranking lifts chunked pair " +
