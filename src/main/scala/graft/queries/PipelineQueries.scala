@@ -87,6 +87,7 @@ object PipelineQueries {
     ensureSimhashIndex(s, d): Unit
     ensureEmbeddingIndex(s, d): Unit
     ensureStreamingDedup(s, d): Unit
+    ensureStreamingPipeline(s, d): Unit
     ensureContamIndex(s, d): Unit
   }
 
@@ -303,6 +304,68 @@ object PipelineQueries {
           "text", corpus, s"$base/index", s"$base/_ckpt",
           rowsPerFile = 200)
         q.awaitTermination() // Trigger.AvailableNow: ends when caught up
+        done.createNewFile(): Unit
+      }
+      corpus
+    }
+
+  /** Fixture for t18_streaming_pipeline: the COMPOSED curation chain
+    * running AS A STREAM — the same clean → quality-gate stages as
+    * p_pipeline_e2e expressed as ordinary transformations of the
+    * streaming frame (map-side projections are streaming-safe as-is),
+    * feeding the store-backed probe-and-append dedup ingest
+    * ([[graft.streaming.StreamingDedup]]). Four micro-batches (three
+    * ascending crawl-day chunks + a full re-crawl the index must
+    * reject) over the documents table; the accepted corpus carries the
+    * CLEANED text and the classifier score. Batch order ascends by
+    * doc_id, so first-accepted == min-id and the result is exactly
+    * SQL-expressible (the t13 equivalence argument, now for the whole
+    * chain).
+    */
+  private def ensureStreamingPipeline(s: SparkSession, d: String): String =
+    synchronized {
+      val base = s"/tmp/graft_spipe_${inputTag(d, "documents")}"
+      val corpus = s"$base/corpus"
+      val done = new java.io.File(s"$base/_ingest_done")
+      if (!done.exists()) {
+        val all = Tables.documents(s, d).select("doc_id", "text")
+        val maxIdRow = all.agg(max("doc_id")).first()
+        require(!maxIdRow.isNullAt(0),
+          s"documents table at $d is empty — cannot stage the " +
+            "streaming-pipeline fixture")
+        val maxId = maxIdRow.getLong(0)
+        val cuts = Seq(maxId / 3, 2 * maxId / 3)
+        val chunks = Seq(
+          all.filter(col("doc_id") <= cuts(0)),
+          all.filter(col("doc_id") > cuts(0) && col("doc_id") <= cuts(1)),
+          all.filter(col("doc_id") > cuts(1)),
+          all) // re-crawl: all duplicates, the index must reject 100%
+        val srcDir = new java.io.File(s"$base/stream_src")
+        srcDir.mkdirs()
+        chunks.zipWithIndex.foreach { case (c, i) =>
+          val tmp = s"$base/_stage_$i"
+          c.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(srcDir, f"chunk_$i%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.setLastModified(1000000L * (i + 1)): Unit
+          graft.LocalFs.rmTree(new java.io.File(tmp))
+        }
+        val stream = s.readStream.schema(all.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+        // the curation stages, composed ON the stream
+        val cleaned = stream.select(col("doc_id"),
+          cleanText(injectNoise(col("doc_id"), col("text"))).as("text"))
+        val gated = TextOps.classifierScoreDF(cleaned, "doc_id", "text",
+            keep = Seq("text"))
+          .filter(col("w_sum") > 0)
+          .select("doc_id", "text", "w_sum")
+        val q = graft.streaming.StreamingDedup.run(gated, "doc_id",
+          "text", corpus, s"$base/index", s"$base/_ckpt",
+          rowsPerFile = 200)
+        q.awaitTermination()
         done.createNewFile(): Unit
       }
       corpus
@@ -920,6 +983,21 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // The COMPOSED curation chain AS A STREAM: clean + classifier
+    // quality gate are ordinary transformations of the streaming
+    // frame, the store-backed digest dedup ingests what survives, and
+    // the re-crawl batch is rejected wholesale by the index. Readback
+    // of the accepted corpus equals the one-shot batch chain (clean →
+    // gate → keep-min-id dedup) — the streaming twin of
+    // p_pipeline_e2e's front half, oracle-gated end to end.
+    "t18_streaming_pipeline" -> { (s, d) =>
+      val corpus = ensureStreamingPipeline(s, d)
+      new graft.store.OrderedDataset(s, corpus).df
+        .select(col("doc_id"), md5(col("text")).as("digest"),
+          col("w_sum"))
+        .orderBy("doc_id")
+    },
+
     // Concat-and-chunk sequence packing: deterministic shards, running
     // token offsets per shard (keyed window — no global sort), chunk
     // span per doc at a fixed token capacity.
@@ -1039,13 +1117,15 @@ object PipelineQueries {
     // vectors only), decontaminated against the held-out eval split
     // (word 5-grams of the CLEANED text vs eval's raw text), and
     // greedily packed to a per-shard token budget, best classifier
-    // score first. Cross-stage plan discipline: exactly TWO persist
-    // boundaries — `survivors` (feeds the vector semi-join, the
+    // score first. Cross-stage plan discipline: two STAGE-BOUNDARY
+    // persists — `survivors` (feeds the vector semi-join, the
     // near-dup anti-join and, through it, everything downstream) and
-    // `s4` (feeds the contamination shingles and the final pack) — so
+    // `s4` (feeds the contamination shingles and the final pack) —
+    // plus the survivor-vector cache `v` the multi-pass LSH needs, so
     // the corpus is scanned once per stage boundary, not once per
     // operator; every other stage is a map-side projection or a
-    // single keyed shuffle riding the chain.
+    // single keyed shuffle riding the chain
+    // (PipelineE2eShapeSpec pins this as a failing test).
     "p_pipeline_e2e" -> { (s, d) =>
       val base = docs(s, d)
       val thr = lit(SampleOps.thresholdHex(EvalRate))
@@ -1316,6 +1396,51 @@ object PipelineQueries {
      ORDER BY i, j"""
   }
 
+  /** DuckDB restatement of [[cleanText]] (over a column named `text`)
+    * — shared by the p_text_clean, p_pipeline_e2e and
+    * t18_streaming_pipeline oracles. */
+  private val CleanSqlExpr =
+    """trim(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(text,
+             'https?://[\w./-]+', '<URL>', 'g'),
+             '[\w.+-]+@[\w.-]+', '<EMAIL>', 'g'),
+             '\+[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g'),
+             '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+             ' {2,}', ' ', 'g'))"""
+
+  /** DuckDB CTE chain `inj` → `cleaned` shared by the composed
+    * pipeline oracles: the deterministic injection plus the full
+    * cleaning chain over `documents` (or a sub-CTE). */
+  private def injectCleanCtes(src: String): String =
+    s"""inj AS (SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0
+                THEN text || ' visit https://example.com/a-b_c now'
+                WHEN doc_id % 7 = 0
+                THEN text || ' mail info@example.org today'
+                WHEN doc_id % 11 = 0
+                THEN text || ' call +1 555-014-2398 now'
+                WHEN doc_id % 13 = 0
+                THEN text || ' from 192.168.0.17 last night'
+                ELSE text END AS text FROM $src),
+       cleaned AS (SELECT doc_id, $CleanSqlExpr AS text FROM inj)"""
+
+  /** The streaming composed-chain oracle: the batch restatement of the
+    * clean → quality-gate → keep-min-id-dedup ingest (the re-crawl
+    * batch contributes nothing — every digest already accepted; batch
+    * order ascends by doc_id, so streaming first-accepted ==
+    * min-id). */
+  private def streamingPipelineOracle: String =
+    s"""WITH ${injectCleanCtes("documents")},
+       ${classifierCteFrom("cleaned")},
+       q AS (SELECT c.doc_id, c.text, a.w_sum
+             FROM cleaned c JOIN cagg a USING (doc_id)
+             WHERE a.w_sum > 0),
+       dd AS (SELECT doc_id, text, w_sum FROM (
+             SELECT q.*, row_number() OVER (PARTITION BY md5(text)
+               ORDER BY doc_id) AS rn FROM q) WHERE rn = 1)
+     SELECT doc_id, md5(text) AS digest, w_sum FROM dd
+     ORDER BY doc_id"""
+
   /** The composed-pipeline oracle — the full chain restated in DuckDB:
     * split → re-crawl duplicates → inject+clean → classifier gate →
     * exact dedup (min-id per cleaned digest) → sign-LSH near-dup over
@@ -1342,13 +1467,7 @@ object PipelineQueries {
     }.mkString(" UNION ALL ")
     val gram = (0 until ContamN).map(k => s"ws[i+$k]")
       .mkString(" || ' ' || ")
-    val clean = """trim(regexp_replace(regexp_replace(regexp_replace(
-             regexp_replace(regexp_replace(text,
-             'https?://[\w./-]+', '<URL>', 'g'),
-             '[\w.+-]+@[\w.-]+', '<EMAIL>', 'g'),
-             '\+[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g'),
-             '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
-             ' {2,}', ' ', 'g'))"""
+
     s"""WITH train0 AS (SELECT doc_id, text FROM documents
              WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) >= '$hex'),
        ev AS (SELECT doc_id, string_split(text, ' ') AS ws
@@ -1358,17 +1477,7 @@ object PipelineQueries {
              UNION ALL
              SELECT doc_id + $DupShift, text FROM train0
              WHERE doc_id % 6 = 1),
-       inj AS (SELECT doc_id,
-           CASE WHEN doc_id % 5 = 0
-                THEN text || ' visit https://example.com/a-b_c now'
-                WHEN doc_id % 7 = 0
-                THEN text || ' mail info@example.org today'
-                WHEN doc_id % 11 = 0
-                THEN text || ' call +1 555-014-2398 now'
-                WHEN doc_id % 13 = 0
-                THEN text || ' from 192.168.0.17 last night'
-                ELSE text END AS text FROM crawl),
-       cleaned AS (SELECT doc_id, $clean AS text FROM inj),
+       ${injectCleanCtes("crawl")},
        ${classifierCteFrom("cleaned")},
        q AS (SELECT c.doc_id, c.text, a.w_sum
              FROM cleaned c JOIN cagg a USING (doc_id)
@@ -2056,6 +2165,8 @@ object PipelineQueries {
          JOIN (SELECT min(doc_id) AS doc_id FROM documents
                GROUP BY md5(text)) k USING (doc_id)
          ORDER BY d.doc_id""",
+
+    "t18_streaming_pipeline" -> streamingPipelineOracle,
 
     "p_pack_chunks" ->
       s"""WITH t AS (SELECT doc_id, doc_id % $PackShards AS shard,

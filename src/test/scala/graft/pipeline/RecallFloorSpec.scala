@@ -123,10 +123,10 @@ class RecallFloorSpec extends SparkSpec {
     val v = SimilarityOps.withNorm(rows, "vec_id", "embedding")
     val planes = Seq(g.toSeq)
     def grouped(chunkSize: Int, dual: Boolean,
-        corpusCount: Option[Long] = None) =
+        corpusCount: Option[Long] = None, rankings: Int = 2) =
       pairsOf(SimilarityOps.lshNearDupPairsGrouped(v, planes, 1,
         threshold, chunkSize = chunkSize, corpusCount = corpusCount,
-        dualChunkProjections = dual,
+        dualChunkProjections = dual, chunkRankings = rankings,
         // this test FORCES each shape to compare them; the auto probe
         // is its own test (LshConfigSpec)
         autoShapeProbe = false))
@@ -150,8 +150,20 @@ class RecallFloorSpec extends SparkSpec {
     assert(fastDual == dual, s"fast/window dual diverge: " +
       s"${(fastDual.diff(dual) ++ dual.diff(fastDual)).take(5)}")
     assert(fastSingle == single, "fast/window single diverge")
-    // no false positives either way
-    assert(dual.subsetOf(gt) && single.subsetOf(gt))
+    // the generalized-K contract: rankings = 1 under the dual switch
+    // is the single-ranking path exactly, and the TRIPLE emits the
+    // same set in both execution shapes (it contains the dual's
+    // rescue, so the planted pair survives there too)
+    assert(grouped(chunk, dual = true, rankings = 1) == single,
+      "chunkRankings = 1 must equal the single-ranking path")
+    val triple = grouped(chunk, dual = true, rankings = 3)
+    val fastTriple = grouped(chunk, dual = true, rankings = 3,
+      corpusCount = Some(2L))
+    assert(triple == fastTriple, "fast/window triple diverge")
+    assert(dual.subsetOf(triple) && triple.contains(planted))
+    // no false positives any way
+    assert(dual.subsetOf(gt) && single.subsetOf(gt) &&
+      triple.subsetOf(gt))
   }
 
   test("over-cap statistical corpus: dual ranking lifts chunked pair " +
