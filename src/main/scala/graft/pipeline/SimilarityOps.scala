@@ -1133,17 +1133,23 @@ object SimilarityOps {
     */
   def pqEncode(df: DataFrame, cb: Array[Array[Array[Double]]])
       : DataFrame = {
-    val m = cb.length; val k = cb(0).length; val ds = cb(0)(0).length
+    val m = cb.length; val k = cb(0).length
     val cb2: Array[Array[Double]] =
       cb.map(_.map(w => math.rint(w.map(x => x * x).sum * 1e6) / 1e6))
     val keep = df.columns.filterNot(_ == "vec").map(col)
+    // ALL m·k rounded subspace dots from ONE looped expression (plan
+    // size constant in m·k·ds — the literal composition's ~2k-node
+    // tree cost a flat ~4 s of per-build optimizer time at ANY data
+    // size); staged as an attribute so the m per-subspace distance
+    // arrays below reference it instead of re-evaluating it
+    val staged0 = df.select((keep :+
+      graft.functions.PqDots.pq_dots(col("vec"), cb).as("__dots")): _*)
     val dCols = (0 until m).map { mi =>
-      array((0 until k).map { ki =>
-        lit(cb2(mi)(ki)) - lit(2.0) *
-          round6(litDot(col("vec"), mi * ds, cb(mi)(ki)))
-      }: _*).as(s"__d$mi")
+      zip_with(array(cb2(mi).map(lit(_)): _*),
+        element_at(col("__dots"), mi + 1),
+        (c2, dv) => c2 - lit(2.0) * dv).as(s"__d$mi")
     }
-    val staged = df.select(keep ++ dCols: _*)
+    val staged = staged0.select(keep ++ dCols: _*)
     val codeCols = (0 until m).map { mi =>
       (array_position(col(s"__d$mi"), array_min(col(s"__d$mi"))) - 1)
         .cast("int").as(s"__c$mi")
@@ -1157,12 +1163,18 @@ object SimilarityOps {
         .reduce(_ + _).cast("double")).as("rnorm"): _*)
   }
 
-  /** Per-query ADC lookup table `ltab[m][k] = round6(q_m · cb_mk)` as
-    * one nested-array expression (map-side, codebook inlined as
-    * literals). Rounded per entry so the oracle's `list_dot_product`
-    * lands on identical values. */
+  /** Per-query ADC lookup table `ltab[m][k] = round6(q_m · cb_mk)` —
+    * one looped [[graft.functions.PqDots]] expression (map-side, the
+    * codebook rides as a reference object). Rounded per entry so the
+    * oracle's `list_dot_product` lands on identical values. */
   def pqLookupTable(qvec: Column, cb: Array[Array[Array[Double]]])
-      : Column = {
+      : Column = graft.functions.PqDots.pq_dots(qvec, cb)
+
+  /** The retained literal composition of [[pqLookupTable]] — the
+    * reference implementation PqDotsSpec pins the expression against
+    * (same role as SignBands' retained composition). */
+  private[graft] def pqLookupTableComposed(qvec: Column,
+      cb: Array[Array[Array[Double]]]): Column = {
     val ds = cb(0)(0).length
     array(cb.indices.map { mi =>
       array(cb(mi).indices.map { ki =>
