@@ -46,6 +46,10 @@ object Bench {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
     import org.apache.spark.sql.functions.{col, expr, hash, sum}
+    // Optional subsetting for local iteration: SPARK_GRAFT_QUERIES is a
+    // comma-separated allowlist; SPARK_GRAFT_REPS overrides min-of-n.
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val driftProbes: Seq[(String, () => Unit)] = Seq(
       "probe_shuffle_agg" -> (() => noopSave(
         spark.range(20000000L).groupBy(expr("id % 1000")).count())),
@@ -53,31 +57,41 @@ object Bench {
         spark.range(5000000L).toDF("id").sort(col("id").desc))),
       "probe_hash_scan" -> (() => noopSave(
         spark.range(40000000L).select(sum(hash(col("id")))))))
-    // canonical medians pinned from a healthy-host session at the
-    // DRIVER's config (r10, SPARK_GRAFT_CPUS=32 — thread count shifts
-    // probe times ±40%, which is why the JSON line now records cpus;
-    // see SCALE.md convention paragraph for the acceptance rule this
-    // feeds). At other cpu counts the ratio carries that config bias,
-    // still well inside the 1.5 flag.
-    val driftCanon = Map(
-      "probe_shuffle_agg" -> 0.36, "probe_sort" -> 0.46,
-      "probe_hash_scan" -> 0.11)
+    // canonical medians pinned PER THREAD CONFIG from healthy-host
+    // sessions (r10) — probe times shift ±40% with the thread count,
+    // and judging one config's session against another config's
+    // canonicals is exactly the cross-config mistake SCALE.md r10b
+    // forbids for query records. A cpus value with no pinned
+    // canonicals reports ratio = null, drifted = false (uncalibrated,
+    // never a false DRIFTED verdict).
+    val driftCanonByCpus: Map[Int, Map[String, Double]] = Map(
+      32 -> Map("probe_shuffle_agg" -> 0.36, "probe_sort" -> 0.46,
+        "probe_hash_scan" -> 0.11),
+      4 -> Map("probe_shuffle_agg" -> 0.23, "probe_sort" -> 0.70,
+        "probe_hash_scan" -> 0.11))
     val DriftFlagAt = 1.5
-    val probeMed: Seq[(String, Double)] = driftProbes.map {
-      case (n, body) =>
+    // subset runs (local iteration) skip the sentinel's ~12 fixed
+    // Spark jobs: their output gates RECORDS, and subset runs are not
+    // records
+    val runProbes = only.isEmpty
+    val probeMed: Seq[(String, Double)] =
+      if (!runProbes) Nil
+      else driftProbes.map { case (n, body) =>
         body() // untimed warm pass per probe shape
         n -> med((1 to 3).map(_ => timed(body())))
-    }
-    val driftRatio = med(probeMed.map { case (n, t) => t / driftCanon(n) })
-    val drifted = driftRatio > DriftFlagAt
+      }
+    val canon = driftCanonByCpus.get(cpus.toInt)
+    val driftRatio: Option[Double] =
+      if (probeMed.isEmpty) None
+      else canon.map(c => med(probeMed.map { case (n, t) => t / c(n) }))
+    val drifted = driftRatio.exists(_ > DriftFlagAt)
     if (drifted) System.err.println(
-      f"[bench] DRIFTED SESSION: sentinel ratio $driftRatio%.2f > " +
-        s"$DriftFlagAt vs healthy-host canonicals — timings in this " +
-        "run are not records")
-    // Optional subsetting for local iteration: SPARK_GRAFT_QUERIES is a
-    // comma-separated allowlist; SPARK_GRAFT_REPS overrides min-of-n.
-    val only = sys.env.get("SPARK_GRAFT_QUERIES")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      f"[bench] DRIFTED SESSION: sentinel ratio ${driftRatio.get}%.2f " +
+        s"> $DriftFlagAt vs healthy-host canonicals (cpus=$cpus) — " +
+        "timings in this run are not records")
+    if (runProbes && canon.isEmpty) System.err.println(
+      s"[bench] drift sentinel UNCALIBRATED at cpus=$cpus (canonicals " +
+        "pinned for 32 and 4) — probes recorded, no verdict")
     // min-of-3 by default: r3's driver run showed ±5x outliers on a
     // noisy shared host with min-of-2 (g7_sessions 5.04s there, 0.67s
     // in every local rerun) — a third rep is cheap insurance
@@ -127,8 +141,10 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val probesJson = probeMed.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
-    val driftJson = s"""{"probes":$probesJson,"ratio":${fmt(driftRatio)},""" +
-      s""""flag_at":$DriftFlagAt,"drifted":$drifted}"""
+    val ratioJson = driftRatio.map(fmt).getOrElse("null")
+    val driftJson = s"""{"probes":$probesJson,"ratio":$ratioJson,""" +
+      s""""flag_at":$DriftFlagAt,"drifted":$drifted,""" +
+      s""""skipped":${!runProbes}}"""
     // cpus in the record: sf0.1 sub-second queries read ~1.2-1.5x
     // slower at local[32] than local[4] (scheduling overhead dominates
     // tiny partitions), and two rounds of "host drift" lore turned out

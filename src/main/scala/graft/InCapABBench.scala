@@ -29,6 +29,11 @@ object InCapABBench {
     val cfg = LshConfig.forCorpusSize(n)
     val planes = SimilarityOps.hyperplanes(cfg.nPlanes, 64)
     println(s"corpus=$n cfg=${cfg.nPlanes}x${cfg.planesPerBand} reps=$reps")
+    def med(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     def run(label: String, dual: Boolean, rankings: Int): Unit = {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -38,7 +43,7 @@ object InCapABBench {
         ((System.nanoTime() - t0) / 1e9, c)
       }
       println(f"""{"run":"$label","sec":${times.map(_._1).min}%.2f,""" +
-        f""""med":${times.map(_._1).sorted.apply(reps / 2)}%.2f,""" +
+        f""""med":${med(times.map(_._1))}%.2f,""" +
         f""""pairs":${times.head._2}}""")
     }
     // interleave-free order, single first so dual pays any shared JIT

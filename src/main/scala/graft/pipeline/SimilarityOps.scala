@@ -1133,7 +1133,7 @@ object SimilarityOps {
     */
   def pqEncode(df: DataFrame, cb: Array[Array[Array[Double]]])
       : DataFrame = {
-    val m = cb.length; val k = cb(0).length
+    val m = cb.length
     val cb2: Array[Array[Double]] =
       cb.map(_.map(w => math.rint(w.map(x => x * x).sum * 1e6) / 1e6))
     val keep = df.columns.filterNot(_ == "vec").map(col)

@@ -145,11 +145,20 @@ object StoreQueries {
 
     // m8 fixture: additive schema evolution — the initial load predates
     // the `user_id` column; a later evolved append carries it. Old
-    // files serve it as null through the sidecar-schema read.
+    // files serve it as null through the sidecar-schema read. The
+    // split is capped to the corpus (min with half the max id): a
+    // corpus smaller than the absolute 5000 cut would otherwise get an
+    // EMPTY evolved append and user_id would never enter the schema
+    // (found by a full bench at sf0.001; gated SFs all resolve to the
+    // historical 5000, so their fixture content — and the v15
+    // markers — are unchanged). The oracle expresses the same
+    // LEAST(5000, max/2+1) rule.
+    val evolveCut = math.min(5000L,
+      e.agg(max("event_id")).head().getLong(0) / 2 + 1)
     val evolved = st.get("evolved")
-    evolved.write(e.filter(col("event_id") < 5000).drop("user_id"),
+    evolved.write(e.filter(col("event_id") < evolveCut).drop("user_id"),
       WriteOpts("ts", NRows(2000)))
-    evolved.write(e.filter(col("event_id") >= 5000),
+    evolved.write(e.filter(col("event_id") >= evolveCut),
       WriteOpts("ts", NRows(2000), mergeSchema = true))
 
     // t8 fixture: the NATIVE Structured Streaming path — readStream over
@@ -733,7 +742,9 @@ object StoreQueries {
 
     "m8_schema_evolution" -> s"""$EV
          SELECT event_id, ts,
-                CASE WHEN event_id >= 5000 THEN user_id END AS user_id,
+                CASE WHEN event_id >=
+                  (SELECT LEAST(5000, max(event_id) // 2 + 1) FROM e)
+                THEN user_id END AS user_id,
                 event_type, value
          FROM e ORDER BY event_id""",
 

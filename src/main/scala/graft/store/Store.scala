@@ -469,13 +469,23 @@ final class Store[K](val spark: SparkSession, val basepath: String,
     val token = Store.ReShardTokenPrefix +
       java.util.UUID.randomUUID().toString
     old.updateKv(Map(Store.RetiringKey -> token))
-    // key-reuse is checked INSIDE keyOf — shardedWrite evaluates every
-    // key before its transaction opens, so the violation fails
-    // pre-commit (checking the returned list would be too late: the
-    // write into k itself would already have committed)
+    // key constraints are checked INSIDE keyOf — shardedWrite
+    // evaluates every key before its transaction opens, so violations
+    // fail pre-commit (checking the returned list would be too late:
+    // the write into k itself would already have committed).
+    // Replacement keys must be FRESH, not merely != k: an upsert into
+    // a pre-existing dataset would mix its rows with the moved ones,
+    // and finishReShard's partial-rollback delete — which is safe
+    // precisely because a fresh replacement holds ONLY rows that
+    // still live under the old key — would destroy the pre-existing
+    // rows with it.
     val guardedKeyOf: Int => K = { i =>
       val kk = keyOf(i)
       require(kk != k, s"keyOf must not reuse the re-sharded key $k")
+      require(!get(kk).exists,
+        s"reShard replacement keys must be fresh: $kk already holds a " +
+          "dataset (its rows would merge with the moved ones, and " +
+          "crash recovery could not tell them apart)")
       kk
     }
     val ks2 =
@@ -585,7 +595,11 @@ final class Store[K](val spark: SparkSession, val basepath: String,
       ReShardCompleted(sorted.map(_._1))
     } else {
       // partial/torn replacements: every row they hold still lives
-      // under the old key, so deleting them loses nothing
+      // under the old key, so deleting them loses nothing —
+      // guaranteed because reShard only ever writes replacements into
+      // FRESH keys (guardedKeyOf rejects existing datasets
+      // pre-commit), so a token-tagged dataset contains moved rows
+      // and nothing else
       sorted.foreach(p => delete(p._1))
       old.updateKv(Map.empty, remove = Seq(Store.RetiringKey))
       ReShardRolledBack(sorted.map(_._1))

@@ -205,6 +205,28 @@ class FinishReShardSpec extends SparkSpec {
     assert(st.rangeDFAcross(ks).count() == 9000L)
   }
 
+  test("reShard rejects a NON-FRESH replacement key pre-commit — the " +
+      "invariant that makes finishReShard's partial-rollback delete " +
+      "safe") {
+    val (st, ks) = family()
+    // an unrelated populated dataset occupying a would-be replacement
+    // key: an upsert into it would merge its rows with the moved ones,
+    // and a later crash recovery's delete would destroy them
+    st.get("occupied").write(
+      Seq((1L, 9.0)).toDF("t", "v"), opts)
+    val pre = st.get("occupied").df.collect().toSeq
+    val e = intercept[IllegalArgumentException] {
+      st.reShard(ks(1), opts,
+        i => if (i == 0) "occupied" else s"f$i",
+        targetRowsPerShard = 1500L)
+    }
+    assert(e.getMessage.contains("fresh"), e.getMessage)
+    // nothing committed, stamp self-cleared, bystander untouched
+    assert(!st.get(ks(1)).meta.kv.contains(Store.RetiringKey))
+    assert(st.get("occupied").df.collect().toSeq == pre)
+    assert(st.rangeDFAcross(ks).count() == 9000L)
+  }
+
   test("a key that is not mid-reShard is rejected") {
     val (st, ks) = family()
     val e = intercept[IllegalArgumentException] {
