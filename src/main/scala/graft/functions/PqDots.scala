@@ -5,16 +5,20 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.SparkInternals
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** All m×k PQ subspace dot products of one vector in ONE looped
-  * expression: `pq_dots(vec)` returns `array<array<double>>` where
-  * entry `[mi][ki] = round6(vec[mi·ds ..) · codebook[mi][ki])` — the
-  * quantity both sides of the IVF-PQ family need (encode-side L2
-  * argmin distances are `cb2 − 2·dot`; the query-side ADC lookup
-  * table IS the dots).
+  * expression: `pq_dots(vec)` returns a FLAT `array<double>` of
+  * length m·k where entry `[mi·k + ki] = round6(vec[mi·ds ..) ·
+  * codebook[mi][ki])` — the quantity both sides of the IVF-PQ family
+  * need (encode-side L2 argmin distances are `cb2 − 2·dot`; the
+  * query-side ADC lookup table IS the dots). Flat and PRIMITIVE
+  * (`UnsafeArrayData.fromPrimitiveArray`) rather than nested: the
+  * nested form allocated m boxed-Double arrays per row, and at the
+  * 100× corpus that boxing cost roughly what the plan-size fix saved
+  * (consumers slice per subspace or index `mi·k + code`).
   *
   * WHY an expression and not the literal composition (measured, r10):
   * the composed form staged m·k literal dot products of ds
@@ -61,8 +65,7 @@ case class PqDots(child: Expression, codebook: Seq[Seq[Seq[Double]]])
     }
 
   override def dataType: DataType =
-    ArrayType(ArrayType(DoubleType, containsNull = false),
-      containsNull = false)
+    ArrayType(DoubleType, containsNull = false)
 
   override def nullable: Boolean = true
 
@@ -80,10 +83,9 @@ case class PqDots(child: Expression, codebook: Seq[Seq[Seq[Double]]])
       var j = 0
       while (j < dim) { if (vec.isNullAt(j)) return null; j += 1 }
     }
-    val outer = new Array[Any](m)
+    val out = new Array[Double](m * k)
     var mi = 0
     while (mi < m) {
-      val inner = new Array[Any](k)
       var ki = 0
       while (ki < k) {
         var s = 0.0
@@ -91,13 +93,13 @@ case class PqDots(child: Expression, codebook: Seq[Seq[Seq[Double]]])
         val voff = mi * ds
         val coff = (mi * k + ki) * ds
         while (j < ds) { s += vec.getDouble(voff + j) * flat(coff + j); j += 1 }
-        inner(ki) = PqDots.round6(s)
+        out(mi * k + ki) = PqDots.round6(s)
         ki += 1
       }
-      outer(mi) = new GenericArrayData(inner)
       mi += 1
     }
-    new GenericArrayData(outer)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
@@ -106,8 +108,7 @@ case class PqDots(child: Expression, codebook: Seq[Seq[Seq[Double]]])
     val fl = ctx.addReferenceObj("pqDotsCodebook", flat, "double[]")
     val dimS = dim.toString; val mS = m.toString
     val kS = k.toString; val dsS = ds.toString
-    val outer = ctx.freshName("outer")
-    val inner = ctx.freshName("inner")
+    val out = ctx.freshName("out")
     val s = ctx.freshName("s")
     val mi = ctx.freshName("mi"); val ki = ctx.freshName("ki")
     val j = ctx.freshName("j")
@@ -129,9 +130,8 @@ case class PqDots(child: Expression, codebook: Seq[Seq[Seq[Double]]])
         |$nullElemCheck
         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
         |if (!${ev.isNull}) {
-        |  Object[] $outer = new Object[$mS];
+        |  double[] $out = new double[$mS * $kS];
         |  for (int $mi = 0; $mi < $mS; $mi++) {
-        |    Object[] $inner = new Object[$kS];
         |    for (int $ki = 0; $ki < $kS; $ki++) {
         |      double $s = 0.0;
         |      int $voff = $mi * $dsS;
@@ -139,13 +139,11 @@ case class PqDots(child: Expression, codebook: Seq[Seq[Seq[Double]]])
         |      for (int $j = 0; $j < $dsS; $j++) {
         |        $s += ${c.value}.getDouble($voff + $j) * $fl[$coff + $j];
         |      }
-        |      $inner[$ki] = graft.functions.PqDots.round6($s);
+        |      $out[$mi * $kS + $ki] = graft.functions.PqDots.round6($s);
         |    }
-        |    $outer[$mi] =
-        |      new org.apache.spark.sql.catalyst.util.GenericArrayData($inner);
         |  }
-        |  ${ev.value} =
-        |    new org.apache.spark.sql.catalyst.util.GenericArrayData($outer);
+        |  ${ev.value} = org.apache.spark.sql.catalyst.expressions
+        |    .UnsafeArrayData.fromPrimitiveArray($out);
         |}
         |""".stripMargin
     ev.copy(code = code)

@@ -154,9 +154,10 @@ object IvfIndex {
     val lists = ds.multiPointDF(probedCids.toSeq.map(OrdLong))
       .filter(col("cid").isin(probedCids.toSeq: _*))
 
+    val kw = cb(0).length
     val approx = (0 until m).map(mi =>
-        element_at(element_at(col("ltab"), mi + 1),
-          element_at(col("codes"), mi + 1) + 1)
+        element_at(col("ltab"),
+          element_at(col("codes"), mi + 1) + lit(mi * kw) + 1)
           .cast("decimal(38,6)"))
       .reduce(_ + _).cast("double")
     val wk = Window.partitionBy("q_id")

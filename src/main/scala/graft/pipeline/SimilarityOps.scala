@@ -1133,7 +1133,7 @@ object SimilarityOps {
     */
   def pqEncode(df: DataFrame, cb: Array[Array[Array[Double]]])
       : DataFrame = {
-    val m = cb.length
+    val m = cb.length; val k = cb(0).length
     val cb2: Array[Array[Double]] =
       cb.map(_.map(w => math.rint(w.map(x => x * x).sum * 1e6) / 1e6))
     val keep = df.columns.filterNot(_ == "vec").map(col)
@@ -1146,7 +1146,7 @@ object SimilarityOps {
       graft.functions.PqDots.pq_dots(col("vec"), cb).as("__dots")): _*)
     val dCols = (0 until m).map { mi =>
       zip_with(array(cb2(mi).map(lit(_)): _*),
-        element_at(col("__dots"), mi + 1),
+        slice(col("__dots"), mi * k + 1, k),
         (c2, dv) => c2 - lit(2.0) * dv).as(s"__d$mi")
     }
     val staged = staged0.select(keep ++ dCols: _*)
@@ -1163,10 +1163,11 @@ object SimilarityOps {
         .reduce(_ + _).cast("double")).as("rnorm"): _*)
   }
 
-  /** Per-query ADC lookup table `ltab[m][k] = round6(q_m · cb_mk)` —
-    * one looped [[graft.functions.PqDots]] expression (map-side, the
-    * codebook rides as a reference object). Rounded per entry so the
-    * oracle's `list_dot_product` lands on identical values. */
+  /** Per-query ADC lookup table, FLAT: `ltab[mi·k + ki] =
+    * round6(q_mi · cb_mi_ki)` — one looped [[graft.functions.PqDots]]
+    * expression (map-side, the codebook rides as a reference object,
+    * primitive output). Rounded per entry so the oracle's
+    * `list_dot_product` lands on identical values. */
   def pqLookupTable(qvec: Column, cb: Array[Array[Array[Double]]])
       : Column = graft.functions.PqDots.pq_dots(qvec, cb)
 
@@ -1209,9 +1210,10 @@ object SimilarityOps {
       .withColumn("prank", row_number().over(wp))
       .filter(col("prank") <= nProbe)
       .select(col("q_id"), ltab.as("ltab"), col("qnorm"), col("cid"))
+    val kw = cb(0).length
     val approx = (0 until m).map(mi =>
-        element_at(element_at(col("ltab"), mi + 1),
-          element_at(col("codes"), mi + 1) + 1)
+        element_at(col("ltab"),
+          element_at(col("codes"), mi + 1) + lit(mi * kw) + 1)
           .cast("decimal(38,6)"))
       .reduce(_ + _).cast("double")
     val wk = Window.partitionBy("q_id")

@@ -34,17 +34,19 @@ class PqDotsSpec extends SparkSpec {
     }
     val df = rows.toDF("id", "vec")
       .select(col("id"), col("vec").cast("array<double>").as("vec"))
-    def collect(c: org.apache.spark.sql.Column) =
-      df.select(col("id"), c.as("t"))
-        .as[(Long, Seq[Seq[Double]])].collect().toMap
-    val viaExpr = collect(PqDots.pq_dots(col("vec"), cb))
-    val viaComposed = collect(
-      SimilarityOps.pqLookupTableComposed(col("vec"), cb))
+    // the expression is FLAT (array<double> of m·k, primitive); the
+    // composition is nested — flatten it for the value compare
+    val viaExpr = df.select(col("id"),
+        PqDots.pq_dots(col("vec"), cb).as("t"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val viaComposed = df.select(col("id"),
+        SimilarityOps.pqLookupTableComposed(col("vec"), cb).as("t"))
+      .as[(Long, Seq[Seq[Double]])].collect().toMap
+      .map { case (id, t) => id -> t.flatten }
     assert(viaExpr.keySet == viaComposed.keySet)
     viaExpr.foreach { case (id, t) =>
       assert(t == viaComposed(id), s"row $id diverges: " +
-        s"${t.flatten.zip(viaComposed(id).flatten)
-          .filter(p => p._1 != p._2).take(3)}")
+        s"${t.zip(viaComposed(id)).filter(p => p._1 != p._2).take(3)}")
     }
     // interpreted eval path agrees with codegen (same discipline as
     // SignBandsSpec): evaluate the expression directly per row
@@ -59,10 +61,7 @@ class PqDotsSpec extends SparkSpec {
         org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v))
       val out = expr.eval(row)
         .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      val got = (0 until m).map { mi =>
-        val in = out.getArray(mi)
-        (0 until k).map(ki => in.getDouble(ki))
-      }
+      val got = (0 until m * k).map(out.getDouble)
       assert(got == viaExpr(id), s"eval/codegen diverge on row $id")
     }
   }
@@ -80,14 +79,14 @@ class PqDotsSpec extends SparkSpec {
       .select(col("id"), col("vec").cast("array<double>").as("vec"))
     val a = df.select(col("id"),
         PqDots.pq_dots(col("vec"), cb).as("t"))
-      .as[(Long, Seq[Seq[Double]])].collect().toMap
+      .as[(Long, Seq[Double])].collect().toMap
     val b = df.select(col("id"),
         SimilarityOps.pqLookupTableComposed(col("vec"), cb).as("t"))
       .as[(Long, Seq[Seq[Double]])].collect().toMap
+      .map { case (id, t) => id -> t.flatten }
     // compare with NaN-aware equality (== is false for NaN)
     a.foreach { case (id, t) =>
-      val bt = b(id)
-      t.flatten.zip(bt.flatten).foreach { case (x, y) =>
+      t.zip(b(id)).foreach { case (x, y) =>
         assert(java.lang.Double.compare(x, y) == 0,
           s"row $id: $x vs $y")
       }
