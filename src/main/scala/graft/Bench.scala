@@ -80,7 +80,11 @@ object Bench {
         body() // untimed warm pass per probe shape
         n -> med((1 to 3).map(_ => timed(body())))
       }
-    val canon = driftCanonByCpus.get(cpus.toInt)
+    // cpus may legitimately be a non-numeric local[...] token ("*");
+    // an unparsable value degrades to the uncalibrated (ratio=null)
+    // verdict instead of aborting the whole bench (ADVICE r10)
+    val cpusNum: Option[Int] = scala.util.Try(cpus.toInt).toOption
+    val canon = cpusNum.flatMap(driftCanonByCpus.get)
     val driftRatio: Option[Double] =
       if (probeMed.isEmpty) None
       else canon.map(c => med(probeMed.map { case (n, t) => t / c(n) }))
@@ -145,12 +149,73 @@ object Bench {
     val driftJson = s"""{"probes":$probesJson,"ratio":$ratioJson,""" +
       s""""flag_at":$DriftFlagAt,"drifted":$drifted,""" +
       s""""skipped":${!runProbes}}"""
+    // ---- machine-checkable acceptance rule (VERDICT r10 #6): the
+    // sentinel's probes are sf-independent, so a session can read
+    // "healthy" while every data query runs 7% hot (the 100x r10b
+    // case). Emit the per-query median ratio of THIS run vs the
+    // pinned canonical record for the same sfDir, so promotion
+    // decisions consume a field instead of a human diffing two files.
+    // Rules: cpus must match the canonical's cpus (cross-config
+    // comparison is forbidden, SCALE.md r10b); ratio is over the
+    // common query set, per-query min vs canonical min; a missing or
+    // unreadable canonical degrades to null, never an abort.
+    val canonPath: Option[String] =
+      sys.env.get("SPARK_GRAFT_CANON").filter(_.nonEmpty).orElse {
+        val norm = sfDir.stripSuffix("/")
+        if (norm.endsWith("sf0.1")) Some("BENCH_FULL.json")
+        else if (norm.endsWith("graft_sf1")) Some("BENCH_FULL_10x.json")
+        else if (norm.endsWith("graft_sf10")) Some("BENCH_FULL_100x.json")
+        else None
+      }
+    case class CanonCmp(file: String, canonCpus: Option[Int],
+        common: Int, medianRatio: Option[Double],
+        maxRatio: Option[Double])
+    val canonCmp: Option[CanonCmp] = canonPath.flatMap { p =>
+      try {
+        import org.json4s._
+        val j = org.json4s.jackson.JsonMethods.parse(
+          java.nio.file.Files.readString(java.nio.file.Paths.get(p)))
+        val cCpus = (j \ "cpus") match {
+          case JInt(n) => Some(n.toInt)
+          case JString(s) => scala.util.Try(s.toInt).toOption
+          case _ => None
+        }
+        val cQ: Map[String, Double] = (j \ "queries") match {
+          case JObject(fs) => fs.collect {
+            case (k, JDouble(v)) => k -> v
+            case (k, JInt(v)) => k -> v.toDouble
+          }.toMap
+          case _ => Map.empty
+        }
+        val comparable = cCpus.isDefined && cCpus == cpusNum
+        val ratios = if (!comparable) Nil
+          else results.toSeq.collect {
+            case (n, (mn, _)) if cQ.get(n).exists(_ > 0) => mn / cQ(n) }
+        Some(CanonCmp(p, cCpus, ratios.size,
+          if (ratios.nonEmpty) Some(med(ratios)) else None,
+          if (ratios.nonEmpty) Some(ratios.max) else None))
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] canonical $p unreadable: $e")
+        None
+      }
+    }
     // cpus in the record: sf0.1 sub-second queries read ~1.2-1.5x
     // slower at local[32] than local[4] (scheduling overhead dominates
     // tiny partitions), and two rounds of "host drift" lore turned out
     // to be local[4] records compared against local[32] sessions —
     // records are only comparable within one cpus value
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpus":$cpus,"drift":$driftJson,"queries":$qs,"queries_median":$qsMed,"failed":$failedJson,"sf":"$sfDir"}"""
+    val canonJson = canonCmp match {
+      case None => """{"file":null,"median_ratio_vs_canonical":null}"""
+      case Some(c) =>
+        val mr = c.medianRatio.map(fmt).getOrElse("null")
+        val mx = c.maxRatio.map(fmt).getOrElse("null")
+        val cc = c.canonCpus.map(_.toString).getOrElse("null")
+        s"""{"file":"${c.file}","canon_cpus":$cc,"common":${c.common},""" +
+          s""""median_ratio_vs_canonical":$mr,"max_ratio":$mx}"""
+    }
+    // non-numeric cpus ("*") must still render valid JSON
+    val cpusJson = cpusNum.map(_.toString).getOrElse(s""""$cpus"""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpus":$cpusJson,"drift":$driftJson,"canon":$canonJson,"queries":$qs,"queries_median":$qsMed,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // the UNTRUNCATED record: the same JSON line, kept as a file so
     // per-query regression gating survives the driver's stdout-tail

@@ -35,10 +35,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * `round(dot, 6)`: Spark's `Round` on DoubleType is
   * `BigDecimal.valueOf(d).setScale(6, HALF_UP)` with NaN/Infinity
   * passed through — replicated verbatim here (spec-pinned against the
-  * retained composition). A null vector, wrong-length vector, or null
-  * element makes the whole result NULL (the composition's per-entry
-  * null propagation collapses to the same observable under the
-  * downstream argmin/lookup, and clean corpora never hit it).
+  * retained composition). A null vector or null element makes the
+  * whole result NULL (the composition's per-entry null propagation
+  * collapses to the same observable under the downstream
+  * argmin/lookup, and clean corpora never hit it). A WRONG-LENGTH
+  * vector throws (ADVICE r10): the literal composition failed loudly
+  * on a dimension mismatch, and a mis-built codebook/corpus dim
+  * mismatch is a configuration bug — NULL here would be silent data
+  * loss (null codes dropped from top-k), so NULL is reserved for
+  * genuinely missing data.
   */
 case class PqDots(child: Expression, codebook: Seq[Seq[Seq[Double]]])
     extends UnaryExpression {
@@ -78,7 +83,8 @@ case class PqDots(child: Expression, codebook: Seq[Seq[Seq[Double]]])
     val v = child.eval(input)
     if (v == null) return null
     val vec = v.asInstanceOf[ArrayData]
-    if (vec.numElements() != dim) return null
+    if (vec.numElements() != dim)
+      throw PqDots.dimMismatch(vec.numElements(), dim, m, ds)
     if (elementsNullable) {
       var j = 0
       while (j < dim) { if (vec.isNullAt(j)) return null; j += 1 }
@@ -125,8 +131,11 @@ case class PqDots(child: Expression, codebook: Seq[Seq[Seq[Double]]])
     val code =
       code"""
         |${c.code}
-        |boolean ${ev.isNull} = ${c.isNull} ||
-        |  ${c.value}.numElements() != $dimS;
+        |boolean ${ev.isNull} = ${c.isNull};
+        |if (!${ev.isNull} && ${c.value}.numElements() != $dimS) {
+        |  throw graft.functions.PqDots.dimMismatch(
+        |    ${c.value}.numElements(), $dimS, $mS, $dsS);
+        |}
         |$nullElemCheck
         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
         |if (!${ev.isNull}) {
@@ -160,6 +169,17 @@ object PqDots {
     * through, else decimal-text BigDecimal + HALF_UP. Public because
     * the generated code calls it.
     */
+  /** Loud error for a vector whose length doesn't match the codebook
+    * dim — a configuration bug, never dirty data. Public because the
+    * generated code calls it.
+    */
+  def dimMismatch(got: Int, dim: Int, m: Int, ds: Int)
+      : IllegalArgumentException =
+    new IllegalArgumentException(
+      s"pq_dots: input vector has $got elements but the codebook " +
+        s"expects dim=$dim (m=$m subspaces x ds=$ds) — rebuild the " +
+        "codebook for this corpus or fix the embedding column")
+
   def round6(d: Double): Double =
     if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
     else java.math.BigDecimal.valueOf(d)

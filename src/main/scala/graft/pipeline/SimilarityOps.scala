@@ -360,15 +360,29 @@ object SimilarityOps {
     * choose the shape themselves.
     */
   private val probeCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, Int, Int, Long), Double]
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Long), Double]
+  // bound for long-lived sessions (ADVICE r10): the cache only saves a
+  // small probe action, so wholesale eviction on overflow is fine
+  private val ProbeCacheMax = 256
 
   private[pipeline] def cachedTopBucket(df: DataFrame,
       planes: Seq[Seq[Double]], planesPerBand: Int,
-      corpusCount: Long): Double =
+      corpusCount: Long): Double = {
+    // full digest of the canonicalized plan, not the 32-bit
+    // semanticHash (ADVICE r10): a semanticHash collision between two
+    // different corpora would silently reuse the wrong top-bucket
+    // estimate. The string walk is one driver-side pass per
+    // construction — still far cheaper than the Spark action it
+    // memoizes (probe inputs are corpus scans, not literal trees).
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(df.queryExecution.logical.canonicalized.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    if (probeCache.size >= ProbeCacheMax) probeCache.clear()
     probeCache.getOrElseUpdate(
-      (df.queryExecution.logical.semanticHash(), planes.hashCode,
-        planesPerBand, corpusCount),
+      (digest, planes.hashCode, planesPerBand, corpusCount),
       estimatedTopBucket(df, planes, planesPerBand, corpusCount))
+  }
 
   /** Saturation fail-fast shared by both pair generators. Occupancy is
     * computed directly from the band widths — not via an [[LshConfig]]

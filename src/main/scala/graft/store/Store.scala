@@ -568,6 +568,20 @@ final class Store[K](val spark: SparkSession, val basepath: String,
     }
     val oldLo = kv.getOrElse("graft.shard.lo", "")
     val oldHi = kv.getOrElse("graft.shard.hiExcl", "")
+    // a replacement missing its shard.index kv means hand-edited state
+    // or a foreign writer — same loud two-option remedy as a tokenless
+    // stamp, not a bare NoSuchElementException (ADVICE r10)
+    repl.foreach { case (rk, rkv) =>
+      if (!rkv.get("graft.shard.index").exists(
+          s => scala.util.Try(s.toInt).isSuccess))
+        throw new IllegalStateException(
+          s"replacement shard $rk carries token '$token' but no " +
+            "parseable 'graft.shard.index' kv — its provenance cannot " +
+            s"be ordered. Resolve manually: delete($k) if the " +
+            "replacement shards committed completely, or delete the " +
+            s"replacements and remove kv '${Store.RetiringKey}' from " +
+            s"$k if they did not")
+    }
     val sorted = repl.sortBy(_._2("graft.shard.index").toInt)
     val idxs = sorted.map(_._2("graft.shard.index").toInt)
     val contiguous = idxs == (0 until idxs.size: Seq[Int])

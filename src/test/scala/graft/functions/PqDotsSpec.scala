@@ -93,13 +93,12 @@ class PqDotsSpec extends SparkSpec {
     }
   }
 
-  test("malformed input → NULL result (null vec, wrong length, null " +
-      "element)") {
+  test("missing data → NULL result (null vec, null element); clean " +
+      "row computes") {
     val (m, k, ds) = (2, 3, 4)
     val cb = codebook(m, k, ds, 9L)
     val rows: Seq[(Long, Option[Array[java.lang.Double]])] = Seq(
       (0L, None),
-      (1L, Some(Array.fill(3)(java.lang.Double.valueOf(1.0)))),
       (2L, Some(Array.tabulate[java.lang.Double](m * ds)(j =>
         if (j == 2) null else java.lang.Double.valueOf(1.0)))),
       (3L, Some(Array.fill(m * ds)(java.lang.Double.valueOf(0.5)))))
@@ -108,6 +107,23 @@ class PqDotsSpec extends SparkSpec {
     val out = df.select(col("id"),
         PqDots.pq_dots(col("vec"), cb).isNull.as("n"))
       .as[(Long, Boolean)].collect().toMap
-    assert(out(0L) && out(1L) && out(2L) && !out(3L), out.toString)
+    assert(out(0L) && out(2L) && !out(3L), out.toString)
+  }
+
+  test("wrong-length vector throws loudly (configuration bug, not " +
+      "dirty data) — ADVICE r10") {
+    val (m, k, ds) = (2, 3, 4)
+    val cb = codebook(m, k, ds, 9L)
+    val df = Seq((1L, Array.fill(3)(1.0))).toDF("id", "vec")
+    val e = intercept[Exception] {
+      df.select(PqDots.pq_dots(col("vec"), cb)).collect()
+    }
+    // Spark may wrap the executor-side throw; the root message must
+    // name the mismatch and the remedy
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(c =>
+      c.getMessage != null && c.getMessage.contains("pq_dots") &&
+        c.getMessage.contains("dim=8")), e.toString)
   }
 }

@@ -22,6 +22,10 @@ class PipelineE2eShapeSpec extends SparkSpec {
   test("p_pipeline_e2e top-level plan: one parquet read (the eval " +
       "split), one cached stage boundary referenced twice") {
     val d = "/root/testdata/sf0.001"
+    // portable skip, not a failure, when the driver fixture tree is
+    // absent (ADVICE r10) — the pin is about plan shape, not data
+    assume(new java.io.File(d).isDirectory,
+      s"fixture dir $d absent on this machine")
     try {
       val df = graft.SparkEntry.queries("p_pipeline_e2e")(spark, d)
       val lp = df.queryExecution.optimizedPlan
@@ -36,8 +40,11 @@ class PipelineE2eShapeSpec extends SparkSpec {
         s"the one top-level read must be the documents eval split: " +
           paths.head)
       val caches = lp.collect { case c: InMemoryRelation => c }
-      val distinctCaches =
-        caches.map(c => System.identityHashCode(c.cacheBuilder)).distinct
+      // reference identity (eq), not identityHashCode: hash values can
+      // collide for distinct builders and wrongly pass (ADVICE r10)
+      val distinctCaches = caches.map(_.cacheBuilder)
+        .foldLeft(List.empty[AnyRef]) { (acc, b) =>
+          if (acc.exists(_ eq b)) acc else b :: acc }
       assert(caches.size == 2 && distinctCaches.size == 1,
         s"expected the ONE post-near-dup boundary cache referenced " +
           s"twice (contamination + pack), got ${caches.size} refs to " +
