@@ -379,17 +379,27 @@ object StoreQueries {
     // Data skipping: the WHERE is on event_id — NOT the ordered column —
     // and prunes via the secondary-column zone maps in the sidecar
     // (event_id correlates with ts in the events table, so files are
-    // effectively clustered on it).
+    // effectively clustered on it). The window is SF-RELATIVE —
+    // [20%, 40%] of max(event_id) — not an absolute BETWEEN: the
+    // absolute form read zero rows at sf0.001 (the m8 fixture-constant
+    // class, caught by SmokeSurfaceSpec). max(event_id) is answered
+    // from the sidecar zone maps (GraftStatsAgg → LocalRelation, zero
+    // files), so the bounds stay driver-side LITERALS and the skipping
+    // demonstration — pushed literal range over a pruned file set —
+    // is unchanged.
     "s4_skipping_scan" -> { (s, d) =>
       val st = ensure(s, d)
+      graft.sources.GraftStatsAgg.register(s)
       s.sql(
         s"""CREATE OR REPLACE TEMPORARY VIEW graft_clicks_skip
             USING graft OPTIONS (path '${st.dirOf("clicks")}')""")
+      val maxId = s.sql("SELECT max(event_id) FROM graft_clicks_skip")
+        .head().getAs[Number](0).longValue
       s.sql(
-        """SELECT user_id, count(*) AS n,
+        s"""SELECT user_id, count(*) AS n,
                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
            FROM graft_clicks_skip
-           WHERE event_id BETWEEN 2000 AND 4000
+           WHERE event_id BETWEEN ${maxId / 5L} AND ${maxId * 2L / 5L}
            GROUP BY user_id ORDER BY user_id""")
     },
 
@@ -707,7 +717,11 @@ object StoreQueries {
          SELECT user_id, count(*) AS n,
                 CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
          FROM e
-         WHERE event_type = 'click' AND event_id BETWEEN 2000 AND 4000
+         WHERE event_type = 'click'
+           AND event_id BETWEEN
+             (SELECT max(event_id) // 5 FROM e WHERE event_type = 'click')
+             AND
+             (SELECT max(event_id) * 2 // 5 FROM e WHERE event_type = 'click')
          GROUP BY user_id ORDER BY user_id""",
 
     "s5_stats_agg" -> s"""$EV
