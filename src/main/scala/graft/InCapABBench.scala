@@ -50,6 +50,7 @@ object InCapABBench {
     run("single", dual = false, rankings = 1)
     run("dual", dual = true, rankings = 2)
     run("triple", dual = true, rankings = 3)
+    run("quad", dual = true, rankings = 4)
     spark.stop()
   }
 }

@@ -87,9 +87,15 @@ object OverCapBench {
       maxExp = 1000000L, chunkSize = chunk, rankings = 3)
     require(dual.subsetOf(triple),
       "triple must be a superset of dual (passes 1-2 are identical)")
+    // the round-11 question: the fourth rung of the same ladder
+    val quad = run("over-cap-quad", 20, 5, dual = true,
+      maxExp = 1000000L, chunkSize = chunk, rankings = 4)
+    require(triple.subsetOf(quad),
+      "quad must be a superset of triple (passes 1-3 are identical)")
     def pct(a: Int, b: Int) = if (b == 0) 0.0 else a.toDouble / b * 100
     println(f"""{"dual_lift_pairs":${dual.size - single.size},""" +
       f""""triple_lift_pairs":${triple.size - dual.size},""" +
+      f""""quad_lift_pairs":${quad.size - triple.size},""" +
       f""""single_of_dual_pct":${pct(single.size, dual.size)}%.1f,""" +
       f""""dual_of_triple_pct":${pct(dual.size, triple.size)}%.1f,""" +
       f""""incap_found_by_overcap_dual_pct":${

@@ -1,0 +1,284 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.SparkInternals
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-pair-encoding token counting with a LOADABLE merges table —
+  * real-tokenizer token semantics for the pack/budget/mix family
+  * (VERDICT r10 #3), replacing the whitespace proxy where budgets are
+  * set in tokenizer tokens.
+  *
+  * Algorithm (public knowledge — the GPT-2 `bpe()` apply loop):
+  * pre-tokenize on single spaces (the same rule as
+  * [[graft.pipeline.TextOps.wsTokens]]); per word, start from
+  * single-character atoms and repeatedly merge the adjacent pair with
+  * the LOWEST merge rank (all occurrences, leftmost-first per pass)
+  * until no adjacent pair is in the table. The token count is the sum
+  * of surviving symbols over words. Atoms are single chars — for the
+  * ASCII fixture corpus that is exactly byte-level; a true byte-level
+  * table (256 latin-1 base symbols) plugs into the same structure.
+  *
+  * ORACLE EQUIVALENCE (what makes this DuckDB-replayable): for a
+  * WELL-FORMED merges table — each pair's sides are single atoms or
+  * outputs of strictly earlier merges, which [[Bpe.Table]] validates
+  * at construction — the greedy min-rank loop is equivalent to
+  * applying the merges ONCE EACH in rank order. Proof sketch: a merge
+  * can never create an adjacency consumed by an earlier rank, because
+  * an earlier pair referencing token t would need t to exist before
+  * the later merge that creates it. Rank-order application is a fixed
+  * chain of literal string replaces over a wrapped-symbol encoding
+  * (`<h><e><l><l><o>`, merge (a,b) = replace `<a><b>` → `<ab>`), which
+  * DuckDB's `replace()` executes with the same leftmost-first
+  * non-overlapping semantics — see [[Bpe.duckdbCountExpr]]. The
+  * equivalence is additionally spec-pinned (BpeSpec) by running the
+  * replace chain as Spark expressions against this implementation
+  * over the corpus and adversarial strings.
+  *
+  * Scale shape: the table rides the serialized plan as a reference
+  * object (same pattern as [[PqDots]]' codebook — effectively a
+  * broadcast, bounded by vocab size, which [[Bpe.Table]] caps), the
+  * expression is map-side, codegen'd as ONE static call (no giant
+  * literal tree), and the encode loop is linear in document bytes for
+  * real vocabularies (word lengths are bounded; each merge pass
+  * shrinks the symbol count).
+  */
+object Bpe {
+
+  /** Largest accepted merges table — a guard on the driver-side
+    * collect/broadcast, far above any published tokenizer (GPT-2:
+    * 50k merges). */
+  val MaxMerges = 1000000
+
+  /** Compiled merges table. Validates well-formedness at construction
+    * so the greedy loop / replace-chain equivalence the oracle depends
+    * on is CHECKED, not hoped: every pair side must be a single char
+    * or the output of a strictly earlier merge, outputs must be
+    * unique, and no side may contain the `<`/`>` wrapper chars or a
+    * space (the pre-tokenizer boundary).
+    */
+  final class Table(val merges: Seq[(String, String)]) extends Serializable {
+    require(merges.nonEmpty, "empty merges table")
+    require(merges.size <= MaxMerges,
+      s"merges table has ${merges.size} entries (cap $MaxMerges)")
+    locally {
+      val created = scala.collection.mutable.Set.empty[String]
+      merges.zipWithIndex.foreach { case ((a, b), i) =>
+        def okSide(s: String): Boolean =
+          s.length == 1 || created.contains(s)
+        require(a.nonEmpty && b.nonEmpty, s"merge $i has an empty side")
+        require(!(a + b).exists(c => c == '<' || c == '>' || c == ' '),
+          s"merge $i ('$a','$b') contains a wrapper char or space")
+        require(okSide(a) && okSide(b),
+          s"merge $i ('$a','$b') is not well-formed: each side must " +
+            "be a single char or the output of an earlier merge " +
+            "(required for the rank-order/greedy equivalence the " +
+            "DuckDB oracle replays)")
+        val out = a + b
+        require(!created.contains(out), s"merge $i re-creates '$out'")
+        created += out
+      }
+    }
+    /** indexed pair access for the hot loop (merges may be a List). */
+    @transient lazy val pairAt: Array[(String, String)] = merges.toArray
+    /** pair "a b" → rank; java HashMap for the hot probe. */
+    @transient lazy val rank: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](merges.size * 2)
+      merges.zipWithIndex.foreach { case ((a, b), i) =>
+        m.put(a + " " + b, Int.box(i)) }
+      m
+    }
+  }
+
+  object Table {
+    def fromPairs(merges: Seq[(String, String)]): Table = new Table(merges)
+
+    /** GPT-2 `merges.txt` line format: `a b` per line, rank = line
+      * order; blank lines and `#`-comments skipped. */
+    def fromLines(lines: Seq[String]): Table = new Table(
+      lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { l =>
+          val sp = l.indexOf(' ')
+          require(sp > 0 && sp < l.length - 1, s"bad merges line: '$l'")
+          (l.substring(0, sp), l.substring(sp + 1))
+        })
+
+    /** Load from a one-string-column DataFrame of merges lines (rank =
+      * `rank` column order). The collect is the bounded
+      * vocabulary-sized driver read every tokenizer needs — the same
+      * class as the IVF-PQ codebook collect. */
+    def fromDataFrame(df: org.apache.spark.sql.DataFrame,
+        lineCol: String = "line", rankCol: String = "rank"): Table = {
+      import org.apache.spark.sql.functions.col
+      val n = df.count()
+      require(n <= MaxMerges,
+        s"merges table has $n rows (cap $MaxMerges)")
+      fromLines(df.orderBy(col(rankCol)).select(col(lineCol))
+        .collect().map(_.getString(0)).toSeq)
+    }
+  }
+
+  /** Greedy BPE over one word (public for specs): min-rank adjacent
+    * pair merged leftmost-first each pass until no pair is in the
+    * table. */
+  def encodeWord(word: String, table: Table): Seq[String] = {
+    if (word.isEmpty) return Nil
+    var syms = new Array[String](word.length)
+    var i = 0
+    while (i < word.length) { syms(i) = String.valueOf(word.charAt(i)); i += 1 }
+    var n = syms.length
+    val rank = table.rank
+    while (n > 1) {
+      // find the lowest-rank adjacent pair
+      var best = Int.MaxValue
+      var j = 0
+      while (j < n - 1) {
+        val r = rank.get(syms(j) + " " + syms(j + 1))
+        if (r != null && r < best) best = r
+        j += 1
+      }
+      if (best == Int.MaxValue) return syms.take(n).toSeq
+      val (a, b) = table.pairAt(best)
+      // merge all occurrences, leftmost-first, in one pass
+      val out = new Array[String](n)
+      var k = 0; j = 0
+      while (j < n) {
+        if (j < n - 1 && syms(j) == a && syms(j + 1) == b) {
+          out(k) = a + b; j += 2
+        } else { out(k) = syms(j); j += 1 }
+        k += 1
+      }
+      syms = out; n = k
+    }
+    syms.take(n).toSeq
+  }
+
+  /** Total BPE token count of a space-pre-tokenized text. Public and
+    * UTF8String-typed because the generated code calls it. */
+  def countTokens(text: UTF8String, table: Table): Long = {
+    val s = text.toString
+    var total = 0L
+    var from = 0
+    while (from <= s.length) {
+      val sp = s.indexOf(' ', from)
+      val end = if (sp < 0) s.length else sp
+      if (end > from) total += countWord(s, from, end, table)
+      if (sp < 0) return total
+      from = sp + 1
+    }
+    total
+  }
+
+  private def countWord(s: String, from: Int, end: Int,
+      table: Table): Long =
+    if (end - from == 1) 1L
+    else encodeWord(s.substring(from, end), table).size.toLong
+
+  // ---- the fixture vocabulary -------------------------------------
+  // A small well-formed table over the synthetic documents corpus's
+  // vocabulary (lowercase ASCII words). It is a CODE CONSTANT, not
+  // trained per scale factor, because the DuckDB oracle SQL is static
+  // text — the same property every other oracle-gated constant has.
+  // Ordering exercises the interesting cases: shared intermediate
+  // tokens (rt feeds sort AND part), an early pair that outranks a
+  // later whole-word path (a,r fires inside spark before s,p), and
+  // multi-level token reuse (th→the, wind+ow→window).
+  val FixtureMerges: Seq[(String, String)] = Seq(
+    "r" -> "t", "a" -> "r", "s" -> "p", "sp" -> "ar", "spar" -> "k",
+    "p" -> "a", "pa" -> "rt",
+    "t" -> "a", "b" -> "l", "ta" -> "bl", "tabl" -> "e",
+    "v" -> "a", "l" -> "u", "va" -> "lu", "valu" -> "e",
+    "f" -> "a", "s" -> "t", "fa" -> "st",
+    "h" -> "a", "s" -> "h", "ha" -> "sh",
+    "r" -> "o", "ro" -> "w",
+    "s" -> "c", "a" -> "n", "sc" -> "an",
+    "k" -> "e", "ke" -> "y",
+    "a" -> "g", "ag" -> "g",
+    "s" -> "l", "o" -> "w", "sl" -> "ow",
+    "m" -> "e", "r" -> "g", "me" -> "rg", "merg" -> "e",
+    "b" -> "a", "t" -> "c", "tc" -> "h", "ba" -> "tch",
+    "l" -> "i", "n" -> "e", "li" -> "ne",
+    "s" -> "o", "so" -> "rt",
+    "w" -> "i", "n" -> "d", "wi" -> "nd", "wind" -> "ow",
+    "t" -> "h", "th" -> "e")
+
+  /** The compiled fixture table (shared; construction validates). */
+  lazy val fixtureTable: Table = new Table(FixtureMerges)
+
+  /** DuckDB expression computing the BPE token count of one word
+    * expression, by replaying the merges as a rank-ordered chain of
+    * literal `replace()` calls over the wrapped-symbol encoding (see
+    * the object doc for why that equals the greedy loop on a
+    * well-formed table). Token count = number of `<` wrappers left.
+    */
+  def duckdbCountExpr(wordExpr: String,
+      merges: Seq[(String, String)] = FixtureMerges): String = {
+    val chain = merges.foldLeft(
+      s"regexp_replace($wordExpr, '(.)', '<\\1>', 'g')") {
+      case (acc, (a, b)) => s"replace($acc, '<$a><$b>', '<$a$b>')"
+    }
+    s"(len($chain) - len(replace($chain, '<', '')))"
+  }
+
+  /** DuckDB expression: total BPE token count of a text column
+    * (space-split words, per-word chain, summed). */
+  def duckdbTextCountExpr(textExpr: String,
+      merges: Seq[(String, String)] = FixtureMerges): String =
+    s"CAST(list_sum(list_transform(string_split($textExpr, ' '), " +
+      s"bpew -> ${duckdbCountExpr("bpew", merges)})) AS BIGINT)"
+
+  /** Spark-side replace-chain twin of [[duckdbCountExpr]] — TEST
+    * support for pinning the greedy/chain equivalence inside one
+    * engine (the cross-engine pin is the driver's DuckDB compare). */
+  def chainCountColumn(text: Column,
+      merges: Seq[(String, String)] = FixtureMerges): Column = {
+    import org.apache.spark.sql.functions._
+    def wordCount(w: Column): Column = {
+      val chain = merges.foldLeft(
+        regexp_replace(w, "(.)", "<$1>")) { case (acc, (a, b)) =>
+        replace(acc, lit(s"<$a><$b>"), lit(s"<$a$b>"))
+      }
+      length(chain) - length(replace(chain, lit("<"), lit("")))
+    }
+    aggregate(split(text, " "), lit(0L),
+      (acc, w) => acc + wordCount(w).cast("long"))
+  }
+
+  def bpeTokenCount(text: Column, table: Table): Column =
+    SparkInternals.column(BpeCount(SparkInternals.expression(text), table))
+}
+
+/** `bpe_count(text)` — total BPE token count under a fixed merges
+  * table; one codegen'd static call per row (see [[Bpe]]). */
+case class BpeCount(child: Expression, table: Bpe.Table)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bpe_count requires string input, got $other")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    Bpe.countTokens(input.asInstanceOf[UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val tbl = ctx.addReferenceObj("bpeTable", table,
+      classOf[Bpe.Table].getName)
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Bpe.countTokens($c, $tbl)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+
+  override def prettyName: String = "bpe_count"
+}

@@ -21,6 +21,16 @@ object TextOps {
   def regexTokens(text: Column): Column =
     regexp_extract_all(text, lit(TokenRegex), lit(0))
 
+  /** REAL BPE token count under a loadable merges table (default: the
+    * fixture vocabulary) — the tokenizer-token semantics budgets are
+    * actually set in. One codegen'd map-side call per row; see
+    * [[graft.functions.Bpe]] for the algorithm and the DuckDB-oracle
+    * equivalence. */
+  def nTokensBpe(text: Column,
+      table: graft.functions.Bpe.Table = graft.functions.Bpe.fixtureTable)
+      : Column =
+    graft.functions.Bpe.bpeTokenCount(text, table)
+
   /** Cleaning scalars (the scrub/normalize stage that precedes dedup
     * and quality filtering in a training-data pipeline). Map-side
     * `regexp_replace` chains — no shuffle, codegen'd. Patterns stay in

@@ -775,6 +775,18 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // REAL BPE token counting (VERDICT r10 #3): the greedy merge loop
+    // under a loadable merges table, one codegen'd map-side call per
+    // row; the DuckDB oracle replays the same merges as a rank-ordered
+    // replace chain (equivalence: Bpe scaladoc + BpeSpec).
+    "p_text_tokens_bpe" -> { (s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        size(TextOps.wsTokens(col("text"))).cast("long").as("n_ws_tokens"),
+        TextOps.nTokensBpe(col("text")).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
     // Cleaning: URL scrub + email (PII) masking + whitespace
     // normalization over deterministically injected patterns (the
     // synthetic corpus has none of its own). Map-side regexp chains.
@@ -891,6 +903,23 @@ object PipelineQueries {
       val withTok = docs(s, d)
         .select(col("doc_id"), col("text"),
           size(TextOps.wsTokens(col("text"))).cast("long").as("n_tokens"))
+      val scored = TextOps.classifierScoreDF(withTok, "doc_id", "text",
+        keep = Seq("n_tokens"))
+      SampleOps.tokenBudgetPerShard(scored, "doc_id", col("n_tokens"),
+          Seq(col("w_sum").desc), PackShards, TokenBudget)
+        .select("doc_id", "shard", "n_tokens", "cum_tokens")
+        .orderBy("doc_id")
+    },
+
+    // The budget twin under REAL tokenizer tokens (VERDICT r10 #3):
+    // identical greedy best-first selection, but the per-doc cost is
+    // the BPE count — what a training-data budget is actually set in.
+    // Same plan shape as p_token_budget: one map-side scoring pass +
+    // one per-shard window shuffle.
+    "p_token_budget_bpe" -> { (s, d) =>
+      val withTok = docs(s, d)
+        .select(col("doc_id"), col("text"),
+          TextOps.nTokensBpe(col("text")).as("n_tokens"))
       val scored = TextOps.classifierScoreDF(withTok, "doc_id", "text",
         keep = Seq("n_tokens"))
       SampleOps.tokenBudgetPerShard(scored, "doc_id", col("n_tokens"),
@@ -1934,6 +1963,13 @@ object PipelineQueries {
               AS BIGINT) AS n_regex_tokens
          FROM documents ORDER BY doc_id""",
 
+    "p_text_tokens_bpe" ->
+      s"""SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+            ${graft.functions.Bpe.duckdbTextCountExpr("text")}
+              AS n_bpe_tokens
+         FROM documents ORDER BY doc_id""",
+
     "p_text_clean" ->
       """WITH inj AS (SELECT doc_id,
            CASE WHEN doc_id % 5 = 0
@@ -2078,6 +2114,19 @@ object PipelineQueries {
          t AS (SELECT d.doc_id, CAST(d.doc_id % $PackShards AS BIGINT)
                    AS shard,
                  CAST(len(string_split(d.text, ' ')) AS BIGINT)
+                   AS n_tokens, a.w_sum
+               FROM documents d JOIN cagg a USING (doc_id)),
+         c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard
+                 ORDER BY w_sum DESC, doc_id ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS cum_tokens FROM t)
+       SELECT doc_id, shard, n_tokens, cum_tokens FROM c
+       WHERE cum_tokens <= $TokenBudget ORDER BY doc_id""",
+
+    "p_token_budget_bpe" ->
+      s"""WITH $classifierCte,
+         t AS (SELECT d.doc_id, CAST(d.doc_id % $PackShards AS BIGINT)
+                   AS shard,
+                 ${graft.functions.Bpe.duckdbTextCountExpr("d.text")}
                    AS n_tokens, a.w_sum
                FROM documents d JOIN cagg a USING (doc_id)),
          c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard

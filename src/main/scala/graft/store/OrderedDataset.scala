@@ -531,7 +531,10 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     * same way, ref base.py:728-735). Only a lock whose mtime is older
     * than `LockStaleMs` — several missed heartbeats — is broken.
     */
-  private def withWriteLock[T](f: => T): T = {
+  private def withWriteLock[T](f: => T): T =
+    withWriteLockWait(OrderedDataset.lockWaitMs)(f)
+
+  private def withWriteLockWait[T](waitMs: Long)(f: => T): T = {
     val lockPath = new HPath(s"$dir/$LockName")
     val fsys = fs
     fsys.mkdirs(new HPath(dir))
@@ -543,8 +546,10 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     // second writer fails fast (the reference's flufl contract);
     // raised, writers QUEUE briefly — steady concurrent appenders
     // serialize instead of erroring (commits are short: one sidecar
-    // swap after the Spark job)
-    val deadline = System.currentTimeMillis() + OrderedDataset.lockWaitMs
+    // swap after the Spark job). The optimistic commit gate passes its
+    // own floor (CommitWaitMs): its critical section is milliseconds,
+    // so queueing is always the right call there.
+    val deadline = System.currentTimeMillis() + waitMs
     var acquired = false
     var attempts = 0
     while (!acquired) {
@@ -700,7 +705,14 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     var reaped = 0
     fsys.listStatus(d).foreach { st =>
       val n = st.getPath.getName
-      if (st.isDirectory && n.startsWith(TmpDirPrefix))
+      // tmp dirs are reaped only past the grace window: an OPTIMISTIC
+      // writer prepares its files in a tmp dir WITHOUT holding the
+      // lock, so a concurrent committer's sweep must not destroy a
+      // live preparer's in-flight output (the dir's mtime refreshes
+      // as the job writes into it); a crashed writer's dir ages out
+      // like any retiree
+      if (st.isDirectory && n.startsWith(TmpDirPrefix) &&
+          now - st.getModificationTime > grace)
         fsys.delete(st.getPath, true)
       else if (st.isFile && !referenced.contains(n)) {
         n match {
@@ -734,7 +746,72 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     withWriteLock { cleanOrphans(fs, olderThanMs) }
 
   def write(batch: DataFrame, opts: WriteOpts): UpsertReport =
-    withWriteLock { writeLocked(batch, opts) }
+    withWriteLock { writeBody(batch, opts) }
+
+  /** [[write]] with a caller validation run INSIDE the write lock,
+    * against the then-current sidecar state, before any work: the
+    * TOCTOU fence for callers that validated a precondition OUTSIDE
+    * the lock ([[Store.appendSharded]]'s chain validation vs a
+    * concurrent [[Store.reShard]] — VERDICT r10 #4). `guard` throwing
+    * aborts the write with the lock released and nothing committed.
+    * Everything `guard` reads through this dataset ([[exists]],
+    * [[meta]]) is a fresh sidecar read, and every state change a
+    * competing writer makes goes through the same lock ([[updateKv]],
+    * [[write]]), so the guarded check cannot go stale before the
+    * commit.
+    */
+  def writeGuarded(batch: DataFrame, opts: WriteOpts)
+      (guard: => Unit): UpsertReport =
+    withWriteLock { guard; writeBody(batch, opts) }
+
+  /** Optimistic-concurrency upsert (beyond the reference; the
+    * lakehouse-standard protocol next to the advisory-lock [[write]]):
+    * plan and MATERIALIZE the new files WITHOUT holding the write
+    * lock, then take the lock only for the commit's critical section
+    * (renames + sidecar swap — milliseconds), validating there that
+    * the generation the plan was built against is still current. On
+    * conflict the prepared tmp output is discarded and the whole
+    * write re-plans against the new state, up to `maxAttempts`.
+    *
+    * When to use which: [[write]] serializes writers for the DURATION
+    * of their Spark jobs (a second writer waits `lockWaitMs`, default
+    * fail-fast) — right for one scheduled pipeline owning a dataset.
+    * `writeOptimistic` lets independent writers overlap their
+    * expensive prepare phases and serialize only at commit — right
+    * for N uncoordinated appenders on one dataset, at the cost of
+    * redoing a loser's prepare on conflict (bounded: each retry
+    * re-plans against fresher state, and non-overlapping appends
+    * conflict only on the sidecar swap, never on data).
+    *
+    * Readers are unaffected either way: they resolve file lists
+    * through the atomic sidecar and never see tmp output or
+    * un-swapped renames. Safe to MIX with [[write]]/[[writeGuarded]]
+    * on one dataset: the locked path mutates generations only under
+    * the same lock the commit gate takes, so it simply becomes
+    * another competitor the validation detects. Crash recovery is
+    * unchanged — an abandoned prepare is a tmp dir reaped by
+    * [[cleanOrphans]] after the grace window.
+    */
+  def writeOptimistic(batch: DataFrame, opts: WriteOpts,
+      maxAttempts: Int = 5): UpsertReport = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1: $maxAttempts")
+    var attempt = 1
+    while (true) {
+      try return writeBody(batch, opts, optimistic = true)
+      catch {
+        case e: OrderedDataset.WriteConflictException =>
+          if (attempt >= maxAttempts)
+            throw new IllegalStateException(
+              s"optimistic write of $dir lost its commit race " +
+                s"$maxAttempts times (${e.getMessage}) — under " +
+                "sustained contention serialize writers instead " +
+                "(write() with OrderedDataset.lockWaitMs raised, or " +
+                "route writes through Store.transaction)", e)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** Range delete on the ordered column: removes every row with
     * `lo <= ordered_on < hiExcl` (the [[rangeDF]] bound convention;
@@ -823,7 +900,14 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     }
   }
 
-  private def writeLocked(batch: DataFrame, opts: WriteOpts): UpsertReport = {
+  /** The upsert body. Under [[write]]/[[writeGuarded]] it runs inside
+    * the write lock; under [[writeOptimistic]] it runs UNLOCKED with
+    * `optimistic = true`, and every sidecar-mutating section goes
+    * through [[commitSection]], which takes the lock briefly and
+    * validates the generation `m0` was read at is still current.
+    */
+  private def writeBody(batch: DataFrame, opts: WriteOpts,
+      optimistic: Boolean = false): UpsertReport = {
     val m0: Option[DatasetMeta] = if (exists) Some(meta) else None
     m0.foreach { m =>
       require(m.orderedOn == opts.orderedOn,
@@ -922,8 +1006,10 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
       if (batchRows == 0) {
         val m = m0.getOrElse(DatasetMeta(opts.orderedOn, ordType, Nil,
           Map.empty, 0L, cached.drop(SeqCol, RidCol).schema.json))
-        Sidecar.write(conf, dir,
-          m.copy(kv = m.kv ++ opts.kv -- opts.kvRemove))
+        commitSection(optimistic, m0.map(_.generation)) {
+          Sidecar.write(conf, dir,
+            m.copy(kv = m.kv ++ opts.kv -- opts.kvRemove))
+        }
         return UpsertReport(0, m.files.size, 0, 0)
       }
       val bMin = OrdVal.fromAny(bStats.get(0))
@@ -985,9 +1071,31 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
         case None    => rewrite.map(_.rows).sum + batchRows
       }
       materialize(deduped, totalIn, rewrite, kept, m0, opts, ordType,
-        hasProvenance = true)
+        hasProvenance = true, optimistic = optimistic)
     } finally cached.unpersist()
   }
+
+  /** The commit critical section: a no-op wrapper on the locked path
+    * (the caller already holds the lock); on the optimistic path,
+    * take the lock briefly — queueing up to [[OrderedDataset.CommitWaitMs]],
+    * since the section is milliseconds — and validate that the
+    * generation the plan was built against is still the live one.
+    */
+  /** Test seam (OptimisticWriteSpec): runs after an optimistic prepare
+    * completes, before its commit gate — the window where a competing
+    * commit can land. No-op in production. */
+  private[store] var beforeOptimisticCommit: () => Unit = () => ()
+
+  private def commitSection[T](optimistic: Boolean,
+      expected: Option[Long])(body: => T): T =
+    if (!optimistic) body
+    else withWriteLockWait(
+      math.max(OrderedDataset.lockWaitMs, OrderedDataset.CommitWaitMs)) {
+      val now = if (exists) Some(meta.generation) else None
+      if (now != expected)
+        throw new OrderedDataset.WriteConflictException(dir, expected, now)
+      body
+    }
 
   /** Shared execution tail of upsert and compaction: size into range
     * partitions, write one file per partition to a tmp dir, collect
@@ -1007,7 +1115,7 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
   private def materialize(data: DataFrame, totalIn: Long,
       rewrite: Seq[FileStat], kept: Seq[FileStat],
       m0: Option[DatasetMeta], opts: WriteOpts, ordType: String,
-      hasProvenance: Boolean): UpsertReport = {
+      hasProvenance: Boolean, optimistic: Boolean = false): UpsertReport = {
     // unique per-writer tmp dir: concurrent or crashed writers never
     // share (or clobber) each other's in-flight output
     val tmpDir =
@@ -1196,6 +1304,12 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     }
 
     // ---- commit: move files in, swap sidecar, retire replaced ----
+    // under the optimistic gate the whole section runs inside a brief
+    // lock hold with the plan's generation re-validated first; a
+    // conflict throws BEFORE any rename, so the only residue of a
+    // losing prepare is its tmp dir, removed in the handler below
+    if (optimistic) beforeOptimisticCommit()
+    try commitSection(optimistic, m0.map(_.generation)) {
     var nextId = m0.map(_.nextFileId).getOrElse(0L)
     val newStats = written.map { r =>
       val id = nextId; nextId += 1
@@ -1238,6 +1352,11 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     cleanOrphans(fs)
     UpsertReport(rewrite.size, kept.size, newStats.size,
       newStats.map(_.rows).sum)
+    } catch {
+      case e: OrderedDataset.WriteConflictException =>
+        fs.delete(new HPath(tmpDir), true)
+        throw e
+    }
   }
 
   /** Explicit compaction (the standalone analog of the upsert's
@@ -1486,6 +1605,21 @@ object OrderedDataset {
     * sidecar swap after the Spark job finishes). Library-level knob.
     */
   @volatile var lockWaitMs: Long = 0L
+
+  /** Queue floor for the optimistic commit gate's brief lock hold
+    * (renames + sidecar swap — milliseconds): unlike a full write,
+    * waiting is always right there. */
+  val CommitWaitMs: Long = 10000L
+
+  /** Thrown by [[OrderedDataset.writeOptimistic]]'s commit gate when
+    * the generation its plan was built against is no longer live —
+    * the prepared output is discarded and the write re-plans. */
+  final class WriteConflictException(dir: String,
+      expected: Option[Long], found: Option[Long])
+    extends RuntimeException(
+      s"optimistic commit conflict on $dir: planned against " +
+        s"generation ${expected.map(_.toString).getOrElse("<absent>")}" +
+        s", live is ${found.map(_.toString).getOrElse("<absent>")}")
 
   /** How long a commit keeps the files it replaced on disk so that
     * concurrent readers holding a plan from the previous sidecar can

@@ -382,6 +382,19 @@ final class Store[K](val spark: SparkSession, val basepath: String,
     * empty gets a metadata-only commit.
     */
   def appendSharded(df: DataFrame, opts: WriteOpts, ks: Seq[K])
+      : Seq[ShardPressure[K]] =
+    appendShardedHooked(df, opts, ks)()
+
+  /** Test seam for [[appendSharded]]: `afterValidate` runs between the
+    * chain validation and the transaction, where a concurrent
+    * [[reShard]] can land — the spec injects one there to prove the
+    * in-lock guard makes the append fail LOUDLY instead of writing to
+    * a retiring or just-deleted shard key (which `get(k).write` would
+    * silently recreate). Package-private; production calls go through
+    * [[appendSharded]] with a no-op.
+    */
+  private[store] def appendShardedHooked(df: DataFrame, opts: WriteOpts,
+      ks: Seq[K])(afterValidate: () => Unit = () => ())
       : Seq[ShardPressure[K]] = {
     import org.apache.spark.sql.functions.{col, count, lit}
     val ordCol = opts.orderedOn
@@ -393,6 +406,7 @@ final class Store[K](val spark: SparkSession, val basepath: String,
         "ordered store requires a total order — drop or fill them " +
         "first (shard routing would silently drop them)")
     val chain = shardChain(ks)
+    afterValidate()
     val dt = df.schema(ordCol).dataType
     transaction(chain.map(_._1)) { dss =>
       chain.foreach { case (k, lo, hi) =>
@@ -401,7 +415,34 @@ final class Store[K](val spark: SparkSession, val basepath: String,
           Option(hi).filter(_.nonEmpty)
             .map(h => col(ordCol) < lit(boundLiteral(h, dt))))
           .reduceOption(_ && _).getOrElse(lit(true))
-        dss(k).write(df.filter(pred), opts): Unit
+        val d = dss(k)
+        // re-check the routing preconditions INSIDE the per-shard
+        // write lock (VERDICT r10 #4): the chain was validated before
+        // the transaction, and a concurrent reShard from another
+        // process can stamp, move, and delete this key in between —
+        // the per-dataset lock serializes us against its updateKv
+        // stamp, and a deleted key must fail loudly, not be recreated
+        // as a zombie no family reader consults.
+        d.writeGuarded(df.filter(pred), opts) {
+          require(d.exists,
+            s"shard $k vanished between chain validation and its " +
+              "locked write — a concurrent reShard completed and " +
+              "deleted it; re-discover the family (Store.keys) and " +
+              "retry the append against the replacement shards")
+          val kv = d.meta.kv
+          require(!kv.contains(Store.RetiringKey),
+            s"shard $k became mid-reShard between chain validation " +
+              s"and its locked write; run finishReShard($k) to " +
+              "converge the family, then retry the append against " +
+              "the replacement shards")
+          val (nowLo, nowHi) = (kv.getOrElse("graft.shard.lo", ""),
+            kv.getOrElse("graft.shard.hiExcl", ""))
+          require(nowLo == lo && nowHi == hi,
+            s"shard $k's recorded range changed between chain " +
+              s"validation ([$lo, $hi)) and its locked write " +
+              s"([$nowLo, $nowHi)) — a concurrent writer re-stamped " +
+              "the family; re-discover and retry")
+        }: Unit
       }
     }
     // the growth path's pressure signal: report every shard's distance

@@ -1,0 +1,114 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the BPE tokenizer's three load-bearing properties: known
+  * encodings under the fixture vocabulary, the greedy-loop /
+  * rank-ordered-replace-chain equivalence the DuckDB oracle depends on
+  * (checked inside one engine here; the cross-engine pin is the
+  * driver's oracle compare on p_text_tokens_bpe), and the
+  * well-formedness validation that makes that equivalence a checked
+  * precondition instead of an assumption.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val T = Bpe.fixtureTable
+
+  test("known encodings under the fixture vocabulary") {
+    val cases = Seq(
+      // whole-vocab words collapse to one token
+      "table" -> Seq("table"), "value" -> Seq("value"),
+      "spark" -> Seq("spark"), "sort" -> Seq("sort"),
+      "window" -> Seq("window"), "the" -> Seq("the"),
+      "batch" -> Seq("batch"), "merge" -> Seq("merge"),
+      "hash" -> Seq("hash"), "scan" -> Seq("scan"),
+      // derived forms split at the learned boundary
+      "scans" -> Seq("scan", "s"),
+      // out-of-vocab stays at single atoms
+      "zz" -> Seq("z", "z"),
+      "" -> Nil)
+    cases.foreach { case (w, want) =>
+      assert(Bpe.encodeWord(w, T) == want, s"word '$w'")
+    }
+    // 'sorting' must START with the whole 'sort' token (the derived
+    // suffix's exact split is vocabulary detail, the prefix is not)
+    assert(Bpe.encodeWord("sorting", T).head == "sort")
+  }
+
+  test("count = sum over space-split words; empty words count zero") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def c(s: String): Long = Bpe.countTokens(UTF8String.fromString(s), T)
+    assert(c("the table") == 2L)
+    assert(c("") == 0L)
+    assert(c("   ") == 0L)
+    assert(c(" the  table ") == 2L)
+    assert(c("zz the") == 3L)
+  }
+
+  test("greedy loop == rank-ordered replace chain on the corpus " +
+      "(the oracle equivalence, pinned inside one engine)") {
+    val d = "/root/testdata/sf0.001"
+    assume(new java.io.File(d).isDirectory, s"$d absent")
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val out = docs.select(
+        Bpe.bpeTokenCount(col("text"), T).as("greedy"),
+        Bpe.chainCountColumn(col("text")).as("chain"))
+      .filter(col("greedy") =!= col("chain"))
+    assert(out.count() == 0L, out.limit(5).collect().mkString(","))
+  }
+
+  test("greedy == chain on adversarial overlap shapes") {
+    val t1 = Bpe.Table.fromPairs(Seq("a" -> "a"))
+    val t2 = Bpe.Table.fromPairs(Seq("a" -> "a", "aa" -> "aa"))
+    val t3 = Bpe.Table.fromPairs(Seq("a" -> "b"))
+    val rows = Seq("aaaa", "aaa", "aaaaa", "abab", "aabab a", "",
+      "babab", "aa aa aaa").toDF("text")
+    for (t <- Seq(t1, t2, t3)) {
+      val bad = rows.select(
+          Bpe.bpeTokenCount(col("text"), t).as("g"),
+          Bpe.chainCountColumn(col("text"), t.merges).as("c"),
+          col("text"))
+        .filter(col("g") =!= col("c")).collect()
+      assert(bad.isEmpty, bad.mkString(","))
+    }
+    // spot-pin absolute values for the classic overlap case
+    assert(Bpe.encodeWord("aaa", t1) == Seq("aa", "a"))
+    assert(Bpe.encodeWord("aaaa", t2) == Seq("aaaa"))
+    assert(Bpe.encodeWord("ababa", t3) == Seq("ab", "ab", "a"))
+  }
+
+  test("well-formedness is validated at construction") {
+    // pair referencing a token no earlier merge created
+    val e1 = intercept[IllegalArgumentException] {
+      Bpe.Table.fromPairs(Seq("ab" -> "c"))
+    }
+    assert(e1.getMessage.contains("well-formed"))
+    // re-creating an existing output (duplicate pair)
+    val e2 = intercept[IllegalArgumentException] {
+      Bpe.Table.fromPairs(Seq("a" -> "b", "a" -> "b"))
+    }
+    assert(e2.getMessage.contains("re-creates"))
+    // wrapper chars and spaces are reserved
+    assert(intercept[IllegalArgumentException] {
+      Bpe.Table.fromPairs(Seq("<" -> "a"))
+    }.getMessage.contains("wrapper"))
+    // the fixture table itself constructs (validates) cleanly
+    assert(T.merges.size == Bpe.FixtureMerges.size)
+  }
+
+  test("null text propagates null; merges load from lines and " +
+      "DataFrame") {
+    val out = Seq((1L, "the"), (2L, null)).toDF("id", "text")
+      .select(col("id"), Bpe.bpeTokenCount(col("text"), T).as("n"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(1L).contains(1L) && out(2L).isEmpty)
+    val lines = Bpe.FixtureMerges.map { case (a, b) => s"$a $b" }
+    assert(Bpe.Table.fromLines(lines).merges == T.merges)
+    val df = lines.zipWithIndex.map { case (l, i) => (l, i) }
+      .toDF("line", "rank")
+    assert(Bpe.Table.fromDataFrame(df).merges == T.merges)
+  }
+}

@@ -193,17 +193,22 @@ class RecallFloorSpec extends SparkSpec {
     val single = run(50, dual = false)
     val dual = run(50, dual = true)
     val triple = run(50, dual = true, rankings = 3)
+    val quad = run(50, dual = true, rankings = 4)
     assert(single.subsetOf(gt) && dual.subsetOf(gt) &&
-      triple.subsetOf(gt), "chunking must never invent pairs")
-    assert(single.subsetOf(dual) && dual.subsetOf(triple),
+      triple.subsetOf(gt) && quad.subsetOf(gt),
+      "chunking must never invent pairs")
+    assert(single.subsetOf(dual) && dual.subsetOf(triple) &&
+      triple.subsetOf(quad),
       "each extra ranking can only ADD pairs (earlier passes identical)")
     val rS = single.size.toDouble / gt.size
     val rD = dual.size.toDouble / gt.size
     val rT = triple.size.toDouble / gt.size
+    val rQ = quad.size.toDouble / gt.size
     info(f"pair recall vs unchunked: single=$rS%.3f dual=$rD%.3f " +
-      f"triple=$rT%.3f (gt=${gt.size})")
+      f"triple=$rT%.3f quad=$rQ%.3f (gt=${gt.size})")
     assert(rD > rS, f"dual ranking must beat single: $rD%.3f <= $rS%.3f")
     assert(rT > rD, f"triple must beat dual: $rT%.3f <= $rD%.3f")
+    assert(rQ >= rT, f"quad must not lose pairs vs triple: $rQ%.3f")
     // measured on this (deterministic) corpus: single = 0.543,
     // dual = 0.793, triple = 0.924 — each extra ranking multiplies the
     // miss by ≤ the per-pass 0.457 (dual miss 0.207 ≈ 0.457²; triple
@@ -227,6 +232,17 @@ class RecallFloorSpec extends SparkSpec {
     assert(missT <= missS * missS * missS + 0.05,
       f"triple miss $missT%.3f should track the independence model " +
         f"(single³ = ${missS * missS * missS}%.3f)")
+    // round-11 ask: does a FOURTH ranking buy ≥0.96? Measured on this
+    // corpus: quad = 0.960 (miss 0.040 vs the independence prediction
+    // 0.457⁴ = 0.044) — the ladder's fourth rung lands exactly on the
+    // model. Cost is quoted in SCALE.md r11 next to this number.
+    val missQ = 1 - rQ
+    assert(rQ >= 0.95,
+      f"quad-ranking recall floor regressed below the measured 0.96: " +
+        f"$rQ%.3f")
+    assert(missQ <= missS * missS * missS * missS + 0.05,
+      f"quad miss $missQ%.3f should track the independence model " +
+        f"(single⁴ = ${missS * missS * missS * missS}%.3f)")
   }
 
   test("semantic dedup: dual in-cluster ranking lifts chunked pair " +
