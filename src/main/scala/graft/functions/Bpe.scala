@@ -178,6 +178,26 @@ object Bpe {
     if (end - from == 1) 1L
     else encodeWord(s.substring(from, end), table).size.toLong
 
+  /** All BPE tokens of a space-pre-tokenized text, in order (words
+    * concatenated). Public and catalyst-typed because the generated
+    * code calls it. */
+  def tokensOf(text: UTF8String, table: Table)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = text.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var from = 0
+    var go = true
+    while (go && from <= s.length) {
+      val sp = s.indexOf(' ', from)
+      val end = if (sp < 0) s.length else sp
+      if (end > from)
+        encodeWord(s.substring(from, end), table)
+          .foreach(t => out += UTF8String.fromString(t))
+      if (sp < 0) go = false else from = sp + 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   // ---- the fixture vocabulary -------------------------------------
   // A small well-formed table over the synthetic documents corpus's
   // vocabulary (lowercase ASCII words). It is a CODE CONSTANT, not
@@ -231,6 +251,22 @@ object Bpe {
     s"CAST(list_sum(list_transform(string_split($textExpr, ' '), " +
       s"bpew -> ${duckdbCountExpr("bpew", merges)})) AS BIGINT)"
 
+  /** DuckDB expression: the BPE token sequence of a text column as a
+    * '|'-joined string (per-word chains unwrapped to tokens, empty
+    * words dropped) — the oracle form of [[BpeEncode]]. */
+  def duckdbTokensExpr(textExpr: String,
+      merges: Seq[(String, String)] = FixtureMerges): String = {
+    val chain = merges.foldLeft(
+      s"regexp_replace(bpew, '(.)', '<\\1>', 'g')") {
+      case (acc, (a, b)) => s"replace($acc, '<$a><$b>', '<$a$b>')"
+    }
+    val tokstr =
+      s"replace(replace(replace($chain, '><', '|'), '<', ''), '>', '')"
+    s"array_to_string(list_filter(list_transform(" +
+      s"string_split($textExpr, ' '), bpew -> $tokstr), " +
+      "x -> len(x) > 0), '|')"
+  }
+
   /** Spark-side replace-chain twin of [[duckdbCountExpr]] — TEST
     * support for pinning the greedy/chain equivalence inside one
     * engine (the cross-engine pin is the driver's DuckDB compare). */
@@ -250,6 +286,94 @@ object Bpe {
 
   def bpeTokenCount(text: Column, table: Table): Column =
     SparkInternals.column(BpeCount(SparkInternals.expression(text), table))
+
+  def bpeTokens(text: Column, table: Table): Column =
+    SparkInternals.column(BpeEncode(SparkInternals.expression(text), table))
+
+  /** TRAIN a merges table from a corpus — the other half of
+    * "loadable": the standard corpus-scale shape (how the published
+    * byte-level BPE tokenizers are built) trains on the WORD-FREQUENCY
+    * table, not the raw text: one distributed `groupBy(word).count()`
+    * collapses the 100 TB corpus to its vocabulary, the driver keeps
+    * the `maxWords` most frequent (the capped, bounded collect — same
+    * class as the PQ codebook), and the merge loop runs driver-side
+    * over that weighted table (each iteration counts adjacent-pair
+    * frequencies and merges the argmax — hashmap work over ≤maxWords
+    * entries, no further Spark jobs). Deterministic: ties break on
+    * the lexicographically smallest pair, so the same corpus always
+    * yields the same table. The result is well-formed BY CONSTRUCTION
+    * (every merge's sides exist when it fires), so the trained table
+    * immediately satisfies the oracle-equivalence contract.
+    */
+  def train(df: org.apache.spark.sql.DataFrame, textCol: String,
+      nMerges: Int, maxWords: Int = 1000000): Table = {
+    import org.apache.spark.sql.functions._
+    require(nMerges >= 1, s"nMerges must be >= 1: $nMerges")
+    require(maxWords >= 1 && maxWords <= 10000000,
+      s"maxWords must be in [1, 10M]: $maxWords")
+    val freq: Array[(String, Long)] =
+      df.select(explode(split(col(textCol), " ")).as("w"))
+        .filter(length(col("w")) >= 2 &&
+          !col("w").contains("<") && !col("w").contains(">"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w"))
+        .limit(maxWords)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+    // driver-side merge loop over the weighted vocabulary
+    var words: Array[(Array[String], Long)] =
+      freq.map { case (w, n) =>
+        (w.toCharArray.map(String.valueOf(_)), n) }
+    val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    // outputs must be UNIQUE strings (the Table invariant the replace
+    // chain needs): two pairs can concatenate to one string — e.g.
+    // (a,bc) and (ab,c) — so the argmax skips already-created outputs
+    val created = scala.collection.mutable.Set.empty[String]
+    var it = 0
+    while (it < nMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, n) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          val p = (syms(j), syms(j + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + n)
+          j += 1
+        }
+      }
+      if (counts.isEmpty) it = nMerges
+      else {
+        var best: (String, String) = null
+        var bestN = -1L
+        counts.foreach { case (p, n) =>
+          if (!created.contains(p._1 + p._2) &&
+              (n > bestN || (n == bestN &&
+                (p._1 + " " + p._2) < (best._1 + " " + best._2)))) {
+            best = p; bestN = n
+          }
+        }
+        if (best == null) { it = nMerges }
+        else {
+        merges += best
+        created += (best._1 + best._2)
+        val (a, b) = best
+        words = words.map { case (syms, n) =>
+          if (syms.length < 2) (syms, n)
+          else {
+            val out = Array.newBuilder[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+                out += a + b; j += 2
+              } else { out += syms(j); j += 1 }
+            }
+            (out.result(), n)
+          }
+        }
+        it += 1
+        }
+      }
+    }
+    new Table(merges.toSeq)
+  }
 }
 
 /** `bpe_count(text)` — total BPE token count under a fixed merges
@@ -281,4 +405,37 @@ case class BpeCount(child: Expression, table: Bpe.Table)
       : Expression = copy(child = newChild)
 
   override def prettyName: String = "bpe_count"
+}
+
+/** `bpe_tokens(text)` — the BPE token sequence itself (space-split
+  * words encoded in order, concatenated); same table/loop as
+  * [[BpeCount]], for callers that need the tokens, not the count. */
+case class BpeEncode(child: Expression, table: Bpe.Table)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bpe_tokens requires string input, got $other")
+    }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    Bpe.tokensOf(input.asInstanceOf[UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val tbl = ctx.addReferenceObj("bpeTable", table,
+      classOf[Bpe.Table].getName)
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Bpe.tokensOf($c, $tbl)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+
+  override def prettyName: String = "bpe_tokens"
 }

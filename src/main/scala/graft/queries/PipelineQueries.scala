@@ -787,6 +787,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // The token SEQUENCE itself ('|'-joined for the hash compare):
+    // what a downstream training-data writer materializes.
+    "p_text_bpe_encode" -> { (s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        array_join(graft.functions.Bpe.bpeTokens(col("text"),
+          graft.functions.Bpe.fixtureTable), "|").as("bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
     // Cleaning: URL scrub + email (PII) masking + whitespace
     // normalization over deterministically injected patterns (the
     // synthetic corpus has none of its own). Map-side regexp chains.
@@ -1968,6 +1978,11 @@ object PipelineQueries {
             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
             ${graft.functions.Bpe.duckdbTextCountExpr("text")}
               AS n_bpe_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "p_text_bpe_encode" ->
+      s"""SELECT doc_id,
+            ${graft.functions.Bpe.duckdbTokensExpr("text")} AS bpe_tokens
          FROM documents ORDER BY doc_id""",
 
     "p_text_clean" ->

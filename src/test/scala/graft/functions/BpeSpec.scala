@@ -99,6 +99,62 @@ class BpeSpec extends SparkSpec {
     assert(T.merges.size == Bpe.FixtureMerges.size)
   }
 
+  test("bpe_tokens emits the token sequence (order preserved, empty " +
+      "words dropped)") {
+    val out = Seq((1L, "the table"), (2L, " scans  zz "))
+      .toDF("id", "text")
+      .select(col("id"), array_join(Bpe.bpeTokens(col("text"), T), "|")
+        .as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "the|table", out(1L))
+    assert(out(2L) == "scan|s|z|z", out(2L))
+  }
+
+  test("train: corpus-trained table is deterministic, well-formed by " +
+      "construction, compresses the corpus, and keeps the " +
+      "greedy==chain oracle equivalence") {
+    val d = "/root/testdata/sf0.001"
+    assume(new java.io.File(d).isDirectory, s"$d absent")
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // 90 merges saturate the synthetic corpus's ~30-word vocabulary
+    // (measured: token/char ratio 0.645 at 30 merges, 0.423 at 60,
+    // 0.222 at the 89-merge exhaustion point — every vocab word
+    // collapses and training stops early on an empty pair space).
+    // Size asserts stay RANGES: the driver regenerates testdata
+    // between rounds and the exact exhaustion point may move.
+    val t1 = Bpe.train(docs, "text", nMerges = 90)
+    val t2 = Bpe.train(docs, "text", nMerges = 90)
+    assert(t1.merges == t2.merges, "training must be deterministic")
+    assert(t1.merges.size >= 60 && t1.merges.size <= 90,
+      s"unexpected merge count ${t1.merges.size}")
+    // Table construction validated well-formedness; compression:
+    // trained tokens strictly under character count, and the trained
+    // table satisfies the same chain equivalence the fixture does
+    // (well-formed by construction), so a trained vocabulary is
+    // immediately DuckDB-oracle-able
+    val stats = docs.select(
+        Bpe.bpeTokenCount(col("text"), t1).as("g"),
+        Bpe.chainCountColumn(col("text"), t1.merges).as("c"),
+        length(regexp_replace(col("text"), " ", "")).cast("long")
+          .as("chars"))
+    assert(stats.filter(col("g") =!= col("c")).count() == 0L,
+      "trained table broke the greedy==chain equivalence")
+    val agg = stats.agg(sum("g"), sum("chars")).head()
+    assert(agg.getLong(0) < agg.getLong(1) / 2,
+      s"90 merges should compress the corpus >2x over chars: " +
+        s"${agg.getLong(0)} vs ${agg.getLong(1)}")
+    // at vocab saturation the corpus's most frequent multi-char word
+    // is ONE token (derived, not hardcoded: testdata regenerates)
+    val topWord = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").count().orderBy(col("count").desc, col("w"))
+      .head().getString(0)
+    assert(Bpe.encodeWord(topWord, t1) == Seq(topWord),
+      s"top corpus word '$topWord' should collapse to one token")
+  }
+
   test("null text propagates null; merges load from lines and " +
       "DataFrame") {
     val out = Seq((1L, "the"), (2L, null)).toDF("id", "text")

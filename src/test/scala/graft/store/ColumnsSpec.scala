@@ -130,6 +130,13 @@ class ColumnsSpec extends SparkSpec {
     val tmp = Paths.get(s"$dir/d/${OrderedDataset.TmpDirPrefix}deadbeef")
     Files.createDirectories(tmp)
     Files.write(tmp.resolve("part-x.parquet"), Array[Byte](9))
+    // tmp dirs are reaped only past the grace window (an optimistic
+    // preparer's LIVE tmp dir must survive a committer's sweep —
+    // OrderedDataset.cleanOrphans); a crashed writer's dir is by
+    // definition no longer being written, so backdating models it
+    Files.setLastModifiedTime(tmp,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - OrderedDataset.retireGraceMs - 60000L))
     ds.write(Seq((2L, 2.0)).toDF("t", "v"), WriteOpts("t"))
     assert(!Files.exists(orphan), "unreferenced data file must be deleted")
     assert(!Files.exists(tmp), "leftover tmp dir must be deleted")

@@ -146,6 +146,12 @@ class ConcurrencySpec extends SparkSpec {
     val junk = fs.create(p(OrderedDataset.TmpDirPrefix + "deadbeef/part-0"),
       true)
     junk.write(Array.fill(64)(7.toByte)); junk.close()
+    // like the lock, the dead writer's job dir is STALE (no writes
+    // since the crash): backdate past the grace window — a FRESH tmp
+    // dir is a live optimistic preparer's and must survive the sweep
+    fs.setTimes(p(OrderedDataset.TmpDirPrefix + "deadbeef"),
+      System.currentTimeMillis() - OrderedDataset.retireGraceMs - 60000L,
+      -1)
     // 3. a data file it wrote but never published (id >= nextFileId)
     val orphanName = f"f${ds.meta.nextFileId + 7}%08d.parquet"
     val someData = ds.meta.files.head.name
