@@ -1,0 +1,136 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Lexical (BM25) retrieval and rank fusion — the sparse half of a
+  * retrieval stack, beside the dense ANN family in [[SimilarityOps]].
+  *
+  * Shape at 100 TB: the postings build is ONE shuffle of (id, term)
+  * rows (explode is map-side; `groupBy(id, term)` and the derived
+  * per-term document frequencies ride the same keyspace); corpus-level
+  * scalars (N, Σdl) reduce to one broadcast row; the query set — always
+  * tiny next to the corpus — is broadcast against the postings, so
+  * scoring streams the postings exactly once with no corpus shuffle.
+  * Nothing is ever all-pairs: cost is Σ over query terms of df(term).
+  *
+  * Determinism (what makes the DuckDB oracle hash-exact): tokens are
+  * plain space-splits (`string_split` in the oracle); k1/b are chosen
+  * so every derived literal (k1+1, 1−b) is an exact binary fraction —
+  * 1.25/0.75, not the textbook 1.2 whose k1+1 sum sits on a half-ulp
+  * tie between engines; each per-(term, doc) contribution is quantized
+  * to integer micro-units (`round(1e6·idf·wt)` as BIGINT, the same
+  * discipline as the trigram-LM costs) so the per-document sum is an
+  * exact integer in any addition order; ranks tie-break on doc id.
+  */
+object RetrievalOps {
+
+  /** Okapi defaults, constrained to exact binary fractions (see class
+    * doc): k1+1 = 2.25 and 1−b = 0.25 round-trip bit-identically
+    * through a SQL literal, so Spark and the oracle evaluate the same
+    * IEEE expression tree. */
+  val K1 = 1.25
+  val B = 0.75
+
+  /** Reciprocal-rank-fusion smoothing constant (Cormack et al. 2009's
+    * k=60). */
+  val RrfK = 60
+
+  /** (id, term, tf, dl) term frequencies per document, space-split
+    * tokens. One shuffle on (id, term); dl rides the groupBy (it is
+    * constant per id) so no second join against a doc-length table. */
+  def termFreqs(corpus: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = corpus.select(col(idCol).cast("long").as("id"),
+        split(col(textCol), " ").as("ws"))
+      .select(col("id"), size(col("ws")).cast("long").as("dl"),
+        explode(col("ws")).as("term"))
+    toks.groupBy("id", "term")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+  }
+
+  /** Quantized BM25 postings: (term, id, cost) where cost is the
+    * term's whole score contribution to the document in integer
+    * micro-units — `round(1e6 · idf · wt)` with
+    * idf = ln(1 + (N − df + 0.5)/(df + 0.5)) and
+    * wt = tf·(k1+1)/(tf + k1·((1−b) + b·dl/avgdl)).
+    * Scoring any query is then an exact integer sum over its terms.
+    */
+  def bm25Postings(corpus: DataFrame, idCol: String, textCol: String,
+      k1: Double = K1, b: Double = B): DataFrame = {
+    val tf = termFreqs(corpus, idCol, textCol)
+    // corpus scalars: one row, broadcast — N and Σdl from the same
+    // space-split the postings used
+    val stats = corpus.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(size(split(col(textCol), " "))).cast("long").as("sum_dl"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    tf.join(dft, "term").crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf",
+        log(lit(1.0) +
+          (col("n_docs").cast("double") - col("df").cast("double")
+            + lit(0.5)) / (col("df").cast("double") + lit(0.5))))
+      .withColumn("wt",
+        col("tf").cast("double") * lit(k1 + 1.0) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) +
+              lit(b) * col("dl").cast("double") / col("avgdl"))))
+      .select(col("term"), col("id"),
+        round(lit(1e6) * col("idf") * col("wt")).cast("long").as("cost"))
+  }
+
+  /** Top-k BM25 per query. `queries` is a small (q_id, q_text) frame —
+    * broadcast against the postings; duplicate query terms count once
+    * (distinct-term query semantics). Output: (q_id, rank, doc_id,
+    * score, n_hit) with score = micro-unit sum / 1e6 rounded to 6
+    * decimals and n_hit = number of distinct query terms the document
+    * matched; ties broken by ascending doc id.
+    */
+  def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, k: Int,
+      k1: Double = K1, b: Double = B): DataFrame = {
+    val posts = bm25Postings(corpus, idCol, textCol, k1, b)
+    val qt = queries.select(col("q_id").cast("long").as("q_id"),
+      explode(array_distinct(split(col("q_text"), " "))).as("term"))
+    val scored = posts.join(broadcast(qt), "term")
+      .groupBy("q_id", "id")
+      .agg(sum("cost").as("s"), count(lit(1)).cast("long").as("n_hit"))
+    val w = Window.partitionBy("q_id").orderBy(col("s").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("id").as("doc_id"),
+        round(col("s").cast("double") / lit(1e6), 6).as("score"),
+        col("n_hit"))
+  }
+
+  /** Reciprocal-rank fusion of two ranked lists (Cormack/Clarke/
+    * Buettcher 2009): each arm contributes 1/(k0+rank), a document
+    * missing from an arm contributes nothing. Contributions are
+    * quantized to nano-units (`round(1e9/(k0+rank))` as BIGINT — one
+    * IEEE division per rank, identical in any engine) so the fused
+    * score is an exact integer sum. Input arms: (q_id, doc_id, rank);
+    * output: (q_id, rank, doc_id, rrf_score BIGINT) top-k fused, ties
+    * by ascending doc id.
+    */
+  def rrfFuse(armA: DataFrame, armB: DataFrame, k: Int, k0: Int = RrfK)
+      : DataFrame = {
+    def contrib(df: DataFrame, out: String): DataFrame =
+      df.select(col("q_id").cast("long").as("q_id"),
+        col("doc_id").cast("long").as("doc_id"),
+        round(lit(1e9) / (lit(k0).cast("double") + col("rank")
+          .cast("double"))).cast("long").as(out))
+    val a = contrib(armA, "ca"); val b = contrib(armB, "cb")
+    val fused = a.join(b, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        (coalesce(col("ca"), lit(0L)) + coalesce(col("cb"), lit(0L)))
+          .as("rrf_score"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "doc_id", "rrf_score")
+  }
+}

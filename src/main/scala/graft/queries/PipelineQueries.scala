@@ -77,6 +77,21 @@ object PipelineQueries {
   private val PqM = 8
   private val PqK = 16
   private val PqStep = 5L
+  // Lexical retrieval (RetrievalOps): fixed query strings over the
+  // fixture vocabulary — literals shared verbatim by the Spark frame
+  // and the oracle's VALUES list. Top-10 per query; the hybrid RRF
+  // fusion pools top-20 from each arm over the first 5 documents
+  // (doc_id ↔ vec_id aligned by the fixture generator).
+  private val Bm25Queries: Seq[(Long, String)] = Seq(
+    0L -> "fast table scan",
+    1L -> "stream window agg",
+    2L -> "customer query join order",
+    3L -> "hash merge sort batch",
+    4L -> "vector filter group")
+  private val Bm25K = 10
+  private val HybridNQ = 5L
+  private val RrfPool = 20
+  private val FusedK = 10
 
   /** One-time fixture build (see SparkEntry.prepare). */
   def prepare(s: SparkSession, d: String): Unit = {
@@ -605,6 +620,38 @@ object PipelineQueries {
       SimilarityOps.bruteForceTopK(
         v.filter(col("id") < NQueryVecs), v, TopK)
         .orderBy("q_id", "rank")
+    },
+
+    // Lexical retrieval: BM25 top-k over an inverted-postings build
+    // (one (id, term) shuffle; query terms broadcast against the
+    // postings so the corpus streams once). Integer micro-unit
+    // contributions make the per-doc sum order-independent — see
+    // RetrievalOps scaladoc for the determinism contract.
+    "p_bm25_topk" -> { (s, d) =>
+      val q = s.createDataFrame(Bm25Queries).toDF("q_id", "q_text")
+      RetrievalOps.bm25TopK(docs(s, d), "doc_id", "text", q, Bm25K)
+        .orderBy("q_id", "rank")
+    },
+
+    // Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25)
+    // and dense (brute cosine) arms for the first HybridNQ documents
+    // (doc_id ↔ vec_id aligned). Each arm contributes quantized
+    // 1/(60+rank); the lexical arm naturally ranks the query document
+    // itself first (its own text IS the query), the dense arm excludes
+    // self — the fused list therefore mixes both behaviors, exactly
+    // replayed by the oracle.
+    "p_hybrid_rrf" -> { (s, d) =>
+      val dd = docs(s, d)
+      val q = dd.filter(col("doc_id") < HybridNQ)
+        .select(col("doc_id").as("q_id"), col("text").as("q_text"))
+      val lex = RetrievalOps.bm25TopK(dd, "doc_id", "text", q, RrfPool)
+        .select("q_id", "doc_id", "rank")
+      val v = SimilarityOps.withNorm(embs(s, d), "vec_id", "embedding")
+        .persist()
+      val sem = SimilarityOps.bruteForceTopK(
+          v.filter(col("id") < HybridNQ), v, RrfPool)
+        .select(col("q_id"), col("vec_id").as("doc_id"), col("rank"))
+      RetrievalOps.rrfFuse(lex, sem, FusedK).orderBy("q_id", "rank")
     },
 
     // IVF ANN: deterministic coarse quantizer (every 25th id, fixed
@@ -1599,6 +1646,89 @@ object PipelineQueries {
      ORDER BY i, j"""
   }
 
+  /** Shared BM25 oracle CTE chain — mirrors [[RetrievalOps]] literally
+    * (same parenthesization, exact-binary literals 2.25/1.25/0.25/0.75,
+    * integer micro-unit costs). `qSrc` must select (q_id BIGINT,
+    * q_text); exposes `lranked` (q_id, id, s, n_hit, rank).
+    */
+  private def bm25OracleCtes(qSrc: String): String =
+    s"""q AS ($qSrc),
+       tfreq AS (SELECT doc_id AS id, CAST(len(ws) AS BIGINT) AS dl,
+            u.term, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents) t, unnest(ws) AS u(term)
+          GROUP BY 1, 2, 3),
+       stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_dl
+          FROM documents),
+       dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+          FROM tfreq GROUP BY 1),
+       posts AS (SELECT tfreq.term, tfreq.id,
+            CAST(round(1e6
+              * ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)
+                  + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+              * (CAST(tf AS DOUBLE) * 2.25
+                 / (CAST(tf AS DOUBLE) + 1.25 * (0.25
+                    + 0.75 * CAST(dl AS DOUBLE)
+                      / (CAST(sum_dl AS DOUBLE)
+                         / CAST(n_docs AS DOUBLE))))))
+              AS BIGINT) AS cost
+          FROM tfreq JOIN dft USING (term) CROSS JOIN stats),
+       qt AS (SELECT DISTINCT q_id, u.term
+          FROM q, unnest(string_split(q_text, ' ')) AS u(term)),
+       scored AS (SELECT qt.q_id, posts.id, sum(posts.cost) AS s,
+            CAST(count(*) AS BIGINT) AS n_hit
+          FROM posts JOIN qt USING (term) GROUP BY 1, 2),
+       lranked AS (SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY s DESC, id) AS rank FROM scored)"""
+
+  private def bm25TopkOracle: String = {
+    val vals = Bm25Queries.map { case (i, t) =>
+      s"(CAST($i AS BIGINT), '$t')" }.mkString(", ")
+    s"""WITH ${bm25OracleCtes(
+        s"SELECT * FROM (VALUES $vals) AS t(q_id, q_text)")}
+     SELECT q_id, CAST(rank AS INT) AS rank, id AS doc_id,
+            round(CAST(s AS DOUBLE) / 1e6, 6) AS score, n_hit
+     FROM lranked WHERE rank <= $Bm25K ORDER BY q_id, rank"""
+  }
+
+  private def hybridRrfOracle: String =
+    s"""WITH ${bm25OracleCtes(
+        s"SELECT doc_id AS q_id, text AS q_text FROM documents " +
+          s"WHERE doc_id < $HybridNQ")},
+       lex AS (SELECT q_id, id AS doc_id, rank FROM lranked
+          WHERE rank <= $RrfPool),
+       v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+          FROM embeddings),
+       n AS (SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS norm
+          FROM v),
+       sscored AS (SELECT q.id AS q_id, c.id AS doc_id,
+            round(list_dot_product(q.vec, c.vec) / (q.norm * c.norm), 6)
+              AS cos
+          FROM n q JOIN n c ON q.id < $HybridNQ AND q.id <> c.id),
+       sem AS (SELECT q_id, doc_id, rank FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY q_id ORDER BY cos DESC, doc_id) AS rank
+            FROM sscored) WHERE rank <= $RrfPool),
+       ca AS (SELECT q_id, doc_id,
+            CAST(round(1e9 / (60.0 + CAST(rank AS DOUBLE))) AS BIGINT)
+              AS c
+          FROM lex),
+       cb AS (SELECT q_id, doc_id,
+            CAST(round(1e9 / (60.0 + CAST(rank AS DOUBLE))) AS BIGINT)
+              AS c
+          FROM sem),
+       fused AS (SELECT coalesce(ca.q_id, cb.q_id) AS q_id,
+            coalesce(ca.doc_id, cb.doc_id) AS doc_id,
+            coalesce(ca.c, 0) + coalesce(cb.c, 0) AS rrf_score
+          FROM ca FULL OUTER JOIN cb
+            ON ca.q_id = cb.q_id AND ca.doc_id = cb.doc_id),
+       franked AS (SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY rrf_score DESC, doc_id) AS rank
+          FROM fused)
+     SELECT q_id, CAST(rank AS INT) AS rank, doc_id, rrf_score
+     FROM franked WHERE rank <= $FusedK ORDER BY q_id, rank"""
+
   private def annTopkOracle: String =
     s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
               FROM embeddings),
@@ -1888,6 +2018,8 @@ object PipelineQueries {
     "p_dedup_embedding_lsh" -> embeddingLshOracle,
 
     "p_pipeline_e2e" -> pipelineE2eOracle,
+    "p_bm25_topk" -> bm25TopkOracle,
+    "p_hybrid_rrf" -> hybridRrfOracle,
     "p_ann_topk" -> annTopkOracle,
     "p_ann_ivf" -> annIvfOracle,
     "p_ann_ivf_indexed" -> annIvfOracle,
