@@ -486,4 +486,81 @@ object DedupOps {
         greatest(col("ia"), col("ib")).as("j"), col("dist"))
     within.unionByName(cross)
   }
+
+  /** Duplicated-SPAN removal: OVERLAPPING word k-grams whose corpus-
+    * wide occurrence count is ≥ `minCount` mark every token they
+    * cover; covered tokens merge into maximal spans and are removed.
+    * The any-alignment upgrade over [[segmentDedup]]'s disjoint
+    * blocks (the "deduplicating training data" substring-dedup shape
+    * at k-token granularity): a duplicate caught at ANY offset, and
+    * counting is GLOBAL occurrences — a passage repeated twice inside
+    * ONE document is removed too, where segmentDedup's distinct-doc
+    * rule keeps it.
+    *
+    * Output per document: (idCol, n_tokens, n_dup_tokens, n_spans,
+    * clean_digest) — n_spans counts maximal covered runs, clean_digest
+    * is md5 of the surviving tokens space-rejoined in order (md5("")
+    * when everything was covered).
+    *
+    * 100 TB shape: gram rows ≈ token count (k-wide but stride-1, one
+    * md5 per position, built map-side); ONE shuffle counts grams
+    * globally; only DUPLICATED positions — sparse in a healthy corpus
+    * — shuffle back to their documents (groupBy id, collect sorted
+    * positions), and everything per-document after that is map-side
+    * array math: span stats from consecutive-position deltas (equal-
+    * length intervals sorted by start ⇒ merged spans break exactly
+    * where delta > k), the rebuilt text from an exists()-filter over
+    * the duplicated-position array. No all-token reassembly shuffle
+    * (segmentDedup pays one) and never all-pairs. Worst case — a
+    * fully duplicated document — makes the exists() filter
+    * O(tokens · positions) for THAT document; acceptable because such
+    * documents are exactly what exact dedup removed upstream.
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minCount: Long = 2L): DataFrame = {
+    require(k >= 2, s"span gram width must be >= 2, got $k")
+    val base = df.select(col(idCol).cast("long").as("id"),
+      TextOps.wsTokens(col(textCol)).as("ws"))
+    // (id, pos, h): md5 of each stride-1 k-token window; guard short
+    // docs (sequence(0, negative) enumerates DESCENDING — the same
+    // trap shingleArrays fixed)
+    val grams = base.select(col("id"), explode(
+        when(size(col("ws")) >= k,
+          transform(sequence(lit(0), size(col("ws")) - k),
+            i => struct(i.as("pos"),
+              md5(concat_ws(" ", slice(col("ws"), i + 1, lit(k))))
+                .as("h"))))
+          .otherwise(array().cast("array<struct<pos:int,h:string>>")))
+        .as("g"))
+      .select(col("id"), col("g.pos").as("pos"), col("g.h").as("h"))
+    val dupH = grams.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount).select("h")
+    val dupPos = grams.join(dupH, "h").groupBy("id")
+      .agg(sort_array(collect_list(col("pos"))).as("dps"))
+    base.join(dupPos, Seq("id"), "left")
+      .withColumn("dps",
+        coalesce(col("dps"), array().cast("array<int>")))
+      // deltas between consecutive duplicated positions: the whole
+      // span geometry (equal-length intervals, sorted starts)
+      .withColumn("deltas", when(size(col("dps")) >= 2,
+        transform(sequence(lit(1), size(col("dps")) - 1),
+          i => element_at(col("dps"), i + 1) - element_at(col("dps"), i)))
+        .otherwise(array().cast("array<int>")))
+      .select(
+        col("id").as(idCol),
+        size(col("ws")).cast("long").as("n_tokens"),
+        when(size(col("dps")) === 0, lit(0L))
+          .otherwise((lit(k) + aggregate(col("deltas"), lit(0),
+            (acc, d) => acc + least(d, lit(k)))).cast("long"))
+          .as("n_dup_tokens"),
+        when(size(col("dps")) === 0, lit(0L))
+          .otherwise((lit(1) + aggregate(col("deltas"), lit(0),
+            (acc, d) => acc + when(d > k, 1).otherwise(0))).cast("long"))
+          .as("n_spans"),
+        md5(concat_ws(" ", transform(filter(
+          transform(col("ws"), (t, i) => struct(t.as("tok"), i.as("ti"))),
+          s => !exists(col("dps"),
+            p => p <= s("ti") && s("ti") < p + k)),
+          s => s("tok")))).as("clean_digest"))
+  }
 }

@@ -92,6 +92,17 @@ object PipelineQueries {
   private val HybridNQ = 5L
   private val RrfPool = 20
   private val FusedK = 10
+  // Duplicated-span removal (DedupOps.spanDedup): the synthetic corpus
+  // has no cross-doc k-gram repeats of its own (30-word vocabulary →
+  // 8-gram space ≈ 30^8), so the query injects deterministic shared
+  // tails — two boilerplates at different periods (docs on both get
+  // two separate spans, plus seam grams shared across %12 docs) and a
+  // doubled phrase exercising the global-occurrence rule.
+  private val SpanK = 8
+  private val SpanBoilerA =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+  private val SpanBoilerB = "north south east west up down left right center"
+  private val SpanRepeat = "red orange yellow green blue indigo violet white"
 
   /** One-time fixture build (see SparkEntry.prepare). */
   def prepare(s: SparkSession, d: String): Unit = {
@@ -873,6 +884,24 @@ object PipelineQueries {
     // docs are dropped corpus-wide, docs reassembled (digested).
     "p_segment_dedup" -> { (s, d) =>
       DedupOps.segmentDedup(docs(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Duplicated-SPAN removal: overlapping k-grams, any alignment,
+    // GLOBAL occurrence counting (a doubled passage inside one doc is
+    // removed too); maximal covered runs merged. Injected shared tails
+    // — see SpanBoiler constants.
+    "p_span_dedup" -> { (s, d) =>
+      val injected = docs(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0, lit(" " + SpanBoilerA))
+            .otherwise(lit("")),
+          when(col("doc_id") % 6 === 0, lit(" " + SpanBoilerB))
+            .otherwise(lit("")),
+          when(col("doc_id") % 9 === 0,
+            lit(" " + SpanRepeat + " " + SpanRepeat))
+            .otherwise(lit(""))).as("text"))
+      DedupOps.spanDedup(injected, "doc_id", "text", SpanK)
         .orderBy("doc_id")
     },
 
@@ -1729,6 +1758,59 @@ object PipelineQueries {
      SELECT q_id, CAST(rank AS INT) AS rank, doc_id, rrf_score
      FROM franked WHERE rank <= $FusedK ORDER BY q_id, rank"""
 
+  /** p_span_dedup oracle. Gotcha encoded here: DuckDB's least() (like
+    * Spark's) SKIPS nulls, so the lag()'s first-row NULL delta must be
+    * kept NULL explicitly or it contributes a phantom k to the span
+    * sum (the Spark side never sees it: its deltas array has n−1
+    * entries, no null row).
+    */
+  private def spanDedupOracle: String = {
+    val k = SpanK
+    s"""WITH inj AS (SELECT doc_id, text
+           || CASE WHEN doc_id % 4 = 0 THEN ' $SpanBoilerA' ELSE '' END
+           || CASE WHEN doc_id % 6 = 0 THEN ' $SpanBoilerB' ELSE '' END
+           || CASE WHEN doc_id % 9 = 0
+                THEN ' $SpanRepeat $SpanRepeat' ELSE '' END
+             AS text FROM documents),
+       w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM inj),
+       g AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+            md5(array_to_string(list_slice(ws, CAST(u.i + 1 AS BIGINT),
+              CAST(u.i + $k AS BIGINT)), ' ')) AS h
+          FROM w, unnest(range(0, CAST(len(ws) - ${k - 1} AS BIGINT)))
+            u(i)),
+       dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+       dp AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+       agg AS (SELECT doc_id,
+            $k + coalesce(sum(CASE WHEN d IS NULL THEN NULL
+              ELSE least(d, $k) END), 0) AS n_dup_tokens,
+            1 + coalesce(sum(CASE WHEN d > $k THEN 1 ELSE 0 END), 0)
+              AS n_spans
+          FROM (SELECT doc_id, pos,
+                  pos - lag(pos) OVER (
+                    PARTITION BY doc_id ORDER BY pos) AS d
+                FROM dp)
+          GROUP BY doc_id),
+       toks AS (SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS ti,
+            ws[u.i] AS tok
+          FROM w, unnest(generate_series(1, CAST(len(ws) AS BIGINT)))
+            u(i)),
+       kept AS (SELECT t.doc_id, t.ti, t.tok FROM toks t
+          WHERE NOT EXISTS (SELECT 1 FROM dp
+            WHERE dp.doc_id = t.doc_id
+              AND dp.pos <= t.ti AND t.ti < dp.pos + $k)),
+       dig AS (SELECT w.doc_id,
+            md5(coalesce(string_agg(k.tok, ' ' ORDER BY k.ti), ''))
+              AS clean_digest
+          FROM w LEFT JOIN kept k ON w.doc_id = k.doc_id
+          GROUP BY w.doc_id)
+     SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+            CAST(coalesce(a.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+            CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+            dig.clean_digest
+     FROM w LEFT JOIN agg a USING (doc_id) JOIN dig USING (doc_id)
+     ORDER BY doc_id"""
+  }
+
   private def annTopkOracle: String =
     s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
               FROM embeddings),
@@ -2018,6 +2100,7 @@ object PipelineQueries {
     "p_dedup_embedding_lsh" -> embeddingLshOracle,
 
     "p_pipeline_e2e" -> pipelineE2eOracle,
+    "p_span_dedup" -> spanDedupOracle,
     "p_bm25_topk" -> bm25TopkOracle,
     "p_hybrid_rrf" -> hybridRrfOracle,
     "p_ann_topk" -> annTopkOracle,
