@@ -46,4 +46,59 @@ object PackOps {
         greatest(col("chunk_first"),
           floorDiv(col("start_off") + col("n_tokens") - 1, capacity)))
   }
+
+  /** The MATERIALIZING half of packing: where [[packChunks]] only
+    * assigns coordinates over token COUNTS, this emits the actual
+    * fixed-length training sequences from per-document token ARRAYS
+    * (e.g. [[graft.functions.Bpe.bpeTokens]]) — concatenate each
+    * shard's documents in id order, cut every `seqLen` tokens, carry
+    * document boundaries. The last sequence of a shard stays partial
+    * (padding is a trainer concern, not a layout one).
+    *
+    * Scale shape: same per-shard prefix sum as packChunks (no global
+    * window); each document then explodes into only the sequences it
+    * SPANS, carrying the array SLICE that lands in each — token data
+    * crosses the wire once, in compact array form, never as one row
+    * per token; the final groupBy(shard, seq_id) reassembles slices in
+    * offset order. Output: (shard, seq_id, n_tokens, n_docs,
+    * tokens_digest) — digest of the '|'-joined sequence, the
+    * hash-comparable stand-in for writing the sequence rows out.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokens: Column,
+      shards: Int, seqLen: Int): DataFrame = {
+    require(shards > 0 && seqLen > 0,
+      s"shards/seqLen must be positive, got $shards/$seqLen")
+    import graft.operators.RangeJoin.floorDiv
+    val w = Window.partitionBy(col("shard")).orderBy(col("__id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = df
+      .select(col(idCol).cast("long").as("__id"), tokens.as("toks"))
+      .withColumn("shard", pmod(col("__id"), lit(shards.toLong)))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("start_off", sum(col("n")).over(w) - col("n"))
+      // zero-token docs occupy no span; they contribute 0 to every
+      // later offset, so dropping them here changes nothing else
+      .filter(col("n") > 0)
+    val spans = base
+      .withColumn("seq_id", explode(sequence(
+        floorDiv(col("start_off"), seqLen),
+        floorDiv(col("start_off") + col("n") - 1, seqLen))))
+      .withColumn("lo",
+        greatest(col("start_off"), col("seq_id") * seqLen))
+      .withColumn("hi", least(col("start_off") + col("n") - 1,
+        (col("seq_id") + 1) * seqLen - 1))
+      .select(col("shard"), col("seq_id"), col("start_off"),
+        slice(col("toks"),
+          (col("lo") - col("start_off") + 1).cast("int"),
+          (col("hi") - col("lo") + 1).cast("int")).as("piece"))
+    spans.groupBy("shard", "seq_id")
+      .agg(
+        flatten(transform(sort_array(collect_list(
+          struct(col("start_off"), col("piece")))), s => s("piece")))
+          .as("tokens"),
+        count(lit(1)).cast("long").as("n_docs"))
+      .select(col("shard"), col("seq_id"),
+        size(col("tokens")).cast("long").as("n_tokens"), col("n_docs"),
+        md5(concat_ws("|", col("tokens"))).as("tokens_digest"))
+  }
 }

@@ -99,6 +99,8 @@ object PipelineQueries {
   // two separate spans, plus seam grams shared across %12 docs) and a
   // doubled phrase exercising the global-occurrence rule.
   private val SpanK = 8
+  // p_seq_pack training-sequence length (BPE tokens per sequence)
+  private val SeqLen = 64
   private val SpanBoilerA =
     "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
   private val SpanBoilerB = "north south east west up down left right center"
@@ -1124,6 +1126,18 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Materialized training sequences from REAL BPE token arrays:
+    // per-shard concat in id order, cut every SeqLen tokens, document
+    // boundaries carried (n_docs), digest standing in for the written
+    // sequence. The emit half of p_pack_chunks' coordinates.
+    "p_seq_pack" -> { (s, d) =>
+      PackOps.packSequences(docs(s, d), "doc_id",
+          graft.functions.Bpe.bpeTokens(col("text"),
+            graft.functions.Bpe.fixtureTable),
+          PackShards, SeqLen)
+        .orderBy("shard", "seq_id")
+    },
+
     // Corpus-wide top-k word trigrams by document frequency: partial
     // agg on the gram, then TakeOrderedAndProject (per-partition top-k,
     // no global sort materialization).
@@ -2101,6 +2115,41 @@ object PipelineQueries {
 
     "p_pipeline_e2e" -> pipelineE2eOracle,
     "p_span_dedup" -> spanDedupOracle,
+
+    // packSequences replay: same BPE replace-chain as p_text_bpe_encode
+    // produces the token stream; per-shard prefix sums, inclusive-end
+    // list_slice (Spark's slice takes LENGTH), pieces re-joined in
+    // offset order.
+    "p_seq_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+            ${graft.functions.Bpe.duckdbTokensExpr("text")} AS tokstr
+          FROM documents),
+       b AS (SELECT doc_id, doc_id % $PackShards AS shard,
+            string_split(tokstr, '|') AS toks,
+            CASE WHEN tokstr = '' THEN 0
+              ELSE CAST(len(string_split(tokstr, '|')) AS BIGINT) END
+              AS n
+          FROM t),
+       o AS (SELECT *, CAST(sum(n) OVER (PARTITION BY shard
+              ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS BIGINT)
+              AS start_off
+            FROM b),
+       sp AS (SELECT shard, CAST(u.c AS BIGINT) AS seq_id, start_off,
+            array_to_string(list_slice(toks,
+              CAST(greatest(start_off, u.c * $SeqLen) - start_off + 1
+                AS BIGINT),
+              CAST(least(start_off + n - 1, (u.c + 1) * $SeqLen - 1)
+                - start_off + 1 AS BIGINT)), '|') AS piece
+          FROM o, unnest(generate_series(start_off // $SeqLen,
+            (start_off + n - 1) // $SeqLen)) u(c)
+          WHERE n > 0)
+     SELECT shard, seq_id,
+          CAST(len(string_split(string_agg(piece, '|'
+            ORDER BY start_off), '|')) AS BIGINT) AS n_tokens,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          md5(string_agg(piece, '|' ORDER BY start_off))
+            AS tokens_digest
+     FROM sp GROUP BY shard, seq_id ORDER BY shard, seq_id""",
     "p_bm25_topk" -> bm25TopkOracle,
     "p_hybrid_rrf" -> hybridRrfOracle,
     "p_ann_topk" -> annTopkOracle,
