@@ -533,9 +533,16 @@ object DedupOps {
           .otherwise(array().cast("array<struct<pos:int,h:string>>")))
         .as("g"))
       .select(col("id"), col("g.pos").as("pos"), col("g.h").as("h"))
-    val dupH = grams.groupBy("h").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= minCount).select("h")
-    val dupPos = grams.join(dupH, "h").groupBy("id")
+    // count-over-window on the gram hash, NOT groupBy(h) + self-join:
+    // the join form re-derives the gram table on its other side — a
+    // second corpus scan + tokenize + md5 pass (plan audit, PLANS.md
+    // r11). One shuffle on h, grams computed once, identical result;
+    // a skewed gram loads one partition exactly as a groupBy would.
+    val wHash = Window.partitionBy(col("h"))
+    val dupPos = grams
+      .withColumn("cnt", count(lit(1)).over(wHash))
+      .filter(col("cnt") >= minCount)
+      .groupBy("id")
       .agg(sort_array(collect_list(col("pos"))).as("dps"))
     base.join(dupPos, Seq("id"), "left")
       .withColumn("dps",

@@ -59,12 +59,18 @@ object RetrievalOps {
     */
   def bm25Postings(corpus: DataFrame, idCol: String, textCol: String,
       k1: Double = K1, b: Double = B): DataFrame = {
-    val tf = termFreqs(corpus, idCol, textCol)
-    // corpus scalars: one row, broadcast — N and Σdl from the same
-    // space-split the postings used
-    val stats = corpus.agg(
-      count(lit(1)).cast("long").as("n_docs"),
-      sum(size(split(col(textCol), " "))).cast("long").as("sum_dl"))
+    // tf feeds three consumers (postings, document frequencies, corpus
+    // scalars); persisted, the corpus is scanned and tokenized ONCE —
+    // the unpersisted plan re-read the parquet three times (plan
+    // audit, PLANS.md r11)
+    val tf = termFreqs(corpus, idCol, textCol).persist()
+    // corpus scalars from the slim cached table, not a fresh corpus
+    // scan: N counts docs that produced at least one token (null text
+    // tokenizes to nothing in every engine; empty text is one empty
+    // token, same as SQL string_split)
+    val stats = tf.groupBy("id").agg(max("dl").as("dl"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("dl").cast("long").as("sum_dl"))
     val dft = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
     tf.join(dft, "term").crossJoin(broadcast(stats))
       .withColumn("avgdl",

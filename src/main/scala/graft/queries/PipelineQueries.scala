@@ -1702,8 +1702,8 @@ object PipelineQueries {
                 FROM documents) t, unnest(ws) AS u(term)
           GROUP BY 1, 2, 3),
        stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_dl
-          FROM documents),
+            CAST(sum(dl) AS BIGINT) AS sum_dl
+          FROM (SELECT id, max(dl) AS dl FROM tfreq GROUP BY id)),
        dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
           FROM tfreq GROUP BY 1),
        posts AS (SELECT tfreq.term, tfreq.id,
