@@ -50,19 +50,20 @@ object RetrievalOps {
       .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
   }
 
-  /** Quantized BM25 postings: (term, id, cost) where cost is the
-    * term's whole score contribution to the document in integer
-    * micro-units — `round(1e6 · idf · wt)` with
-    * idf = ln(1 + (N − df + 0.5)/(df + 0.5)) and
-    * wt = tf·(k1+1)/(tf + k1·((1−b) + b·dl/avgdl)).
-    * Scoring any query is then an exact integer sum over its terms.
+  /** Top-k BM25 per query over a raw corpus. `queries` is a small
+    * (q_id, q_text) frame — broadcast against the term table;
+    * duplicate query terms count once (distinct-term query semantics).
+    * Output: (q_id, rank, doc_id, score, n_hit) with score =
+    * micro-unit sum / 1e6 rounded to 6 decimals and n_hit = number of
+    * distinct query terms the document matched; ties broken by
+    * ascending doc id.
     */
-  def bm25Postings(corpus: DataFrame, idCol: String, textCol: String,
+  def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, k: Int,
       k1: Double = K1, b: Double = B): DataFrame = {
-    // tf feeds three consumers (postings, document frequencies, corpus
-    // scalars); persisted, the corpus is scanned and tokenized ONCE —
-    // the unpersisted plan re-read the parquet three times (plan
-    // audit, PLANS.md r11)
+    // tf feeds the query-term prune AND the corpus scalars; persisted,
+    // the corpus is scanned and tokenized ONCE — the unpersisted plan
+    // re-read the parquet three times (plan audit, PLANS.md r11)
     val tf = termFreqs(corpus, idCol, textCol).persist()
     // corpus scalars from the slim cached table, not a fresh corpus
     // scan: N counts docs that produced at least one token (null text
@@ -71,8 +72,30 @@ object RetrievalOps {
     val stats = tf.groupBy("id").agg(max("dl").as("dl"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum("dl").cast("long").as("sum_dl"))
+    scoreTermTable(tf, stats, queries, k, k1, b)
+  }
+
+  /** The shared scoring tail: `tf` is any (id, term, tf, dl) term
+    * table — the whole corpus ([[bm25TopK]]) or a zone-map-pruned
+    * index read ([[Bm25Index.topK]]); `stats` one (n_docs, sum_dl)
+    * row. The term table is first pruned to the query vocabulary
+    * (broadcast semi-reduction — document frequencies are then
+    * counted over exactly the terms that will be scored, never the
+    * corpus vocabulary), per-(term, doc) contributions are quantized
+    * to integer micro-units — `round(1e6 · idf · wt)` with
+    * idf = ln(1 + (N − df + 0.5)/(df + 0.5)) and
+    * wt = tf·(k1+1)/(tf + k1·((1−b) + b·dl/avgdl)) — so each
+    * document's score is an exact integer sum in any addition order.
+    */
+  private[pipeline] def scoreTermTable(tf0: DataFrame, stats: DataFrame,
+      queries: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
+    val qterms = queries
+      .select(explode(array_distinct(split(col("q_text"), " ")))
+        .as("term")).distinct()
+    val tf = tf0.join(broadcast(qterms), "term")
     val dft = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
-    tf.join(dft, "term").crossJoin(broadcast(stats))
+    val posts = tf.join(broadcast(dft), "term")
+      .crossJoin(broadcast(stats))
       .withColumn("avgdl",
         col("sum_dl").cast("double") / col("n_docs").cast("double"))
       .withColumn("idf",
@@ -86,19 +109,6 @@ object RetrievalOps {
               lit(b) * col("dl").cast("double") / col("avgdl"))))
       .select(col("term"), col("id"),
         round(lit(1e6) * col("idf") * col("wt")).cast("long").as("cost"))
-  }
-
-  /** Top-k BM25 per query. `queries` is a small (q_id, q_text) frame —
-    * broadcast against the postings; duplicate query terms count once
-    * (distinct-term query semantics). Output: (q_id, rank, doc_id,
-    * score, n_hit) with score = micro-unit sum / 1e6 rounded to 6
-    * decimals and n_hit = number of distinct query terms the document
-    * matched; ties broken by ascending doc id.
-    */
-  def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
-      queries: DataFrame, k: Int,
-      k1: Double = K1, b: Double = B): DataFrame = {
-    val posts = bm25Postings(corpus, idCol, textCol, k1, b)
     val qt = queries.select(col("q_id").cast("long").as("q_id"),
       explode(array_distinct(split(col("q_text"), " "))).as("term"))
     val scored = posts.join(broadcast(qt), "term")

@@ -111,6 +111,7 @@ object PipelineQueries {
     ensureIvfIndex(s, d): Unit
     ensurePqIndex(s, d): Unit
     ensureDigestIndex(s, d): Unit
+    ensureBm25Index(s, d): Unit
     ensureLshIndex(s, d): Unit
     ensureSimhashIndex(s, d): Unit
     ensureEmbeddingIndex(s, d): Unit
@@ -199,6 +200,26 @@ object PipelineQueries {
       if (!ds.exists)
         DedupIndex.buildDigest(s, dir, docs(s, d), "doc_id", "text",
           rowsPerFile = 200)
+      dir
+    }
+
+  /** BM25 postings index built INCREMENTALLY on purpose — corpus split
+    * (doc_id % 5 != 0) built, the rest added — so the oracle-equality
+    * of p_bm25_indexed gates build + add + scalar bump + pruned-probe
+    * scoring together. Small rowsPerFile so the multi-point zone-map
+    * read actually skips files at every driver SF. */
+  private def ensureBm25Index(s: SparkSession, d: String): String =
+    synchronized {
+      val dir = s"/tmp/graft_bm25_${inputTag(d, "documents")}"
+      val ds = new graft.store.OrderedDataset(s, dir)
+      if (!ds.exists) {
+        Bm25Index.build(s, dir,
+          docs(s, d).filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+          rowsPerFile = 2000)
+        Bm25Index.add(s, dir,
+          docs(s, d).filter(col("doc_id") % 5 === 0), "doc_id", "text",
+          rowsPerFile = 2000)
+      }
       dir
     }
 
@@ -644,6 +665,17 @@ object PipelineQueries {
       val q = s.createDataFrame(Bm25Queries).toDF("q_id", "q_text")
       RetrievalOps.bm25TopK(docs(s, d), "doc_id", "text", q, Bm25K)
         .orderBy("q_id", "rank")
+    },
+
+    // INDEXED BM25: the same queries through the store-backed postings
+    // index (built on the %5!=0 split, the rest ADDED incrementally —
+    // kv scalars bumped under the lock); query terms hash to zone-map
+    // points so only covering postings files are read. Results are
+    // identical to p_bm25_topk by construction: ONE oracle gates both.
+    "p_bm25_indexed" -> { (s, d) =>
+      val dir = ensureBm25Index(s, d)
+      val q = s.createDataFrame(Bm25Queries).toDF("q_id", "q_text")
+      Bm25Index.topK(s, dir, q, Bm25K).orderBy("q_id", "rank")
     },
 
     // Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25)
@@ -2151,6 +2183,7 @@ object PipelineQueries {
             AS tokens_digest
      FROM sp GROUP BY shard, seq_id ORDER BY shard, seq_id""",
     "p_bm25_topk" -> bm25TopkOracle,
+    "p_bm25_indexed" -> bm25TopkOracle,
     "p_hybrid_rrf" -> hybridRrfOracle,
     "p_ann_topk" -> annTopkOracle,
     "p_ann_ivf" -> annIvfOracle,

@@ -512,9 +512,17 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     * files.
     */
   def updateKv(add: Map[String, String], remove: Seq[String] = Nil): Unit =
+    transformKv(_ ++ add -- remove)
+
+  /** [[updateKv]]'s function form: `f` runs on the kv map read INSIDE
+    * the lock, so read-modify-write updates (e.g. incrementing a
+    * counter) compose correctly across concurrent writers instead of
+    * losing increments to a stale pre-lock read.
+    */
+  def transformKv(f: Map[String, String] => Map[String, String]): Unit =
     withWriteLock {
       val m = meta
-      Sidecar.write(conf, dir, m.copy(kv = m.kv ++ add -- remove))
+      Sidecar.write(conf, dir, m.copy(kv = f(m.kv)))
     }
 
   def removeFromDisk(): Unit = fs.delete(new HPath(dir), true)
