@@ -253,7 +253,15 @@ object Bpe {
 
   /** DuckDB expression: the BPE token sequence of a text column as a
     * '|'-joined string (per-word chains unwrapped to tokens, empty
-    * words dropped) — the oracle form of [[BpeEncode]]. */
+    * words dropped) — the oracle form of [[BpeEncode]].
+    *
+    * CONSTRAINT (oracle-side only): the replay wraps symbols in
+    * `<`/`>` and joins tokens with `|`, so text containing those
+    * literal characters corrupts the chain — [[BpeEncode]] itself
+    * handles any characters. Callers oracle-checking text that may
+    * carry them (e.g. scrub markers like `<URL>`) must strip or remap
+    * the metacharacters IDENTICALLY on both sides first
+    * (p_pipeline_shards strips angle brackets). */
   def duckdbTokensExpr(textExpr: String,
       merges: Seq[(String, String)] = FixtureMerges): String = {
     val chain = merges.foldLeft(

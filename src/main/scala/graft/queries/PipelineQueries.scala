@@ -1288,6 +1288,40 @@ object PipelineQueries {
     // single keyed shuffle riding the chain
     // (PipelineE2eShapeSpec pins this as a failing test).
     "p_pipeline_e2e" -> { (s, d) =>
+      pipelineBudgeted(s, d)
+        .select("doc_id", "shard", "n_tokens", "cum_tokens")
+        .orderBy("doc_id")
+    },
+
+    // The pipeline's LAST mile: the budgeted survivors BPE-tokenized
+    // and emitted as fixed-length training sequences — corpus in,
+    // training shards out, one composed job. Shares every stage with
+    // p_pipeline_e2e (pipelineBudgeted); only the tail differs.
+    // Angle brackets are stripped before tokenizing (scrub markers
+    // '<URL>' → 'URL'): BpeEncode handles any characters, but the
+    // oracle's replace-chain replay uses < > as its wrapped-symbol
+    // metacharacters — a literal bracket corrupts the chain (the
+    // constraint is the ORACLE's, documented in Bpe.duckdbTokensExpr).
+    "p_pipeline_shards" -> { (s, d) =>
+      PackOps.packSequences(
+          pipelineBudgeted(s, d).select(col("doc_id"),
+            translate(col("text"), "<>", "").as("text")),
+          "doc_id",
+          graft.functions.Bpe.bpeTokens(col("text"),
+            graft.functions.Bpe.fixtureTable),
+          PackShards, SeqLen)
+        .orderBy("shard", "seq_id")
+    }
+  )
+
+  /** The composed curation pipeline through its token-budget stage
+    * (the shared body of p_pipeline_e2e and p_pipeline_shards): split
+    * → re-crawl dup injection → clean → classifier gate → exact dedup
+    * → survivor-scoped embedding near-dup → decontamination → greedy
+    * per-shard budget. Output keeps text/w_sum so tails can keep
+    * composing. Scan/cache discipline pinned by PipelineE2eShapeSpec.
+    */
+  private def pipelineBudgeted(s: SparkSession, d: String): DataFrame = {
       val base = docs(s, d)
       val thr = lit(SampleOps.thresholdHex(EvalRate))
       val evalDocs = base.filter(SampleOps.hashBucket(col("doc_id")) < thr)
@@ -1343,10 +1377,7 @@ object PipelineQueries {
             size(TextOps.wsTokens(col("text"))).cast("long")),
           "doc_id", col("n_tokens"), Seq(col("w_sum").desc),
           PackShards, TokenBudget)
-        .select("doc_id", "shard", "n_tokens", "cum_tokens")
-        .orderBy("doc_id")
-    }
-  )
+  }
 
   // ---------------- DuckDB oracles ----------------
 
@@ -1613,7 +1644,11 @@ object PipelineQueries {
     * buckets are a subset of the full-corpus buckets, which sit far
     * under DefaultChunkRows at every driver SF.
     */
-  private def pipelineE2eOracle: String = {
+  /** The composed-pipeline oracle CTE chain through `cum` (the budget
+    * coordinates), shared by pipelineE2eOracle and
+    * pipelineShardsOracle — the SQL twin of [[pipelineBudgeted]];
+    * exposes `s5` (survivors: doc_id, text, w_sum) and `cum`. */
+  private def pipelineE2eCtes: String = {
     val hex = SampleOps.thresholdHex(EvalRate)
     val planes = SimilarityOps.hyperplanes(NPlanes, 64)
     val bitExprs = planes.zipWithIndex.map { case (p, i) =>
@@ -1629,7 +1664,7 @@ object PipelineQueries {
     val gram = (0 until ContamN).map(k => s"ws[i+$k]")
       .mkString(" || ' ' || ")
 
-    s"""WITH train0 AS (SELECT doc_id, text FROM documents
+    s"""train0 AS (SELECT doc_id, text FROM documents
              WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) >= '$hex'),
        ev AS (SELECT doc_id, string_split(text, ' ') AS ws
              FROM documents
@@ -1677,10 +1712,26 @@ object PipelineQueries {
                w_sum FROM s5),
        cum AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard
                ORDER BY w_sum DESC, doc_id ROWS UNBOUNDED PRECEDING)
-               AS BIGINT) AS cum_tokens FROM t)
+               AS BIGINT) AS cum_tokens FROM t)"""
+  }
+
+  private def pipelineE2eOracle: String =
+    s"""WITH $pipelineE2eCtes
      SELECT doc_id, shard, n_tokens, cum_tokens FROM cum
      WHERE cum_tokens <= $TokenBudget ORDER BY doc_id"""
-  }
+
+  /** p_pipeline_shards: the budgeted survivors' CLEANED text through
+    * the BPE replace chain and the packSequences re-pack. */
+  private def pipelineShardsOracle: String =
+    s"""WITH $pipelineE2eCtes,
+       kept AS (SELECT s5.doc_id, s5.text FROM s5
+          JOIN (SELECT doc_id FROM cum WHERE cum_tokens <= $TokenBudget)
+            k USING (doc_id)),
+       kt AS (SELECT doc_id,
+            ${graft.functions.Bpe.duckdbTokensExpr(
+              "replace(replace(text, '<', ''), '>', '')")} AS tokstr
+          FROM kept),
+       ${packSequencesOracleTail("kt")}"""
 
   /** Incremental-embedding oracle: sign bits computed independently
     * for corpus and the scaled batch, banded candidates joined corpus ×
@@ -1803,6 +1854,39 @@ object PipelineQueries {
           FROM fused)
      SELECT q_id, CAST(rank AS INT) AS rank, doc_id, rrf_score
      FROM franked WHERE rank <= $FusedK ORDER BY q_id, rank"""
+
+  /** [[PackOps.packSequences]] oracle tail over any `(doc_id, tokstr)`
+    * CTE (tokstr = the '|'-joined token stream): per-shard prefix
+    * sums, per-sequence inclusive-end list_slice (Spark's slice takes
+    * LENGTH), pieces re-joined in offset order. Includes the final
+    * SELECT — callers append it to their WITH chain. */
+  private def packSequencesOracleTail(src: String): String =
+    s"""b AS (SELECT doc_id, doc_id % $PackShards AS shard,
+            string_split(tokstr, '|') AS toks,
+            CASE WHEN tokstr = '' THEN 0
+              ELSE CAST(len(string_split(tokstr, '|')) AS BIGINT) END
+              AS n
+          FROM $src),
+       o AS (SELECT *, CAST(sum(n) OVER (PARTITION BY shard
+              ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS BIGINT)
+              AS start_off
+            FROM b),
+       sp AS (SELECT shard, CAST(u.c AS BIGINT) AS seq_id, start_off,
+            array_to_string(list_slice(toks,
+              CAST(greatest(start_off, u.c * $SeqLen) - start_off + 1
+                AS BIGINT),
+              CAST(least(start_off + n - 1, (u.c + 1) * $SeqLen - 1)
+                - start_off + 1 AS BIGINT)), '|') AS piece
+          FROM o, unnest(generate_series(start_off // $SeqLen,
+            (start_off + n - 1) // $SeqLen)) u(c)
+          WHERE n > 0)
+     SELECT shard, seq_id,
+          CAST(len(string_split(string_agg(piece, '|'
+            ORDER BY start_off), '|')) AS BIGINT) AS n_tokens,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          md5(string_agg(piece, '|' ORDER BY start_off))
+            AS tokens_digest
+     FROM sp GROUP BY shard, seq_id ORDER BY shard, seq_id"""
 
   /** p_span_dedup oracle. Gotcha encoded here: DuckDB's least() (like
     * Spark's) SKIPS nulls, so the lag()'s first-row NULL delta must be
@@ -2146,6 +2230,7 @@ object PipelineQueries {
     "p_dedup_embedding_lsh" -> embeddingLshOracle,
 
     "p_pipeline_e2e" -> pipelineE2eOracle,
+    "p_pipeline_shards" -> pipelineShardsOracle,
     "p_span_dedup" -> spanDedupOracle,
 
     // packSequences replay: same BPE replace-chain as p_text_bpe_encode
@@ -2156,32 +2241,7 @@ object PipelineQueries {
       s"""WITH t AS (SELECT doc_id,
             ${graft.functions.Bpe.duckdbTokensExpr("text")} AS tokstr
           FROM documents),
-       b AS (SELECT doc_id, doc_id % $PackShards AS shard,
-            string_split(tokstr, '|') AS toks,
-            CASE WHEN tokstr = '' THEN 0
-              ELSE CAST(len(string_split(tokstr, '|')) AS BIGINT) END
-              AS n
-          FROM t),
-       o AS (SELECT *, CAST(sum(n) OVER (PARTITION BY shard
-              ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS BIGINT)
-              AS start_off
-            FROM b),
-       sp AS (SELECT shard, CAST(u.c AS BIGINT) AS seq_id, start_off,
-            array_to_string(list_slice(toks,
-              CAST(greatest(start_off, u.c * $SeqLen) - start_off + 1
-                AS BIGINT),
-              CAST(least(start_off + n - 1, (u.c + 1) * $SeqLen - 1)
-                - start_off + 1 AS BIGINT)), '|') AS piece
-          FROM o, unnest(generate_series(start_off // $SeqLen,
-            (start_off + n - 1) // $SeqLen)) u(c)
-          WHERE n > 0)
-     SELECT shard, seq_id,
-          CAST(len(string_split(string_agg(piece, '|'
-            ORDER BY start_off), '|')) AS BIGINT) AS n_tokens,
-          CAST(count(*) AS BIGINT) AS n_docs,
-          md5(string_agg(piece, '|' ORDER BY start_off))
-            AS tokens_digest
-     FROM sp GROUP BY shard, seq_id ORDER BY shard, seq_id""",
+       ${packSequencesOracleTail("t")}""",
     "p_bm25_topk" -> bm25TopkOracle,
     "p_bm25_indexed" -> bm25TopkOracle,
     "p_hybrid_rrf" -> hybridRrfOracle,
