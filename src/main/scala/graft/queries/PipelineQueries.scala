@@ -206,19 +206,26 @@ object PipelineQueries {
   /** BM25 postings index built INCREMENTALLY on purpose — corpus split
     * (doc_id % 5 != 0) built, the rest added — so the oracle-equality
     * of p_bm25_indexed gates build + add + scalar bump + pruned-probe
-    * scoring together. Small rowsPerFile so the multi-point zone-map
-    * read actually skips files at every driver SF. */
+    * scoring together. rowsPerFile is CORPUS-SIZED toward ~10 postings
+    * files: small enough that the multi-point zone-map read skips
+    * files at every driver SF, but scaling with the corpus — a fixed
+    * 2000 meant ~10k files at 100× (500k docs × ~40 postings), and
+    * the incremental add, which interleaves terms into every
+    * overlapping file, turned the fixture build into a ~10k-file
+    * rewrite (measured: still unfinished at 40 min; ~8 files commit
+    * in seconds). */
   private def ensureBm25Index(s: SparkSession, d: String): String =
     synchronized {
       val dir = s"/tmp/graft_bm25_${inputTag(d, "documents")}"
       val ds = new graft.store.OrderedDataset(s, dir)
       if (!ds.exists) {
+        val rpf = math.max(2000L, nEmbs(s, d) * 4L)
         Bm25Index.build(s, dir,
           docs(s, d).filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
-          rowsPerFile = 2000)
+          rowsPerFile = rpf)
         Bm25Index.add(s, dir,
           docs(s, d).filter(col("doc_id") % 5 === 0), "doc_id", "text",
-          rowsPerFile = 2000)
+          rowsPerFile = rpf)
       }
       dir
     }
