@@ -1434,13 +1434,31 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
         rs.toSeq
     }
     // a NEW cluster layout additionally rewrites every file the size
-    // runs did not already cover — clustering is intra-file, so each
-    // such file is its own bounded single-file job
+    // runs did not already cover. Clustering is intra-file, but one
+    // job PER FILE serialized ~1.7 s of job+commit overhead each —
+    // measured ~3 h for the 6.7k-file 100× fixture (SCALE.md r11d) —
+    // so CONTIGUOUS uncovered files chunk into bounded multi-file
+    // runs: same rewrite (repartitionByRange re-derives boundaries
+    // within the chunk's range, like any size run), 1/256th the
+    // commits. Chunks never span a size-run file, so no rewritten
+    // file straddles another run's range.
     val allRuns =
       if (wantCluster.isEmpty) runs
       else {
         val covered = runs.flatten.map(_.name).toSet
-        runs ++ scoped.filterNot(f => covered(f.name)).map(Seq(_))
+        val chunks = scala.collection.mutable.ListBuffer.empty[Seq[FileStat]]
+        val cur = scala.collection.mutable.ListBuffer.empty[FileStat]
+        def flush(): Unit = { if (cur.nonEmpty) chunks += cur.toSeq
+          cur.clear() }
+        scoped.foreach { f =>
+          if (covered(f.name)) flush()
+          else {
+            cur += f
+            if (cur.size >= OrderedDataset.ClusterRewriteChunk) flush()
+          }
+        }
+        flush()
+        runs ++ chunks.toSeq
       }
     allRuns.foreach { runFiles =>
       val mNow = meta
@@ -1644,6 +1662,12 @@ object OrderedDataset {
   val MaxRowsPerFile = 4294967295L
   /** ≥80 % of target counts as on-target (ref n_rows_strategy.py:33). */
   val OnTargetFraction = 0.8
+
+  /** Max files per cluster-only rewrite job in [[OrderedDataset
+    * .optimize]] — bounds a chunk's input while amortizing the
+    * per-job + per-commit overhead that a one-file-per-job loop pays
+    * (measured ~1.7 s/file on the 6.7k-file 100× fixture). */
+  val ClusterRewriteChunk = 256
 
   /** Secondary-column zone-map knobs (Delta's
     * dataSkippingNumIndexedCols analog and the string-prefix width).

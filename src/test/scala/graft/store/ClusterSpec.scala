@@ -59,6 +59,45 @@ class ClusterSpec extends SparkSpec {
     assert(ds.optimize(NRows(250), clusterBy = Seq("s")) == 0)
   }
 
+  test("cluster-only rewrites CHUNK into multi-file jobs, never " +
+      "straddling a size run") {
+    val d = tmpDir("clusterchunk") + "/ds"
+    val ds = new OrderedDataset(spark, d)
+    // 10 files of 100; then two undersized neighbors in the middle
+    // (positions 4,5 replaced by 25-row files via a ranged rewrite)
+    ds.write(spark.range(1000).toDF("seq").withColumn("s", col("seq") % 7),
+      WriteOpts("seq", NRows(100)))
+    assert(ds.meta.files.size == 10)
+    ds.delete(Some(OrdLong(400L)), Some(OrdLong(600L)))
+    ds.write(spark.range(400, 450).toDF("seq")
+        .withColumn("s", col("seq") % 7),
+      WriteOpts("seq", NRows(25)))
+    ds.write(spark.range(550, 600).toDF("seq")
+        .withColumn("s", col("seq") % 7),
+      WriteOpts("seq", NRows(25)))
+    val nFiles = ds.meta.files.size
+    assert(nFiles > 10, s"expected undersized middle files, got $nFiles")
+    // one optimize pass: the undersized middle forms size run(s); the
+    // on-target head and tail each become ONE chunked cluster run —
+    // NOT one job per file (the 100x fixture measured ~1.7 s of
+    // job+commit overhead per single-file run)
+    val runs = ds.optimize(NRows(100), clusterBy = Seq("s"))
+    val singleFileCeiling = ds.meta.files.size
+    assert(runs < 10,
+      s"expected chunked cluster runs, got $runs (≈ one per file)")
+    // content identical, every file clustered, zone maps disjoint
+    assert(ds.df.count() == 900)
+    ds.meta.files.foreach { f =>
+      val s = fileValues(s"$d/${f.name}", "s")
+      assert(s == s.sorted, s"${f.name} not clustered")
+    }
+    ds.meta.files.sliding(2).foreach {
+      case Seq(a, b) => assert(a.max < b.min)
+      case _ => ()
+    }
+    assert(singleFileCeiling > 0)
+  }
+
   test("clusterBy on write; range scans and upsert dedup still exact") {
     val d = tmpDir("cluster2") + "/ds"
     val ds = new OrderedDataset(spark, d)
