@@ -62,6 +62,14 @@ object Bm25Index {
     * upsert's job), bump the corpus scalars under the lock. Re-adding
     * an id double-counts it — dedup increments upstream, like every
     * [[DedupIndex]] ingest does.
+    *
+    * The data write is OPTIMISTIC ([[OrderedDataset.writeOptimistic]])
+    * because index maintenance is the uncoordinated-appenders case:
+    * the default locked write fails fast on a held lock, so two
+    * concurrent adds would lose one whole increment (Bm25IndexSpec
+    * pins the compose case); optimistic writers overlap their prepare
+    * and queue only at the ms-scale commit gate. The scalar bump is a
+    * separate locked RMW — concurrent bumps compose by construction.
     */
   def add(spark: SparkSession, dir: String, batch: DataFrame,
       idCol: String, textCol: String, rowsPerFile: Long = 1000000L)
@@ -71,7 +79,7 @@ object Bm25Index {
     val tf = RetrievalOps.termFreqs(batch, idCol, textCol).persist()
     try {
       val (n, s) = scalars(tf)
-      ds.write(
+      ds.writeOptimistic(
         tf.select(DedupIndex.hkey60(md5(col("term"))).as("hkey"),
           col("term"), col("id"), col("tf"), col("dl")),
         WriteOpts("hkey", NRows(rowsPerFile),

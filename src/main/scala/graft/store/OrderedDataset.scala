@@ -517,10 +517,15 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
   /** [[updateKv]]'s function form: `f` runs on the kv map read INSIDE
     * the lock, so read-modify-write updates (e.g. incrementing a
     * counter) compose correctly across concurrent writers instead of
-    * losing increments to a stale pre-lock read.
+    * losing increments to a stale pre-lock read. Queues up to the
+    * commit-gate floor rather than failing fast: a kv RMW's critical
+    * section is milliseconds (one sidecar swap), the same reasoning
+    * [[commitSection]] applies — failing fast here would silently
+    * drop an increment raced against another writer's brief hold.
     */
   def transformKv(f: Map[String, String] => Map[String, String]): Unit =
-    withWriteLock {
+    withWriteLockWait(
+      math.max(OrderedDataset.lockWaitMs, OrderedDataset.CommitWaitMs)) {
       val m = meta
       Sidecar.write(conf, dir, m.copy(kv = f(m.kv)))
     }

@@ -60,6 +60,28 @@ class Bm25IndexSpec extends SparkSpec {
     assert(ds.kv("graft.bm25.n_docs") == "7")
   }
 
+  test("concurrent adds compose their scalar bumps (locked RMW)") {
+    val dir = tmpDir("bm25conc")
+    Bm25Index.build(spark, dir,
+      corpus.filter($"doc_id" < 3), "doc_id", "text", 4)
+    // two adds race: each writes data, then bumps kv via transformKv;
+    // the function form reads the CURRENT kv inside the lock, so both
+    // increments must land regardless of interleaving
+    val t1 = new Thread(() => Bm25Index.add(spark, dir,
+      corpus.filter($"doc_id" === 3L || $"doc_id" === 4L),
+      "doc_id", "text", 4))
+    val t2 = new Thread(() => Bm25Index.add(spark, dir,
+      corpus.filter($"doc_id" >= 5), "doc_id", "text", 4))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    val kv = new graft.store.OrderedDataset(spark, dir).kv
+    assert(kv("graft.bm25.n_docs").toLong == 7L)
+    // and the index answers identically to a one-shot build
+    val full = tmpDir("bm25conc_full")
+    Bm25Index.build(spark, full, corpus, "doc_id", "text", 4)
+    assert(rows(Bm25Index.topK(spark, dir, queries, 5)) ==
+      rows(Bm25Index.topK(spark, full, queries, 5)))
+  }
+
   test("probing a foreign index kind fails loudly") {
     val dir = tmpDir("bm25kind")
     DedupIndex.buildDigest(spark, dir, corpus, "doc_id", "text")
