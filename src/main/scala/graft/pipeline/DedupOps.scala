@@ -517,7 +517,8 @@ object DedupOps {
     * documents are exactly what exact dedup removed upstream.
     */
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, minCount: Long = 2L): DataFrame = {
+      k: Int = 8, minCount: Long = 2L, textOut: Boolean = false)
+      : DataFrame = {
     require(k >= 2, s"span gram width must be >= 2, got $k")
     val base = df.select(col(idCol).cast("long").as("id"),
       TextOps.wsTokens(col(textCol)).as("ws"))
@@ -564,10 +565,17 @@ object DedupOps {
           .otherwise((lit(1) + aggregate(col("deltas"), lit(0),
             (acc, d) => acc + when(d > k, 1).otherwise(0))).cast("long"))
           .as("n_spans"),
-        md5(concat_ws(" ", transform(filter(
-          transform(col("ws"), (t, i) => struct(t.as("tok"), i.as("ti"))),
-          s => !exists(col("dps"),
-            p => p <= s("ti") && s("ti") < p + k)),
-          s => s("tok")))).as("clean_digest"))
+        {
+          // the ingest path (textOut) emits the rewritten text itself;
+          // the default digests it for hash-exact oracle compares
+          val joined = concat_ws(" ", transform(filter(
+            transform(col("ws"),
+              (t, i) => struct(t.as("tok"), i.as("ti"))),
+            s => !exists(col("dps"),
+              p => p <= s("ti") && s("ti") < p + k)),
+            s => s("tok")))
+          if (textOut) joined.as("clean_text")
+          else md5(joined).as("clean_digest")
+        })
   }
 }

@@ -62,6 +62,15 @@ class SpanDedupSpec extends SparkSpec {
     assert(out(1L) == ((8L, 4L, 1L, md5s("x1 x2 y1 y2"))))
   }
 
+  test("textOut emits the rewritten text itself (the ingest path)") {
+    val docs = Seq((0L, "a p q r s b"), (1L, "c p q r s d"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.spanDedup(docs, "doc_id", "text", 4,
+        textOut = true)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(out(0L) == "a b" && out(1L) == "c d")
+  }
+
   test("fully covered doc digests empty; short docs pass through") {
     val out = run(Seq(
       (0L, "p q r s"),
