@@ -564,6 +564,93 @@ object DedupIndex {
       batch, idCol, textOut)
   }
 
+  /** Overlapping k-gram OCCURRENCE-count index — the incremental twin
+    * of [[DedupOps.spanDedup]] the way the segment index twins
+    * [[DedupOps.segmentDedup]]. One `(hkey, gd, cnt)` row per distinct
+    * gram, cnt = TOTAL corpus occurrences (spanDedup's global rule:
+    * within-doc repeats count), ordered on the gram md5's leading 60
+    * bits for zone-map point probes. `incrementTag` gives replay
+    * idempotence exactly like [[buildSegments]].
+    */
+  def buildSpanGrams(spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: String, textCol: String, k: Int = 8,
+      rowsPerFile: Long = 1000000L,
+      incrementTag: Option[String] = None,
+      maxDriverKeys: Int = 65536): Unit = {
+    val ds = new OrderedDataset(spark, dir)
+    if (ds.exists) requireCfg(ds, "spans", Some(s"k$k"))
+    val stampKey = "graft.index.increment"
+    if (incrementTag.isDefined && ds.exists &&
+        ds.kv.get(stampKey) == incrementTag) return // replay, committed
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      TextOps.wsTokens(col(textCol)).as("ws"))
+    val counts = DedupOps.spanGramTable(base, k)
+      .groupBy(col("h").as("gd"))
+      .agg(count(lit(1)).as("bcnt"))
+    val merged =
+      if (!ds.exists) counts.select(col("gd"), col("bcnt").as("cnt"))
+      else {
+        val existing = scanForProbes(spark, ds,
+          counts.select(hkey60(col("gd")).as("hkey")), maxDriverKeys)
+          .select(col("gd").as("ogd"), col("cnt").as("ocnt"))
+        counts.join(existing, col("gd") === col("ogd"), "left")
+          .select(col("gd"),
+            (col("bcnt") +
+              coalesce(col("ocnt"), lit(0L))).as("cnt"))
+      }
+    ds.write(
+      merged.select(hkey60(col("gd")).as("hkey"), col("gd"), col("cnt")),
+      WriteOpts("hkey", NRows(rowsPerFile),
+        duplicatesOn = Some(Seq("gd")),
+        kv = Map("graft.index.kind" -> "spans",
+          "graft.index.cfg" -> s"k$k") ++
+          incrementTag.map(stampKey -> _).toMap,
+        kvRemove = if (incrementTag.isEmpty) Seq(stampKey) else Nil)): Unit
+  }
+
+  /** Duplicated-span removal for a BATCH against the persisted gram
+    * index: a batch gram position is covered when (index occurrences)
+    * + (batch occurrences) reaches `minCount` — spanDedup's global
+    * rule evaluated over corpus ∪ batch, restricted to the batch's
+    * documents. Probe cost ∝ batch grams (zone-map point reads under
+    * `maxDriverKeys`, slim equi-join above); output is the
+    * [[DedupOps.spanDedup]] shape. `includeBatchCnt = false` is the
+    * replay mode, mirroring [[dedupBatchSegments]]'s contract. Call
+    * [[buildSpanGrams]] with the same batch afterwards to extend the
+    * index.
+    */
+  def dedupBatchSpans(spark: SparkSession, dir: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minCount: Long = 2L,
+      maxDriverKeys: Int = 65536, textOut: Boolean = false,
+      includeBatchCnt: Boolean = true): DataFrame = {
+    val base = batch.select(col(idCol).cast("long").as("id"),
+      TextOps.wsTokens(col(textCol)).as("ws"))
+    val grams = DedupOps.spanGramTable(base, k)
+    val bcnt = grams.groupBy(col("h").as("bgd"))
+      .agg(count(lit(1)).as("bcnt"))
+    val ds = new OrderedDataset(spark, dir)
+    if (ds.exists) requireCfg(ds, "spans", Some(s"k$k"))
+    val idx =
+      if (!ds.exists) spark.emptyDataFrame
+        .select(lit("").as("ogd"), lit(0L).as("ocnt")).limit(0)
+      else scanForProbes(spark, ds,
+        grams.select(hkey60(col("h")).as("hkey")).distinct(),
+        maxDriverKeys)
+        .select(col("gd").as("ogd"), col("cnt").as("ocnt"))
+    val own = if (includeBatchCnt) col("bcnt") else lit(0L)
+    val verdict = bcnt.join(idx, col("bgd") === col("ogd"), "left")
+      .select(col("bgd"),
+        ((own + coalesce(col("ocnt"), lit(0L))) >= minCount)
+          .as("__dup"))
+    val dupPos = grams
+      .join(verdict, col("h") === col("bgd"))
+      .filter(col("__dup"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(col("pos"))).as("dps"))
+    DedupOps.spanAssemble(base, dupPos, k, idCol, textOut)
+  }
+
   /** The probe-cardinality dispatch shared by both indexes: collect up
     * to `maxDriverKeys + 1` distinct probe keys in ONE job (the limit
     * caps driver memory even when the dispatch loses); under the cap,

@@ -522,18 +522,10 @@ object DedupOps {
     require(k >= 2, s"span gram width must be >= 2, got $k")
     val base = df.select(col(idCol).cast("long").as("id"),
       TextOps.wsTokens(col(textCol)).as("ws"))
-    // (id, pos, h): md5 of each stride-1 k-token window; guard short
-    // docs (sequence(0, negative) enumerates DESCENDING — the same
-    // trap shingleArrays fixed)
-    val grams = base.select(col("id"), explode(
-        when(size(col("ws")) >= k,
-          transform(sequence(lit(0), size(col("ws")) - k),
-            i => struct(i.as("pos"),
-              md5(concat_ws(" ", slice(col("ws"), i + 1, lit(k))))
-                .as("h"))))
-          .otherwise(array().cast("array<struct<pos:int,h:string>>")))
-        .as("g"))
-      .select(col("id"), col("g.pos").as("pos"), col("g.h").as("h"))
+    // (id, pos, h): md5 of each stride-1 k-token window; short docs
+    // guarded inside spanGramTable (sequence(0, negative) enumerates
+    // DESCENDING — the same trap shingleArrays fixed)
+    val grams = spanGramTable(base, k)
     // count-over-window on the gram hash, NOT groupBy(h) + self-join:
     // the join form re-derives the gram table on its other side — a
     // second corpus scan + tokenize + md5 pass (plan audit, PLANS.md
@@ -545,6 +537,31 @@ object DedupOps {
       .filter(col("cnt") >= minCount)
       .groupBy("id")
       .agg(sort_array(collect_list(col("pos"))).as("dps"))
+    spanAssemble(base, dupPos, k, idCol, textOut)
+  }
+
+  /** (id, pos, h) stride-1 k-gram rows of a (id, ws) frame — the
+    * shared gram front of [[spanDedup]] and the incremental
+    * [[DedupIndex.dedupBatchSpans]]. */
+  private[pipeline] def spanGramTable(base: DataFrame, k: Int)
+      : DataFrame =
+    base.select(col("id"), explode(
+        when(size(col("ws")) >= k,
+          transform(sequence(lit(0), size(col("ws")) - k),
+            i => struct(i.as("pos"),
+              md5(concat_ws(" ", slice(col("ws"), i + 1, lit(k))))
+                .as("h"))))
+          .otherwise(array().cast("array<struct<pos:int,h:string>>")))
+        .as("g"))
+      .select(col("id"), col("g.pos").as("pos"), col("g.h").as("h"))
+
+  /** The span-dedup tail shared with [[DedupIndex.dedupBatchSpans]]:
+    * given documents `(id, ws)` and their sorted duplicated-position
+    * arrays `(id, dps)`, emit per-document span stats and the
+    * rebuilt digest/text — all map-side array math (see
+    * [[spanDedup]]'s scaladoc for the geometry). */
+  private[pipeline] def spanAssemble(base: DataFrame, dupPos: DataFrame,
+      k: Int, idCol: String, textOut: Boolean): DataFrame = {
     base.join(dupPos, Seq("id"), "left")
       .withColumn("dps",
         coalesce(col("dps"), array().cast("array<int>")))

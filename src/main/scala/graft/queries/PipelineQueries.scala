@@ -112,6 +112,7 @@ object PipelineQueries {
     ensurePqIndex(s, d): Unit
     ensureDigestIndex(s, d): Unit
     ensureBm25Index(s, d): Unit
+    ensureSpanIndex(s, d): Unit
     ensureLshIndex(s, d): Unit
     ensureSimhashIndex(s, d): Unit
     ensureEmbeddingIndex(s, d): Unit
@@ -200,6 +201,34 @@ object PipelineQueries {
       if (!ds.exists)
         DedupIndex.buildDigest(s, dir, docs(s, d), "doc_id", "text",
           rowsPerFile = 200)
+      dir
+    }
+
+  /** The span-dedup corpus: deterministic shared tails injected (see
+    * SpanBoiler constants) — shared by p_span_dedup, the incremental
+    * variant and their common oracle CTEs. */
+  private def injectedSpanDocs(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(" " + SpanBoilerA))
+          .otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, lit(" " + SpanBoilerB))
+          .otherwise(lit("")),
+        when(col("doc_id") % 9 === 0,
+          lit(" " + SpanRepeat + " " + SpanRepeat))
+          .otherwise(lit(""))).as("text"))
+
+  /** Overlapping-gram occurrence index over the injected corpus SPLIT
+    * (doc_id % 5 != 0) — p_span_dedup_inc's fixture. */
+  private def ensureSpanIndex(s: SparkSession, d: String): String =
+    synchronized {
+      val dir = s"/tmp/graft_spanidx_${inputTag(d, "documents")}"
+      val ds = new graft.store.OrderedDataset(s, dir)
+      if (!ds.exists)
+        DedupIndex.buildSpanGrams(s, dir,
+          injectedSpanDocs(s, d).filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", SpanK,
+          rowsPerFile = math.max(4000L, nEmbs(s, d) * 8L))
       dir
     }
 
@@ -933,16 +962,21 @@ object PipelineQueries {
     // removed too); maximal covered runs merged. Injected shared tails
     // — see SpanBoiler constants.
     "p_span_dedup" -> { (s, d) =>
-      val injected = docs(s, d).select(col("doc_id"),
-        concat(col("text"),
-          when(col("doc_id") % 4 === 0, lit(" " + SpanBoilerA))
-            .otherwise(lit("")),
-          when(col("doc_id") % 6 === 0, lit(" " + SpanBoilerB))
-            .otherwise(lit("")),
-          when(col("doc_id") % 9 === 0,
-            lit(" " + SpanRepeat + " " + SpanRepeat))
-            .otherwise(lit(""))).as("text"))
-      DedupOps.spanDedup(injected, "doc_id", "text", SpanK)
+      DedupOps.spanDedup(injectedSpanDocs(s, d), "doc_id", "text",
+          SpanK)
+        .orderBy("doc_id")
+    },
+
+    // INCREMENTAL span dedup: the %5==0 batch stripped against the
+    // persisted gram-occurrence index built over the rest — the
+    // spanDedup rule evaluated over corpus ∪ batch restricted to the
+    // batch (SpanIndexSpec proves the equality), so the oracle is
+    // p_span_dedup's CTE chain filtered to batch documents.
+    "p_span_dedup_inc" -> { (s, d) =>
+      val dir = ensureSpanIndex(s, d)
+      DedupIndex.dedupBatchSpans(s, dir,
+          injectedSpanDocs(s, d).filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", SpanK)
         .orderBy("doc_id")
     },
 
@@ -1901,7 +1935,10 @@ object PipelineQueries {
     * sum (the Spark side never sees it: its deltas array has n−1
     * entries, no null row).
     */
-  private def spanDedupOracle: String = {
+  /** `where` restricts the output docs (the incremental variant is
+    * the same corpus-wide computation emitted for the batch split
+    * only). */
+  private def spanDedupOracle(where: String = ""): String = {
     val k = SpanK
     s"""WITH inj AS (SELECT doc_id, text
            || CASE WHEN doc_id % 4 = 0 THEN ' $SpanBoilerA' ELSE '' END
@@ -1945,6 +1982,7 @@ object PipelineQueries {
             CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
             dig.clean_digest
      FROM w LEFT JOIN agg a USING (doc_id) JOIN dig USING (doc_id)
+     $where
      ORDER BY doc_id"""
   }
 
@@ -2238,7 +2276,8 @@ object PipelineQueries {
 
     "p_pipeline_e2e" -> pipelineE2eOracle,
     "p_pipeline_shards" -> pipelineShardsOracle,
-    "p_span_dedup" -> spanDedupOracle,
+    "p_span_dedup" -> spanDedupOracle(),
+    "p_span_dedup_inc" -> spanDedupOracle("WHERE w.doc_id % 5 = 0"),
 
     // packSequences replay: same BPE replace-chain as p_text_bpe_encode
     // produces the token stream; per-shard prefix sums, inclusive-end
