@@ -618,6 +618,15 @@ object DedupIndex {
     * replay mode, mirroring [[dedupBatchSegments]]'s contract. Call
     * [[buildSpanGrams]] with the same batch afterwards to extend the
     * index.
+    *
+    * Economics (measured, SCALE.md r11f): UNLIKE the slim per-doc
+    * indexes, this one is distinct-gram-cardinality-sized, so a batch
+    * that is a large fraction of the corpus probes at roughly the
+    * recompute's cost (20% batch at 100×: 17.3 s vs 18.7 s). The
+    * index pays off for genuine increments — small enough for
+    * zone-map point reads, or small next to a corpus whose TEXT
+    * re-scan the probe avoids. Both paths produce identical results,
+    * so the choice is per-deployment.
     */
   def dedupBatchSpans(spark: SparkSession, dir: String,
       batch: DataFrame, idCol: String, textCol: String,
