@@ -117,6 +117,13 @@ object Bm25Index {
     val ds = new OrderedDataset(spark, dir)
     DedupIndex.requireCfg(ds, Kind, None)
     val kv = ds.kv
+    // name the remedy, don't NoSuchElement: scalars can be absent
+    // after a crash between an add's data commit and its kv bump
+    require(kv.contains(NDocsKey) && kv.contains(SumDlKey),
+      s"index at $dir lacks the BM25 corpus scalars " +
+        s"($NDocsKey/$SumDlKey) — repair with " +
+        s"Bm25Index.recountStats(spark, \"$dir\") or rebuild with " +
+        "Bm25Index.build")
     val qterms = queries
       .select(explode(array_distinct(split(col("q_text"), " ")))
         .as("term"))

@@ -82,6 +82,17 @@ class Bm25IndexSpec extends SparkSpec {
       rows(Bm25Index.topK(spark, full, queries, 5)))
   }
 
+  test("missing scalars name their remedy instead of NoSuchElement") {
+    val dir = tmpDir("bm25nokv")
+    Bm25Index.build(spark, dir, corpus, "doc_id", "text", 4)
+    new graft.store.OrderedDataset(spark, dir)
+      .updateKv(Map.empty, remove = Seq("graft.bm25.n_docs"))
+    val e = intercept[IllegalArgumentException] {
+      Bm25Index.topK(spark, dir, queries, 5)
+    }
+    assert(e.getMessage.contains("recountStats"))
+  }
+
   test("probing a foreign index kind fails loudly") {
     val dir = tmpDir("bm25kind")
     DedupIndex.buildDigest(spark, dir, corpus, "doc_id", "text")
