@@ -7,19 +7,25 @@ import graft.store.{NRows, OrderedDataset, WriteOpts}
 /** Store-backed BM25 postings index for INCREMENTAL lexical retrieval
   * — the sparse sibling of [[IvfIndex]], same layout discipline as
   * [[DedupIndex]]: one `(hkey, term, id, tf, dl)` row per distinct
-  * (document, term), an `OrderedDataset` ORDERED ON the term's md5
-  * leading 60 bits. Query terms hash to points, so a search is a
-  * driver-planned multi-point read that opens ONLY the postings files
-  * whose zone map covers a queried term — I/O ∝ Σ df(query term),
-  * independent of corpus size — and a daily crawl increment extends
-  * the index by tokenizing the increment alone.
+  * (document, term), ordered on the term's md5 leading 60 bits. Query
+  * terms hash to points, so a search is a driver-planned multi-point
+  * read that opens ONLY the postings files whose zone map covers a
+  * queried term — I/O ∝ Σ df(query term), independent of corpus size.
   *
-  * Corpus scalars (N, Σdl — the BM25 normalizers) live in the sidecar
-  * kv. [[add]] bumps them with [[OrderedDataset.transformKv]] (a
-  * locked read-modify-write, so concurrent adds compose); a crash
-  * BETWEEN an add's data commit and its kv bump leaves the scalars
-  * understated — detectable and repairable with [[recountStats]],
-  * and harmless to ranking monotonicity (every score shares the same
+  * Write path (r12, VERDICT r11 #1): a daily crawl increment lands as
+  * an LSM DELTA SEGMENT ([[IndexSegments]]) — tokenize the increment,
+  * sort, write a fresh run; cost ∝ increment. The old in-place upsert
+  * interleaved uniformly-hashed terms into every postings file, making
+  * every add an O(index) rewrite. Probes union base + live segments
+  * (same zone-map routing per segment); [[DedupIndex.compactIndex]]
+  * folds segments back periodically.
+  *
+  * Corpus scalars (N, Σdl — the BM25 normalizers) live in the BASE
+  * sidecar kv. [[add]] bumps them with [[OrderedDataset.transformKv]]
+  * (a locked read-modify-write, so concurrent adds compose); a crash
+  * BETWEEN an add's segment commit and its kv bump leaves the scalars
+  * understated — detectable and repairable with [[recountStats]], and
+  * harmless to ranking monotonicity (every score shares the same
   * normalizers).
   *
   * Scoring replays [[RetrievalOps.scoreTermTable]] on the pruned
@@ -40,16 +46,29 @@ object Bm25Index {
     (r.getLong(0), r.getLong(1))
   }
 
-  /** Build (or rebuild onto) the index at `dir` from a corpus. */
+  private def postingRows(tf: DataFrame): DataFrame =
+    tf.select(DedupIndex.hkey60(md5(col("term"))).as("hkey"),
+      col("term"), col("id"), col("tf"), col("dl"))
+
+  private def scalarRemedy(dir: String): String =
+    s"index at $dir lacks the BM25 corpus scalars " +
+      s"($NDocsKey/$SumDlKey) — repair with " +
+      s"Bm25Index.recountStats(spark, \"$dir\") or rebuild with " +
+      "Bm25Index.build"
+
+  /** Build the index at `dir` from a corpus (the base run). Extending
+    * an existing index is [[add]]'s job — a second build would
+    * overwrite the corpus scalars with just its own batch's. */
   def build(spark: SparkSession, dir: String, corpus: DataFrame,
       idCol: String, textCol: String, rowsPerFile: Long = 1000000L)
       : Unit = {
+    require(!new OrderedDataset(spark, dir).exists,
+      s"a graft index already exists at $dir — extend it with " +
+        "Bm25Index.add (build would overwrite the corpus scalars)")
     val tf = RetrievalOps.termFreqs(corpus, idCol, textCol).persist()
     try {
       val (n, s) = scalars(tf)
-      new OrderedDataset(spark, dir).write(
-        tf.select(DedupIndex.hkey60(md5(col("term"))).as("hkey"),
-          col("term"), col("id"), col("tf"), col("dl")),
+      new OrderedDataset(spark, dir).write(postingRows(tf),
         WriteOpts("hkey", NRows(rowsPerFile),
           duplicatesOn = Some(Seq("term", "id")),
           kv = Map("graft.index.kind" -> Kind,
@@ -58,30 +77,59 @@ object Bm25Index {
   }
 
   /** Extend the index with an increment: tokenize ONLY the batch,
-    * upsert its postings (term-sorted interleave is the ordered
-    * upsert's job), bump the corpus scalars under the lock. Re-adding
-    * an id double-counts it — dedup increments upstream, like every
-    * [[DedupIndex]] ingest does.
-    *
-    * The data write is OPTIMISTIC ([[OrderedDataset.writeOptimistic]])
-    * because index maintenance is the uncoordinated-appenders case:
-    * the default locked write fails fast on a held lock, so two
-    * concurrent adds would lose one whole increment (Bm25IndexSpec
-    * pins the compose case); optimistic writers overlap their prepare
-    * and queue only at the ms-scale commit gate. The scalar bump is a
-    * separate locked RMW — concurrent bumps compose by construction.
+    * land its postings as a fresh delta segment (cost ∝ increment —
+    * no base rewrite, no write lock), bump the corpus scalars under
+    * the base kv lock. Re-adding an id double-counts it — dedup
+    * increments upstream, like every [[DedupIndex]] ingest does.
+    * Concurrent adds compose by construction: they write DISTINCT
+    * segment dirs, and the scalar bumps are locked RMWs.
     */
   def add(spark: SparkSession, dir: String, batch: DataFrame,
       idCol: String, textCol: String, rowsPerFile: Long = 1000000L)
       : Unit = {
     val ds = new OrderedDataset(spark, dir)
     DedupIndex.requireCfg(ds, Kind, None)
+    // name the remedy BEFORE any work (ADVICE r11): scalars can be
+    // absent after a crash between a previous add's data commit and
+    // its kv bump — failing after THIS increment's write would widen
+    // the understatement it reports
+    require(ds.kv.contains(NDocsKey) && ds.kv.contains(SumDlKey),
+      scalarRemedy(dir))
     val tf = RetrievalOps.termFreqs(batch, idCol, textCol).persist()
     try {
       val (n, s) = scalars(tf)
-      ds.writeOptimistic(
-        tf.select(DedupIndex.hkey60(md5(col("term"))).as("hkey"),
-          col("term"), col("id"), col("tf"), col("dl")),
+      IndexSegments.writeSegment(spark, dir, postingRows(tf),
+        WriteOpts("hkey", NRows(rowsPerFile),
+          duplicatesOn = Some(Seq("term", "id")),
+          kv = Map("graft.index.kind" -> Kind)))
+      ds.transformKv { kv =>
+        // re-check inside the lock: a concurrent recountStats/repair
+        // could have raced the pre-check above
+        require(kv.contains(NDocsKey) && kv.contains(SumDlKey),
+          scalarRemedy(dir))
+        kv + (NDocsKey -> (kv(NDocsKey).toLong + n).toString) +
+          (SumDlKey -> (kv(SumDlKey).toLong + s).toString)
+      }
+    } finally tf.unpersist(): Unit
+  }
+
+  /** The r11 in-place add — an ordered upsert straight into the base
+    * run. KEPT ONLY as the measured baseline arm of the add-cost A/B
+    * ([[graft.AddBench]]): on uniformly-hashed keys it rewrites
+    * essentially the whole index per increment. Production callers use
+    * [[add]].
+    */
+  private[graft] def addInPlace(spark: SparkSession, dir: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      rowsPerFile: Long = 1000000L): Unit = {
+    val ds = new OrderedDataset(spark, dir)
+    DedupIndex.requireCfg(ds, Kind, None)
+    require(ds.kv.contains(NDocsKey) && ds.kv.contains(SumDlKey),
+      scalarRemedy(dir))
+    val tf = RetrievalOps.termFreqs(batch, idCol, textCol).persist()
+    try {
+      val (n, s) = scalars(tf)
+      ds.writeOptimistic(postingRows(tf),
         WriteOpts("hkey", NRows(rowsPerFile),
           duplicatesOn = Some(Seq("term", "id")))): Unit
       ds.transformKv { kv =>
@@ -92,43 +140,47 @@ object Bm25Index {
   }
 
   /** Recompute the kv scalars from the postings themselves (one full
-    * index scan — the repair path for a crash between an add's data
-    * commit and its kv bump). */
+    * union scan over base + segments — the repair path for a crash
+    * between an add's segment commit and its kv bump). */
   def recountStats(spark: SparkSession, dir: String): (Long, Long) = {
-    val ds = new OrderedDataset(spark, dir)
-    DedupIndex.requireCfg(ds, Kind, None)
-    val r = ds.df.groupBy("id").agg(max("dl").as("dl"))
+    val parts = DedupIndex.partsFor(spark, dir, Kind, None)
+    // duplicate (term, id) rows across segments (out-of-contract
+    // re-adds) do not skew the recount: max(dl) per id and the doc
+    // count are multiplicity-free
+    val r = IndexSegments.unionDf(parts)
+      .groupBy("id").agg(max("dl").as("dl"))
       .agg(count(lit(1)).cast("long"), sum("dl").cast("long"))
       .collect()(0)
     val (n, s) = (r.getLong(0), r.getLong(1))
-    ds.updateKv(Map(NDocsKey -> n.toString, SumDlKey -> s.toString))
+    parts.head.ds.updateKv(
+      Map(NDocsKey -> n.toString, SumDlKey -> s.toString))
     (n, s)
   }
 
   /** Top-k BM25 through the index: hash the query vocabulary to
-    * points, zone-map-prune the postings read, score identically to
-    * the brute path. `maxDriverKeys` bounds the driver collect the
-    * same way [[DedupIndex]] probes do (a query set is tiny by
-    * construction; the guard is for misuse).
+    * points, zone-map-prune the postings read (union of base + live
+    * segments), score identically to the brute path. `maxDriverKeys`
+    * bounds the driver collect the same way [[DedupIndex]] probes do
+    * (a query set is tiny by construction; the guard is for misuse).
     */
   def topK(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
       k1: Double = RetrievalOps.K1, b: Double = RetrievalOps.B,
       maxDriverKeys: Int = 65536): DataFrame = {
-    val ds = new OrderedDataset(spark, dir)
-    DedupIndex.requireCfg(ds, Kind, None)
-    val kv = ds.kv
+    val parts = DedupIndex.partsFor(spark, dir, Kind, None)
+    val kv = parts.head.m.kv
     // name the remedy, don't NoSuchElement: scalars can be absent
-    // after a crash between an add's data commit and its kv bump
+    // after a crash between an add's segment commit and its kv bump
     require(kv.contains(NDocsKey) && kv.contains(SumDlKey),
-      s"index at $dir lacks the BM25 corpus scalars " +
-        s"($NDocsKey/$SumDlKey) — repair with " +
-        s"Bm25Index.recountStats(spark, \"$dir\") or rebuild with " +
-        "Bm25Index.build")
+      scalarRemedy(dir))
     val qterms = queries
       .select(explode(array_distinct(split(col("q_text"), " ")))
         .as("term"))
       .select(DedupIndex.hkey60(md5(col("term"))).as("hkey"))
-    val pruned = DedupIndex.scanForProbes(spark, ds, qterms, maxDriverKeys)
+    // (term, id) dedup across segments keeps the one-posting-per-pair
+    // contract under out-of-contract re-adds (arbitrary survivor — the
+    // old upsert's keep-last was equally arbitrary across writers)
+    val pruned = IndexSegments.scanForProbes(parts, qterms, maxDriverKeys,
+        dedupCols = Seq("term", "id"))
       .select("id", "term", "tf", "dl")
     val stats = queries.sparkSession.range(1).select(
       lit(kv(NDocsKey).toLong).as("n_docs"),

@@ -70,17 +70,44 @@ object DedupIndex {
     * untagged indexes pass — the guard only rejects a POSITIVE
     * mismatch. */
   private[pipeline] def requireCfg(ds: OrderedDataset, kind: String,
-      cfg: Option[String]): Unit = {
-    val kv = ds.kv
+      cfg: Option[String]): Unit =
+    requireCfgKv(ds.dir, ds.kv, kind, cfg)
+
+  /** [[requireCfg]] against an already-CAPTURED kv map — the segmented
+    * probes validate the same base-sidecar snapshot their scans are
+    * built from instead of re-reading it. */
+  private[pipeline] def requireCfgKv(dir: String, kv: Map[String, String],
+      kind: String, cfg: Option[String]): Unit = {
     require(kv.get("graft.index.kind").forall(_ == kind),
-      s"index at ${ds.dir} is a '${kv("graft.index.kind")}' index, " +
+      s"index at $dir is a '${kv("graft.index.kind")}' index, " +
         s"probed as '$kind'")
     cfg.foreach { c =>
       require(kv.get("graft.index.cfg").forall(_ == c),
-        s"index at ${ds.dir} was built with config " +
+        s"index at $dir was built with config " +
           s"'${kv("graft.index.cfg")}' but probed with '$c' — rebuild " +
           "the index or probe with the build-time parameters")
     }
+  }
+
+  /** The segmented union at a consistent cut, validated against the
+    * probe's expected kind/config. Fails loudly when no index exists. */
+  private[pipeline] def partsFor(spark: SparkSession, dir: String,
+      kind: String, cfg: Option[String]): Seq[IndexSegments.Part] = {
+    val parts = IndexSegments.liveParts(spark, dir)
+    require(parts.nonEmpty, s"no graft index at $dir")
+    requireCfgKv(dir, parts.head.m.kv, kind, cfg)
+    parts
+  }
+
+  /** Route an index write: the FIRST build creates the base run at
+    * `dir`; every later call lands as a delta segment — cost ∝ the
+    * increment, never a base rewrite ([[IndexSegments]]; fold segments
+    * back with [[compactIndex]]). */
+  private def writeBaseOrSegment(spark: SparkSession, dir: String,
+      rows: DataFrame, opts: WriteOpts): Unit = {
+    val base = new OrderedDataset(spark, dir)
+    if (!base.exists) base.write(rows, opts): Unit
+    else IndexSegments.writeSegment(spark, dir, rows, opts)
   }
 
   // ---------------- exact digest index ----------------
@@ -109,12 +136,12 @@ object DedupIndex {
     */
   def upsertDigestRows(spark: SparkSession, dir: String, rows: DataFrame,
       rowsPerFile: Long = 1000000L): Unit =
-    new OrderedDataset(spark, dir).write(
+    writeBaseOrSegment(spark, dir,
       rows.select(hkey60(col("digest")).as("hkey"), col("digest"),
         col("id").cast("long").as("id")),
       WriteOpts("hkey", NRows(rowsPerFile),
         duplicatesOn = Some(Seq("digest", "id")),
-        kv = Map("graft.index.kind" -> "digest"))): Unit
+        kv = Map("graft.index.kind" -> "digest")))
 
   /** Probe the digest index with a batch: returns one row per exact
     * match `(new_id, corpus_id, digest)`. Choose the scan shape by
@@ -138,9 +165,9 @@ object DedupIndex {
       maxDriverKeys: Int = 65536): DataFrame = {
     val b = batch.select(col("new_id"), col("digest").as("bdigest"))
       .withColumn("hkey", hkey60(col("bdigest")))
-    val ds = new OrderedDataset(spark, dir)
-    requireCfg(ds, "digest", None)
-    val index = scanForProbes(spark, ds, b.select("hkey"), maxDriverKeys)
+    val parts = partsFor(spark, dir, "digest", None)
+    val index = IndexSegments.scanForProbes(parts, b.select("hkey"),
+      maxDriverKeys, dedupCols = Seq("digest", "id"))
     // residual: full-digest equality — the hkey is only a router
     index.join(b, Seq("hkey"))
       .filter(col("digest") === col("bdigest"))
@@ -192,12 +219,12 @@ object DedupIndex {
   def buildMinhash(spark: SparkSession, dir: String, corpus: DataFrame,
       idCol: String, textCol: String, shingleN: Int, numHashes: Int,
       bands: Int, rowsPerFile: Long = 1000000L): Unit =
-    new OrderedDataset(spark, dir).write(
+    writeBaseOrSegment(spark, dir,
       bandedRows(corpus, idCol, textCol, shingleN, numHashes, bands),
       WriteOpts("hkey", NRows(rowsPerFile),
         duplicatesOn = Some(Seq("band_id", "sig", "id")),
         kv = Map("graft.index.kind" -> "minhash",
-          "graft.index.cfg" -> s"$shingleN|$numHashes|$bands"))): Unit
+          "graft.index.cfg" -> s"$shingleN|$numHashes|$bands")))
 
   /** Near-dup pairs between a new batch and the indexed corpus:
     * `(i = corpus id, j = batch id, jac)` with exact Jaccard ≥
@@ -226,9 +253,11 @@ object DedupIndex {
     val bBanded = bandedRowsFromShingles(bsh, numHashes, bands)
       .select(col("hkey"), col("band_id").as("bband_id"),
         col("sig").as("bsig"), col("id").as("bid"))
-    val ds = new OrderedDataset(spark, dir)
-    requireCfg(ds, "minhash", Some(s"$shingleN|$numHashes|$bands"))
-    val index = scanForProbes(spark, ds, bBanded.select("hkey"),
+    val parts = partsFor(spark, dir, "minhash",
+      Some(s"$shingleN|$numHashes|$bands"))
+    // no dedup on the scan: the candidate set distincts (i, j) below,
+    // absorbing any cross-segment band-row duplicates
+    val index = IndexSegments.scanForProbes(parts, bBanded.select("hkey"),
       maxDriverKeys)
     // residual (band_id, sig) equality behind the hkey equi-join
     val cand = index.join(bBanded, Seq("hkey"))
@@ -278,19 +307,21 @@ object DedupIndex {
       // band DISTINCT fingerprints only: a template cluster of s docs
       // shares one fingerprint, so doc-level banding would shuffle s×
       // the rows into the write's dedup window for nothing (the same
-      // multiplicity lesson as DedupOps.simhashPairs)
-      new OrderedDataset(spark, s"$dir/bands").write(
+      // multiplicity lesson as DedupOps.simhashPairs). Increments band
+      // the INCREMENT's distinct fingerprints (may repeat base ones —
+      // the probe's candidate distinct absorbs that).
+      writeBaseOrSegment(spark, s"$dir/bands",
         simhashWithBands(sim.select(col("simhash")).distinct(), "simhash")
           .select(col("hkey"), col("simhash")),
         WriteOpts("hkey", NRows(rowsPerFile),
           duplicatesOn = Some(Seq("simhash")),
           kv = Map("graft.index.kind" -> "simhash",
             "graft.index.cfg" ->
-              s"${DedupOps.SimhashBits}|${DedupOps.SimhashBands}"))): Unit
-      new OrderedDataset(spark, s"$dir/members").write(
+              s"${DedupOps.SimhashBits}|${DedupOps.SimhashBands}")))
+      writeBaseOrSegment(spark, s"$dir/members",
         sim.select(col("simhash"), col("id")),
         WriteOpts("simhash", NRows(rowsPerFile),
-          duplicatesOn = Some(Seq("id")))): Unit
+          duplicatesOn = Some(Seq("id"))))
     } finally { sim.unpersist(): Unit }
   }
 
@@ -320,11 +351,10 @@ object DedupIndex {
     val bsim = DedupOps.simhash(batch, idCol, textCol)
       .select(col("id").as("j"), col("simhash").as("bfp"))
     val bBanded = simhashWithBands(bsim, "bfp")
-    val bands = new OrderedDataset(spark, s"$dir/bands")
-    requireCfg(bands, "simhash",
+    val bandParts = partsFor(spark, s"$dir/bands", "simhash",
       Some(s"${DedupOps.SimhashBits}|${DedupOps.SimhashBands}"))
-    val index = scanForProbes(spark, bands, bBanded.select("hkey"),
-      maxDriverKeys)
+    val index = IndexSegments.scanForProbes(bandParts,
+      bBanded.select("hkey"), maxDriverKeys)
     // fingerprint-level candidates: the hkey encodes (pair, value)
     // injectively, so the equi-join needs no residual check
     // localCheckpoint: the candidate set feeds BOTH the member-key
@@ -339,10 +369,14 @@ object DedupIndex {
         <= maxDist)
       .localCheckpoint()
     // expand winning corpus fingerprints to member doc ids — another
-    // bounded zone-map probe (candidate fingerprints ≪ corpus)
-    val members = new OrderedDataset(spark, s"$dir/members")
-    val mem = scanForProbes(spark, members,
-      fpCand.select(col("simhash").as("hkey")), maxDriverKeys)
+    // bounded zone-map probe (candidate fingerprints ≪ corpus);
+    // cross-segment (simhash, id) duplicates dedup here so re-adds
+    // can't double a pair
+    val memParts = IndexSegments.liveParts(spark, s"$dir/members")
+    require(memParts.nonEmpty, s"no graft index at $dir/members")
+    val mem = IndexSegments.scanForProbes(memParts,
+      fpCand.select(col("simhash").as("hkey")), maxDriverKeys,
+      dedupCols = Seq("simhash", "id"))
     mem.join(fpCand, Seq("simhash"))
       .select(col("id").as("i"), col("j"),
         bit_count(col("simhash").bitwiseXOR(col("bfp")))
@@ -374,15 +408,15 @@ object DedupIndex {
       // null vector → null bucket/hkey: un-indexable, same as the
       // digest/simhash builders' null filters
       .filter(col("hkey").isNotNull)
-    new OrderedDataset(spark, s"$dir/bands").write(banded,
+    writeBaseOrSegment(spark, s"$dir/bands", banded,
       WriteOpts("hkey", NRows(rowsPerFile),
         duplicatesOn = Some(Seq("id")),
         kv = Map("graft.index.kind" -> "embedding",
-          "graft.index.cfg" -> planesTag(planes, planesPerBand)))): Unit
-    new OrderedDataset(spark, s"$dir/members").write(
+          "graft.index.cfg" -> planesTag(planes, planesPerBand))))
+    writeBaseOrSegment(spark, s"$dir/members",
       corpus.select(col("id"), col("vec"), col("norm")),
       WriteOpts("id", NRows(rowsPerFile),
-        duplicatesOn = Some(Nil))): Unit
+        duplicatesOn = Some(Nil)))
   }
 
   /** Near-dup pairs `(i = corpus id, j = batch id, cos)` with exact
@@ -400,8 +434,8 @@ object DedupIndex {
       .select((col("band_id") * lit(1L << planesPerBand) +
         conv(col("bucket"), 2, 10).cast("long")).as("hkey"),
         col("id").as("j"))
-    val bands = new OrderedDataset(spark, s"$dir/bands")
-    requireCfg(bands, "embedding", Some(planesTag(planes, planesPerBand)))
+    val bandParts = partsFor(spark, s"$dir/bands", "embedding",
+      Some(planesTag(planes, planesPerBand)))
     // index-vs-corpus drift guard: an index keeps its build-time band
     // width forever while the corpus under it grows — once expected
     // occupancy outgrows the width, every probe degrades toward
@@ -411,7 +445,7 @@ object DedupIndex {
     // metadata read) — fail with the rebuild remedy instead.
     val nBands = math.max(1L,
       math.ceil(planes.size.toDouble / planesPerBand).toLong)
-    val indexedCorpus = bands.meta.totalRows / nBands
+    val indexedCorpus = IndexSegments.totalRows(bandParts) / nBands
     // occupancy at the NARROWEST band (a ragged plane set's leftover
     // band has rem < planesPerBand bits and saturates 2^(ppb-rem)×
     // sooner) — mirrors SimilarityOps.requireUnsaturated; guarding at
@@ -426,17 +460,23 @@ object DedupIndex {
         f"expect $occ%.0f rows/bucket (cap $maxExpectedBucketRows) — " +
         f"rebuild with LshConfig.forCorpusSize($indexedCorpus) " +
         "(buildEmbedding keeps its width for the index's lifetime)")
-    val index = scanForProbes(spark, bands, bBanded.select("hkey"),
-      maxDriverKeys)
+    val index = IndexSegments.scanForProbes(bandParts,
+      bBanded.select("hkey"), maxDriverKeys)
     // localCheckpoint — see probeSimhash: cand feeds the member-key
     // collect AND the returned plan
     val cand = index.join(bBanded, Seq("hkey"))
       .select(col("id").as("i"), col("j"))
       .distinct()
       .localCheckpoint()
-    val members = new OrderedDataset(spark, s"$dir/members")
-    val mem = scanForProbes(spark, members,
-      cand.select(col("i").as("hkey")), maxDriverKeys)
+    // full-row dedup on the member fetch (the old upsert's
+    // duplicatesOn(all-columns) semantics): an id re-added with the
+    // SAME vector collapses to one row; a changed vector keeps both —
+    // both versions' pairs verify, exactly as before
+    val memParts = IndexSegments.liveParts(spark, s"$dir/members")
+    require(memParts.nonEmpty, s"no graft index at $dir/members")
+    val mem = IndexSegments.scanForProbes(memParts,
+      cand.select(col("i").as("hkey")), maxDriverKeys,
+      dedupCols = Seq("id", "vec", "norm"))
     // Join order + hints are the scale story: the SLIM (i, j) candidate
     // set shuffles once (16-byte rows) to meet the pruned member
     // vectors on i; the fat (i, j, va, na) stream then meets the BATCH
@@ -476,13 +516,15 @@ object DedupIndex {
     * boilerplate-stripped against the WHOLE accepted corpus at a cost
     * ∝ batch, never rescanning corpus text.
     *
-    * Extending MERGES frequencies (existing df for the touched
-    * segments is probed — bounded by the batch's distinct segments —
-    * and summed), so unlike the presence-only indexes an increment
-    * must be applied exactly once: pass `incrementTag` and replays of
-    * the same tag are skipped via a kv stamp committed atomically with
-    * the data (the GraftSink discipline; foreachBatch callers pass the
-    * epoch id).
+    * An increment lands as its own DELTA SEGMENT holding only the
+    * batch's frequencies; probes SUM across base + segments
+    * ([[IndexSegments]]) — so unlike the presence-only indexes an
+    * increment must be applied exactly once: pass `incrementTag` and
+    * replays of the same tag are skipped via the per-segment kv stamp
+    * (the GraftSink discipline; foreachBatch callers pass the epoch
+    * id). Summing at read time instead of merging at write time also
+    * closes the r11 lost-update window: concurrent increments write
+    * disjoint segments and compose by construction.
     */
   def buildSegments(spark: SparkSession, dir: String, docs: DataFrame,
       idCol: String, textCol: String, segWords: Int = 10,
@@ -491,33 +533,19 @@ object DedupIndex {
       maxDriverKeys: Int = 65536): Unit = {
     val ds = new OrderedDataset(spark, dir)
     if (ds.exists) requireCfg(ds, "segments", Some(s"w$segWords"))
-    val stampKey = "graft.index.increment"
-    if (incrementTag.isDefined && ds.exists &&
-        ds.kv.get(stampKey) == incrementTag) return // replay, committed
+    if (incrementTag.exists(IndexSegments.hasTag(spark, dir, _)))
+      return // replay, committed
     val counts = DedupOps.segmentTable(docs, idCol, textCol, segWords)
       .groupBy("seg").agg(countDistinct(col("id")).as("bdf"))
-      .select(md5(col("seg")).as("segd"), col("bdf"))
-    val merged =
-      if (!ds.exists) counts.select(col("segd"), col("bdf").as("df"))
-      else {
-        val existing = scanForProbes(spark, ds,
-          counts.select(hkey60(col("segd")).as("hkey")), maxDriverKeys)
-          .select(col("segd").as("osegd"), col("df").as("odf"))
-        counts.join(existing, col("segd") === col("osegd"), "left")
-          .select(col("segd"),
-            (col("bdf") + coalesce(col("odf"), lit(0L))).as("df"))
-      }
-    ds.write(
-      merged.select(hkey60(col("segd")).as("hkey"), col("segd"),
+      .select(md5(col("seg")).as("segd"), col("bdf").as("df"))
+    writeBaseOrSegment(spark, dir,
+      counts.select(hkey60(col("segd")).as("hkey"), col("segd"),
         col("df")),
       WriteOpts("hkey", NRows(rowsPerFile),
         duplicatesOn = Some(Seq("segd")),
         kv = Map("graft.index.kind" -> "segments",
           "graft.index.cfg" -> s"w$segWords") ++
-          incrementTag.map(stampKey -> _).toMap,
-        // an untagged build clears a stale stamp: a LATER tagged call
-        // must not be skipped against some long-gone increment's tag
-        kvRemove = if (incrementTag.isEmpty) Seq(stampKey) else Nil)): Unit
+          incrementTag.map(IndexSegments.StampKey -> _).toMap))
   }
 
   /** Strip corpus-boilerplate segments from a batch against the
@@ -546,14 +574,22 @@ object DedupIndex {
       .withColumn("segd", md5(col("seg")))
     val bdf = segs.groupBy(col("segd").as("bsegd"))
       .agg(countDistinct(col("id")).as("bdf"))
-    val ds = new OrderedDataset(spark, dir)
-    if (ds.exists) requireCfg(ds, "segments", Some(s"w$segWords"))
+    val parts = IndexSegments.liveParts(spark, dir)
+    parts.headOption.foreach(p =>
+      requireCfgKv(dir, p.m.kv, "segments", Some(s"w$segWords")))
     val idx =
-      if (!ds.exists) spark.emptyDataFrame
+      if (parts.isEmpty) spark.emptyDataFrame
         .select(lit("").as("osegd"), lit(0L).as("odf")).limit(0)
-      else scanForProbes(spark, ds,
-        segs.select(hkey60(col("segd")).as("hkey")), maxDriverKeys)
-        .select(col("segd").as("osegd"), col("df").as("odf"))
+      else {
+        val scanned = IndexSegments.scanForProbes(parts,
+          segs.select(hkey60(col("segd")).as("hkey")), maxDriverKeys)
+        // frequencies SUM across base + delta segments (one row per
+        // segd each); skip the aggregate when only the base is live
+        val merged =
+          if (parts.size == 1) scanned
+          else scanned.groupBy("segd").agg(sum("df").as("df"))
+        merged.select(col("segd").as("osegd"), col("df").as("odf"))
+      }
     val own = if (includeBatchDf) col("bdf") else lit(0L)
     val verdict = bdf.join(idx, col("bsegd") === col("osegd"), "left")
       .select(col("bsegd"),
@@ -579,33 +615,24 @@ object DedupIndex {
       maxDriverKeys: Int = 65536): Unit = {
     val ds = new OrderedDataset(spark, dir)
     if (ds.exists) requireCfg(ds, "spans", Some(s"k$k"))
-    val stampKey = "graft.index.increment"
-    if (incrementTag.isDefined && ds.exists &&
-        ds.kv.get(stampKey) == incrementTag) return // replay, committed
+    if (incrementTag.exists(IndexSegments.hasTag(spark, dir, _)))
+      return // replay, committed
     val base = docs.select(col(idCol).cast("long").as("id"),
       TextOps.wsTokens(col(textCol)).as("ws"))
+    // the increment's OWN counts only — no probe of existing counts, so
+    // there is no read-modify-write to lose under concurrency (the r11
+    // ADVICE window): occurrence totals sum across segments at probe
+    // time, and write cost is ∝ the increment's distinct grams
     val counts = DedupOps.spanGramTable(base, k)
       .groupBy(col("h").as("gd"))
-      .agg(count(lit(1)).as("bcnt"))
-    val merged =
-      if (!ds.exists) counts.select(col("gd"), col("bcnt").as("cnt"))
-      else {
-        val existing = scanForProbes(spark, ds,
-          counts.select(hkey60(col("gd")).as("hkey")), maxDriverKeys)
-          .select(col("gd").as("ogd"), col("cnt").as("ocnt"))
-        counts.join(existing, col("gd") === col("ogd"), "left")
-          .select(col("gd"),
-            (col("bcnt") +
-              coalesce(col("ocnt"), lit(0L))).as("cnt"))
-      }
-    ds.write(
-      merged.select(hkey60(col("gd")).as("hkey"), col("gd"), col("cnt")),
+      .agg(count(lit(1)).as("cnt"))
+    writeBaseOrSegment(spark, dir,
+      counts.select(hkey60(col("gd")).as("hkey"), col("gd"), col("cnt")),
       WriteOpts("hkey", NRows(rowsPerFile),
         duplicatesOn = Some(Seq("gd")),
         kv = Map("graft.index.kind" -> "spans",
           "graft.index.cfg" -> s"k$k") ++
-          incrementTag.map(stampKey -> _).toMap,
-        kvRemove = if (incrementTag.isEmpty) Seq(stampKey) else Nil)): Unit
+          incrementTag.map(IndexSegments.StampKey -> _).toMap))
   }
 
   /** Duplicated-span removal for a BATCH against the persisted gram
@@ -638,15 +665,22 @@ object DedupIndex {
     val grams = DedupOps.spanGramTable(base, k)
     val bcnt = grams.groupBy(col("h").as("bgd"))
       .agg(count(lit(1)).as("bcnt"))
-    val ds = new OrderedDataset(spark, dir)
-    if (ds.exists) requireCfg(ds, "spans", Some(s"k$k"))
+    val parts = IndexSegments.liveParts(spark, dir)
+    parts.headOption.foreach(p =>
+      requireCfgKv(dir, p.m.kv, "spans", Some(s"k$k")))
     val idx =
-      if (!ds.exists) spark.emptyDataFrame
+      if (parts.isEmpty) spark.emptyDataFrame
         .select(lit("").as("ogd"), lit(0L).as("ocnt")).limit(0)
-      else scanForProbes(spark, ds,
-        grams.select(hkey60(col("h")).as("hkey")).distinct(),
-        maxDriverKeys)
-        .select(col("gd").as("ogd"), col("cnt").as("ocnt"))
+      else {
+        val scanned = IndexSegments.scanForProbes(parts,
+          grams.select(hkey60(col("h")).as("hkey")).distinct(),
+          maxDriverKeys)
+        // occurrence counts SUM across base + delta segments
+        val merged =
+          if (parts.size == 1) scanned
+          else scanned.groupBy("gd").agg(sum("cnt").as("cnt"))
+        merged.select(col("gd").as("ogd"), col("cnt").as("ocnt"))
+      }
     val own = if (includeBatchCnt) col("bcnt") else lit(0L)
     val verdict = bcnt.join(idx, col("bgd") === col("ogd"), "left")
       .select(col("bgd"),
@@ -676,5 +710,50 @@ object DedupIndex {
       val pts = keys.map(r => OrdLong(r.getLong(0)))
       ds.multiPointDF(pts.toSeq.sortBy(_.v))
     } else ds.df
+  }
+
+  /** Fold every live delta segment of the index at `dir` back into its
+    * base run — the LSM compaction twin of the O(increment) adds
+    * ([[IndexSegments.compact]]), dispatched on the index kind recorded
+    * in the base kv. Handles the two-level kinds (simhash, embedding)
+    * by compacting both sub-datasets. `rowsPerFile` sizes the rewritten
+    * base files (default: keep the base's current target by passing the
+    * largest base file's rows). Returns #segments folded (summed across
+    * sub-datasets). Probes are unchanged before and after — folding
+    * only moves rows between union members.
+    */
+  def compactIndex(spark: SparkSession, dir: String,
+      rowsPerFile: Option[Long] = None): Int = {
+    def one(d: String, orderedOn: String, dup: Seq[String],
+        sumCols: Seq[String] = Nil): Int = {
+      val base = new OrderedDataset(spark, d)
+      require(base.exists, s"no graft index at $d")
+      val rpf = rowsPerFile.getOrElse(
+        math.max(1L, base.meta.files.map(_.rows).foldLeft(0L)(math.max)))
+      IndexSegments.compact(spark, d, WriteOpts(orderedOn, NRows(rpf),
+        duplicatesOn = Some(dup)), sumCols)
+    }
+    val kindOf: String => Option[String] = d => {
+      val ds = new OrderedDataset(spark, d)
+      if (ds.exists) ds.kv.get("graft.index.kind") else None
+    }
+    kindOf(dir).orElse(kindOf(s"$dir/bands")) match {
+      case Some("digest") => one(dir, "hkey", Seq("digest", "id"))
+      case Some("minhash") => one(dir, "hkey", Seq("band_id", "sig", "id"))
+      case Some(Bm25Index.Kind) => one(dir, "hkey", Seq("term", "id"))
+      case Some("contamination") => one(dir, "hkey", Seq("g"))
+      case Some("segments") =>
+        one(dir, "hkey", Seq("segd"), sumCols = Seq("df"))
+      case Some("spans") =>
+        one(dir, "hkey", Seq("gd"), sumCols = Seq("cnt"))
+      case Some("simhash") =>
+        one(s"$dir/bands", "hkey", Seq("simhash")) +
+          one(s"$dir/members", "simhash", Seq("id"))
+      case Some("embedding") =>
+        one(s"$dir/bands", "hkey", Seq("id")) +
+          one(s"$dir/members", "id", Nil)
+      case other => throw new IllegalArgumentException(
+        s"no compactable graft index at $dir (kind = $other)")
+    }
   }
 }

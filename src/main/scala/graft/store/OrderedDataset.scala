@@ -149,11 +149,20 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
   /** Full scan; physical file order is not an ordering guarantee — use
     * orderedDf for an `ordered_on`-sorted view (ref base.py:440-459).
     */
-  def df: DataFrame = {
-    val m = meta
+  def df: DataFrame = dfOf(meta)
+
+  /** [[df]] against an explicitly CAPTURED metadata snapshot — the
+    * consistent-read primitive for multi-dataset scans: capture every
+    * member's sidecar first (one metadata read each), then build every
+    * plan from the captured snapshots, so a writer committing between
+    * two members' plan builds cannot tear the view
+    * ([[Store.rangeDFAcross]], [[graft.pipeline]] index-segment
+    * unions). Files the snapshot references stay readable for
+    * [[OrderedDataset.retireGraceMs]] past replacement.
+    */
+  private[graft] def dfOf(m: DatasetMeta): DataFrame =
     if (m.files.isEmpty) emptyLike(m)
-    else readFiles(m, filePaths(m))
-  }
+    else readFiles(m, m.files.map(f => s"$dir/${f.name}"))
 
   def orderedDf: DataFrame = { val m = meta; df.orderBy(m.orderedOn) }
 
@@ -197,11 +206,7 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     * (Delta-style `VERSION AS OF`). Works because a commit retires
     * replaced data files instead of deleting them — within the grace
     * window the old file list is still fully on disk. */
-  def dfAsOf(gen: Long): DataFrame = {
-    val m = metaAsOf(gen)
-    if (m.files.isEmpty) emptyLike(m)
-    else readFiles(m, m.files.map(f => s"$dir/${f.name}"))
-  }
+  def dfAsOf(gen: Long): DataFrame = dfOf(metaAsOf(gen))
 
   /** Commit log over the retained generations (DESCRIBE HISTORY
     * analog), derived entirely by DIFFING consecutive snapshots — no
@@ -304,8 +309,19 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     * sidecar stats without touching parquet footers
     * (ref iter_intersections.py:136-151; SURVEY §4).
     */
-  def rangeDF(lo: Option[OrdVal], hiExcl: Option[OrdVal]): DataFrame = {
-    val m = meta
+  def rangeDF(lo: Option[OrdVal], hiExcl: Option[OrdVal]): DataFrame =
+    rangeDFOf(meta, lo, hiExcl)
+
+  /** [[rangeDF]] against a retained snapshot generation — the pruned
+    * form of [[dfAsOf]] (zone maps travel in the archived sidecar, so
+    * historical range reads prune exactly like live ones). */
+  def rangeDFAsOf(gen: Long, lo: Option[OrdVal],
+      hiExcl: Option[OrdVal]): DataFrame =
+    rangeDFOf(metaAsOf(gen), lo, hiExcl)
+
+  /** [[rangeDF]] against a CAPTURED metadata snapshot (see [[dfOf]]). */
+  private[graft] def rangeDFOf(m: DatasetMeta, lo: Option[OrdVal],
+      hiExcl: Option[OrdVal]): DataFrame = {
     val sel = m.files.filter(f =>
       lo.forall(l => f.max >= l) && hiExcl.forall(h => f.min < h))
     if (sel.isEmpty) emptySelection(m)
@@ -335,8 +351,13 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     * unioning many rangeDF branches (N scans, N× planning) when the
     * point set is driver-bounded.
     */
-  def multiPointDF(points: Seq[OrdVal]): DataFrame = {
-    val m = meta
+  def multiPointDF(points: Seq[OrdVal]): DataFrame =
+    multiPointDFOf(meta, points)
+
+  /** [[multiPointDF]] against a CAPTURED metadata snapshot (see
+    * [[dfOf]]). */
+  private[graft] def multiPointDFOf(m: DatasetMeta,
+      points: Seq[OrdVal]): DataFrame = {
     val sel = m.files.filter(f =>
       points.exists(p => f.min <= p && p <= f.max))
     if (sel.isEmpty) emptySelection(m)
@@ -510,6 +531,14 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     * upsert would re-commit the PRE-upsert file list wholesale (the
     * sidecar is one document), silently dropping the other writer's
     * files.
+    *
+    * Locking note (changed r11 when this became a [[transformKv]]
+    * delegate): a held lock QUEUES up to the commit-gate floor
+    * (max(lockWaitMs, CommitWaitMs) ≈ 10 s) instead of the write
+    * path's default fail-fast — a kv swap's critical section is
+    * milliseconds, so waiting composes concurrent bumps rather than
+    * dropping one. Callers using lock contention as a signal should
+    * use [[write]] (which keeps the fail-fast default).
     */
   def updateKv(add: Map[String, String], remove: Seq[String] = Nil): Unit =
     transformKv(_ ++ add -- remove)
@@ -956,10 +985,19 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
               collide.map(_.mkString("/")).mkString(", "))
         }
         // types must agree on the (case-insensitive) intersection in
-        // BOTH modes — a type change is corruption, not evolution
+        // BOTH modes — a type change is corruption, not evolution.
+        // Compared NULLABILITY-INSENSITIVELY (container element/field
+        // nullability included): file sources relax everything to
+        // nullable on read, so a compaction that re-reads its own
+        // parquet must not be rejected against the tighter creation
+        // schema.
+        def norm(dt: DataType): DataType =
+          org.apache.spark.sql.graftbridge.SparkInternals.asNullable(
+            StructType(Seq(StructField("x", dt)))).fields(0).dataType
         val mismatched = sMap.collect {
           case (n, dt) if bMap.collectFirst {
-            case (bn, bdt) if bn.equalsIgnoreCase(n) && bdt != dt => bdt
+            case (bn, bdt) if bn.equalsIgnoreCase(n) &&
+              norm(bdt) != norm(dt) => bdt
           }.isDefined =>
             s"$n: $dt != ${bMap.collectFirst {
               case (bn, bdt) if bn.equalsIgnoreCase(n) => bdt }.get}"

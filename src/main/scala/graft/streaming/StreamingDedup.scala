@@ -174,11 +174,10 @@ object StreamingDedup {
             // increment, exclude the batch's own contribution from the
             // verdict (it is IN the index) — the rewrite then equals
             // the first attempt's bit-for-bit
-            val isReplay = segIncrementTag.isDefined && {
-              val sds = new OrderedDataset(spark, sd)
-              sds.exists &&
-                sds.kv.get("graft.index.increment") == segIncrementTag
-            }
+            // stamps live per delta segment since r12 (plus the base's
+            // folded-tag history) — hasTag checks all of them
+            val isReplay = segIncrementTag.exists(
+              graft.pipeline.IndexSegments.hasTag(spark, sd, _))
             val rewritten = DedupIndex.dedupBatchSegments(spark, sd,
                 fresh, idCol, textCol, segWords, segDfMin,
                 textOut = true, includeBatchDf = !isReplay)
