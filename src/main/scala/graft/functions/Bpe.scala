@@ -32,7 +32,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * an earlier pair referencing token t would need t to exist before
   * the later merge that creates it. Rank-order application is a fixed
   * chain of literal string replaces over a wrapped-symbol encoding
-  * (`<h><e><l><l><o>`, merge (a,b) = replace `<a><b>` → `<ab>`), which
+  * (`␁h␂␁e␂␁l␂␁l␂␁o␂` with the control-char wrappers [[Bpe.WrapL]]/
+  * [[Bpe.WrapR]]; merge (a,b) = replace `␁a␂␁b␂` → `␁ab␂`), which
   * DuckDB's `replace()` executes with the same leftmost-first
   * non-overlapping semantics — see [[Bpe.duckdbCountExpr]]. The
   * equivalence is additionally spec-pinned (BpeSpec) by running the
@@ -54,12 +55,21 @@ object Bpe {
     * 50k merges). */
   val MaxMerges = 1000000
 
+  /** Oracle-replay wrapper metacharacters (ADVICE r11): control chars
+    * U+0001/U+0002 that no real corpus text contains, so literal
+    * `<`/`>` in documents (e.g. the cleaner's `<URL>` scrub markers)
+    * no longer corrupt the DuckDB replace chain — queries tokenize
+    * UNMODIFIED text on both sides. The `|` token-join character
+    * remains the one documented oracle-side constraint. */
+  val WrapL = "\u0001"
+  val WrapR = "\u0002"
+
   /** Compiled merges table. Validates well-formedness at construction
     * so the greedy loop / replace-chain equivalence the oracle depends
     * on is CHECKED, not hoped: every pair side must be a single char
     * or the output of a strictly earlier merge, outputs must be
-    * unique, and no side may contain the `<`/`>` wrapper chars or a
-    * space (the pre-tokenizer boundary).
+    * unique, and no side may contain the [[Bpe.WrapL]]/[[Bpe.WrapR]]
+    * wrapper chars or a space (the pre-tokenizer boundary).
     */
   final class Table(val merges: Seq[(String, String)]) extends Serializable {
     require(merges.nonEmpty, "empty merges table")
@@ -71,7 +81,8 @@ object Bpe {
         def okSide(s: String): Boolean =
           s.length == 1 || created.contains(s)
         require(a.nonEmpty && b.nonEmpty, s"merge $i has an empty side")
-        require(!(a + b).exists(c => c == '<' || c == '>' || c == ' '),
+        require(!(a + b).exists(c =>
+            c == WrapL.charAt(0) || c == WrapR.charAt(0) || c == ' '),
           s"merge $i ('$a','$b') contains a wrapper char or space")
         require(okSide(a) && okSide(b),
           s"merge $i ('$a','$b') is not well-formed: each side must " +
@@ -238,10 +249,11 @@ object Bpe {
   def duckdbCountExpr(wordExpr: String,
       merges: Seq[(String, String)] = FixtureMerges): String = {
     val chain = merges.foldLeft(
-      s"regexp_replace($wordExpr, '(.)', '<\\1>', 'g')") {
-      case (acc, (a, b)) => s"replace($acc, '<$a><$b>', '<$a$b>')"
+      s"regexp_replace($wordExpr, '(.)', '$WrapL\\1$WrapR', 'g')") {
+      case (acc, (a, b)) =>
+        s"replace($acc, '$WrapL$a$WrapR$WrapL$b$WrapR', '$WrapL$a$b$WrapR')"
     }
-    s"(len($chain) - len(replace($chain, '<', '')))"
+    s"(len($chain) - len(replace($chain, '$WrapL', '')))"
   }
 
   /** DuckDB expression: total BPE token count of a text column
@@ -255,21 +267,23 @@ object Bpe {
     * '|'-joined string (per-word chains unwrapped to tokens, empty
     * words dropped) — the oracle form of [[BpeEncode]].
     *
-    * CONSTRAINT (oracle-side only): the replay wraps symbols in
-    * `<`/`>` and joins tokens with `|`, so text containing those
-    * literal characters corrupts the chain — [[BpeEncode]] itself
-    * handles any characters. Callers oracle-checking text that may
-    * carry them (e.g. scrub markers like `<URL>`) must strip or remap
-    * the metacharacters IDENTICALLY on both sides first
-    * (p_pipeline_shards strips angle brackets). */
+    * CONSTRAINT (oracle-side only): the replay wraps symbols in the
+    * control chars [[Bpe.WrapL]]/[[Bpe.WrapR]] — which no real text
+    * contains, so ordinary documents (including `<URL>` scrub markers,
+    * the ADVICE-r11 case) replay unmodified — and joins tokens with
+    * `|`: text carrying a literal `|` or the control chars would still
+    * corrupt the chain and must be remapped identically on both sides.
+    * [[BpeEncode]] itself handles any characters. */
   def duckdbTokensExpr(textExpr: String,
       merges: Seq[(String, String)] = FixtureMerges): String = {
     val chain = merges.foldLeft(
-      s"regexp_replace(bpew, '(.)', '<\\1>', 'g')") {
-      case (acc, (a, b)) => s"replace($acc, '<$a><$b>', '<$a$b>')"
+      s"regexp_replace(bpew, '(.)', '$WrapL\\1$WrapR', 'g')") {
+      case (acc, (a, b)) =>
+        s"replace($acc, '$WrapL$a$WrapR$WrapL$b$WrapR', '$WrapL$a$b$WrapR')"
     }
     val tokstr =
-      s"replace(replace(replace($chain, '><', '|'), '<', ''), '>', '')"
+      s"replace(replace(replace($chain, '$WrapR$WrapL', '|'), " +
+        s"'$WrapL', ''), '$WrapR', '')"
     s"array_to_string(list_filter(list_transform(" +
       s"string_split($textExpr, ' '), bpew -> $tokstr), " +
       "x -> len(x) > 0), '|')"
@@ -283,10 +297,11 @@ object Bpe {
     import org.apache.spark.sql.functions._
     def wordCount(w: Column): Column = {
       val chain = merges.foldLeft(
-        regexp_replace(w, "(.)", "<$1>")) { case (acc, (a, b)) =>
-        replace(acc, lit(s"<$a><$b>"), lit(s"<$a$b>"))
+        regexp_replace(w, "(.)", s"$WrapL$$1$WrapR")) { case (acc, (a, b)) =>
+        replace(acc, lit(s"$WrapL$a$WrapR$WrapL$b$WrapR"),
+          lit(s"$WrapL$a$b$WrapR"))
       }
-      length(chain) - length(replace(chain, lit("<"), lit("")))
+      length(chain) - length(replace(chain, lit(WrapL), lit("")))
     }
     aggregate(split(text, " "), lit(0L),
       (acc, w) => acc + wordCount(w).cast("long"))
@@ -322,7 +337,7 @@ object Bpe {
     val freq: Array[(String, Long)] =
       df.select(explode(split(col(textCol), " ")).as("w"))
         .filter(length(col("w")) >= 2 &&
-          !col("w").contains("<") && !col("w").contains(">"))
+          !col("w").contains(WrapL) && !col("w").contains(WrapR))
         .groupBy("w").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("w"))
         .limit(maxWords)

@@ -518,10 +518,25 @@ object DedupOps {
     */
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, minCount: Long = 2L, textOut: Boolean = false)
+      : DataFrame =
+    spanDedupTokens(df, idCol, TextOps.wsTokens(col(textCol)), k,
+      minCount, textOut)
+
+  /** [[spanDedup]] over an arbitrary token-array column — the
+    * substring-dedup literature (and this engine's own packSequences)
+    * operate on BPE TOKEN streams, not whitespace words: pass
+    * `Bpe.bpeTokens(col(textCol), table)` and duplicated spans are
+    * caught at sub-word granularity and any byte alignment the
+    * tokenizer produces. Geometry, cost shape and output schema are
+    * identical to [[spanDedup]] (clean_digest = md5 of the surviving
+    * TOKENS space-rejoined — BPE tokens never contain spaces).
+    */
+  def spanDedupTokens(df: DataFrame, idCol: String, toks: Column,
+      k: Int = 8, minCount: Long = 2L, textOut: Boolean = false)
       : DataFrame = {
     require(k >= 2, s"span gram width must be >= 2, got $k")
     val base = df.select(col(idCol).cast("long").as("id"),
-      TextOps.wsTokens(col(textCol)).as("ws"))
+      toks.as("ws"))
     // (id, pos, h): md5 of each stride-1 k-token window; short docs
     // guarded inside spanGramTable (sequence(0, negative) enumerates
     // DESCENDING — the same trap shingleArrays fixed)

@@ -65,14 +65,22 @@ object RetrievalOps {
     // the corpus is scanned and tokenized ONCE — the unpersisted plan
     // re-read the parquet three times (plan audit, PLANS.md r11)
     val tf = termFreqs(corpus, idCol, textCol).persist()
-    // corpus scalars from the slim cached table, not a fresh corpus
-    // scan: N counts docs that produced at least one token (null text
-    // tokenizes to nothing in every engine; empty text is one empty
-    // token, same as SQL string_split)
-    val stats = tf.groupBy("id").agg(max("dl").as("dl"))
-      .agg(count(lit(1)).cast("long").as("n_docs"),
-        sum("dl").cast("long").as("sum_dl"))
-    scoreTermTable(tf, stats, queries, k, k1, b)
+    try {
+      // corpus scalars from the slim cached table, not a fresh corpus
+      // scan: N counts docs that produced at least one token (null text
+      // tokenizes to nothing in every engine; empty text is one empty
+      // token, same as SQL string_split)
+      val stats = tf.groupBy("id").agg(max("dl").as("dl"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("dl").cast("long").as("sum_dl"))
+      // EAGER result (ADVICE r11): top-k is (|queries| × k) rows by
+      // construction, so materializing it here (localCheckpoint) lets
+      // the corpus-sized term cache be released in finally instead of
+      // leaking MEMORY_AND_DISK for the session; callers get a pinned
+      // small frame, recomputation-free under reuse (the hybrid query
+      // feeds it to fusion twice)
+      scoreTermTable(tf, stats, queries, k, k1, b).localCheckpoint()
+    } finally tf.unpersist(): Unit
   }
 
   /** The shared scoring tail: `tf` is any (id, term, tf, dl) term
@@ -122,27 +130,39 @@ object RetrievalOps {
         col("n_hit"))
   }
 
-  /** Reciprocal-rank fusion of two ranked lists (Cormack/Clarke/
+  /** Reciprocal-rank fusion of two ranked lists — see [[rrfFuseN]]
+    * (the 2-arm results are identical to the r11 full-outer-join
+    * form: both compute the same exact integer sums per (q_id,
+    * doc_id); only the plan shape changed). */
+  def rrfFuse(armA: DataFrame, armB: DataFrame, k: Int, k0: Int = RrfK)
+      : DataFrame = rrfFuseN(Seq(armA, armB), k, k0)
+
+  /** Reciprocal-rank fusion of N ≥ 2 ranked lists (Cormack/Clarke/
     * Buettcher 2009): each arm contributes 1/(k0+rank), a document
     * missing from an arm contributes nothing. Contributions are
     * quantized to nano-units (`round(1e9/(k0+rank))` as BIGINT — one
     * IEEE division per rank, identical in any engine) so the fused
-    * score is an exact integer sum. Input arms: (q_id, doc_id, rank);
-    * output: (q_id, rank, doc_id, rrf_score BIGINT) top-k fused, ties
-    * by ascending doc id.
+    * score is an exact integer sum in any addition order and any arm
+    * order. Input arms: (q_id, doc_id, rank); output: (q_id, rank,
+    * doc_id, rrf_score BIGINT) top-k fused, ties by ascending doc id.
+    *
+    * Shape at scale: arms UNION (map-side) into one (q_id, doc_id, c)
+    * stream and fuse in a single groupBy-sum shuffle — N-ary fusion
+    * costs one exchange regardless of N, where chained full-outer
+    * joins would pay N−1 (each arm is already a bounded top-pool per
+    * query, so the union is small by construction).
     */
-  def rrfFuse(armA: DataFrame, armB: DataFrame, k: Int, k0: Int = RrfK)
+  def rrfFuseN(arms: Seq[DataFrame], k: Int, k0: Int = RrfK)
       : DataFrame = {
-    def contrib(df: DataFrame, out: String): DataFrame =
+    require(arms.size >= 2, s"rrf fusion wants >= 2 arms, got ${arms.size}")
+    val contribs = arms.map(df =>
       df.select(col("q_id").cast("long").as("q_id"),
         col("doc_id").cast("long").as("doc_id"),
         round(lit(1e9) / (lit(k0).cast("double") + col("rank")
-          .cast("double"))).cast("long").as(out))
-    val a = contrib(armA, "ca"); val b = contrib(armB, "cb")
-    val fused = a.join(b, Seq("q_id", "doc_id"), "full_outer")
-      .select(col("q_id"), col("doc_id"),
-        (coalesce(col("ca"), lit(0L)) + coalesce(col("cb"), lit(0L)))
-          .as("rrf_score"))
+          .cast("double"))).cast("long").as("c")))
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy("q_id", "doc_id")
+      .agg(sum(col("c")).as("rrf_score"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("rrf_score").desc, col("doc_id"))
     fused.withColumn("rank", row_number().over(w))

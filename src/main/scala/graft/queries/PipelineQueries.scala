@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.pipeline._
 
@@ -729,10 +730,49 @@ object PipelineQueries {
         .select("q_id", "doc_id", "rank")
       val v = SimilarityOps.withNorm(embs(s, d), "vec_id", "embedding")
         .persist()
-      val sem = SimilarityOps.bruteForceTopK(
+      // pin the (HybridNQ × RrfPool) arm eagerly, then release the
+      // vector cache — the ADVICE-r11 leak fix, same pattern as the
+      // indexed-ANN neighbors below
+      val sem = try SimilarityOps.bruteForceTopK(
           v.filter(col("id") < HybridNQ), v, RrfPool)
         .select(col("q_id"), col("vec_id").as("doc_id"), col("rank"))
+        .localCheckpoint()
+      finally v.unpersist()
       RetrievalOps.rrfFuse(lex, sem, FusedK).orderBy("q_id", "rank")
+    },
+
+    // THREE-arm hybrid: BM25 + dense cosine + a global document-length
+    // prior (n_chars desc — "prefer substantial documents"), fused by
+    // the N-ary RRF (one union + one groupBy-sum exchange regardless
+    // of arm count). The prior arm is query-independent: every query
+    // crosses the same ranked doc list — the recency/quality-prior
+    // shape real hybrid stacks bolt onto lexical+dense retrieval.
+    "p_hybrid_rrf3" -> { (s, d) =>
+      val dd = docs(s, d)
+      val q = dd.filter(col("doc_id") < HybridNQ)
+        .select(col("doc_id").as("q_id"), col("text").as("q_text"))
+      val lex = RetrievalOps.bm25TopK(dd, "doc_id", "text", q, RrfPool)
+        .select("q_id", "doc_id", "rank")
+      val v = SimilarityOps.withNorm(embs(s, d), "vec_id", "embedding")
+        .persist()
+      val sem = try SimilarityOps.bruteForceTopK(
+          v.filter(col("id") < HybridNQ), v, RrfPool)
+        .select(col("q_id"), col("vec_id").as("doc_id"), col("rank"))
+        .localCheckpoint()
+      finally v.unpersist()
+      // distributed top-k (TakeOrderedAndProject), NOT a global window
+      // over the corpus: only the RrfPool survivors see the
+      // single-partition rank window
+      val topPrior = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("n_chars").desc, col("doc_id")).limit(RrfPool)
+      val wPrior = Window.orderBy(col("n_chars").desc, col("doc_id"))
+      val priorDocs = topPrior
+        .withColumn("rank", row_number().over(wPrior))
+        .select("doc_id", "rank")
+      val prior = q.select(col("q_id")).crossJoin(broadcast(priorDocs))
+      RetrievalOps.rrfFuseN(Seq(lex, sem, prior), FusedK)
+        .orderBy("q_id", "rank")
     },
 
     // IVF ANN: deterministic coarse quantizer (every 25th id, fixed
@@ -977,6 +1017,19 @@ object PipelineQueries {
       DedupIndex.dedupBatchSpans(s, dir,
           injectedSpanDocs(s, d).filter(col("doc_id") % 5 === 0),
           "doc_id", "text", SpanK)
+        .orderBy("doc_id")
+    },
+
+    // BPE-TOKEN span dedup (VERDICT r11 stretch): the same
+    // duplicated-span geometry over the BPE token stream — the
+    // representation the substring-dedup literature (and packSequences)
+    // actually operate on. Sub-word grams catch duplicates word-level
+    // graming can't see across tokenizer merges; oracle replays the
+    // merge chain, then the identical lag-window CTEs.
+    "p_span_dedup_bpe" -> { (s, d) =>
+      DedupOps.spanDedupTokens(injectedSpanDocs(s, d), "doc_id",
+          graft.functions.Bpe.bpeTokens(col("text"),
+            graft.functions.Bpe.fixtureTable), SpanK)
         .orderBy("doc_id")
     },
 
@@ -1338,15 +1391,13 @@ object PipelineQueries {
     // and emitted as fixed-length training sequences — corpus in,
     // training shards out, one composed job. Shares every stage with
     // p_pipeline_e2e (pipelineBudgeted); only the tail differs.
-    // Angle brackets are stripped before tokenizing (scrub markers
-    // '<URL>' → 'URL'): BpeEncode handles any characters, but the
-    // oracle's replace-chain replay uses < > as its wrapped-symbol
-    // metacharacters — a literal bracket corrupts the chain (the
-    // constraint is the ORACLE's, documented in Bpe.duckdbTokensExpr).
+    // Text is tokenized UNMODIFIED — the oracle's replace-chain replay
+    // wraps symbols in control chars no document contains (Bpe.WrapL/
+    // WrapR since r12), so the cleaner's '<URL>' scrub markers no
+    // longer need pre-stripping (the ADVICE-r11 harness-leak fix).
     "p_pipeline_shards" -> { (s, d) =>
       PackOps.packSequences(
-          pipelineBudgeted(s, d).select(col("doc_id"),
-            translate(col("text"), "<>", "").as("text")),
+          pipelineBudgeted(s, d).select(col("doc_id"), col("text")),
           "doc_id",
           graft.functions.Bpe.bpeTokens(col("text"),
             graft.functions.Bpe.fixtureTable),
@@ -1769,8 +1820,7 @@ object PipelineQueries {
           JOIN (SELECT doc_id FROM cum WHERE cum_tokens <= $TokenBudget)
             k USING (doc_id)),
        kt AS (SELECT doc_id,
-            ${graft.functions.Bpe.duckdbTokensExpr(
-              "replace(replace(text, '<', ''), '>', '')")} AS tokstr
+            ${graft.functions.Bpe.duckdbTokensExpr("text")} AS tokstr
           FROM kept),
        ${packSequencesOracleTail("kt")}"""
 
@@ -1896,6 +1946,47 @@ object PipelineQueries {
      SELECT q_id, CAST(rank AS INT) AS rank, doc_id, rrf_score
      FROM franked WHERE rank <= $FusedK ORDER BY q_id, rank"""
 
+  /** Three-arm RRF: the two-arm CTEs plus a query-independent
+    * document-length prior arm, fused as one UNION-ALL sum (the exact
+    * integer-sum replay of [[RetrievalOps.rrfFuseN]]). */
+  private def hybridRrf3Oracle: String =
+    s"""WITH ${bm25OracleCtes(
+        s"SELECT doc_id AS q_id, text AS q_text FROM documents " +
+          s"WHERE doc_id < $HybridNQ")},
+       lex AS (SELECT q_id, id AS doc_id, rank FROM lranked
+          WHERE rank <= $RrfPool),
+       v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+          FROM embeddings),
+       n AS (SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS norm
+          FROM v),
+       sscored AS (SELECT q.id AS q_id, c.id AS doc_id,
+            round(list_dot_product(q.vec, c.vec) / (q.norm * c.norm), 6)
+              AS cos
+          FROM n q JOIN n c ON q.id < $HybridNQ AND q.id <> c.id),
+       sem AS (SELECT q_id, doc_id, rank FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY q_id ORDER BY cos DESC, doc_id) AS rank
+            FROM sscored) WHERE rank <= $RrfPool),
+       prior AS (SELECT doc_id, rank FROM (
+            SELECT doc_id, row_number() OVER (
+              ORDER BY n_chars DESC, doc_id) AS rank
+            FROM documents) WHERE rank <= $RrfPool),
+       qs AS (SELECT doc_id AS q_id FROM documents
+            WHERE doc_id < $HybridNQ),
+       allc AS (
+          SELECT q_id, doc_id, rank FROM lex
+          UNION ALL SELECT q_id, doc_id, rank FROM sem
+          UNION ALL SELECT qs.q_id, p.doc_id, p.rank FROM qs, prior p),
+       fused AS (SELECT q_id, doc_id,
+            CAST(sum(CAST(round(1e9 / (60.0 + CAST(rank AS DOUBLE)))
+              AS BIGINT)) AS BIGINT) AS rrf_score
+          FROM allc GROUP BY q_id, doc_id),
+       franked AS (SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY rrf_score DESC, doc_id) AS rank
+          FROM fused)
+     SELECT q_id, CAST(rank AS INT) AS rank, doc_id, rrf_score
+     FROM franked WHERE rank <= $FusedK ORDER BY q_id, rank"""
+
   /** [[PackOps.packSequences]] oracle tail over any `(doc_id, tokstr)`
     * CTE (tokstr = the '|'-joined token stream): per-shard prefix
     * sums, per-sequence inclusive-end list_slice (Spark's slice takes
@@ -1939,15 +2030,39 @@ object PipelineQueries {
     * the same corpus-wide computation emitted for the batch split
     * only). */
   private def spanDedupOracle(where: String = ""): String = {
-    val k = SpanK
-    s"""WITH inj AS (SELECT doc_id, text
+    s"""WITH $spanInjCte,
+       w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM inj),
+       ${spanDedupOracleTail(where)}"""
+  }
+
+  /** The injected-boilerplate corpus CTE (`inj`) shared by every span
+    * oracle. */
+  private def spanInjCte: String =
+    s"""inj AS (SELECT doc_id, text
            || CASE WHEN doc_id % 4 = 0 THEN ' $SpanBoilerA' ELSE '' END
            || CASE WHEN doc_id % 6 = 0 THEN ' $SpanBoilerB' ELSE '' END
            || CASE WHEN doc_id % 9 = 0
                 THEN ' $SpanRepeat $SpanRepeat' ELSE '' END
-             AS text FROM documents),
-       w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM inj),
-       g AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+             AS text FROM documents)"""
+
+  /** BPE-token span dedup: the same lag-window CTE chain over the BPE
+    * token stream (merge-chain replay → '|'-split) instead of
+    * whitespace words. */
+  private def spanDedupBpeOracle: String =
+    s"""WITH $spanInjCte,
+       kt AS (SELECT doc_id,
+            ${graft.functions.Bpe.duckdbTokensExpr("text")} AS tokstr
+          FROM inj),
+       w AS (SELECT doc_id, CASE WHEN tokstr = ''
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split(tokstr, '|') END AS ws FROM kt),
+       ${spanDedupOracleTail("")}"""
+
+  /** The span-geometry CTE chain + final select over any `(doc_id,
+    * ws)` CTE named `w` (see [[spanDedupOracle]]'s null-lag gotcha). */
+  private def spanDedupOracleTail(where: String): String = {
+    val k = SpanK
+    s"""g AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
             md5(array_to_string(list_slice(ws, CAST(u.i + 1 AS BIGINT),
               CAST(u.i + $k AS BIGINT)), ' ')) AS h
           FROM w, unnest(range(0, CAST(len(ws) - ${k - 1} AS BIGINT)))
@@ -2278,6 +2393,7 @@ object PipelineQueries {
     "p_pipeline_shards" -> pipelineShardsOracle,
     "p_span_dedup" -> spanDedupOracle(),
     "p_span_dedup_inc" -> spanDedupOracle("WHERE w.doc_id % 5 = 0"),
+    "p_span_dedup_bpe" -> spanDedupBpeOracle,
 
     // packSequences replay: same BPE replace-chain as p_text_bpe_encode
     // produces the token stream; per-shard prefix sums, inclusive-end
@@ -2291,6 +2407,7 @@ object PipelineQueries {
     "p_bm25_topk" -> bm25TopkOracle,
     "p_bm25_indexed" -> bm25TopkOracle,
     "p_hybrid_rrf" -> hybridRrfOracle,
+    "p_hybrid_rrf3" -> hybridRrf3Oracle,
     "p_ann_topk" -> annTopkOracle,
     "p_ann_ivf" -> annIvfOracle,
     "p_ann_ivf_indexed" -> annIvfOracle,

@@ -91,10 +91,12 @@ class BpeSpec extends SparkSpec {
       Bpe.Table.fromPairs(Seq("a" -> "b", "a" -> "b"))
     }
     assert(e2.getMessage.contains("re-creates"))
-    // wrapper chars and spaces are reserved
+    // wrapper chars and spaces are reserved (control chars since r12 —
+    // literal '<'/'>' are ordinary text and legal in merge sides)
     assert(intercept[IllegalArgumentException] {
-      Bpe.Table.fromPairs(Seq("<" -> "a"))
+      Bpe.Table.fromPairs(Seq(Bpe.WrapL -> "a"))
     }.getMessage.contains("wrapper"))
+    Bpe.Table.fromPairs(Seq("<" -> ">")): Unit // now well-formed
     // the fixture table itself constructs (validates) cleanly
     assert(T.merges.size == Bpe.FixtureMerges.size)
   }
