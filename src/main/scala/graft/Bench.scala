@@ -159,13 +159,31 @@ object Bench {
     // comparison is forbidden, SCALE.md r10b); ratio is over the
     // common query set, per-query min vs canonical min; a missing or
     // unreadable canonical degrades to null, never an abort.
+    // cpus-KEYED canonical resolution (VERDICT r11 #3): a curated
+    // record pinned for THIS run's thread count —
+    // `<base>.cpus<N>.json` — wins over the plain `<base>.json`.
+    // Two failure modes this closes: (1) the driver runs cpus=32
+    // against a cpus=4 default and reads `common: 0, ratio: null`
+    // exactly where the machine-checkable promotion rule matters;
+    // (2) the bench WRITES BENCH_FULL.json at the end of every run
+    // (see outPath below), so the un-keyed default is the previous
+    // session's output, not a curated canonical — the r11 driver
+    // session (drifted, sentinel 1.675) overwrote it in place. The
+    // keyed files are committed records the bench never writes.
     val canonPath: Option[String] =
       sys.env.get("SPARK_GRAFT_CANON").filter(_.nonEmpty).orElse {
         val norm = sfDir.stripSuffix("/")
-        if (norm.endsWith("sf0.1")) Some("BENCH_FULL.json")
-        else if (norm.endsWith("graft_sf1")) Some("BENCH_FULL_10x.json")
-        else if (norm.endsWith("graft_sf10")) Some("BENCH_FULL_100x.json")
-        else None
+        val base =
+          if (norm.endsWith("sf0.1")) Some("BENCH_FULL")
+          else if (norm.endsWith("graft_sf1")) Some("BENCH_FULL_10x")
+          else if (norm.endsWith("graft_sf10")) Some("BENCH_FULL_100x")
+          else None
+        base.map { b =>
+          cpusNum.map(c => s"$b.cpus$c.json")
+            .filter(p => java.nio.file.Files.exists(
+              java.nio.file.Paths.get(p)))
+            .getOrElse(s"$b.json")
+        }
       }
     case class CanonCmp(file: String, canonCpus: Option[Int],
         common: Int, medianRatio: Option[Double],
