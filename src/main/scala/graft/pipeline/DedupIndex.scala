@@ -742,6 +742,14 @@ object DedupIndex {
       case Some("minhash") => one(dir, "hkey", Seq("band_id", "sig", "id"))
       case Some(Bm25Index.Kind) => one(dir, "hkey", Seq("term", "id"))
       case Some("contamination") => one(dir, "hkey", Seq("g"))
+      // IVF lists carry no dedup key (re-adding an id was never deduped
+      // — same as the r11 in-place add); folding is a pure merge
+      case Some("ivf") | Some("ivfpq") =>
+        val base = new OrderedDataset(spark, dir)
+        require(base.exists, s"no graft index at $dir")
+        val rpf = rowsPerFile.getOrElse(
+          math.max(1L, base.meta.files.map(_.rows).foldLeft(0L)(math.max)))
+        IndexSegments.compact(spark, dir, WriteOpts("cid", NRows(rpf)))
       case Some("segments") =>
         one(dir, "hkey", Seq("segd"), sumCols = Seq("df"))
       case Some("spans") =>

@@ -154,7 +154,19 @@ object IndexSegments {
       if (keys.length <= maxDriverKeys) {
         val pts = keys.map(r => OrdLong(r.getLong(0))).toSeq.sortBy(_.v)
         parts.map(p => p.ds.multiPointDFOf(p.m, pts))
-      } else parts.map(p => p.ds.dfOf(p.m))
+      } else {
+        // loud, not silent: over the cap the probe streams the whole
+        // index (I/O ∝ index, not increment). For the slim per-doc
+        // indexes that is still a ~1000x win over re-hashing corpus
+        // text; for gram-CARDINALITY-sized indexes (span grams) it is
+        // the regime where recomputing can be cheaper — measured in
+        // SCALE.md (r11f fixture-ratio row, r12 100:1-regime row).
+        System.err.println(
+          s"[graft] index probe of ${parts.head.ds.dir}: distinct probe" +
+            s" keys exceed maxDriverKeys=$maxDriverKeys — falling back" +
+            " to the full-index equi-join (cost ∝ index, not increment)")
+        parts.map(p => p.ds.dfOf(p.m))
+      }
     val u = scans.reduce(_ unionByName _)
     if (parts.size > 1 && dedupCols.nonEmpty) u.dropDuplicates(dedupCols)
     else u

@@ -35,22 +35,32 @@ object IvfIndex {
     val assigned = SimilarityOps.ivfAssignTo(corpus, centroids)
       .select(col("cid"), col("id"), col("vec"), col("norm"))
     new OrderedDataset(spark, dir)
-      .write(assigned, WriteOpts("cid", NRows(rowsPerFile)))
+      .write(assigned, WriteOpts("cid", NRows(rowsPerFile),
+        kv = Map("graft.index.kind" -> "ivf")))
   }
 
   /** Incrementally add vectors to an existing index: assign the batch
     * against the SAME centroid table the index was built with (caller-
     * managed, exactly as in [[search]] — a filter over the batch alone
-    * would fabricate a different centroid set) and ordered-upsert the
-    * new rows into their lists. Only the lists the batch lands in are
-    * rewritten; untouched lists are never read.
+    * would fabricate a different centroid set). The batch lands as an
+    * LSM delta segment ([[IndexSegments]], r12): a typical increment
+    * touches EVERY list (vectors scatter across centroids), so the
+    * r11 in-place upsert rewrote essentially the whole index per add;
+    * the segment write costs the increment's sort alone, probes union
+    * base + live segments, and [[DedupIndex.compactIndex]] folds
+    * segments back periodically.
     */
   def add(spark: SparkSession, dir: String, newVecs: DataFrame,
       centroids: DataFrame, rowsPerFile: Long = 1000000L): Unit = {
     val assigned = SimilarityOps.ivfAssignTo(newVecs, centroids)
       .select(col("cid"), col("id"), col("vec"), col("norm"))
-    new OrderedDataset(spark, dir)
-      .write(assigned, WriteOpts("cid", NRows(rowsPerFile)))
+    val base = new OrderedDataset(spark, dir)
+    if (!base.exists)
+      base.write(assigned, WriteOpts("cid", NRows(rowsPerFile),
+        kv = Map("graft.index.kind" -> "ivf"))): Unit
+    else IndexSegments.writeSegment(spark, dir, assigned,
+      WriteOpts("cid", NRows(rowsPerFile),
+        kv = Map("graft.index.kind" -> "ivf")))
   }
 
   /** Probe the nProbe nearest lists per query against the stored index.
@@ -83,11 +93,10 @@ object IvfIndex {
       java.util.Arrays.asList(probeRows: _*), probePlan.schema)
 
     val probedCids = probeRows.map(_.getLong(3)).distinct.sorted
-    // ONE scan branch over the zone-map-selected files; the exact list
-    // membership is an isin residual that parquet row-group stats prune
-    val ds = new OrderedDataset(spark, dir)
-    val lists = ds.multiPointDF(probedCids.toSeq.map(OrdLong))
-      .filter(col("cid").isin(probedCids.toSeq: _*))
+    // ONE scan branch per union member (base + live delta segments)
+    // over the zone-map-selected files; the exact list membership is
+    // an isin residual that parquet row-group stats prune
+    val lists = probedLists(spark, dir, probedCids.toSeq)
 
     val wk = Window.partitionBy("q_id")
       .orderBy(col("cos").desc, col("vec_id"))
@@ -99,6 +108,20 @@ object IvfIndex {
       .withColumn("rank", row_number().over(wk))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "vec_id", "cos")
+  }
+
+  /** The probed-lists read shared by [[search]]/[[searchPq]]: the
+    * zone-map multi-point scan over base + live delta segments, from
+    * one pinned capture. The isin residual pushes to parquet row-group
+    * stats in every member. */
+  private def probedLists(spark: SparkSession, dir: String,
+      probedCids: Seq[Long]) = {
+    val parts = IndexSegments.liveParts(spark, dir)
+    require(parts.nonEmpty, s"no graft index at $dir")
+    val pts = probedCids.map(OrdLong(_))
+    parts.map(p => p.ds.multiPointDFOf(p.m, pts))
+      .reduce(_ unionByName _)
+      .filter(col("cid").isin(probedCids: _*))
   }
 
   /** Persist a PQ-COMPRESSED IVF index: `(cid, id, codes, rnorm)`
@@ -115,7 +138,8 @@ object IvfIndex {
         SimilarityOps.ivfAssign(corpus, centroidFilter), cb)
       .select(col("cid"), col("id"), col("codes"), col("rnorm"))
     new OrderedDataset(spark, dir)
-      .write(encoded, WriteOpts("cid", NRows(rowsPerFile)))
+      .write(encoded, WriteOpts("cid", NRows(rowsPerFile),
+        kv = Map("graft.index.kind" -> "ivfpq")))
   }
 
   /** ADC search over the stored code lists: probe planning and
@@ -150,9 +174,7 @@ object IvfIndex {
 
     val probedCids = probeRows
       .map(r => r.getLong(r.fieldIndex("cid"))).distinct.sorted
-    val ds = new OrderedDataset(spark, dir)
-    val lists = ds.multiPointDF(probedCids.toSeq.map(OrdLong))
-      .filter(col("cid").isin(probedCids.toSeq: _*))
+    val lists = probedLists(spark, dir, probedCids.toSeq)
 
     val kw = cb(0).length
     val approx = (0 until m).map(mi =>

@@ -172,6 +172,33 @@ class IndexCompactionSpec extends SparkSpec {
     assert(probe() == before)
   }
 
+  test("ivf index: segment adds answer identically to a one-shot " +
+      "build and survive compaction") {
+    def mkVecs(lo: Long, hi: Long) = SimilarityOps.withNorm(
+      (lo until hi).map { i =>
+        (i, Array.tabulate(8)(j => math.cos(i * 0.37 + j)))
+      }.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val all = mkVecs(0L, 120L)
+    val cents = all.filter($"id" % 10 === 0)
+    val queries = all.filter($"id" < 3L)
+    val fullDir = tmpDir("lsm_ivf_full") + "/idx"
+    IvfIndex.buildWith(spark, fullDir, all, cents, rowsPerFile = 30)
+    def rows(d: String) = IvfIndex.search(spark, d, queries, cents,
+        nProbe = 3, k = 5)
+      .orderBy("q_id", "rank").collect().toSeq
+    val expect = rows(fullDir)
+    val dir = tmpDir("lsm_ivf") + "/idx"
+    IvfIndex.buildWith(spark, dir, all.filter($"id" < 80L), cents,
+      rowsPerFile = 30)
+    IvfIndex.add(spark, dir, all.filter($"id" >= 80L), cents,
+      rowsPerFile = 30)
+    assert(segDirs(dir).size == 1)
+    assert(rows(dir) == expect)
+    assert(DedupIndex.compactIndex(spark, dir) == 1)
+    assert(rows(dir) == expect)
+    assert(IndexSegments.liveParts(spark, dir).size == 1)
+  }
+
   test("concurrent tagged increments write disjoint segments and " +
       "compose (the r11 lost-update window is structural history)") {
     val dir = tmpDir("lsm_conc") + "/idx"
