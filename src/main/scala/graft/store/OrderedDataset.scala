@@ -815,15 +815,22 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     * conflict the prepared tmp output is discarded and the whole
     * write re-plans against the new state, up to `maxAttempts`.
     *
-    * When to use which: [[write]] serializes writers for the DURATION
-    * of their Spark jobs (a second writer waits `lockWaitMs`, default
-    * fail-fast) — right for one scheduled pipeline owning a dataset.
-    * `writeOptimistic` lets independent writers overlap their
-    * expensive prepare phases and serialize only at commit — right
-    * for N uncoordinated appenders on one dataset, at the cost of
-    * redoing a loser's prepare on conflict (bounded: each retry
+    * When to use which — MEASURED (graft.OptimisticEconBench,
+    * BENCH_OPTECON_20260816.json; SCALE.md r12): on SHARED compute
+    * (one Spark scheduler, N threads) optimistic buys no wall time —
+    * 2/4/8 writers read 20.7/39.4/77.3 s vs locked-queued
+    * 20.8/41.8/78.9 s, because overlapping prepares contend for the
+    * same cores — while wasted prepares grow ~quadratically (0.5 /
+    * 1.75 / 4.25 discarded prepares PER COMMIT at 2/4/8 writers:
+    * every commit invalidates every in-flight prepare). So: for N
+    * uncoordinated appenders sharing one cluster, prefer [[write]]
+    * with `lockWaitMs` raised (same wall, zero wasted work).
+    * `writeOptimistic` is for writers with INDEPENDENT compute —
+    * separate JVMs/clusters (the TwoJvmOptimisticSpec shape) — or
+    * long prepares with rare commits, where overlap is real and the
+    * occasional discarded prepare is the cheaper trade. Each retry
     * re-plans against fresher state, and non-overlapping appends
-    * conflict only on the sidecar swap, never on data).
+    * conflict only on the sidecar swap, never on data.
     *
     * Readers are unaffected either way: they resolve file lists
     * through the atomic sidecar and never see tmp output or
@@ -842,6 +849,7 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
       try return writeBody(batch, opts, optimistic = true)
       catch {
         case e: OrderedDataset.WriteConflictException =>
+          OrderedDataset.optimisticConflicts.incrementAndGet(): Unit
           if (attempt >= maxAttempts)
             throw new IllegalStateException(
               s"optimistic write of $dir lost its commit race " +
@@ -1674,6 +1682,12 @@ object OrderedDataset {
     * sidecar swap after the Spark job finishes). Library-level knob.
     */
   @volatile var lockWaitMs: Long = 0L
+
+  /** Telemetry: total optimistic commit conflicts in this JVM (lost
+    * races whose prepared output was discarded and re-planned) — the
+    * wasted-prepare counter the contention-economics bench
+    * ([[graft.OptimisticEconBench]]) reads. */
+  val optimisticConflicts = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Queue floor for the optimistic commit gate's brief lock hold
     * (renames + sidecar swap — milliseconds): unlike a full write,
