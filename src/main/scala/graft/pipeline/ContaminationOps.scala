@@ -102,11 +102,18 @@ object ContaminationOps {
   /** Build (or incrementally extend) the PERSISTED decontamination
     * index at `dir`: the eval set's distinct word n-grams as an
     * [[OrderedDataset]] `(hkey, g)` ordered on the 60-bit md5 prefix
-    * (the [[DedupIndex]] layout discipline), plus the serialized Bloom
-    * filter over the FULL gram set as a `_bloom` blob in the dataset
-    * directory (underscore-prefixed: invisible to parquet readers;
-    * rewritten atomically after every build so incremental adds keep
-    * it in sync with the grams).
+    * (the [[DedupIndex]] layout discipline), plus a serialized Bloom
+    * filter as a `_bloom` blob (underscore-prefixed: invisible to
+    * parquet readers).
+    *
+    * r12: extending an existing index lands the new benchmark's grams
+    * as an LSM DELTA SEGMENT ([[IndexSegments]]) with its OWN bloom
+    * blob over just those grams — both the gram write and the bloom
+    * build cost O(increment), where the r11 path rewrote every index
+    * file (uniform hkeys) AND re-bloomed the whole index per add. The
+    * probe's prefilter becomes the OR of the per-part blooms (a gram
+    * surviving ANY part's bloom goes to the exact probe), which is
+    * the same filter the union index implies.
     *
     * The pipeline use: benchmarks are curated once but probed by every
     * ingest batch forever — shingling the eval corpus on every batch
@@ -118,34 +125,50 @@ object ContaminationOps {
       rowsPerFile: Long = 4000000L): Unit = {
     val grams = DedupOps.shingleTable(eval, idCol, textCol, n)
       .select(col("g")).distinct()
-    val ds = new OrderedDataset(spark, dir)
-    ds.write(
+    val base = new OrderedDataset(spark, dir)
+    if (base.exists) DedupIndex.requireCfg(base, "contamination",
+      Some(s"n=$n"))
+    val target =
+      if (!base.exists) base
+      else new OrderedDataset(spark, IndexSegments.newSegmentDir(dir))
+    target.write(
       grams.select(DedupIndex.hkey60(md5(col("g"))).as("hkey"), col("g")),
       WriteOpts("hkey", NRows(rowsPerFile), duplicatesOn = Some(Seq("g")),
         kv = Map("graft.index.kind" -> "contamination",
           "graft.index.cfg" -> s"n=$n"))): Unit
-    // Bloom over the full post-upsert index so the blob covers grams
-    // from EVERY build call, not just this one's. Capture the row
-    // count the bloom is actually built over: stamping a RE-READ count
-    // after a concurrent build's upsert would validate a bloom that is
-    // missing that build's grams — silent false negatives.
+    writeBloom(spark, target, fpp)
+  }
+
+  /** Build + atomically publish the `_bloom` blob for ONE union member
+    * (the base or a delta segment) over exactly its own grams, then
+    * stamp the row count it covers. A crash between the data commit
+    * and the stamp leaves the tag stale and the probe ignores that
+    * part's bloom (correct, just slower) — a bloom missing index grams
+    * would cause silent FALSE NEGATIVES, the one failure mode a
+    * prefilter must never have. */
+  private def writeBloom(spark: SparkSession, ds: OrderedDataset,
+      fpp: Double): Unit = {
     val builtOverRows = ds.meta.totalRows
     val bloom = graft.functions.BloomFns.build(ds.df, col("g"),
       math.max(builtOverRows, 1L), fpp)
-    val fs = new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new HPath(s"$dir/_bloom.tmp")
+    val fs = new HPath(ds.dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new HPath(s"${ds.dir}/_bloom.tmp")
     val out = fs.create(tmp, true)
     try out.write(graft.functions.BloomFns.serialize(bloom))
     finally out.close()
-    fs.delete(new HPath(s"$dir/_bloom"), false)
-    if (!fs.rename(tmp, new HPath(s"$dir/_bloom")))
-      throw new java.io.IOException(s"bloom commit failed at $dir")
-    // stamp the generation the blob covers LAST: a crash anywhere above
-    // leaves the tag stale and the probe ignores the bloom (correct,
-    // just slower) — a bloom missing index grams would cause silent
-    // FALSE NEGATIVES, the one failure mode a prefilter must never have
+    fs.delete(new HPath(s"${ds.dir}/_bloom"), false)
+    if (!fs.rename(tmp, new HPath(s"${ds.dir}/_bloom")))
+      throw new java.io.IOException(s"bloom commit failed at ${ds.dir}")
     ds.updateKv(Map(BloomGenKey -> builtOverRows.toString))
   }
+
+  /** Re-derive the BASE `_bloom` after a compaction folded segments
+    * into it ([[DedupIndex.compactIndex]] calls this for the
+    * contamination kind): one scan of the folded base. */
+  private[pipeline] def rebuildBloom(spark: SparkSession, dir: String,
+      fpp: Double = 0.001): Unit =
+    writeBloom(spark, new OrderedDataset(spark, dir), fpp)
 
   private val BloomGenKey = "graft.contam.bloomrows"
 
@@ -165,16 +188,20 @@ object ContaminationOps {
   def probeIndex(spark: SparkSession, dir: String, batch: DataFrame,
       idCol: String, textCol: String, n: Int, maxDriverKeys: Int = 65536)
       : DataFrame = {
-    val ds = new OrderedDataset(spark, dir)
-    DedupIndex.requireCfg(ds, "contamination", Some(s"n=$n"))
+    val parts = DedupIndex.partsFor(spark, dir, "contamination",
+      Some(s"n=$n"))
     val fs = new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bloomP = new HPath(s"$dir/_bloom")
-    // use the bloom only if its generation tag matches the index — a
-    // stale blob (crashed build) must not prefilter away real overlaps
-    val bloomCurrent =
-      ds.kv.get(BloomGenKey).contains(ds.meta.totalRows.toString)
-    val bloomBytes: Option[Array[Byte]] =
-      if (!bloomCurrent || !fs.exists(bloomP)) None
+    // one bloom per union member, each used only if its generation tag
+    // matches that part's row count — a stale blob (crashed build)
+    // must not prefilter away real overlaps. The prefilter is the OR
+    // of the per-part blooms and engages only when EVERY part has a
+    // current bloom: with any part unfiltered, dropping a gram on the
+    // other parts' evidence would be a false negative.
+    val bloomBytes: Seq[Option[Array[Byte]]] = parts.map { p =>
+      val bloomP = new HPath(s"${p.ds.dir}/_bloom")
+      val current =
+        p.m.kv.get(BloomGenKey).contains(p.m.totalRows.toString)
+      if (!current || !fs.exists(bloomP)) None
       else {
         val in = fs.open(bloomP)
         try {
@@ -185,13 +212,17 @@ object ContaminationOps {
           Some(buf.toByteArray)
         } finally in.close()
       }
+    }
     val tsh0 = DedupOps.shingleTable(batch, idCol, textCol, n)
-    val tsh = bloomBytes.fold(tsh0)(b =>
-      tsh0.filter(graft.functions.BloomFns.mightContain(b, col("g"))))
+    val tsh =
+      if (bloomBytes.exists(_.isEmpty)) tsh0
+      else tsh0.filter(bloomBytes.flatten
+        .map(b => graft.functions.BloomFns.mightContain(b, col("g")))
+        .reduce(_ || _))
     val keyed = tsh.select(col("id"),
       DedupIndex.hkey60(md5(col("g"))).as("hkey"), col("g").as("bg"))
-    val index = DedupIndex.scanForProbes(spark, ds,
-      keyed.select("hkey"), maxDriverKeys)
+    val index = IndexSegments.scanForProbes(parts,
+      keyed.select("hkey"), maxDriverKeys, dedupCols = Seq("g"))
     index.join(keyed, Seq("hkey"))
       .filter(col("g") === col("bg"))
       .groupBy(col("id"))

@@ -722,6 +722,22 @@ object DedupIndex {
     * sub-datasets). Probes are unchanged before and after — folding
     * only moves rows between union members.
     */
+  /** The operational policy knob over [[compactIndex]]: fold only when
+    * live delta segments have reached `maxSegments` (probe read
+    * amplification = #live segments + 1, so this bounds it). Call
+    * after every add — a steady ingest then pays one O(index) fold per
+    * `maxSegments` O(increment) adds, amortized. Returns segments
+    * folded (0 = under threshold). */
+  def compactIndexIfNeeded(spark: SparkSession, dir: String,
+      maxSegments: Int = 8, rowsPerFile: Option[Long] = None): Int = {
+    require(maxSegments >= 1, s"maxSegments must be >= 1: $maxSegments")
+    // two-level kinds keep their segments under dir/bands + dir/members
+    val probeDir =
+      if (new OrderedDataset(spark, dir).exists) dir else s"$dir/bands"
+    val live = IndexSegments.liveParts(spark, probeDir).size - 1
+    if (live >= maxSegments) compactIndex(spark, dir, rowsPerFile) else 0
+  }
+
   def compactIndex(spark: SparkSession, dir: String,
       rowsPerFile: Option[Long] = None): Int = {
     def one(d: String, orderedOn: String, dup: Seq[String],
@@ -741,7 +757,12 @@ object DedupIndex {
       case Some("digest") => one(dir, "hkey", Seq("digest", "id"))
       case Some("minhash") => one(dir, "hkey", Seq("band_id", "sig", "id"))
       case Some(Bm25Index.Kind) => one(dir, "hkey", Seq("term", "id"))
-      case Some("contamination") => one(dir, "hkey", Seq("g"))
+      case Some("contamination") =>
+        val folded = one(dir, "hkey", Seq("g"))
+        // the base gram set changed: re-derive ITS bloom (one base
+        // scan); un-folded segments keep their own per-segment blooms
+        if (folded > 0) ContaminationOps.rebuildBloom(spark, dir)
+        folded
       // IVF lists carry no dedup key (re-adding an id was never deduped
       // — same as the r11 in-place add); folding is a pure merge
       case Some("ivf") | Some("ivfpq") =>

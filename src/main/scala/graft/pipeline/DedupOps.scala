@@ -546,8 +546,15 @@ object DedupOps {
     // second corpus scan + tokenize + md5 pass (plan audit, PLANS.md
     // r11). One shuffle on h, grams computed once, identical result;
     // a skewed gram loads one partition exactly as a groupBy would.
-    val wHash = Window.partitionBy(col("h"))
-    val dupPos = grams
+    // The key shuffles as the 16-byte BINARY digest, not the 32-char
+    // hex rendering — same 128 bits, half the key payload through the
+    // query's one big exchange; materialized into its own column so
+    // the exchange provably carries the binary, not the hex it would
+    // re-derive for the window sort (SCALE.md r12e).
+    val slim = grams.select(col("id"), col("pos"),
+      unhex(col("h")).as("hb"))
+    val wHash = Window.partitionBy(col("hb"))
+    val dupPos = slim
       .withColumn("cnt", count(lit(1)).over(wHash))
       .filter(col("cnt") >= minCount)
       .groupBy("id")

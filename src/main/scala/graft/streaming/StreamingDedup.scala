@@ -76,6 +76,12 @@ object StreamingDedup {
     */
   val NullDigest: String = "0" * 32
 
+  /** Fold the ingest's index delta segments back into their base runs
+    * once this many accumulate (one segment lands per micro-batch):
+    * probe read amplification stays ≤ this, and the O(index) fold is
+    * paid once per this-many O(increment) batches. */
+  val MaxIngestSegments = 8
+
   /** One dedup round (also the batch-incremental entry — a nightly
     * ingest can call this directly per increment). Returns the number
     * of rows accepted into the corpus.
@@ -207,6 +213,15 @@ object StreamingDedup {
           DedupIndex.buildSegments(spark, sd, fresh, idCol, textCol,
             segWords, rowsPerFile, segIncrementTag)
         }
+        // 6. bound the LSM read amplification: every micro-batch adds
+        // one delta segment per index, so a long-running stream folds
+        // them back every MaxIngestSegments batches (probe results are
+        // identical before/after a fold — IndexCompactionSpec)
+        DedupIndex.compactIndexIfNeeded(spark, indexDir,
+          MaxIngestSegments): Unit
+        segIndexDir.foreach(sd =>
+          DedupIndex.compactIndexIfNeeded(spark, sd,
+            MaxIngestSegments): Unit)
       }
       accepted
     } finally SparkInternals.unpersistCheckpoint(fresh)

@@ -199,6 +199,44 @@ class IndexCompactionSpec extends SparkSpec {
     assert(IndexSegments.liveParts(spark, dir).size == 1)
   }
 
+  test("contamination index: per-segment blooms OR together; " +
+      "compaction folds and re-derives the base bloom; " +
+      "compactIndexIfNeeded respects its threshold") {
+    val train = (0L until 40L).map(i =>
+      (i, s"train doc $i words w${i % 7} w${i % 11} filler f$i g$i h$i"))
+      .toDF("doc_id", "text")
+    val evalA = Seq((900L, "train doc 3 words w3 w3")).toDF("doc_id", "text")
+    val evalB = Seq((901L, "doc 7 words w0 too here")).toDF("doc_id", "text")
+    val dir = tmpDir("lsm_contam") + "/idx"
+    ContaminationOps.buildIndex(spark, dir, evalA, "doc_id", "text", 3,
+      rowsPerFile = 50)
+    ContaminationOps.buildIndex(spark, dir, evalB, "doc_id", "text", 3,
+      rowsPerFile = 50)
+    assert(segDirs(dir).size == 1)
+    // the delta segment carries its own bloom blob
+    assert(new java.io.File(segDirs(dir).map(n => s"$dir/$n").head,
+      "_bloom").exists())
+    def probe() = ContaminationOps
+      .probeIndex(spark, dir, train, "doc_id", "text", 3)
+      .as[(Long, Long)].collect().toMap
+    val expect = ContaminationOps
+      .overlap(train, evalA.unionByName(evalB), "doc_id", "text", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(probe() == expect)
+    // under threshold: no fold; at threshold: fold + bloom rebuild
+    assert(DedupIndex.compactIndexIfNeeded(spark, dir,
+      maxSegments = 2) == 0)
+    assert(DedupIndex.compactIndexIfNeeded(spark, dir,
+      maxSegments = 1) == 1)
+    assert(IndexSegments.liveParts(spark, dir).size == 1)
+    assert(probe() == expect)
+    // the folded base's bloom covers BOTH drops' grams (gen tag matches
+    // the folded row count, so the prefilter is active and still exact)
+    val base = new graft.store.OrderedDataset(spark, dir)
+    assert(base.kv("graft.contam.bloomrows") ==
+      base.meta.totalRows.toString)
+  }
+
   test("concurrent tagged increments write disjoint segments and " +
       "compose (the r11 lost-update window is structural history)") {
     val dir = tmpDir("lsm_conc") + "/idx"
