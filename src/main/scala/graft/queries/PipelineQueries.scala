@@ -234,16 +234,16 @@ object PipelineQueries {
     }
 
   /** BM25 postings index built INCREMENTALLY on purpose — corpus split
-    * (doc_id % 5 != 0) built, the rest added — so the oracle-equality
-    * of p_bm25_indexed gates build + add + scalar bump + pruned-probe
-    * scoring together. rowsPerFile is CORPUS-SIZED toward ~10 postings
-    * files: small enough that the multi-point zone-map read skips
-    * files at every driver SF, but scaling with the corpus — a fixed
-    * 2000 meant ~10k files at 100× (500k docs × ~40 postings), and
-    * the incremental add, which interleaves terms into every
-    * overlapping file, turned the fixture build into a ~10k-file
-    * rewrite (measured: still unfinished at 40 min; ~8 files commit
-    * in seconds). */
+    * (doc_id % 5 != 0) built, the rest added (an LSM delta segment
+    * since r12) — so the oracle-equality of p_bm25_indexed gates
+    * build + add + scalar bump + segmented pruned-probe scoring
+    * together. rowsPerFile is CORPUS-SIZED toward ~10 postings files:
+    * small enough that the multi-point zone-map read skips files at
+    * every driver SF, but scaling with the corpus — a fixed 2000
+    * meant ~10k files at 100× (500k docs × ~40 postings), which the
+    * r11-era in-place add turned into a ~10k-file rewrite (the
+    * measured pathology that motivated the delta-segment write path,
+    * SCALE.md r12a). */
   private def ensureBm25Index(s: SparkSession, d: String): String =
     synchronized {
       val dir = s"/tmp/graft_bm25_${inputTag(d, "documents")}"

@@ -358,6 +358,36 @@ class TutorialSpec extends SparkSpec {
     * corpus + index rolls back as one transaction, and a bad manual
     * commit is undone with restore-to-version.
     */
+  test("corpus day 8: a week of crawl increments — segment adds, " +
+      "bounded amplification, one fold") {
+    import graft.pipeline.{DedupIndex, IndexSegments}
+    val dir = tmpDir("day8") + "/digest"
+    def crawl(day: Int) = (0 until 30).map { i =>
+      (day * 1000L + i, s"day $day doc $i body with words w${i % 9}")
+    }.toDF("doc_id", "text")
+    // day 0 builds the base run; days 1..6 are O(increment) delta
+    // segments — the base is never rewritten by an add
+    DedupIndex.buildDigest(spark, dir, crawl(0), "doc_id", "text", 50)
+    val genAfterBuild = new OrderedDataset(spark, dir).generation
+    (1 to 6).foreach { d =>
+      DedupIndex.buildDigest(spark, dir, crawl(d), "doc_id", "text", 50)
+      // operational knob: fold once amplification reaches the bound
+      DedupIndex.compactIndexIfNeeded(spark, dir, maxSegments = 4): Unit
+    }
+    assert(new OrderedDataset(spark, dir).generation != genAfterBuild ||
+      IndexSegments.liveParts(spark, dir).size > 1) // one fold happened
+    // day-4's fold kept probes exact throughout: an exact copy of a
+    // day-2 doc (folded) and a day-6 doc (still a live segment) both hit
+    val batch = Seq((99990L, "day 2 doc 7 body with words w7"),
+      (99991L, "day 6 doc 3 body with words w3"),
+      (99992L, "never seen before")).toDF("doc_id", "text")
+    val hits = DedupIndex.probeDigest(spark, dir, batch, "doc_id", "text")
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(hits == Set((99990L, 2007L), (99991L, 6003L)))
+    // read amplification stayed bounded by the knob
+    assert(IndexSegments.liveParts(spark, dir).size <= 4 + 1)
+  }
+
   test("corpus day 7: stream in, watch NDV, roll back, restore") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
