@@ -33,7 +33,17 @@ object AddBench {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
       .persist()
     val corpus = docs.filter(col("doc_id") % 100 =!= 0)
-    val batch = docs.filter(col("doc_id") % 100 === 0)
+    // SPARK_GRAFT_ADD_BATCH_DIR: take the increment from a DIFFERENT
+    // (smaller) scale dir — the fixed-daily-batch series: increment
+    // size constant while the indexed corpus grows 1x/10x/100x, so the
+    // segment arm's claimed flatness is measured, not extrapolated.
+    // Batch ids shift past every corpus id (disjoint by contract).
+    val batch = sys.env.get("SPARK_GRAFT_ADD_BATCH_DIR") match {
+      case Some(bd) => Tables.documents(spark, bd)
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
+        .filter(col("doc_id") % 100 === 0)
+      case None => docs.filter(col("doc_id") % 100 === 0)
+    }
     val nCorpus = corpus.count(); val nBatch = batch.count()
     // postings rowsPerFile sized like the fixture (≈10+ files)
     val rpf = math.max(2000L, nCorpus * 4L / 10L)

@@ -200,7 +200,13 @@ object IndexSegments {
     *    (the upsert's own overlap pass);
     *  - count indexes (`sumCols` = the additive columns): base ∪
     *    segments is grouped on every other column and summed, and the
-    *    totals supersede the base rows via keep-last dedup.
+    *    totals supersede the base rows via keep-last dedup. Honest
+    *    cost note: the base is read TWICE here — once in the grouped
+    *    union and once by the upsert's own overlap pass — accepted
+    *    because compaction is the amortized path (one fold per many
+    *    O(increment) adds) and a single-read variant would need a
+    *    bespoke full-replace commit outside the write path's
+    *    invariants.
     *
     * Single-compactor discipline: compaction serializes on the base
     * write lock; a segment created DURING a compaction is simply not
