@@ -61,8 +61,13 @@ object PackOps {
     * crosses the wire once, in compact array form, never as one row
     * per token; the final groupBy(shard, seq_id) reassembles slices in
     * offset order. Output: (shard, seq_id, n_tokens, n_docs,
-    * tokens_digest) — digest of the '|'-joined sequence, the
-    * hash-comparable stand-in for writing the sequence rows out.
+    * doc_bounds, tokens_digest) — the digest is of the '|'-joined
+    * sequence (the hash-comparable stand-in for writing the sequence
+    * rows out) and `doc_bounds` is the comma-joined sorted list of
+    * WITHIN-SEQUENCE offsets where a document STARTS — the
+    * attention-reset positions a packed-causal-LM trainer masks on
+    * (a sequence beginning mid-document has no 0 entry: position 0
+    * is a continuation, not a reset).
     */
   def packSequences(df: DataFrame, idCol: String, tokens: Column,
       shards: Int, seqLen: Int): DataFrame = {
@@ -90,15 +95,24 @@ object PackOps {
       .select(col("shard"), col("seq_id"), col("start_off"),
         slice(col("toks"),
           (col("lo") - col("start_off") + 1).cast("int"),
-          (col("hi") - col("lo") + 1).cast("int")).as("piece"))
+          (col("hi") - col("lo") + 1).cast("int")).as("piece"),
+        // a doc STARTS in this sequence iff its global start is the
+        // piece's lo; its attention-reset offset is within-sequence
+        when(col("lo") === col("start_off"),
+          col("start_off") - col("seq_id") * seqLen).as("bnd"))
     spans.groupBy("shard", "seq_id")
       .agg(
         flatten(transform(sort_array(collect_list(
           struct(col("start_off"), col("piece")))), s => s("piece")))
           .as("tokens"),
-        count(lit(1)).cast("long").as("n_docs"))
+        count(lit(1)).cast("long").as("n_docs"),
+        // collect_list drops nulls (carried-over pieces); ascending
+        // offsets = the trainer's reset positions in order
+        sort_array(collect_list(col("bnd"))).as("bnds"))
       .select(col("shard"), col("seq_id"),
         size(col("tokens")).cast("long").as("n_tokens"), col("n_docs"),
+        array_join(transform(col("bnds"), _.cast("string")), ",")
+          .as("doc_bounds"),
         md5(concat_ws("|", col("tokens"))).as("tokens_digest"))
   }
 }

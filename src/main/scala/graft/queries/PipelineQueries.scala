@@ -2016,6 +2016,10 @@ object PipelineQueries {
           CAST(len(string_split(string_agg(piece, '|'
             ORDER BY start_off), '|')) AS BIGINT) AS n_tokens,
           CAST(count(*) AS BIGINT) AS n_docs,
+          coalesce(string_agg(CAST(start_off - seq_id * $SeqLen
+              AS VARCHAR), ',' ORDER BY start_off)
+            FILTER (WHERE start_off >= seq_id * $SeqLen), '')
+            AS doc_bounds,
           md5(string_agg(piece, '|' ORDER BY start_off))
             AS tokens_digest
      FROM sp GROUP BY shard, seq_id ORDER BY shard, seq_id"""

@@ -18,11 +18,15 @@ class PackSequencesSpec extends SparkSpec {
         split(col("text"), " "), shards = 1, seqLen = 4)
       .orderBy("seq_id").collect()
     // stream: a b c | d e | f g h i j → [a b c d][e f g h][i j]
-    assert(out.map(_.getLong(2)).toSeq == Seq(4L, 4L, 2L))
-    assert(out.map(_.getLong(3)).toSeq == Seq(2L, 2L, 1L))
-    assert(out(0).getString(4) == md5s("a|b|c|d"))
-    assert(out(1).getString(4) == md5s("e|f|g|h"))
-    assert(out(2).getString(4) == md5s("i|j"))
+    assert(out.map(_.getAs[Long]("n_tokens")).toSeq == Seq(4L, 4L, 2L))
+    assert(out.map(_.getAs[Long]("n_docs")).toSeq == Seq(2L, 2L, 1L))
+    assert(out(0).getAs[String]("tokens_digest") == md5s("a|b|c|d"))
+    assert(out(1).getAs[String]("tokens_digest") == md5s("e|f|g|h"))
+    assert(out(2).getAs[String]("tokens_digest") == md5s("i|j"))
+    // attention-reset boundaries: doc starts at within-seq offsets;
+    // seq1 opens mid-doc-1 (no 0 entry — a continuation, not a reset)
+    assert(out.map(_.getAs[String]("doc_bounds")).toSeq ==
+      Seq("0,3", "1", ""))
   }
 
   test("a long doc spans several sequences; boundaries counted once") {
@@ -30,8 +34,11 @@ class PackSequencesSpec extends SparkSpec {
     val out = PackOps.packSequences(docs, "doc_id",
         split(col("text"), " "), shards = 1, seqLen = 2)
       .orderBy("seq_id").collect()
-    assert(out.length == 3 && out.forall(_.getLong(3) == 1L))
-    assert(out(1).getString(4) == md5s("t3|t4"))
+    assert(out.length == 3 && out.forall(_.getAs[Long]("n_docs") == 1L))
+    assert(out(1).getAs[String]("tokens_digest") == md5s("t3|t4"))
+    // the doc starts ONCE; later sequences are pure continuations
+    assert(out.map(_.getAs[String]("doc_bounds")).toSeq ==
+      Seq("0", "", ""))
   }
 
   test("shards pack independently; zero-token docs vanish without " +
@@ -45,9 +52,12 @@ class PackSequencesSpec extends SparkSpec {
         shards = 2, seqLen = 4).orderBy("shard", "seq_id").collect()
     // shard 0: docs 0,4 (doc 2 empty) → [a b c d]; shard 1: docs 1,3
     assert(out.length == 2)
-    assert(out(0).getLong(0) == 0L &&
-      out(0).getString(4) == md5s("a|b|c|d") && out(0).getLong(3) == 2L)
-    assert(out(1).getLong(0) == 1L &&
-      out(1).getString(4) == md5s("x|y|z|w"))
+    assert(out(0).getAs[Long]("shard") == 0L &&
+      out(0).getAs[String]("tokens_digest") == md5s("a|b|c|d") &&
+      out(0).getAs[Long]("n_docs") == 2L)
+    assert(out(1).getAs[Long]("shard") == 1L &&
+      out(1).getAs[String]("tokens_digest") == md5s("x|y|z|w"))
+    assert(out.map(_.getAs[String]("doc_bounds")).toSeq ==
+      Seq("0,2", "0,2"))
   }
 }
