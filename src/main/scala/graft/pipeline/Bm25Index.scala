@@ -39,6 +39,17 @@ object Bm25Index {
   private val NDocsKey = "graft.bm25.n_docs"
   private val SumDlKey = "graft.bm25.sum_dl"
 
+  /** Queue budget for an add's corpus-scalar bump: a compaction fold
+    * holds the base kv lock for its ENTIRE Spark job, and the default
+    * transformKv wait (~10 s) would throw AFTER the add's segment
+    * already committed, leaving N/Σdl understated despite the
+    * concurrent-adds-compose contract (ADVICE r12). The bump's own
+    * critical section is milliseconds — a long queue is safe, and an
+    * add outwaiting a fold is exactly the composition the scaladoc
+    * promises. A fold longer than this still times out loudly; the
+    * remedy stays [[recountStats]]. */
+  val KvBumpWaitMs: Long = 30L * 60 * 1000
+
   private def scalars(tf: DataFrame): (Long, Long) = {
     val r = tf.groupBy("id").agg(max("dl").as("dl"))
       .agg(count(lit(1)).cast("long"), sum("dl").cast("long"))
@@ -83,10 +94,16 @@ object Bm25Index {
     * increments upstream, like every [[DedupIndex]] ingest does.
     * Concurrent adds compose by construction: they write DISTINCT
     * segment dirs, and the scalar bumps are locked RMWs.
+    *
+    * `maxSegments` (opt-in, default off — adds stay pure
+    * O(increment)): self-bound the probe read amplification by folding
+    * segments back once `maxSegments` are live
+    * ([[DedupIndex.compactIndexIfNeeded]] after the segment lands) —
+    * one amortized O(index) fold per `maxSegments` adds.
     */
   def add(spark: SparkSession, dir: String, batch: DataFrame,
-      idCol: String, textCol: String, rowsPerFile: Long = 1000000L)
-      : Unit = {
+      idCol: String, textCol: String, rowsPerFile: Long = 1000000L,
+      maxSegments: Option[Int] = None): Unit = {
     val ds = new OrderedDataset(spark, dir)
     DedupIndex.requireCfg(ds, Kind, None)
     // name the remedy BEFORE any work (ADVICE r11): scalars can be
@@ -102,7 +119,7 @@ object Bm25Index {
         WriteOpts("hkey", NRows(rowsPerFile),
           duplicatesOn = Some(Seq("term", "id")),
           kv = Map("graft.index.kind" -> Kind)))
-      ds.transformKv { kv =>
+      ds.transformKvWait(KvBumpWaitMs) { kv =>
         // re-check inside the lock: a concurrent recountStats/repair
         // could have raced the pre-check above
         require(kv.contains(NDocsKey) && kv.contains(SumDlKey),
@@ -111,6 +128,8 @@ object Bm25Index {
           (SumDlKey -> (kv(SumDlKey).toLong + s).toString)
       }
     } finally tf.unpersist(): Unit
+    maxSegments.foreach(ms =>
+      DedupIndex.compactIndexIfNeeded(spark, dir, ms): Unit)
   }
 
   /** The r11 in-place add — an ordered upsert straight into the base
@@ -165,8 +184,18 @@ object Bm25Index {
     */
   def topK(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
       k1: Double = RetrievalOps.K1, b: Double = RetrievalOps.B,
-      maxDriverKeys: Int = 65536): DataFrame = {
-    val parts = DedupIndex.partsFor(spark, dir, Kind, None)
+      maxDriverKeys: Int = 65536): DataFrame =
+    topK(DedupIndex.partsFor(spark, dir, Kind, None), queries, k, k1, b,
+      maxDriverKeys)
+
+  /** [[topK]] against a generation-pinned capture
+    * ([[DedupIndex.pinIndex]]): postings AND the corpus scalars both
+    * come from the captured base sidecar, so every probe of one pin
+    * scores against one index version. */
+  def topK(parts: Seq[IndexSegments.Part], queries: DataFrame, k: Int,
+      k1: Double, b: Double, maxDriverKeys: Int): DataFrame = {
+    val dir = parts.head.ds.dir
+    DedupIndex.requireCfgKv(dir, parts.head.m.kv, Kind, None)
     val kv = parts.head.m.kv
     // name the remedy, don't NoSuchElement: scalars can be absent
     // after a crash between an add's segment commit and its kv bump

@@ -122,7 +122,8 @@ object ContaminationOps {
     */
   def buildIndex(spark: SparkSession, dir: String, eval: DataFrame,
       idCol: String, textCol: String, n: Int, fpp: Double = 0.001,
-      rowsPerFile: Long = 4000000L): Unit = {
+      rowsPerFile: Long = 4000000L,
+      maxSegments: Option[Int] = None): Unit = {
     val grams = DedupOps.shingleTable(eval, idCol, textCol, n)
       .select(col("g")).distinct()
     val base = new OrderedDataset(spark, dir)
@@ -137,6 +138,8 @@ object ContaminationOps {
         kv = Map("graft.index.kind" -> "contamination",
           "graft.index.cfg" -> s"n=$n"))): Unit
     writeBloom(spark, target, fpp)
+    maxSegments.foreach(ms =>
+      DedupIndex.compactIndexIfNeeded(spark, dir, ms): Unit)
   }
 
   /** Build + atomically publish the `_bloom` blob for ONE union member
@@ -170,6 +173,27 @@ object ContaminationOps {
       fpp: Double = 0.001): Unit =
     writeBloom(spark, new OrderedDataset(spark, dir), fpp)
 
+  /** Targeted per-part bloom repair (ADVICE r12): rebuild the `_bloom`
+    * of every union member whose blob is missing or stale (generation
+    * tag ≠ that part's row count — e.g. a crash between a segment's
+    * gram commit and its bloom write, which otherwise disables the
+    * probe prefilter for the WHOLE index until a full compaction).
+    * Each repaired part scans only ITS OWN grams — O(part), not
+    * O(index). Returns #parts repaired. */
+  def repairBlooms(spark: SparkSession, dir: String,
+      fpp: Double = 0.001): Int = {
+    val parts = DedupIndex.partsFor(spark, dir, "contamination", None)
+    val fs = new HPath(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    parts.count { p =>
+      val current =
+        p.m.kv.get(BloomGenKey).contains(p.m.totalRows.toString) &&
+          fs.exists(new HPath(s"${p.ds.dir}/_bloom"))
+      if (current) false
+      else { writeBloom(spark, p.ds, fpp); true }
+    }
+  }
+
   private val BloomGenKey = "graft.contam.bloomrows"
 
   /** Probe the persisted index: `(id, n_shared)` for every batch doc
@@ -187,8 +211,18 @@ object ContaminationOps {
     */
   def probeIndex(spark: SparkSession, dir: String, batch: DataFrame,
       idCol: String, textCol: String, n: Int, maxDriverKeys: Int = 65536)
-      : DataFrame = {
-    val parts = DedupIndex.partsFor(spark, dir, "contamination",
+      : DataFrame =
+    probeIndex(spark, DedupIndex.partsFor(spark, dir, "contamination",
+      Some(s"n=$n")), batch, idCol, textCol, n, maxDriverKeys)
+
+  /** [[probeIndex]] against a generation-pinned capture
+    * ([[DedupIndex.pinIndex]]); the per-part blooms are read from the
+    * captured parts' dirs with the captured generation tags. */
+  def probeIndex(spark: SparkSession, parts: Seq[IndexSegments.Part],
+      batch: DataFrame, idCol: String, textCol: String, n: Int,
+      maxDriverKeys: Int): DataFrame = {
+    val dir = parts.head.ds.dir
+    DedupIndex.requireCfgKv(dir, parts.head.m.kv, "contamination",
       Some(s"n=$n"))
     val fs = new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // one bloom per union member, each used only if its generation tag
@@ -214,6 +248,14 @@ object ContaminationOps {
       }
     }
     val tsh0 = DedupOps.shingleTable(batch, idCol, textCol, n)
+    // slow path is LOUD and names its targeted repair (ADVICE r12):
+    // one stale part disables the prefilter for the whole index
+    if (bloomBytes.exists(_.isEmpty)) System.err.println(
+      s"[graft] contamination probe of $dir: " +
+        s"${bloomBytes.count(_.isEmpty)}/${parts.size} part(s) lack a " +
+        "current _bloom — prefilter disabled (every batch gram goes to " +
+        "the exact probe); repair with " +
+        s"ContaminationOps.repairBlooms(spark, \"$dir\")")
     val tsh =
       if (bloomBytes.exists(_.isEmpty)) tsh0
       else tsh0.filter(bloomBytes.flatten

@@ -99,6 +99,21 @@ object DedupIndex {
     parts
   }
 
+  /** Generation-pinned capture of the index at `dir` (VERDICT r12
+    * #8): the base sidecar + live segment list at ONE consistent cut,
+    * kind-validated. Pass the capture to the parts-taking probe
+    * overloads ([[probeDigestKeyed]], [[Bm25Index.topK]],
+    * [[ContaminationOps.probeIndex]]) and to
+    * [[IndexSegments.hasTagIn]] so a long multi-probe session reads
+    * ONE index version throughout, unmoved by concurrent adds or
+    * compactions — the store's `dfAsOf` discipline lifted to the
+    * union. A capture's files stay readable for
+    * `OrderedDataset.retireGraceMs` past replacement; hold pins
+    * shorter than that. */
+  def pinIndex(spark: SparkSession, dir: String, kind: String,
+      cfg: Option[String] = None): Seq[IndexSegments.Part] =
+    partsFor(spark, dir, kind, cfg)
+
   /** Route an index write: the FIRST build creates the base run at
     * `dir`; every later call lands as a delta segment — cost ∝ the
     * increment, never a base rewrite ([[IndexSegments]]; fold segments
@@ -118,7 +133,8 @@ object DedupIndex {
     * docs only; the ordered upsert merges them into place.
     */
   def buildDigest(spark: SparkSession, dir: String, docs: DataFrame,
-      idCol: String, textCol: String, rowsPerFile: Long = 1000000L): Unit =
+      idCol: String, textCol: String, rowsPerFile: Long = 1000000L,
+      maxSegments: Option[Int] = None): Unit =
     upsertDigestRows(spark, dir,
       docs.select(md5(col(textCol)).as("digest"),
         col(idCol).cast("long").as("id"))
@@ -128,20 +144,29 @@ object DedupIndex {
         // maps nulls to a sentinel BEFORE its index writes
         // (StreamingDedup.NullDigest) because its oracle groups them.
         .filter(col("digest").isNotNull),
-      rowsPerFile)
+      rowsPerFile, maxSegments)
 
   /** [[buildDigest]] for callers that already hold `(digest, id)` rows
     * (e.g. the streaming ingest, which computes digests once for its
     * own keep-first pass — no second md5 over multi-KB texts).
+    *
+    * `maxSegments` (opt-in, here and on every increment build in the
+    * family — VERDICT r12 #5): self-bound the probe read amplification
+    * by folding segments back once that many are live
+    * ([[compactIndexIfNeeded]] after the segment lands). Default off —
+    * adds stay pure O(increment).
     */
   def upsertDigestRows(spark: SparkSession, dir: String, rows: DataFrame,
-      rowsPerFile: Long = 1000000L): Unit =
+      rowsPerFile: Long = 1000000L,
+      maxSegments: Option[Int] = None): Unit = {
     writeBaseOrSegment(spark, dir,
       rows.select(hkey60(col("digest")).as("hkey"), col("digest"),
         col("id").cast("long").as("id")),
       WriteOpts("hkey", NRows(rowsPerFile),
         duplicatesOn = Some(Seq("digest", "id")),
         kv = Map("graft.index.kind" -> "digest")))
+    maxSegments.foreach(ms => compactIndexIfNeeded(spark, dir, ms): Unit)
+  }
 
   /** Probe the digest index with a batch: returns one row per exact
     * match `(new_id, corpus_id, digest)`. Choose the scan shape by
@@ -162,10 +187,17 @@ object DedupIndex {
     * null text to a sentinel so null documents deduplicate).
     */
   def probeDigestKeyed(spark: SparkSession, dir: String, batch: DataFrame,
-      maxDriverKeys: Int = 65536): DataFrame = {
+      maxDriverKeys: Int = 65536): DataFrame =
+    probeDigestKeyed(partsFor(spark, dir, "digest", None), batch,
+      maxDriverKeys)
+
+  /** [[probeDigestKeyed]] against a generation-pinned capture (see
+    * [[pinIndex]]). */
+  def probeDigestKeyed(parts: Seq[IndexSegments.Part], batch: DataFrame,
+      maxDriverKeys: Int): DataFrame = {
+    requireCfgKv(parts.head.ds.dir, parts.head.m.kv, "digest", None)
     val b = batch.select(col("new_id"), col("digest").as("bdigest"))
       .withColumn("hkey", hkey60(col("bdigest")))
-    val parts = partsFor(spark, dir, "digest", None)
     val index = IndexSegments.scanForProbes(parts, b.select("hkey"),
       maxDriverKeys, dedupCols = Seq("digest", "id"))
     // residual: full-digest equality — the hkey is only a router
@@ -218,13 +250,16 @@ object DedupIndex {
     */
   def buildMinhash(spark: SparkSession, dir: String, corpus: DataFrame,
       idCol: String, textCol: String, shingleN: Int, numHashes: Int,
-      bands: Int, rowsPerFile: Long = 1000000L): Unit =
+      bands: Int, rowsPerFile: Long = 1000000L,
+      maxSegments: Option[Int] = None): Unit = {
     writeBaseOrSegment(spark, dir,
       bandedRows(corpus, idCol, textCol, shingleN, numHashes, bands),
       WriteOpts("hkey", NRows(rowsPerFile),
         duplicatesOn = Some(Seq("band_id", "sig", "id")),
         kv = Map("graft.index.kind" -> "minhash",
           "graft.index.cfg" -> s"$shingleN|$numHashes|$bands")))
+    maxSegments.foreach(ms => compactIndexIfNeeded(spark, dir, ms): Unit)
+  }
 
   /** Near-dup pairs between a new batch and the indexed corpus:
     * `(i = corpus id, j = batch id, jac)` with exact Jaccard ≥
@@ -295,8 +330,8 @@ object DedupIndex {
     * reads for small increments.
     */
   def buildSimhash(spark: SparkSession, dir: String, corpus: DataFrame,
-      idCol: String, textCol: String, rowsPerFile: Long = 1000000L)
-      : Unit = {
+      idCol: String, textCol: String, rowsPerFile: Long = 1000000L,
+      maxSegments: Option[Int] = None): Unit = {
     val sim = DedupOps.simhash(corpus, idCol, textCol)
       // null text → null fingerprint: un-indexable (and the store
       // rejects null ordered keys); same SQL-equality semantics as
@@ -323,6 +358,8 @@ object DedupIndex {
         WriteOpts("simhash", NRows(rowsPerFile),
           duplicatesOn = Some(Seq("id"))))
     } finally { sim.unpersist(): Unit }
+    // at the TOP dir: compactIndex folds both sub-datasets together
+    maxSegments.foreach(ms => compactIndexIfNeeded(spark, dir, ms): Unit)
   }
 
   /** `(hkey, <fpCol>, …)` band-pair rows for a fingerprint column (one
@@ -401,7 +438,8 @@ object DedupIndex {
     */
   def buildEmbedding(spark: SparkSession, dir: String, corpus: DataFrame,
       planes: Seq[Seq[Double]], planesPerBand: Int,
-      rowsPerFile: Long = 1000000L): Unit = {
+      rowsPerFile: Long = 1000000L,
+      maxSegments: Option[Int] = None): Unit = {
     val banded = SimilarityOps.lshBands(corpus, planes, planesPerBand)
       .select((col("band_id") * lit(1L << planesPerBand) +
         conv(col("bucket"), 2, 10).cast("long")).as("hkey"), col("id"))
@@ -417,6 +455,7 @@ object DedupIndex {
       corpus.select(col("id"), col("vec"), col("norm")),
       WriteOpts("id", NRows(rowsPerFile),
         duplicatesOn = Some(Nil)))
+    maxSegments.foreach(ms => compactIndexIfNeeded(spark, dir, ms): Unit)
   }
 
   /** Near-dup pairs `(i = corpus id, j = batch id, cos)` with exact
@@ -530,7 +569,8 @@ object DedupIndex {
       idCol: String, textCol: String, segWords: Int = 10,
       rowsPerFile: Long = 1000000L,
       incrementTag: Option[String] = None,
-      maxDriverKeys: Int = 65536): Unit = {
+      maxDriverKeys: Int = 65536,
+      maxSegments: Option[Int] = None): Unit = {
     val ds = new OrderedDataset(spark, dir)
     if (ds.exists) requireCfg(ds, "segments", Some(s"w$segWords"))
     if (incrementTag.exists(IndexSegments.hasTag(spark, dir, _)))
@@ -546,6 +586,7 @@ object DedupIndex {
         kv = Map("graft.index.kind" -> "segments",
           "graft.index.cfg" -> s"w$segWords") ++
           incrementTag.map(IndexSegments.StampKey -> _).toMap))
+    maxSegments.foreach(ms => compactIndexIfNeeded(spark, dir, ms): Unit)
   }
 
   /** Strip corpus-boilerplate segments from a batch against the
@@ -612,7 +653,8 @@ object DedupIndex {
       idCol: String, textCol: String, k: Int = 8,
       rowsPerFile: Long = 1000000L,
       incrementTag: Option[String] = None,
-      maxDriverKeys: Int = 65536): Unit = {
+      maxDriverKeys: Int = 65536,
+      maxSegments: Option[Int] = None): Unit = {
     val ds = new OrderedDataset(spark, dir)
     if (ds.exists) requireCfg(ds, "spans", Some(s"k$k"))
     if (incrementTag.exists(IndexSegments.hasTag(spark, dir, _)))
@@ -633,6 +675,7 @@ object DedupIndex {
         kv = Map("graft.index.kind" -> "spans",
           "graft.index.cfg" -> s"k$k") ++
           incrementTag.map(IndexSegments.StampKey -> _).toMap))
+    maxSegments.foreach(ms => compactIndexIfNeeded(spark, dir, ms): Unit)
   }
 
   /** Duplicated-span removal for a BATCH against the persisted gram
@@ -692,24 +735,6 @@ object DedupIndex {
       .groupBy("id")
       .agg(sort_array(collect_list(col("pos"))).as("dps"))
     DedupOps.spanAssemble(base, dupPos, k, idCol, textOut)
-  }
-
-  /** The probe-cardinality dispatch shared by both indexes: collect up
-    * to `maxDriverKeys + 1` distinct probe keys in ONE job (the limit
-    * caps driver memory even when the dispatch loses); under the cap,
-    * let the sidecar zone map pick files from the collected set; over
-    * it, return the full index frame and let the equi-join stream it.
-    */
-  private[pipeline] def scanForProbes(spark: SparkSession, ds: OrderedDataset,
-      probeKeys: DataFrame, maxDriverKeys: Int): DataFrame = {
-    // null keys (e.g. md5 of a null text) can never match an index row
-    // (equi-join semantics) — drop them before the driver collect
-    val keys = probeKeys.na.drop().distinct()
-      .limit(maxDriverKeys + 1).collect()
-    if (keys.length <= maxDriverKeys) {
-      val pts = keys.map(r => OrdLong(r.getLong(0)))
-      ds.multiPointDF(pts.toSeq.sortBy(_.v))
-    } else ds.df
   }
 
   /** Fold every live delta segment of the index at `dir` back into its

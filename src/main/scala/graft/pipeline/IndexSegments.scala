@@ -69,6 +69,15 @@ object IndexSegments {
   val TagsKey = "graft.index.tags"
   val MaxFoldedTags = 64
 
+  /** Base kv: [[Sep]]-joined `name=foldTimeMs` entries, one per folded
+    * segment dir still on disk — the DURABLE fold timestamps [[vacuum]]
+    * measures the reader grace window from (ADVICE r12: the previous
+    * mtime stamp was best-effort `fs.setTimes`, and a filesystem that
+    * ignores it left folded dirs looking old enough to reap while
+    * readers inside the grace window still held pre-fold plans).
+    * Written in the SAME sidecar swap as [[FoldedKey]]. */
+  val FoldedAtKey = "graft.index.foldedat"
+
   /** kv list separator — a control character no tag or dir name
     * contains. */
   val Sep = "\u001f"
@@ -93,6 +102,14 @@ object IndexSegments {
   private def foldedNames(baseKv: Map[String, String]): Set[String] =
     baseKv.get(FoldedKey).map(splitList(_).toSet).getOrElse(Set.empty)
 
+  private def foldedAtMap(baseKv: Map[String, String]): Map[String, Long] =
+    baseKv.get(FoldedAtKey).map(splitList(_).flatMap { e =>
+      e.split('=') match {
+        case Array(n, t) => scala.util.Try(n -> t.toLong).toOption
+        case _ => None
+      }
+    }.toMap).getOrElse(Map.empty)
+
   /** All COMMITTED delta segment dirs under `dir` (folded or not),
     * name-sorted. A dir without a committed sidecar (in-flight or
     * crashed add) is invisible. */
@@ -104,7 +121,10 @@ object IndexSegments {
     else fsys.listStatus(d).toSeq
       .filter(st => st.isDirectory &&
         st.getPath.getName.startsWith(DeltaPrefix))
-      .map(_.getPath.toUri.getPath)
+      // full URI, not toUri.getPath: stripping the scheme/authority
+      // would resolve s3a://- or hdfs://-rooted segment dirs against
+      // the DEFAULT filesystem and silently miss them (ADVICE r12)
+      .map(_.getPath.toString)
       .filter(p => Sidecar.exists(spark.sparkContext.hadoopConfiguration, p))
       .sorted
   }
@@ -134,11 +154,35 @@ object IndexSegments {
     parts.map(p => p.ds.dfOf(p.m)).reduce(_ unionByName _)
   }
 
+  /** Probe-scan telemetry: which tier ran and how many sidecar files
+    * it opened out of the union's total. */
+  final case class ProbeStats(tier: String, filesTotal: Int,
+    filesOpened: Int)
+
+  /** Tier/IO of the most recent [[scanForProbes]] PLAN in this JVM —
+    * read by the probe benches ([[graft.SpanRegimeBench]]) so the
+    * files-opened claim is recorded, not argued. Plan-time telemetry:
+    * set when the scan is built, which is when file selection happens.
+    */
+  val lastProbeStats =
+    new java.util.concurrent.atomic.AtomicReference[ProbeStats]()
+
   /** The probe-cardinality dispatch over the union (the segmented form
     * of the old single-dataset scanForProbes): collect up to
     * `maxDriverKeys + 1` distinct probe keys in ONE job; under the
-    * cap, zone-map-route the SAME key set through every part; over
-    * it, stream the whole union into the caller's equi-join.
+    * cap, zone-map-route the SAME key set through every part
+    * (driver-planned multi-point reads). OVER the cap (r13, VERDICT
+    * r12 #3): a mid tier first — the probe keys are routed to sidecar
+    * files DISTRIBUTIVELY (each part's zone map travels to executors
+    * as a broadcast boundary table; a binary search per key finds its
+    * covering files; the distinct hit set — bounded by the union's
+    * FILE count, never the key count — comes back to the driver), and
+    * only the hit files are scanned into the caller's equi-join. A
+    * probe set that genuinely covers every file degrades to exactly
+    * the old full-union scan, having paid one extra pass over the
+    * keys; a clustered or partial probe set opens a fraction of the
+    * index. Non-long ordered keys (no index in the family uses any)
+    * fall back to the full union scan.
     * `dedupCols`, when non-empty and more than one part is live,
     * dedups rows that an (out-of-contract) re-add duplicated across
     * segments — presence probes keep their one-row-per-key contract;
@@ -147,42 +191,115 @@ object IndexSegments {
   def scanForProbes(parts: Seq[Part], probeKeys: DataFrame,
       maxDriverKeys: Int, dedupCols: Seq[String] = Nil): DataFrame = {
     require(parts.nonEmpty, "no index parts")
+    val filesTotal = parts.map(_.m.files.size).sum
     // null keys (e.g. md5 of a null text) can never match an index row
     val keys = probeKeys.na.drop().distinct()
       .limit(maxDriverKeys + 1).collect()
     val scans =
       if (keys.length <= maxDriverKeys) {
         val pts = keys.map(r => OrdLong(r.getLong(0))).toSeq.sortBy(_.v)
+        // stats: binary-search the sorted point set per file (O(F log
+        // K) — cheap next to the selection multiPointDFOf itself does)
+        val arr = pts.toArray
+        def anyIn(mn: graft.store.OrdVal, mx: graft.store.OrdVal)
+            : Boolean = {
+          var a = 0; var b = arr.length - 1; var res = -1
+          while (a <= b) {
+            val m = (a + b) >>> 1
+            if (arr(m) >= mn) { res = m; b = m - 1 } else a = m + 1
+          }
+          res >= 0 && arr(res) <= mx
+        }
+        val opened = parts.map(
+          _.m.files.count(f => anyIn(f.min, f.max))).sum
+        lastProbeStats.set(ProbeStats("driver_points", filesTotal, opened))
         parts.map(p => p.ds.multiPointDFOf(p.m, pts))
-      } else {
-        // loud, not silent: over the cap the probe streams the whole
-        // index (I/O ∝ index, not increment). For the slim per-doc
-        // indexes that is still a ~1000x win over re-hashing corpus
-        // text; for gram-CARDINALITY-sized indexes (span grams) it is
-        // the regime where recomputing can be cheaper — measured in
-        // SCALE.md (r11f fixture-ratio row, r12 100:1-regime row).
-        System.err.println(
-          s"[graft] index probe of ${parts.head.ds.dir}: distinct probe" +
-            s" keys exceed maxDriverKeys=$maxDriverKeys — falling back" +
-            " to the full-index equi-join (cost ∝ index, not increment)")
-        parts.map(p => p.ds.dfOf(p.m))
-      }
+      } else midTierScans(parts, probeKeys, filesTotal)
     val u = scans.reduce(_ unionByName _)
     if (parts.size > 1 && dedupCols.nonEmpty) u.dropDuplicates(dedupCols)
     else u
   }
 
+  /** The over-cap mid tier (see [[scanForProbes]]): distributive
+    * zone-map routing of probe keys to files, then a scan of only the
+    * hit files. */
+  private def midTierScans(parts: Seq[Part], probeKeys: DataFrame,
+      filesTotal: Int): Seq[DataFrame] = {
+    val longKeyed = parts.forall(_.m.files.forall(f =>
+      f.min.isInstanceOf[OrdLong] && f.max.isInstanceOf[OrdLong]))
+    if (!longKeyed || filesTotal == 0) {
+      lastProbeStats.set(ProbeStats("full_union", filesTotal, filesTotal))
+      return parts.map(p => p.ds.dfOf(p.m))
+    }
+    // per-part sorted boundary arrays (files are min-sorted in the
+    // sidecar; maxes are monotone because ordered files overlap only
+    // at equal boundary keys)
+    val bounds: Array[(Array[Long], Array[Long])] = parts.map { p =>
+      (p.m.files.map(_.min.asInstanceOf[OrdLong].v).toArray,
+        p.m.files.map(_.max.asInstanceOf[OrdLong].v).toArray)
+    }.toArray
+    // key -> covering (part, file) ids: binary-search the last file
+    // with min <= k, then walk left across an equal-boundary chain.
+    // Encoded as part << 32 | file so the distinct set is primitive.
+    val hitsFn = udf { (k: Long) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var pi = 0
+      while (pi < bounds.length) {
+        val (mins, maxs) = bounds(pi)
+        var lo = 0; var hi = mins.length - 1; var res = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (mins(mid) <= k) { res = mid; lo = mid + 1 } else hi = mid - 1
+        }
+        var j = res
+        while (j >= 0 && maxs(j) >= k) {
+          out += (pi.toLong << 32) | j.toLong
+          j -= 1
+        }
+        pi += 1
+      }
+      out.toSeq
+    }
+    val keyCol = probeKeys.columns.head
+    // ONE exchange over the probe keys (the distinct); the collected
+    // result is bounded by the union's file count
+    val hit = probeKeys.na.drop()
+      .select(explode(hitsFn(col(keyCol))).as("pf"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    lastProbeStats.set(ProbeStats("zone_pruned", filesTotal, hit.size))
+    System.err.println(
+      s"[graft] index probe of ${parts.head.ds.dir}: distinct probe " +
+        s"keys exceed the driver cap — zone-map file-pruning tier " +
+        s"opened ${hit.size}/$filesTotal files into the equi-join")
+    parts.zipWithIndex.map { case (p, pi) =>
+      val names = p.m.files.zipWithIndex.collect {
+        case (f, fi) if hit.contains((pi.toLong << 32) | fi.toLong) =>
+          f.name
+      }
+      p.ds.filesDFOf(p.m, names)
+    }
+  }
+
   /** True when `tag` was already applied: stamped on a live segment,
     * on the base itself (a tagged first build), or folded into the
     * base's tag history by a compaction. */
-  def hasTag(spark: SparkSession, dir: String, tag: String): Boolean = {
-    val parts = liveParts(spark, dir)
+  def hasTag(spark: SparkSession, dir: String, tag: String): Boolean =
+    hasTagIn(liveParts(spark, dir), tag)
+
+  /** [[hasTag]] against an already-CAPTURED snapshot — the
+    * generation-pinned form (VERDICT r12 #8): a long multi-probe
+    * session captures [[liveParts]] ONCE and passes the same capture
+    * to every probe and tag check, reading one index version
+    * throughout regardless of concurrent adds or compactions (the
+    * store's `dfAsOf` discipline lifted to the union; a capture's
+    * files stay readable for `retireGraceMs` past replacement, which
+    * bounds how long a pin should be held). */
+  def hasTagIn(parts: Seq[Part], tag: String): Boolean =
     parts.headOption.exists { base =>
       base.m.kv.get(StampKey).contains(tag) ||
         base.m.kv.get(TagsKey).exists(splitList(_).contains(tag)) ||
         parts.tail.exists(_.m.kv.get(StampKey).contains(tag))
     }
-  }
 
   /** Land an increment as a fresh delta segment — cost ∝ increment
     * (sort + write of the batch alone; no overlap planning, no lock). */
@@ -200,13 +317,13 @@ object IndexSegments {
     *    (the upsert's own overlap pass);
     *  - count indexes (`sumCols` = the additive columns): base ∪
     *    segments is grouped on every other column and summed, and the
-    *    totals supersede the base rows via keep-last dedup. Honest
-    *    cost note: the base is read TWICE here — once in the grouped
-    *    union and once by the upsert's own overlap pass — accepted
-    *    because compaction is the amortized path (one fold per many
-    *    O(increment) adds) and a single-read variant would need a
-    *    bespoke full-replace commit outside the write path's
-    *    invariants.
+    *    totals REPLACE the base wholesale
+    *    ([[OrderedDataset.replaceAll]], r13 — VERDICT r12 #6): the
+    *    grouped union is persisted, so the base is read exactly ONCE;
+    *    the r12 fold routed the totals through the upsert, whose
+    *    overlap pass read the base a second time. The replace runs
+    *    under the same sidecar-swap invariants (fold declaration in
+    *    the same commit, old files retired under the grace window).
     *
     * Single-compactor discipline: compaction serializes on the base
     * write lock; a segment created DURING a compaction is simply not
@@ -233,54 +350,85 @@ object IndexSegments {
     val tags = (base.m.kv.get(TagsKey).map(splitList).getOrElse(Nil) ++
       base.m.kv.get(StampKey).toSeq ++
       segs.flatMap(_.m.kv.get(StampKey))).distinct.takeRight(MaxFoldedTags)
-    val kvAdd = Map(FoldedKey -> (stillFolded.toSeq.sorted ++ segNames)
-      .mkString(Sep)) ++
+    // durable fold timestamps (ADVICE r12): entries for vacuumed dirs
+    // are pruned with the same still-on-disk filter as FoldedKey; the
+    // new folds are stamped with THIS commit's time
+    val foldMs = System.currentTimeMillis()
+    val foldedAt = foldedAtMap(base.m.kv).filter {
+      case (n, _) => stillFolded.contains(n) } ++
+      segNames.map(_ -> foldMs)
+    val kvAdd = Map(
+      FoldedKey -> (stillFolded.toSeq.sorted ++ segNames).mkString(Sep),
+      FoldedAtKey -> foldedAt.toSeq.sortBy(_._1)
+        .map { case (n, t) => s"$n=$t" }.mkString(Sep)) ++
       (if (tags.nonEmpty) Map(TagsKey -> tags.mkString(Sep))
        else Map.empty[String, String])
     val segUnion = segs.map(p => p.ds.dfOf(p.m)).reduce(_ unionByName _)
-    val batch =
-      if (sumCols.isEmpty) segUnion
-      else {
-        val all = (base.ds.dfOf(base.m) +: segs.map(p => p.ds.dfOf(p.m)))
-          .reduce(_ unionByName _)
-        val keyCols = all.columns.filterNot(sumCols.contains).toSeq
-        val aggs = sumCols.map(c => sum(col(c)).as(c))
-        all.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-      }
-    base.ds.write(batch, opts.copy(
+    val foldOpts = opts.copy(
       kv = opts.kv ++ kvAdd,
       // the base's own stamp (a tagged FIRST build) has moved into the
       // tag history above
-      kvRemove = (opts.kvRemove :+ StampKey).distinct)): Unit
-    // stamp the fold time on each folded dir (the retire() discipline):
-    // vacuum's grace window counts from FOLDING, not from the segment's
-    // last write — a reader holding a pre-fold plan gets the full window
+      kvRemove = (opts.kvRemove :+ StampKey).distinct)
+    if (sumCols.isEmpty) base.ds.write(segUnion, foldOpts): Unit
+    else {
+      val all = (base.ds.dfOf(base.m) +: segs.map(p => p.ds.dfOf(p.m)))
+        .reduce(_ unionByName _)
+      val keyCols = all.columns.filterNot(sumCols.contains).toSeq
+      val aggs = sumCols.map(c => sum(col(c)).cast("long").as(c))
+      val totals =
+        all.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+          // column ORDER: parquet reads by name, but keep the stored
+          // layout for readability of the rewritten files
+          .select(base.ds.dfOf(base.m).columns.map(col).toSeq: _*)
+      base.ds.replaceAll(totals, foldOpts): Unit
+    }
+    // ALSO stamp the fold time on each folded dir's mtime, best-effort
+    // (debuggability: `ls -l` agrees with the kv record; the kv entry
+    // above is what vacuum actually measures from)
     segs.foreach { p =>
-      try fsys.setTimes(new HPath(p.ds.dir), System.currentTimeMillis(), -1)
+      try fsys.setTimes(new HPath(p.ds.dir), foldMs, -1)
       catch { case scala.util.control.NonFatal(_) => () }
     }
     segs.size
   }
 
-  /** Reap folded segment dirs older than the reader grace window, plus
-    * uncommitted (crashed-add) segment dirs past the same age. Returns
-    * #dirs removed. */
+  /** Reap folded segment dirs older than the reader grace window
+    * (measured from the DURABLE fold timestamp in the base kv, falling
+    * back to the dir mtime for pre-r13 folds), plus uncommitted
+    * (crashed-add) segment dirs past the same age — UNLESS the dir
+    * holds a write lock fresher than [[OrderedDataset.LockStaleMs]]:
+    * an in-flight add stages parquet inside a `_tmp_write-*` subdir
+    * (the segment dir's own mtime never refreshes during a long
+    * prepare), but its lock heartbeat does refresh the lock file, so
+    * lock freshness is exactly the liveness signal (ADVICE r12 — the
+    * same staleness discipline the store's own cleanOrphans uses).
+    * Returns #dirs removed. */
   def vacuum(spark: SparkSession, dir: String,
       olderThanMs: Long = OrderedDataset.retireGraceMs): Int = {
     val base = new OrderedDataset(spark, dir)
     if (!base.exists) return 0
     val folded = foldedNames(base.kv)
+    val foldedAt = foldedAtMap(base.kv)
     val fsys = fs(spark, dir)
     val d = new HPath(dir)
     if (!fsys.exists(d)) return 0
     val now = System.currentTimeMillis()
     val conf = spark.sparkContext.hadoopConfiguration
+    def lockFresh(p: HPath): Boolean =
+      try now - fsys.getFileStatus(
+        new HPath(p, OrderedDataset.LockName)).getModificationTime <
+        OrderedDataset.LockStaleMs
+      catch { case _: java.io.FileNotFoundException => false }
     fsys.listStatus(d).count { st =>
       val n = st.getPath.getName
-      val reapable = st.isDirectory && n.startsWith(DeltaPrefix) &&
-        (folded.contains(n) ||
-          !Sidecar.exists(conf, st.getPath.toUri.getPath)) &&
-        now - st.getModificationTime > olderThanMs
+      val reapable = st.isDirectory && n.startsWith(DeltaPrefix) && {
+        if (folded.contains(n))
+          now - foldedAt.getOrElse(n, st.getModificationTime) > olderThanMs
+        else
+          !Sidecar.exists(conf, st.getPath.toString) &&
+            now - st.getModificationTime > olderThanMs &&
+            !lockFresh(st.getPath)
+      }
       if (reapable) { fsys.delete(st.getPath, true): Unit; true }
       else false
     }

@@ -51,7 +51,8 @@ object IvfIndex {
     * segments back periodically.
     */
   def add(spark: SparkSession, dir: String, newVecs: DataFrame,
-      centroids: DataFrame, rowsPerFile: Long = 1000000L): Unit = {
+      centroids: DataFrame, rowsPerFile: Long = 1000000L,
+      maxSegments: Option[Int] = None): Unit = {
     val assigned = SimilarityOps.ivfAssignTo(newVecs, centroids)
       .select(col("cid"), col("id"), col("vec"), col("norm"))
     val base = new OrderedDataset(spark, dir)
@@ -61,6 +62,10 @@ object IvfIndex {
     else IndexSegments.writeSegment(spark, dir, assigned,
       WriteOpts("cid", NRows(rowsPerFile),
         kv = Map("graft.index.kind" -> "ivf")))
+    // opt-in read-amplification bound: fold once maxSegments are live
+    // (one amortized O(index) fold per maxSegments O(increment) adds)
+    maxSegments.foreach(ms =>
+      DedupIndex.compactIndexIfNeeded(spark, dir, ms): Unit)
   }
 
   /** Probe the nProbe nearest lists per query against the stored index.

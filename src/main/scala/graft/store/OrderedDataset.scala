@@ -364,6 +364,16 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     else readFiles(m, sel.map(f => s"$dir/${f.name}"))
   }
 
+  /** Scan exactly the given sidecar files of a CAPTURED snapshot — the
+    * segmented probes' mid-tier primitive: the file selection is
+    * computed elsewhere (distributively, from the zone maps the
+    * snapshot carries), and this turns it into one scan branch.
+    */
+  private[graft] def filesDFOf(m: DatasetMeta, names: Seq[String])
+      : DataFrame =
+    if (names.isEmpty) emptySelection(m)
+    else readFiles(m, names.map(n => s"$dir/$n"))
+
   /** Row-group-slice view by position in min-order, the analog of
     * `opd[i:j]` (ref base.py:297-330, read_only.py:52-168).
     */
@@ -553,8 +563,18 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     * drop an increment raced against another writer's brief hold.
     */
   def transformKv(f: Map[String, String] => Map[String, String]): Unit =
-    withWriteLockWait(
-      math.max(OrderedDataset.lockWaitMs, OrderedDataset.CommitWaitMs)) {
+    transformKvWait(
+      math.max(OrderedDataset.lockWaitMs, OrderedDataset.CommitWaitMs))(f)
+
+  /** [[transformKv]] with an explicit queue budget, for callers whose
+    * bump must outwait a LONG lock hold — e.g. an index add's scalar
+    * bump racing a compaction fold that holds the base lock for its
+    * entire Spark job (ADVICE r12). The RMW's own critical section is
+    * milliseconds, so a generous wait can never deadlock; it only
+    * queues. */
+  def transformKvWait(waitMs: Long)
+      (f: Map[String, String] => Map[String, String]): Unit =
+    withWriteLockWait(waitMs) {
       val m = meta
       Sidecar.write(conf, dir, m.copy(kv = f(m.kv)))
     }
@@ -862,6 +882,52 @@ final class OrderedDataset(val spark: SparkSession, val dir: String) {
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** Full-replace commit: `data` becomes the dataset's ENTIRE new
+    * contents in ONE job — fresh files written and sized by `opts`,
+    * sidecar swapped atomically (kv merged per `opts.kv`/`kvRemove`,
+    * exactly as an upsert's commit), every previous file retired under
+    * the reader grace window. Same crash invariants as [[write]]: a
+    * failure before the swap leaves the dataset untouched (tmp output
+    * is swept by cleanOrphans), and readers holding the previous
+    * sidecar keep reading the retired files for `retireGraceMs`.
+    *
+    * This is the compaction primitive for callers that already HOLD
+    * the complete merged view: [[graft.pipeline.IndexSegments]]'
+    * count-index fold reads base ∪ segments ONCE into a grouped sum
+    * and replaces — routing the totals through the upsert instead
+    * would read the base a SECOND time for overlap planning (the
+    * honest-cost note the r12 fold carried). The batch must already
+    * be deduplicated: no keep-last pass runs here.
+    */
+  def replaceAll(data: DataFrame, opts: WriteOpts): UpsertReport =
+    withWriteLock {
+      require(exists, s"no graft dataset at $dir")
+      val m = meta
+      require(m.orderedOn == opts.orderedOn,
+        s"ordered_on is fixed at creation: ${m.orderedOn} != " +
+          opts.orderedOn)
+      if (m.schemaJson.nonEmpty) {
+        val stored = DataType.fromJson(m.schemaJson)
+          .asInstanceOf[StructType].fields.map(_.name).toSet
+        require(stored == data.columns.toSet,
+          s"replaceAll schema does not match dataset: missing " +
+            s"${stored -- data.columns}, extra " +
+            s"${data.columns.toSet -- stored}")
+      }
+      // persist: the frame feeds the row count (file sizing) AND the
+      // materialize write — without it the union/group lineage would
+      // run twice, re-reading exactly what the single-read fold saves
+      val d = data.persist()
+      try {
+        val totalIn = d.count()
+        require(totalIn > 0,
+          "replaceAll with an empty frame would empty the dataset; " +
+            "use delete or removeFromDisk for that")
+        materialize(d, totalIn, rewrite = m.files, kept = Nil, Some(m),
+          opts, m.orderedType, hasProvenance = false)
+      } finally d.unpersist(): Unit
+    }
 
   /** Range delete on the ordered column: removes every row with
     * `lo <= ordered_on < hiExcl` (the [[rangeDF]] bound convention;
