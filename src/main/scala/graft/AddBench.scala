@@ -87,6 +87,56 @@ object AddBench {
     val tCompact = timed(DedupIndex.compactIndex(spark, bmSeg): Unit)
     val segsAfter = IndexSegments.liveParts(spark, bmSeg).size - 1
 
+    // ---- auto-compact amortization (r13 maxSegments opt-in): K
+    // sequential fixed-size adds with the read-amplification bound at
+    // 4 — total wall = K O(increment) adds + the folds the bound
+    // forced; per-add amortized cost is the honest steady-state number
+    // next to the single unbounded segment add above ----
+    val K = 8
+    val dgAuto = s"$root/dg_auto"
+    DedupIndex.buildDigest(spark, dgAuto, corpus, "doc_id", "text", dgRpf)
+    val autoBatches = (0 until K).map(i => batch.select(
+      (col("doc_id") + lit(i.toLong * 2000000000L)).as("doc_id"),
+      col("text")))
+    val tAuto = timed(autoBatches.foreach(b =>
+      DedupIndex.buildDigest(spark, dgAuto, b, "doc_id", "text", dgRpf,
+        maxSegments = Some(4))))
+    val autoSegsLive = IndexSegments.liveParts(spark, dgAuto).size - 1
+
+    // ---- count-index fold A/B (VERDICT r12 #6): the r13 single-read
+    // replaceAll fold vs the r12 two-read upsert fold, on identical
+    // span-gram indexes (base = corpus grams, one 1%-batch segment) ----
+    val spNew = s"$root/sp_new"; val spOld = s"$root/sp_old"
+    val spRpf = math.max(4000L, nCorpus * 8L)
+    DedupIndex.buildSpanGrams(spark, spNew, corpus, "doc_id", "text",
+      k = 8, rowsPerFile = spRpf)
+    DedupIndex.buildSpanGrams(spark, spNew, batch, "doc_id", "text",
+      k = 8, rowsPerFile = spRpf)
+    DedupIndex.buildSpanGrams(spark, spOld, corpus, "doc_id", "text",
+      k = 8, rowsPerFile = spRpf)
+    DedupIndex.buildSpanGrams(spark, spOld, batch, "doc_id", "text",
+      k = 8, rowsPerFile = spRpf)
+    val tFoldNew = timed(DedupIndex.compactIndex(spark, spNew): Unit)
+    // the r12 fold shape, recreated: grouped union -> ordered UPSERT
+    // (keep-last dedup), whose overlap pass reads the base AGAIN
+    val tFoldOld = timed {
+      val parts = IndexSegments.liveParts(spark, spOld)
+      val allDf = parts.map(_.ds.df).reduce(_ unionByName _)
+      val grouped = allDf.groupBy(col("hkey"), col("gd"))
+        .agg(sum(col("cnt")).cast("long").as("cnt"))
+      parts.head.ds.write(grouped, WriteOpts("hkey",
+        NRows(math.max(1L,
+          parts.head.m.files.map(_.rows).foldLeft(0L)(math.max))),
+        duplicatesOn = Some(Seq("gd")))): Unit
+    }
+    // equivalence: both folded indexes answer a span probe identically
+    val spProbe = batch.limit(50)
+    val pa = DedupIndex.dedupBatchSpans(spark, spNew, spProbe,
+      "doc_id", "text", k = 8, includeBatchCnt = false).collect().toSet
+    val pb = DedupIndex.dedupBatchSpans(spark, spOld, spProbe,
+      "doc_id", "text", k = 8, includeBatchCnt = false).collect().toSet
+    require(pa == pb, "fold A/B arms disagree on span probe — abort")
+
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val line = s"""{"metric":"add_cost_ab","unit":"sec",""" +
@@ -96,7 +146,13 @@ object AddBench {
       s""""digest_add_segment":${fmt(tDgSeg)},""" +
       s""""digest_add_inplace":${fmt(tDgIp)},""" +
       s""""bm25_compact":${fmt(tCompact)},""" +
-      s""""segments_after_compact":$segsAfter,"sf":"$sfDir"}"""
+      s""""segments_after_compact":$segsAfter,""" +
+      s""""digest_auto_adds":$K,""" +
+      s""""digest_auto_total":${fmt(tAuto)},""" +
+      s""""digest_auto_per_add":${fmt(tAuto / K)},""" +
+      s""""digest_auto_live_segments":$autoSegsLive,""" +
+      s""""spans_fold_single_read":${fmt(tFoldNew)},""" +
+      s""""spans_fold_two_read":${fmt(tFoldOld)},"sf":"$sfDir"}"""
     println(line)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),

@@ -45,7 +45,8 @@ object Bench {
     def timed(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
-    import org.apache.spark.sql.functions.{col, expr, hash, sum}
+    import org.apache.spark.sql.functions.{col, expr, hash, sum, lit,
+      length, max, md5, pmod}
     // Optional subsetting for local iteration: SPARK_GRAFT_QUERIES is a
     // comma-separated allowlist; SPARK_GRAFT_REPS overrides min-of-n.
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
@@ -72,8 +73,10 @@ object Bench {
     val DriftFlagAt = 1.5
     // subset runs (local iteration) skip the sentinel's ~12 fixed
     // Spark jobs: their output gates RECORDS, and subset runs are not
-    // records
-    val runProbes = only.isEmpty
+    // records. SPARK_GRAFT_FORCE_PROBES overrides (probe calibration
+    // without paying for the full query surface).
+    val runProbes =
+      only.isEmpty || sys.env.contains("SPARK_GRAFT_FORCE_PROBES")
     val probeMed: Seq[(String, Double)] =
       if (!runProbes) Nil
       else driftProbes.map { case (n, body) =>
@@ -88,6 +91,57 @@ object Bench {
     val driftRatio: Option[Double] =
       if (probeMed.isEmpty) None
       else canon.map(c => med(probeMed.map { case (n, t) => t / c(n) }))
+    // ---- datapath probe (VERDICT r12 #1): the three probes above
+    // are synthetic (range→shuffle, never a byte of parquet), and r12f
+    // measured them DISAGREEING with the data path in both directions
+    // within one day — the sentinel blessed a session whose parquet
+    // scans ran 2.5x hot, and flagged one whose scans were fine. This
+    // probe exercises the real path — a fixed-size DETERMINISTIC
+    // parquet write + scan + shuffle (no sfDir dependence, so it means
+    // the same thing on every replica tree) — and its ratio vs the
+    // pinned canonical is the ARBITER: `datapath_degraded` is the
+    // self-adjudication field SCALE.md's acceptance rule consumes when
+    // the sentinel and the per-query self-score disagree.
+    // canonical medians pinned r13 from the min of 4 (cpus=32) / 2
+    // (cpus=4) calibration sessions on a host whose concurrent
+    // synthetic sentinel swung 1.17–3.32 while these stayed within
+    // ±10% of the floor — the stability that makes this probe the
+    // arbiter. Same uncalibrated-degrades-to-null rule as the
+    // sentinel canonicals above.
+    val dataCanonByCpus: Map[Int, Double] = Map(32 -> 1.28, 4 -> 1.26)
+    val dataProbeMed: Option[Double] =
+      if (!runProbes) None
+      else {
+        val dpDir = java.nio.file.Files
+          .createTempDirectory("graft_dataprobe")
+        val t = dpDir.resolve("t").toString
+        def body(): Unit = {
+          spark.range(2000000L).select(col("id"),
+            pmod(hash(col("id")), lit(997)).as("k"),
+            md5(col("id").cast("string")).as("s"))
+            .write.mode("overwrite").parquet(t)
+          noopSave(spark.read.parquet(t).groupBy("k")
+            .agg(sum(length(col("s"))).as("b"), max(col("s")).as("m")))
+        }
+        body() // untimed warm pass (dir creation, codegen)
+        val m = med((1 to 3).map(_ => timed(body())))
+        try { // best-effort cleanup of the ~70 MB fixture
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dpDir).iterator().asScala.toSeq
+            .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case scala.util.control.NonFatal(_) => () }
+        Some(m)
+      }
+    val dataRatio: Option[Double] = for {
+      m <- dataProbeMed
+      c <- cpusNum.flatMap(dataCanonByCpus.get)
+    } yield m / c
+    val datapathDegraded = dataRatio.exists(_ > DriftFlagAt)
+    if (datapathDegraded) System.err.println(
+      f"[bench] DATAPATH DEGRADED: parquet write+scan+shuffle probe " +
+        f"ratio ${dataRatio.get}%.2f > $DriftFlagAt vs healthy-host " +
+        s"canonical (cpus=$cpus) — timings in this run are not records" +
+        " regardless of the synthetic sentinel's verdict")
     val drifted = driftRatio.exists(_ > DriftFlagAt)
     if (drifted) System.err.println(
       f"[bench] DRIFTED SESSION: sentinel ratio ${driftRatio.get}%.2f " +
@@ -146,7 +200,11 @@ object Bench {
     val probesJson = probeMed.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
     val ratioJson = driftRatio.map(fmt).getOrElse("null")
+    val dataProbeJson = dataProbeMed.map(fmt).getOrElse("null")
+    val dataRatioJson = dataRatio.map(fmt).getOrElse("null")
     val driftJson = s"""{"probes":$probesJson,"ratio":$ratioJson,""" +
+      s""""data_probe":$dataProbeJson,"data_ratio":$dataRatioJson,""" +
+      s""""datapath_degraded":$datapathDegraded,""" +
       s""""flag_at":$DriftFlagAt,"drifted":$drifted,""" +
       s""""skipped":${!runProbes}}"""
     // ---- machine-checkable acceptance rule (VERDICT r10 #6): the
@@ -233,7 +291,11 @@ object Bench {
     }
     // non-numeric cpus ("*") must still render valid JSON
     val cpusJson = cpusNum.map(_.toString).getOrElse(s""""$cpus"""")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpus":$cpusJson,"drift":$driftJson,"canon":$canonJson,"queries":$qs,"queries_median":$qsMed,"failed":$failedJson,"sf":"$sfDir"}"""
+    // the one-field promotion verdict (VERDICT r12 #1): a record is
+    // promotable only when BOTH gates read healthy — the synthetic
+    // sentinel AND the datapath probe. A subset run is never a record.
+    val recordOk = runProbes && !drifted && !datapathDegraded
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpus":$cpusJson,"record_ok":$recordOk,"drift":$driftJson,"canon":$canonJson,"queries":$qs,"queries_median":$qsMed,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // the UNTRUNCATED record: the same JSON line, kept as a file so
     // per-query regression gating survives the driver's stdout-tail
