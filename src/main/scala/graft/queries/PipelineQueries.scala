@@ -65,6 +65,9 @@ object PipelineQueries {
   // original — the copies are true exact duplicates of the cleaned
   // text) and far above every real doc_id.
   private val DupShift = 1001000000L
+  // crawl-day re-crawl duplicate shift: far above every real doc_id
+  // and distinct from DupShift (different fixture namespaces)
+  private val CrawlDupShift = 2002000000L
   // Coarse-quantizer predicate: FIXED centroid count at any corpus
   // size (ids < CentroidCap at every driver SF, so small-SF results
   // are unchanged). A pure `id % 25` set grows linearly with the
@@ -259,6 +262,83 @@ object PipelineQueries {
       }
       dir
     }
+
+  /** The composed "daily crawl day" fixture (VERDICT r12 #7): one run
+    * of the full incremental loop the engine's story claims, each step
+    * the REAL operator —
+    *
+    *  1. yesterday's state: contamination index over the eval split
+    *     (doc_id % 50 == 17), exact-digest index + BM25 postings index
+    *     over the corpus split (% 50 != 17, % 5 != 0);
+    *  2. today's crawl: the % 5 == 0 split plus injected exact
+    *     re-crawls of corpus docs (% 15 == 1, id-shifted) — the
+    *     duplicates a real crawl drags in;
+    *  3. the day: probe the contamination index (drop any doc sharing
+    *     an eval n-gram) → probe the digest index (drop exact
+    *     re-crawls) → batch-internal keep-first by digest → add the
+    *     survivors to the digest AND BM25 indexes as delta segments
+    *     (maxSegments self-bounding enabled, the production shape).
+    *
+    * p_crawl_day then scores the fixed query set against the POST-ADD
+    * BM25 index, so the oracle equality gates the whole loop: a wrong
+    * drop, a lost survivor, or a mis-bumped corpus scalar shifts the
+    * rankings. CrawlDaySpec additionally asserts post-add index state
+    * equals a one-shot build over corpus ∪ survivors.
+    */
+  private[graft] def ensureCrawlDay(s: SparkSession, d: String): String =
+    synchronized {
+      val root = s"/tmp/graft_crawlday_${inputTag(d, "documents")}"
+      val marker = new java.io.File(s"$root/_done")
+      if (marker.exists()) return root
+      graft.LocalFs.rmTree(new java.io.File(root))
+      val (corpus, crawl, eval) = crawlDaySplits(s, d)
+      val rpf = math.max(2000L, nEmbs(s, d) * 4L)
+      ContaminationOps.buildIndex(s, s"$root/contam", eval,
+        "doc_id", "text", ContamN, rowsPerFile = 20000L)
+      DedupIndex.buildDigest(s, s"$root/digest", corpus,
+        "doc_id", "text", rowsPerFile = math.max(2000L, nEmbs(s, d)))
+      Bm25Index.build(s, s"$root/bm25", corpus, "doc_id", "text", rpf)
+      val survivors = crawlDaySurvive(s, root, crawl)
+      Bm25Index.add(s, s"$root/bm25", survivors, "doc_id", "text", rpf,
+        maxSegments = Some(4))
+      DedupIndex.buildDigest(s, s"$root/digest", survivors,
+        "doc_id", "text", rowsPerFile = math.max(2000L, nEmbs(s, d)),
+        maxSegments = Some(4))
+      java.nio.file.Files.createFile(marker.toPath): Unit
+      root
+    }
+
+  /** The crawl-day table splits (shared by the fixture and
+    * CrawlDaySpec's independent one-shot reference). */
+  private[graft] def crawlDaySplits(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val all = docs(s, d).filter(col("text").isNotNull)
+    val eval = all.filter(col("doc_id") % 50 === 17)
+    val rest = all.filter(col("doc_id") % 50 =!= 17)
+    val corpus = rest.filter(col("doc_id") % 5 =!= 0)
+    val crawl = rest.filter(col("doc_id") % 5 === 0)
+      .unionByName(corpus.filter(col("doc_id") % 15 === 1)
+        .select((col("doc_id") + CrawlDupShift).as("doc_id"),
+          col("text")))
+    (corpus, crawl, eval)
+  }
+
+  /** The day's curation: decontaminate → index-dedup → batch-internal
+    * keep-first, each via the persisted indexes under `root`. */
+  private[graft] def crawlDaySurvive(s: SparkSession, root: String,
+      crawl: DataFrame): DataFrame = {
+    val contaminated = ContaminationOps.probeIndex(s, s"$root/contam",
+        crawl, "doc_id", "text", ContamN)
+      .select(col("id").as("doc_id"))
+    val clean = crawl.join(contaminated, Seq("doc_id"), "left_anti")
+    val dups = DedupIndex.probeDigest(s, s"$root/digest", clean,
+        "doc_id", "text")
+      .select(col("new_id").as("doc_id")).distinct()
+    clean.join(dups, Seq("doc_id"), "left_anti")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
 
   /** Build the segment document-frequency index over the corpus split
     * (doc_id % 5 != 0); the batch split probes it incrementally. */
@@ -713,6 +793,19 @@ object PipelineQueries {
       val dir = ensureBm25Index(s, d)
       val q = s.createDataFrame(Bm25Queries).toDF("q_id", "q_text")
       Bm25Index.topK(s, dir, q, Bm25K).orderBy("q_id", "rank")
+    },
+
+    // THE COMPOSED DAILY CRAWL DAY (see ensureCrawlDay): probe every
+    // index with the new batch -> decontaminate -> dedup survivors ->
+    // add survivors to every index as delta segments -> score the
+    // fixed queries against the POST-ADD BM25 index. The oracle
+    // replays the whole loop in SQL (splits, gram overlap, digest
+    // dedup, keep-first, BM25 over corpus ∪ survivors), so one hash
+    // equality gates the full incremental pipeline end to end.
+    "p_crawl_day" -> { (s, d) =>
+      val root = ensureCrawlDay(s, d)
+      val q = s.createDataFrame(Bm25Queries).toDF("q_id", "q_text")
+      Bm25Index.topK(s, s"$root/bm25", q, Bm25K).orderBy("q_id", "rank")
     },
 
     // Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25)
@@ -1869,11 +1962,16 @@ object PipelineQueries {
     * q_text); exposes `lranked` (q_id, id, s, n_hit, rank).
     */
   private def bm25OracleCtes(qSrc: String): String =
+    bm25OracleCtesFrom(qSrc, "documents")
+
+  /** [[bm25OracleCtes]] over an arbitrary `(doc_id, text)` source CTE
+    * — the crawl-day oracle scores against corpus ∪ survivors. */
+  private def bm25OracleCtesFrom(qSrc: String, docSrc: String): String =
     s"""q AS ($qSrc),
        tfreq AS (SELECT doc_id AS id, CAST(len(ws) AS BIGINT) AS dl,
             u.term, CAST(count(*) AS BIGINT) AS tf
           FROM (SELECT doc_id, string_split(text, ' ') AS ws
-                FROM documents) t, unnest(ws) AS u(term)
+                FROM $docSrc) t, unnest(ws) AS u(term)
           GROUP BY 1, 2, 3),
        stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
             CAST(sum(dl) AS BIGINT) AS sum_dl
@@ -1904,6 +2002,51 @@ object PipelineQueries {
       s"(CAST($i AS BIGINT), '$t')" }.mkString(", ")
     s"""WITH ${bm25OracleCtes(
         s"SELECT * FROM (VALUES $vals) AS t(q_id, q_text)")}
+     SELECT q_id, CAST(rank AS INT) AS rank, id AS doc_id,
+            round(CAST(s AS DOUBLE) / 1e6, 6) AS score, n_hit
+     FROM lranked WHERE rank <= $Bm25K ORDER BY q_id, rank"""
+  }
+
+  /** The composed crawl-day loop in SQL (see ensureCrawlDay): same
+    * splits, gram-overlap decontamination, digest dedup vs corpus,
+    * keep-first within the batch, then BM25 over corpus ∪ survivors.
+    */
+  private def crawlDayOracle: String = {
+    val gram = (0 until ContamN).map(k => s"ws[i+$k]")
+      .mkString(" || ' ' || ")
+    val vals = Bm25Queries.map { case (i, t) =>
+      s"(CAST($i AS BIGINT), '$t')" }.mkString(", ")
+    s"""WITH alln AS (SELECT doc_id, text FROM documents
+            WHERE text IS NOT NULL),
+       ev AS (SELECT doc_id, string_split(text, ' ') AS ws FROM alln
+            WHERE doc_id % 50 = 17),
+       corpus AS (SELECT doc_id, text FROM alln
+            WHERE doc_id % 50 <> 17 AND doc_id % 5 <> 0),
+       batch AS (SELECT doc_id, text FROM alln
+            WHERE doc_id % 50 <> 17 AND doc_id % 5 = 0
+          UNION ALL
+          SELECT doc_id + $CrawlDupShift, text FROM corpus
+            WHERE doc_id % 15 = 1),
+       bsh AS (SELECT DISTINCT doc_id, $gram AS g
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM batch),
+            unnest(generate_series(1, len(ws) - ${ContamN - 1})) t(i)),
+       esh AS (SELECT DISTINCT $gram AS g
+          FROM ev,
+            unnest(generate_series(1, len(ws) - ${ContamN - 1})) t(i)),
+       contaminated AS (SELECT DISTINCT doc_id FROM bsh
+          JOIN esh USING (g)),
+       clean AS (SELECT * FROM batch WHERE doc_id NOT IN
+          (SELECT doc_id FROM contaminated)),
+       cdg AS (SELECT DISTINCT md5(text) AS dg FROM corpus),
+       nondup AS (SELECT doc_id, text FROM clean
+          WHERE md5(text) NOT IN (SELECT dg FROM cdg)),
+       survivors AS (SELECT doc_id, text FROM (SELECT doc_id, text,
+            row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+              AS rn FROM nondup) WHERE rn = 1),
+       final AS (SELECT doc_id, text FROM corpus
+          UNION ALL SELECT doc_id, text FROM survivors),
+       ${bm25OracleCtesFrom(
+        s"SELECT * FROM (VALUES $vals) AS t(q_id, q_text)", "final")}
      SELECT q_id, CAST(rank AS INT) AS rank, id AS doc_id,
             round(CAST(s AS DOUBLE) / 1e6, 6) AS score, n_hit
      FROM lranked WHERE rank <= $Bm25K ORDER BY q_id, rank"""
@@ -2410,6 +2553,7 @@ object PipelineQueries {
        ${packSequencesOracleTail("t")}""",
     "p_bm25_topk" -> bm25TopkOracle,
     "p_bm25_indexed" -> bm25TopkOracle,
+    "p_crawl_day" -> crawlDayOracle,
     "p_hybrid_rrf" -> hybridRrfOracle,
     "p_hybrid_rrf3" -> hybridRrf3Oracle,
     "p_ann_topk" -> annTopkOracle,
