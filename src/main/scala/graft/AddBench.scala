@@ -118,16 +118,21 @@ object AddBench {
       k = 8, rowsPerFile = spRpf)
     val tFoldNew = timed(DedupIndex.compactIndex(spark, spNew): Unit)
     // the r12 fold shape, recreated: grouped union -> ordered UPSERT
-    // (keep-last dedup), whose overlap pass reads the base AGAIN
+    // (keep-last dedup), whose overlap pass reads the base AGAIN; the
+    // fold declaration (FoldedKey) rides the same commit exactly as
+    // r12's compact did, so post-fold probes exclude the segment
     val tFoldOld = timed {
       val parts = IndexSegments.liveParts(spark, spOld)
+      val segNames = parts.tail.map(_.ds.dir.split('/').last)
       val allDf = parts.map(_.ds.df).reduce(_ unionByName _)
       val grouped = allDf.groupBy(col("hkey"), col("gd"))
         .agg(sum(col("cnt")).cast("long").as("cnt"))
       parts.head.ds.write(grouped, WriteOpts("hkey",
         NRows(math.max(1L,
           parts.head.m.files.map(_.rows).foldLeft(0L)(math.max))),
-        duplicatesOn = Some(Seq("gd")))): Unit
+        duplicatesOn = Some(Seq("gd")),
+        kv = Map(IndexSegments.FoldedKey ->
+          segNames.mkString(IndexSegments.Sep)))): Unit
     }
     // equivalence: both folded indexes answer a span probe identically
     val spProbe = batch.limit(50)

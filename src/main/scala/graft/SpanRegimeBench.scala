@@ -53,6 +53,11 @@ object SpanRegimeBench {
       "doc_id", "text", k = 8, rowsPerFile = math.max(4000L, nCorpus * 8L)))
     // warm the scan paths once each, then min-of-reps
     noop(DedupIndex.dedupBatchSpans(spark, dir, batch, "doc_id", "text", 8))
+    // probe I/O telemetry captured at PLAN time (r13: the over-cap
+    // path is the zone-pruned mid tier — record tier + files opened
+    // so the fraction-of-index claim is a field, not prose)
+    val probeStats = Option(
+      graft.pipeline.IndexSegments.lastProbeStats.get())
     val tInc = med((1 to reps).map(_ => timed(noop(
       DedupIndex.dedupBatchSpans(spark, dir, batch, "doc_id", "text", 8)))))
     val full = () => DedupOps
@@ -66,11 +71,14 @@ object SpanRegimeBench {
         .as("w")).count() // upper bound; the real probe distincts hashes
     def fmt(v: Double): String = // Locale.ROOT: comma-decimal JVMs
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val probeJson = probeStats.map(s =>
+      s""""probe_tier":"${s.tier}","files_total":${s.filesTotal},""" +
+        s""""files_opened":${s.filesOpened},""").getOrElse("")
     val line = s"""{"metric":"span_regime","unit":"sec","cpus":$cpus,""" +
       s""""corpus_docs":$nCorpus,"batch_docs":$nBatch,""" +
       s""""ratio":${nCorpus / math.max(1L, nBatch)},""" +
       s""""build":${fmt(tBuild)},"inc":${fmt(tInc)},""" +
-      s""""recompute":${fmt(tFull)},""" +
+      s""""recompute":${fmt(tFull)},$probeJson""" +
       s""""batch_gram_upper":$probeGrams,"sf":"$sfDir"}"""
     println(line)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>

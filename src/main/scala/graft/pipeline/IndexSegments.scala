@@ -82,6 +82,13 @@ object IndexSegments {
     * contains. */
   val Sep = "\u001f"
 
+  /** Largest driver-point set inlined as an isin residual on the probe
+    * scan (see [[scanForProbes]]): 4096 long literals is a trivially
+    * small plan, and Spark folds it to an InSet; beyond it the
+    * residual is skipped and correctness rests (as before r13) on the
+    * caller's equi-join alone. */
+  val IsinResidualMax = 4096
+
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -213,7 +220,20 @@ object IndexSegments {
         val opened = parts.map(
           _.m.files.count(f => anyIn(f.min, f.max))).sum
         lastProbeStats.set(ProbeStats("driver_points", filesTotal, opened))
-        parts.map(p => p.ds.multiPointDFOf(p.m, pts))
+        // point-membership residual ON THE SCAN (r13): the caller's
+        // equi-join drops non-probe keys anyway, but filtering them at
+        // the parquet scan pushes down (row-group stats / dictionary)
+        // and — the larger win — keeps the non-matching rows of every
+        // covering file out of the join's shuffle. Bounded so a huge
+        // literal list never bloats the plan; above the bound the
+        // zone-map file selection alone is kept (old behavior).
+        val residual = pts.size <= IsinResidualMax
+        parts.map { p =>
+          val d = p.ds.multiPointDFOf(p.m, pts)
+          if (residual)
+            d.where(col(p.m.orderedOn).isin(pts.map(_.v): _*))
+          else d
+        }
       } else midTierScans(parts, probeKeys, filesTotal)
     val u = scans.reduce(_ unionByName _)
     if (parts.size > 1 && dedupCols.nonEmpty) u.dropDuplicates(dedupCols)
