@@ -388,6 +388,64 @@ class TutorialSpec extends SparkSpec {
     assert(IndexSegments.liveParts(spark, dir).size <= 4 + 1)
   }
 
+  test("corpus day 9: one whole crawl day — probe, decontaminate, " +
+      "dedup, add survivors as segments, pinned reads throughout") {
+    import graft.pipeline.{Bm25Index, ContaminationOps, DedupIndex,
+      IndexSegments, RetrievalOps}
+    val root = tmpDir("day9")
+    // yesterday's state: an eval benchmark, a curated corpus, and its
+    // three indexes (the p_crawl_day loop in user code)
+    val eval = Seq((900L, "held out benchmark question about topic t3"))
+      .toDF("doc_id", "text")
+    val corpus = (0L until 40L).map(i =>
+      (i, s"corpus doc $i about topic t${i % 5} words w${i % 7}"))
+      .toDF("doc_id", "text")
+    ContaminationOps.buildIndex(spark, s"$root/contam", eval,
+      "doc_id", "text", 3, rowsPerFile = 100)
+    DedupIndex.buildDigest(spark, s"$root/digest", corpus,
+      "doc_id", "text", 50)
+    Bm25Index.build(spark, s"$root/bm25", corpus, "doc_id", "text", 50)
+    // an analyst pins the index for a long report session BEFORE the
+    // day's churn: every probe below reads yesterday's version
+    val pin = DedupIndex.pinIndex(spark, s"$root/bm25", Bm25Index.Kind)
+    // today's crawl: two clean docs, one exact re-crawl of corpus doc
+    // 7, one doc quoting the benchmark (contaminated)
+    val crawl = Seq(
+      (1000L, "fresh doc about topic t1 never seen"),
+      (1001L, "another fresh doc about topic t4"),
+      (1002L, "corpus doc 7 about topic t2 words w0"),
+      (1003L, "quotes the held out benchmark question about topic t3"))
+      .toDF("doc_id", "text")
+    val contaminated = ContaminationOps.probeIndex(spark,
+        s"$root/contam", crawl, "doc_id", "text", 3)
+      .select(col("id").as("doc_id"))
+    val clean = crawl.join(contaminated, Seq("doc_id"), "left_anti")
+    val dups = DedupIndex.probeDigest(spark, s"$root/digest", clean,
+        "doc_id", "text")
+      .select(col("new_id").as("doc_id")).distinct()
+    val survivors = clean.join(dups, Seq("doc_id"), "left_anti")
+    assert(survivors.select("doc_id").as[Long].collect().toSet ==
+      Set(1000L, 1001L)) // re-crawl deduped, quote decontaminated
+    // survivors extend both indexes as O(increment) delta segments,
+    // with read amplification self-bounded
+    Bm25Index.add(spark, s"$root/bm25", survivors, "doc_id", "text", 50,
+      maxSegments = Some(4))
+    DedupIndex.buildDigest(spark, s"$root/digest", survivors,
+      "doc_id", "text", 50, maxSegments = Some(4))
+    // fresh reads see the grown corpus; the analyst's pin does not
+    val q = Seq((0L, "topic t1 doc")).toDF("q_id", "q_text")
+    val freshIds = Bm25Index.topK(spark, s"$root/bm25", q, 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(freshIds.contains(1000L))
+    val pinnedIds = Bm25Index.topK(pin, q, 5, RetrievalOps.K1,
+        RetrievalOps.B, 65536)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!pinnedIds.contains(1000L) && !pinnedIds.contains(1001L))
+    assert(IndexSegments.totalRows(pin) <
+      IndexSegments.totalRows(
+        DedupIndex.pinIndex(spark, s"$root/bm25", Bm25Index.Kind)))
+  }
+
   test("corpus day 7: stream in, watch NDV, roll back, restore") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
