@@ -158,6 +158,42 @@ object Bm25Index {
     } finally tf.unpersist(): Unit
   }
 
+  /** Take documents DOWN from the index (the corpus-purge twin of
+    * [[add]], dispatched by [[DedupIndex.removeDocs]]): register an id
+    * tombstone ([[IndexSegments.removeIds]] — probes stop returning
+    * the ids immediately, the next compaction purges them physically)
+    * and decrement the corpus scalars by exactly what the index held
+    * for those ids. Finding the removed docs' lengths is ONE union
+    * scan restricted by the equi-join — id is not the ordered key, so
+    * this is an O(index) READ (no rewrite); takedowns are rare and
+    * the honest alternative (trusting caller-supplied lengths) would
+    * corrupt the normalizers on a wrong claim. A crash between the
+    * tombstone and the bump overstates N/Σdl — [[recountStats]] is
+    * the repair, and it reads tombstone-filtered truth. */
+  def remove(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    val parts = DedupIndex.partsFor(spark, dir, Kind, None)
+    val kv = parts.head.m.kv
+    require(kv.contains(NDocsKey) && kv.contains(SumDlKey),
+      scalarRemedy(dir))
+    val idsDf = ids.select(col(ids.columns.head).cast("long").as("id"))
+      .na.drop().distinct()
+    val r = IndexSegments.unionDf(parts)
+      .join(idsDf, Seq("id"), "left_semi")
+      .groupBy("id").agg(max("dl").as("dl"))
+      .agg(count(lit(1)).cast("long"), sum("dl").cast("long"))
+      .collect()(0)
+    val (n, s) =
+      if (r.isNullAt(1)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+    IndexSegments.removeIds(spark, dir, idsDf): Unit
+    if (n > 0) new OrderedDataset(spark, dir)
+      .transformKvWait(KvBumpWaitMs) { kv2 =>
+        require(kv2.contains(NDocsKey) && kv2.contains(SumDlKey),
+          scalarRemedy(dir))
+        kv2 + (NDocsKey -> (kv2(NDocsKey).toLong - n).toString) +
+          (SumDlKey -> (kv2(SumDlKey).toLong - s).toString)
+      }
+  }
+
   /** Recompute the kv scalars from the postings themselves (one full
     * union scan over base + segments — the repair path for a crash
     * between an add's segment commit and its kv bump). */

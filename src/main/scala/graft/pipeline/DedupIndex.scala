@@ -737,6 +737,62 @@ object DedupIndex {
     DedupOps.spanAssemble(base, dupPos, k, idCol, textOut)
   }
 
+  /** Take documents DOWN from any id-carrying index in the family —
+    * the index-side completion of a corpus purge
+    * ([[graft.store.OrderedDataset.delete]] removes the rows; without
+    * this, the indexes keep SERVING the purged ids). Dispatched on the
+    * index kind:
+    *
+    *  - digest / minhash / ivf / ivfpq: one id tombstone
+    *    ([[IndexSegments.removeIds]] — O(id list) write, probes
+    *    anti-join immediately, the next [[compactIndex]] purges
+    *    physically and [[IndexSegments.vacuum]] reaps);
+    *  - bm25: tombstone + corpus-scalar decrement
+    *    ([[Bm25Index.remove]]);
+    *  - embedding: tombstones on BOTH sub-datasets (band rows and
+    *    vector members both carry the id);
+    *  - simhash: members only — band rows carry fingerprints, not
+    *    ids; a fingerprint orphaned by the removal yields candidates
+    *    that the member expansion then drops, which is correct (and a
+    *    compaction does not resurrect anything);
+    *  - spans / segments / contamination: REJECTED — their rows are
+    *    aggregate gram counts with no per-doc lineage, so a doc's
+    *    contribution is not recoverable; the remedy is a rebuild of
+    *    the index without the removed docs.
+    *
+    * A re-add AFTER the removal is visible again (tombstones apply
+    * only to index parts older than their registration). Returns the
+    * number of tombstones registered.
+    */
+  def removeDocs(spark: SparkSession, dir: String, ids: DataFrame)
+      : Int = {
+    val kindOf: String => Option[String] = d => {
+      val ds = new OrderedDataset(spark, d)
+      if (ds.exists) ds.kv.get("graft.index.kind") else None
+    }
+    kindOf(dir).orElse(kindOf(s"$dir/bands")) match {
+      case Some("digest") | Some("minhash") | Some("ivf")
+           | Some("ivfpq") =>
+        IndexSegments.removeIds(spark, dir, ids): Unit; 1
+      case Some(Bm25Index.Kind) =>
+        Bm25Index.remove(spark, dir, ids); 1
+      case Some("embedding") =>
+        IndexSegments.removeIds(spark, s"$dir/bands", ids): Unit
+        IndexSegments.removeIds(spark, s"$dir/members", ids): Unit
+        2
+      case Some("simhash") =>
+        IndexSegments.removeIds(spark, s"$dir/members", ids): Unit; 1
+      case Some(k @ ("spans" | "segments" | "contamination")) =>
+        throw new IllegalArgumentException(
+          s"index at $dir is a '$k' index — aggregate gram counts " +
+            "carry no per-doc lineage, so takedown is unsupported; " +
+            "rebuild the index from the corpus without the removed " +
+            "documents")
+      case other => throw new IllegalArgumentException(
+        s"no graft index at $dir (kind = $other)")
+    }
+  }
+
   /** Fold every live delta segment of the index at `dir` back into its
     * base run — the LSM compaction twin of the O(increment) adds
     * ([[IndexSegments.compact]]), dispatched on the index kind recorded

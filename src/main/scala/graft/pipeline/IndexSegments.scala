@@ -155,10 +155,137 @@ object IndexSegments {
     * read (e.g. [[DedupIndex.probeEmbedding]]'s occupancy check). */
   def totalRows(parts: Seq[Part]): Long = parts.map(_.m.totalRows).sum
 
-  /** Full union scan over captured parts (the recount/repair path). */
+  /** Full union scan over captured parts (the recount/repair path),
+    * with effective tombstones applied — a recount is truth, so it
+    * must not resurrect taken-down ids. */
   def unionDf(parts: Seq[Part]): DataFrame = {
     require(parts.nonEmpty, "no index parts")
-    parts.map(p => p.ds.dfOf(p.m)).reduce(_ unionByName _)
+    val raw = parts.map(p => p.ds.dfOf(p.m))
+    withTombstones(raw.head.sparkSession, parts, raw)
+      .reduce(_ unionByName _)
+  }
+
+  // ---------------- document takedown (tombstones) ----------------
+
+  /** Dir-name prefix of tombstone id sets under the base dir. */
+  val TombstonePrefix = "tomb-"
+
+  /** Base kv: [[Sep]]-joined tombstone dir names REGISTERED by
+    * [[removeIds]] (append-only, written under the base kv lock). */
+  val TombstoneKey = "graft.index.tombstones"
+
+  /** Base kv: [[Sep]]-joined tombstone names a compaction has APPLIED
+    * (their ids are physically absent from the folded base), written
+    * in the fold's own sidecar swap. Effective tombstones = listed −
+    * applied — the same crash-atomic ledger discipline as
+    * [[FoldedKey]], and it is what lets removes race compactions
+    * WITHOUT a guard: a remove registering after the fold captured
+    * its state stays effective, because the fold's applied list can
+    * only name what it actually folded. */
+  val TombAppliedKey = "graft.index.tombapplied"
+
+  /** Queue budget for a remove's kv registration — a compaction fold
+    * holds the base lock for its whole Spark job (the
+    * [[Bm25Index.KvBumpWaitMs]] reasoning). */
+  val RemoveKvWaitMs: Long = 30L * 60 * 1000
+
+  def newTombstoneDir(dir: String): String =
+    s"$dir/$TombstonePrefix${System.currentTimeMillis()}-" +
+      java.util.UUID.randomUUID().toString.take(8)
+
+  /** Take ids down from the index union at `dir` — the LSM
+    * delete-marker: ids parquet lands under a fresh `tomb-<ms>-`
+    * dir (cost ∝ the id list, no index read or rewrite), then the
+    * name is registered in the base kv under the lock. Every probe,
+    * [[unionDf]] recount, and fold anti-joins effective tombstones
+    * from the SAME base-kv snapshot its scans are built from (pinned
+    * captures therefore pin the tombstone view too). A segment added
+    * AFTER the remove re-admits the id (registration-ms vs
+    * segment-creation-ms, the LSM sequence rule at millisecond
+    * grain); the physical purge happens at the next [[compact]],
+    * after which [[vacuum]] reaps the applied tombstone dir.
+    *
+    * Only meaningful for id-carrying index kinds — use
+    * [[DedupIndex.removeDocs]], which dispatches per kind and rejects
+    * the aggregate-count kinds (their per-doc contributions are not
+    * recoverable; the remedy there is a rebuild). Registering a
+    * tombstone on an id-less index makes its probes fail loudly.
+    * Returns the tombstone name.
+    */
+  def removeIds(spark: SparkSession, dir: String, ids: DataFrame)
+      : String = {
+    val base = new OrderedDataset(spark, dir)
+    require(base.exists, s"no graft index at $dir")
+    val td = newTombstoneDir(dir)
+    ids.select(col(ids.columns.head).cast("long").as("id"))
+      .na.drop().distinct().write.parquet(td)
+    val name = td.split('/').last
+    base.transformKvWait(RemoveKvWaitMs) { kv =>
+      kv + (TombstoneKey ->
+        (kv.get(TombstoneKey).map(splitList).getOrElse(Nil) :+ name)
+          .mkString(Sep))
+    }
+    name
+  }
+
+  /** Unparsable names apply to every part (conservative — an id is
+    * dropped rather than resurrected). */
+  private def tombNameMs(n: String): Long =
+    scala.util.Try(n.stripPrefix(TombstonePrefix)
+      .takeWhile(_.isDigit).toLong).getOrElse(Long.MaxValue)
+
+  /** A part's creation time: the ms prefix of a delta segment's dir
+    * name; the base reads as -1 — every effective tombstone applies
+    * to it (a fold that applied tombstones moved them to the applied
+    * ledger in the same commit, so post-fold base content is always
+    * newer than every tombstone it still sees as effective). */
+  private def partCreateMs(p: Part): Long = {
+    val n = p.ds.dir.split('/').last
+    if (n.startsWith(DeltaPrefix))
+      scala.util.Try(n.stripPrefix(DeltaPrefix)
+        .takeWhile(_.isDigit).toLong).getOrElse(-1L)
+    else -1L
+  }
+
+  /** Effective (registered − applied) tombstones of a base-kv
+    * snapshot: (name, registration ms). */
+  def effectiveTombstones(baseKv: Map[String, String])
+      : Seq[(String, Long)] = {
+    val applied = baseKv.get(TombAppliedKey)
+      .map(splitList(_).toSet).getOrElse(Set.empty)
+    baseKv.get(TombstoneKey).map(splitList).getOrElse(Nil)
+      .filterNot(applied).map(n => (n, tombNameMs(n)))
+  }
+
+  /** Apply the base snapshot's effective tombstones to per-part scans
+    * (aligned with `parts`) — for probe paths that build their own
+    * scan branches instead of going through [[scanForProbes]]
+    * ([[IvfIndex]]'s probed lists). */
+  def withTombstones(spark: SparkSession, parts: Seq[Part],
+      scans: Seq[DataFrame]): Seq[DataFrame] = {
+    val tombs = effectiveTombstones(parts.head.m.kv)
+    if (tombs.isEmpty) scans
+    else parts.zip(scans).map { case (p, s) =>
+      applyTombstones(spark, parts.head.ds.dir, p, s, tombs)
+    }
+  }
+
+  /** Anti-join one part's scan against every effective tombstone
+    * registered at or after the part's creation (see [[removeIds]]). */
+  private def applyTombstones(spark: SparkSession, baseDir: String,
+      p: Part, scan: DataFrame, tombs: Seq[(String, Long)]): DataFrame = {
+    val cut = partCreateMs(p)
+    val applicable = tombs.collect { case (n, ms) if ms >= cut => n }
+    if (applicable.isEmpty) scan
+    else {
+      require(scan.columns.contains("id"),
+        s"index at $baseDir carries tombstones but its rows have no " +
+          "id column — takedown is only supported for id-carrying " +
+          "index kinds (DedupIndex.removeDocs dispatches correctly)")
+      scan.join(
+        spark.read.parquet(applicable.map(n => s"$baseDir/$n"): _*),
+        Seq("id"), "left_anti")
+    }
   }
 
   /** Probe-scan telemetry: which tier ran and how many sidecar files
@@ -235,7 +362,10 @@ object IndexSegments {
           else d
         }
       } else midTierScans(parts, probeKeys, filesTotal)
-    val u = scans.reduce(_ unionByName _)
+    // takedowns: anti-join effective tombstones per part (older parts
+    // lose removed ids; later re-adds stay visible — see removeIds)
+    val u = withTombstones(probeKeys.sparkSession, parts, scans)
+      .reduce(_ unionByName _)
     if (parts.size > 1 && dedupCols.nonEmpty) u.dropDuplicates(dedupCols)
     else u
   }
@@ -359,7 +489,9 @@ object IndexSegments {
     require(parts.nonEmpty, s"no graft index at $dir")
     val base = parts.head
     val segs = parts.tail
-    if (segs.isEmpty) return 0
+    // a fold is due when segments are live OR takedowns await purging
+    val tombs = effectiveTombstones(base.m.kv)
+    if (segs.isEmpty && tombs.isEmpty) return 0
     val segNames = segs.map(_.ds.dir.split('/').last)
     // fold bookkeeping: names already folded but not yet vacuumed stay
     // listed (readers may still exclude them); folded tags append to
@@ -374,23 +506,44 @@ object IndexSegments {
     // are pruned with the same still-on-disk filter as FoldedKey; the
     // new folds are stamped with THIS commit's time
     val foldMs = System.currentTimeMillis()
+    val tombNames = tombs.map(_._1)
+    // an applied entry must outlive its LISTED twin: pruning it while
+    // the TombstoneKey entry remains would resurrect the name as
+    // "effective" with no backing files (vacuum prunes both together)
+    val listedTombs = base.m.kv.get(TombstoneKey)
+      .map(splitList(_).toSet).getOrElse(Set.empty)
+    val stillApplied = base.m.kv.get(TombAppliedKey)
+      .map(splitList).getOrElse(Nil)
+      .filter(n => fsys.exists(new HPath(s"$dir/$n")) ||
+        listedTombs.contains(n))
     val foldedAt = foldedAtMap(base.m.kv).filter {
-      case (n, _) => stillFolded.contains(n) } ++
-      segNames.map(_ -> foldMs)
+      case (n, _) => stillFolded.contains(n) ||
+        stillApplied.contains(n) } ++
+      (segNames ++ tombNames).map(_ -> foldMs)
     val kvAdd = Map(
       FoldedKey -> (stillFolded.toSeq.sorted ++ segNames).mkString(Sep),
       FoldedAtKey -> foldedAt.toSeq.sortBy(_._1)
         .map { case (n, t) => s"$n=$t" }.mkString(Sep)) ++
+      // the applied-tombstone ledger grows by exactly what THIS fold
+      // physically purged; TombstoneKey itself is never written here
+      // (removes append to it under the kv lock — a remove racing
+      // this fold stays effective as listed − applied)
+      (if ((stillApplied ++ tombNames).nonEmpty)
+        Map(TombAppliedKey ->
+          (stillApplied ++ tombNames).distinct.mkString(Sep))
+       else Map.empty[String, String]) ++
       (if (tags.nonEmpty) Map(TagsKey -> tags.mkString(Sep))
        else Map.empty[String, String])
-    val segUnion = segs.map(p => p.ds.dfOf(p.m)).reduce(_ unionByName _)
     val foldOpts = opts.copy(
       kv = opts.kv ++ kvAdd,
       // the base's own stamp (a tagged FIRST build) has moved into the
       // tag history above
       kvRemove = (opts.kvRemove :+ StampKey).distinct)
-    if (sumCols.isEmpty) base.ds.write(segUnion, foldOpts): Unit
-    else {
+    if (sumCols.nonEmpty) {
+      require(tombs.isEmpty,
+        s"index at $dir is an aggregate-count kind but carries " +
+          "tombstones — takedown is unsupported there (rebuild the " +
+          "index); remove the tomb- dirs and kv entries to proceed")
       val all = (base.ds.dfOf(base.m) +: segs.map(p => p.ds.dfOf(p.m)))
         .reduce(_ unionByName _)
       val keyCols = all.columns.filterNot(sumCols.contains).toSeq
@@ -401,12 +554,34 @@ object IndexSegments {
           // layout for readability of the rewritten files
           .select(base.ds.dfOf(base.m).columns.map(col).toSeq: _*)
       base.ds.replaceAll(totals, foldOpts): Unit
+    } else if (tombs.isEmpty) {
+      // pure segment fold: ordered upsert of the segment union (the
+      // base is read once, by the upsert's own overlap pass)
+      val segUnion = segs.map(p => p.ds.dfOf(p.m))
+        .reduce(_ unionByName _)
+      base.ds.write(segUnion, foldOpts): Unit
+    } else {
+      // PURGE fold: takedowns are physically applied, which rewrites
+      // the whole base — union of base + segments, tombstones
+      // anti-joined per part, cross-part duplicates collapsed exactly
+      // as the probe contract does, then one full-replace commit
+      val scans = parts.map(p => applyTombstones(spark, dir, p,
+        p.ds.dfOf(p.m), tombs))
+      val merged0 = scans.reduce(_ unionByName _)
+      // mirror the upsert's dedup contract: Some(cols) keep-one per
+      // key, Some(Nil) = dedup on ALL columns, None = no dedup
+      val merged = opts.duplicatesOn match {
+        case Some(Nil)  => merged0.dropDuplicates()
+        case Some(cols) => merged0.dropDuplicates(cols)
+        case None       => merged0
+      }
+      base.ds.replaceAll(merged, foldOpts): Unit
     }
     // ALSO stamp the fold time on each folded dir's mtime, best-effort
     // (debuggability: `ls -l` agrees with the kv record; the kv entry
     // above is what vacuum actually measures from)
-    segs.foreach { p =>
-      try fsys.setTimes(new HPath(p.ds.dir), foldMs, -1)
+    (segs.map(_.ds.dir) ++ tombNames.map(n => s"$dir/$n")).foreach { p =>
+      try fsys.setTimes(new HPath(p), foldMs, -1)
       catch { case scala.util.control.NonFatal(_) => () }
     }
     segs.size
@@ -427,8 +602,13 @@ object IndexSegments {
       olderThanMs: Long = OrderedDataset.retireGraceMs): Int = {
     val base = new OrderedDataset(spark, dir)
     if (!base.exists) return 0
-    val folded = foldedNames(base.kv)
-    val foldedAt = foldedAtMap(base.kv)
+    val kv = base.kv
+    val folded = foldedNames(kv)
+    val foldedAt = foldedAtMap(kv)
+    val tombListed = kv.get(TombstoneKey)
+      .map(splitList(_).toSet).getOrElse(Set.empty)
+    val tombApplied = kv.get(TombAppliedKey)
+      .map(splitList(_).toSet).getOrElse(Set.empty)
     val fsys = fs(spark, dir)
     val d = new HPath(dir)
     if (!fsys.exists(d)) return 0
@@ -441,16 +621,48 @@ object IndexSegments {
       catch { case _: java.io.FileNotFoundException => false }
     fsys.listStatus(d).count { st =>
       val n = st.getPath.getName
-      val reapable = st.isDirectory && n.startsWith(DeltaPrefix) && {
-        if (folded.contains(n))
-          now - foldedAt.getOrElse(n, st.getModificationTime) > olderThanMs
-        else
-          !Sidecar.exists(conf, st.getPath.toString) &&
-            now - st.getModificationTime > olderThanMs &&
-            !lockFresh(st.getPath)
+      val reapable = st.isDirectory && {
+        if (n.startsWith(DeltaPrefix)) {
+          if (folded.contains(n))
+            now - foldedAt.getOrElse(n, st.getModificationTime) >
+              olderThanMs
+          else
+            !Sidecar.exists(conf, st.getPath.toString) &&
+              now - st.getModificationTime > olderThanMs &&
+              !lockFresh(st.getPath)
+        } else if (n.startsWith(TombstonePrefix)) {
+          // applied: purged from the base, grace from the apply time;
+          // unREGISTERED (a crashed remove — ids written, kv append
+          // never landed): invisible to every reader, reap past the
+          // window. Listed-but-unapplied tombstones are LIVE law —
+          // never reaped.
+          if (tombApplied.contains(n))
+            now - foldedAt.getOrElse(n, st.getModificationTime) >
+              olderThanMs
+          else
+            !tombListed.contains(n) &&
+              now - st.getModificationTime > olderThanMs
+        } else false
       }
       if (reapable) { fsys.delete(st.getPath, true): Unit; true }
       else false
+    } match {
+      case 0 => 0
+      case reaped =>
+        // prune tombstone bookkeeping for reaped dirs FROM BOTH keys
+        // in one locked RMW (fresh kv — concurrent removes compose):
+        // dropping only the applied entry would make the still-listed
+        // name "effective" again with no backing files
+        val gone = (tombListed ++ tombApplied)
+          .filter(n => !fsys.exists(new HPath(s"$dir/$n")))
+        if (gone.nonEmpty) base.transformKv { kv =>
+          def prune(k: String) = kv.get(k)
+            .map(v => k -> splitList(v).filterNot(gone).mkString(Sep))
+          (kv ++ prune(TombstoneKey) ++ prune(TombAppliedKey))
+            .filter { case (k, v) =>
+              v.nonEmpty || (k != TombstoneKey && k != TombAppliedKey) }
+        }
+        reaped
     }
   }
 }

@@ -124,7 +124,11 @@ object IvfIndex {
     val parts = IndexSegments.liveParts(spark, dir)
     require(parts.nonEmpty, s"no graft index at $dir")
     val pts = probedCids.map(OrdLong(_))
-    parts.map(p => p.ds.multiPointDFOf(p.m, pts))
+    // taken-down vector ids anti-joined per part (IndexSegments
+    // tombstones — this path builds its own scans, so it applies them
+    // explicitly where scanForProbes-based probes get them for free)
+    IndexSegments.withTombstones(spark, parts,
+        parts.map(p => p.ds.multiPointDFOf(p.m, pts)))
       .reduce(_ unionByName _)
       .filter(col("cid").isin(probedCids: _*))
   }

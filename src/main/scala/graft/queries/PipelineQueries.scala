@@ -340,6 +340,26 @@ object PipelineQueries {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Takedown fixture (r13): a BM25 index over the FULL documents
+    * table, then `Bm25Index.remove` of the doc_id % 13 == 2 split —
+    * tombstone registered, corpus scalars decremented; no compaction,
+    * so p_bm25_takedown gates the LIVE tombstone path (anti-join +
+    * decremented normalizers) against an oracle that simply never saw
+    * the removed docs. */
+  private def ensureTakedownIndex(s: SparkSession, d: String): String =
+    synchronized {
+      val root = s"/tmp/graft_bm25td_${inputTag(d, "documents")}"
+      val marker = new java.io.File(s"$root/_done")
+      if (marker.exists()) return s"$root/idx"
+      graft.LocalFs.rmTree(new java.io.File(root))
+      val rpf = math.max(2000L, nEmbs(s, d) * 4L)
+      Bm25Index.build(s, s"$root/idx", docs(s, d), "doc_id", "text", rpf)
+      Bm25Index.remove(s, s"$root/idx",
+        docs(s, d).filter(col("doc_id") % 13 === 2).select("doc_id"))
+      java.nio.file.Files.createFile(marker.toPath): Unit
+      s"$root/idx"
+    }
+
   /** Build the segment document-frequency index over the corpus split
     * (doc_id % 5 != 0); the batch split probes it incrementally. */
   private def ensureSegmentIndex(s: SparkSession, d: String): String =
@@ -791,6 +811,17 @@ object PipelineQueries {
     // identical to p_bm25_topk by construction: ONE oracle gates both.
     "p_bm25_indexed" -> { (s, d) =>
       val dir = ensureBm25Index(s, d)
+      val q = s.createDataFrame(Bm25Queries).toDF("q_id", "q_text")
+      Bm25Index.topK(s, dir, q, Bm25K).orderBy("q_id", "rank")
+    },
+
+    // DOCUMENT TAKEDOWN (see ensureTakedownIndex): BM25 over the full
+    // corpus, then Bm25Index.remove of the % 13 == 2 split — scored
+    // BEFORE any compaction, so the oracle equality gates the live
+    // tombstone anti-join AND the decremented N/Σdl normalizers (a
+    // stale scalar shifts every score; a leaked posting shifts ranks).
+    "p_bm25_takedown" -> { (s, d) =>
+      val dir = ensureTakedownIndex(s, d)
       val q = s.createDataFrame(Bm25Queries).toDF("q_id", "q_text")
       Bm25Index.topK(s, dir, q, Bm25K).orderBy("q_id", "rank")
     },
@@ -2007,6 +2038,21 @@ object PipelineQueries {
      FROM lranked WHERE rank <= $Bm25K ORDER BY q_id, rank"""
   }
 
+  /** BM25 over documents the takedown never happened to — the fixture
+    * removed them from a full-corpus index instead (tombstone +
+    * scalar decrement); equality gates the live takedown path. */
+  private def bm25TakedownOracle: String = {
+    val vals = Bm25Queries.map { case (i, t) =>
+      s"(CAST($i AS BIGINT), '$t')" }.mkString(", ")
+    s"""WITH live AS (SELECT doc_id, text FROM documents
+            WHERE doc_id % 13 <> 2),
+       ${bm25OracleCtesFrom(
+        s"SELECT * FROM (VALUES $vals) AS t(q_id, q_text)", "live")}
+     SELECT q_id, CAST(rank AS INT) AS rank, id AS doc_id,
+            round(CAST(s AS DOUBLE) / 1e6, 6) AS score, n_hit
+     FROM lranked WHERE rank <= $Bm25K ORDER BY q_id, rank"""
+  }
+
   /** The composed crawl-day loop in SQL (see ensureCrawlDay): same
     * splits, gram-overlap decontamination, digest dedup vs corpus,
     * keep-first within the batch, then BM25 over corpus ∪ survivors.
@@ -2554,6 +2600,7 @@ object PipelineQueries {
     "p_bm25_topk" -> bm25TopkOracle,
     "p_bm25_indexed" -> bm25TopkOracle,
     "p_crawl_day" -> crawlDayOracle,
+    "p_bm25_takedown" -> bm25TakedownOracle,
     "p_hybrid_rrf" -> hybridRrfOracle,
     "p_hybrid_rrf3" -> hybridRrf3Oracle,
     "p_ann_topk" -> annTopkOracle,
