@@ -447,6 +447,39 @@ object PipelineQueries {
     * coincide with min-id-per-digest, which is what the SQL oracle
     * states. Returns the corpus dataset dir.
     */
+  /** Stage the 4-chunk crawl shape (three ascending doc_id thirds + a
+    * full re-crawl) as timestamp-ordered parquet files under
+    * `base/stream_src` — shared by every streaming-ingest fixture.
+    * Returns the source dir. */
+  private def stageCrawlChunks(s: SparkSession, base: String,
+      all: DataFrame): String = {
+    val maxIdRow = all.agg(max("doc_id")).first()
+    require(!maxIdRow.isNullAt(0),
+      "documents table is empty — cannot stage the streaming fixture")
+    val maxId = maxIdRow.getLong(0)
+    val cuts = Seq(maxId / 3, 2 * maxId / 3)
+    val chunks = Seq(
+      all.filter(col("doc_id") <= cuts(0)),
+      all.filter(col("doc_id") > cuts(0) && col("doc_id") <= cuts(1)),
+      all.filter(col("doc_id") > cuts(1)),
+      all) // day-2 re-crawl: all duplicates, index must reject 100%
+    val srcDir = new java.io.File(s"$base/stream_src")
+    srcDir.mkdirs()
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val tmp = s"$base/_stage_$i"
+      c.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, f"chunk_$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // explicit mtimes: the file stream source orders by timestamp
+      dst.setLastModified(1000000L * (i + 1)): Unit
+      graft.LocalFs.rmTree(new java.io.File(tmp))
+    }
+    srcDir.toString
+  }
+
   private def ensureStreamingDedup(s: SparkSession, d: String): String =
     synchronized {
       val base = s"/tmp/graft_sdedup_${inputTag(d, "documents")}"
@@ -459,37 +492,40 @@ object PipelineQueries {
       if (!done.exists()) {
         val all = Tables.documents(s, d)
           .select("doc_id", "text", "lang", "source", "n_chars")
-        val maxIdRow = all.agg(max("doc_id")).first()
-        require(!maxIdRow.isNullAt(0),
-          s"documents table at $d is empty — cannot stage the " +
-            "streaming-dedup fixture")
-        val maxId = maxIdRow.getLong(0)
-        val cuts = Seq(maxId / 3, 2 * maxId / 3)
-        val chunks = Seq(
-          all.filter(col("doc_id") <= cuts(0)),
-          all.filter(col("doc_id") > cuts(0) && col("doc_id") <= cuts(1)),
-          all.filter(col("doc_id") > cuts(1)),
-          all) // day-2 re-crawl: all duplicates, index must reject 100%
-        val srcDir = new java.io.File(s"$base/stream_src")
-        srcDir.mkdirs()
-        chunks.zipWithIndex.foreach { case (c, i) =>
-          val tmp = s"$base/_stage_$i"
-          c.coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
-          val dst = new java.io.File(srcDir, f"chunk_$i%02d.parquet")
-          java.nio.file.Files.move(part.toPath, dst.toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          // explicit mtimes: the file stream source orders by timestamp
-          dst.setLastModified(1000000L * (i + 1)): Unit
-          graft.LocalFs.rmTree(new java.io.File(tmp))
-        }
+        val srcDir = stageCrawlChunks(s, base, all)
         val stream = s.readStream.schema(all.schema)
-          .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
         val q = graft.streaming.StreamingDedup.run(stream, "doc_id",
           "text", corpus, s"$base/index", s"$base/_ckpt",
           rowsPerFile = 200)
         q.awaitTermination() // Trigger.AvailableNow: ends when caught up
+        done.createNewFile(): Unit
+      }
+      corpus
+    }
+
+  /** Fixture for t19_streaming_block: the t13 crawl shape with a
+    * BLOCKLIST at the door — a digest index over the recalled split
+    * (doc_id % 9 == 4, non-null text) built BEFORE the stream starts;
+    * arrivals matching recalled content by digest never enter the
+    * corpus, re-crawls of everything else dedup as usual. */
+  private def ensureStreamingBlock(s: SparkSession, d: String): String =
+    synchronized {
+      val base = s"/tmp/graft_sblock_${inputTag(d, "documents")}"
+      val corpus = s"$base/corpus"
+      val done = new java.io.File(s"$base/_ingest_done")
+      if (!done.exists()) {
+        val all = docs(s, d)
+        DedupIndex.buildDigest(s, s"$base/block",
+          all.filter(col("doc_id") % 9 === 4 && col("text").isNotNull),
+          "doc_id", "text", rowsPerFile = 2000)
+        val srcDir = stageCrawlChunks(s, base, all)
+        val stream = s.readStream.schema(all.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        val q = graft.streaming.StreamingDedup.run(stream, "doc_id",
+          "text", corpus, s"$base/index", s"$base/_ckpt",
+          rowsPerFile = 200, blockIndexDir = Some(s"$base/block"))
+        q.awaitTermination()
         done.createNewFile(): Unit
       }
       corpus
@@ -1348,6 +1384,20 @@ object PipelineQueries {
       new graft.store.OrderedDataset(s, corpus).df
         .select("doc_id", "text", "lang", "source", "n_chars")
         .orderBy("doc_id")
+    },
+
+    // The t13 crawl with a BLOCKLIST at the door (the ingest twin of
+    // p_bm25_takedown's index takedown): recalled content — the
+    // doc_id % 9 == 4 split's digests, persisted as a digest index
+    // BEFORE the stream — never enters the corpus, across the initial
+    // chunks AND the full re-crawl; everything else dedups keep-first
+    // exactly as t13. The oracle filters by content digest, so docs
+    // merely SHARING a recalled doc's text are rejected too (content
+    // recall, not id recall).
+    "t19_streaming_block" -> { (s, d) =>
+      val corpus = ensureStreamingBlock(s, d)
+      new graft.store.OrderedDataset(s, corpus).df
+        .select("doc_id", "text").orderBy("doc_id")
     },
 
     // The COMPOSED curation chain AS A STREAM: clean + classifier
@@ -2944,6 +2994,22 @@ object PipelineQueries {
          JOIN (SELECT min(doc_id) AS doc_id FROM documents
                GROUP BY md5(text)) k USING (doc_id)
          ORDER BY d.doc_id""",
+
+    // blocked = any doc whose CONTENT digest matches the recalled
+    // split; null-text docs are never blocked (the blocklist cannot
+    // hold a null digest) — hence the explicit IS NULL escape, which
+    // also dodges SQL's NULL-NOT-IN trap
+    "t19_streaming_block" ->
+      """WITH banned AS (SELECT DISTINCT md5(text) AS bd FROM documents
+               WHERE doc_id % 9 = 4 AND text IS NOT NULL),
+         live AS (SELECT doc_id, text FROM documents
+               WHERE md5(text) IS NULL
+                  OR md5(text) NOT IN (SELECT bd FROM banned))
+       SELECT d.doc_id, d.text
+       FROM live d
+       JOIN (SELECT min(doc_id) AS doc_id FROM live
+             GROUP BY md5(text)) k USING (doc_id)
+       ORDER BY d.doc_id""",
 
     "t18_streaming_pipeline" -> streamingPipelineOracle,
 

@@ -55,7 +55,8 @@ object StreamingDedup {
       contamIndexDir: Option[String] = None,
       contamN: Int = 5,
       segIndexDir: Option[String] = None,
-      segWords: Int = 10, segDfMin: Long = 2L): StreamingQuery =
+      segWords: Int = 10, segDfMin: Long = 2L,
+      blockIndexDir: Option[String] = None): StreamingQuery =
     docStream.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
@@ -64,7 +65,8 @@ object StreamingDedup {
         dedupBatch(batch.sparkSession, batch, idCol, textCol,
           corpusDir, indexDir, rowsPerFile, contamIndexDir, contamN,
           segIndexDir, segWords, segDfMin,
-          segIncrementTag = Some(batchId.toString)): Unit
+          segIncrementTag = Some(batchId.toString),
+          blockIndexDir = blockIndexDir): Unit
       }
       .start()
 
@@ -115,6 +117,19 @@ object StreamingDedup {
     * between) still collapses onto the same row, keep-last picking the
     * later rewrite.
     */
+  /** With `blockIndexDir` set, each batch is ALSO screened against a
+    * persisted BLOCKLIST — a digest index
+    * ([[DedupIndex.buildDigest]]) over recalled/banned content. This
+    * is the ingest-side twin of [[DedupIndex.removeDocs]]: a takedown
+    * removes content from the corpus and its indexes, and the
+    * blocklist keeps RE-ARRIVALS of that content out (without it, a
+    * re-crawl of a recalled document would re-enter as "new" — the
+    * digest dedup index no longer knows it). Matching is by content
+    * digest, so it is deterministic and replay-idempotent; null-text
+    * documents are never blocked (the blocklist cannot hold a null
+    * digest). Grow the blocklist with buildDigest over each new
+    * recall batch — O(recall) delta segments, like every index here.
+    */
   def dedupBatch(spark: SparkSession, batch: DataFrame, idCol: String,
       textCol: String, corpusDir: String, indexDir: String,
       rowsPerFile: Long = 1000000L,
@@ -122,7 +137,8 @@ object StreamingDedup {
       contamN: Int = 5,
       segIndexDir: Option[String] = None,
       segWords: Int = 10, segDfMin: Long = 2L,
-      segIncrementTag: Option[String] = None): Long = {
+      segIncrementTag: Option[String] = None,
+      blockIndexDir: Option[String] = None): Long = {
     val reserved = Set("digest", "hkey", "__rn", "__digest",
       "clean_text", "__sid")
     require(!batch.columns.exists(reserved),
@@ -145,16 +161,29 @@ object StreamingDedup {
           .select(col("new_id").as("__dup_id")).distinct()
         firsts.join(hits, firsts(idCol) === col("__dup_id"), "left_anti")
       } else firsts
+    // 2a. optional BLOCKLIST screen: exact-content matches against the
+    // persisted recalled/banned digest index are rejected at the door
+    // (cheapest first — a digest probe, before any shingling)
+    val unblocked = blockIndexDir match {
+      case Some(bd) =>
+        val blocked = DedupIndex.probeDigestKeyed(spark, bd,
+            fresh0.select(col(idCol).cast("long").as("new_id"),
+              col("digest")))
+          .select(col("new_id").as("__blocked_id")).distinct()
+        fresh0.join(blocked, fresh0(idCol) === col("__blocked_id"),
+          "left_anti")
+      case None => fresh0
+    }
     // 2b. optional in-stream decontamination against the persisted
     // eval-gram index (any shared n-gram rejects the document)
     val clean0 = contamIndexDir match {
       case Some(cd) =>
         val dirty = graft.pipeline.ContaminationOps
-          .probeIndex(spark, cd, fresh0, idCol, textCol, contamN)
+          .probeIndex(spark, cd, unblocked, idCol, textCol, contamN)
           .select(col("id").as("__contam_id")).distinct()
-        fresh0.join(dirty, fresh0(idCol) === col("__contam_id"),
+        unblocked.join(dirty, unblocked(idCol) === col("__contam_id"),
           "left_anti")
-      case None => fresh0
+      case None => unblocked
     }
     // One materialization, multiple consumers (strip probe + corpus
     // write + both index writes): without this the digest/probe
