@@ -34,12 +34,21 @@ import graft.store.{DatasetMeta, OrdLong, OrderedDataset, Sidecar, WriteOpts}
   *    I/O stays ∝ increment × (1 + #live segments) — the standard
   *    LSM read amplification, bounded by compaction cadence;
   *  - [[compact]] periodically folds every live segment back into the
-  *    base (one ordinary ordered upsert). The fold is declared IN the
-  *    base commit's own sidecar swap (kv [[FoldedKey]]), so a crash
-  *    can never leave segments both merged and still counted: readers
-  *    exclude folded segments the moment the base commit is visible,
-  *    atomically. Folded segment dirs are reaped after the reader
-  *    grace window ([[vacuum]]).
+  *    base (presence kinds: one ordinary ordered upsert; count kinds:
+  *    a grouped-sum [[OrderedDataset.replaceAll]] that reads the base
+  *    ONCE). The fold is declared IN the base commit's own sidecar
+  *    swap (kv [[FoldedKey]]), so a crash can never leave segments
+  *    both merged and still counted: readers exclude folded segments
+  *    the moment the base commit is visible, atomically. Folded
+  *    segment dirs are reaped after the reader grace window
+  *    ([[vacuum]]);
+  *  - DELETES are LSM tombstones ([[removeIds]]): an id list lands as
+  *    parquet + one locked kv registration, probes anti-join
+  *    effective (listed − applied) tombstones from the same base-kv
+  *    snapshot their scans use, the next [[compact]] purges them
+  *    physically (the applied ledger rides the fold's own swap, so
+  *    removes race folds safely), and [[vacuum]] reaps applied
+  *    tombstone dirs, pruning both ledger keys together.
   *
   * Consistent reads: [[liveParts]] captures the BASE sidecar first and
   * derives the folded set from that one snapshot; segment scans and

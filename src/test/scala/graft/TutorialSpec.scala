@@ -446,6 +446,68 @@ class TutorialSpec extends SparkSpec {
         DedupIndex.pinIndex(spark, s"$root/bm25", Bm25Index.Kind)))
   }
 
+  test("corpus day 10: a recall — purge the corpus, take down the " +
+      "indexes, block re-arrivals") {
+    import graft.pipeline.{Bm25Index, DedupIndex}
+    import graft.streaming.StreamingDedup
+    val root = tmpDir("day10")
+    // the accepted corpus is CONTENT-ADDRESSED (ordered on the digest
+    // hkey — the StreamingDedup layout), with its digest index and a
+    // BM25 index serving retrieval
+    val docsIn = (0L until 30L).map(i =>
+      (i, s"stored doc $i about subject s${i % 5} detail d$i"))
+      .toDF("doc_id", "text")
+    val ingested = StreamingDedup.dedupBatch(spark, docsIn, "doc_id",
+      "text", s"$root/corpus", s"$root/digest", rowsPerFile = 50)
+    assert(ingested == 30L)
+    Bm25Index.build(spark, s"$root/bm25",
+      new OrderedDataset(spark, s"$root/corpus").df
+        .select("doc_id", "text"), "doc_id", "text", 50)
+    // a takedown notice arrives for doc 7's content
+    val recalled = new OrderedDataset(spark, s"$root/corpus").df
+      .filter($"doc_id" === 7L).select("doc_id", "text", "digest",
+        "hkey").persist()
+    try {
+      val hk = recalled.select("hkey").as[Long].head()
+      // 1. PURGE the corpus row: content addressing makes a recall a
+      //    zone-map range delete — [hkey, hkey+1) touches at most the
+      //    files actually holding that digest (day-5's machinery)
+      new OrderedDataset(spark, s"$root/corpus")
+        .delete(Some(graft.store.OrdLong(hk)),
+          Some(graft.store.OrdLong(hk + 1))): Unit
+      assert(new OrderedDataset(spark, s"$root/corpus").df
+        .filter($"doc_id" === 7L).isEmpty)
+      // 2. TAKE DOWN the indexes: without this they keep SERVING the
+      //    purged id (tombstones — O(1 id), no index rewrite)
+      DedupIndex.removeDocs(spark, s"$root/digest",
+        Seq(7L).toDF("id")): Unit
+      DedupIndex.removeDocs(spark, s"$root/bm25",
+        Seq(7L).toDF("id")): Unit
+      val q = Seq((0L, "subject s2 detail d7")).toDF("q_id", "q_text")
+      assert(!Bm25Index.topK(spark, s"$root/bm25", q, 10)
+        .select("doc_id").as[Long].collect().contains(7L))
+      // 3. BLOCK re-arrivals: the recalled CONTENT goes into a
+      //    blocklist; tomorrow's crawl re-surfaces the same text under
+      //    a new id and it never enters — while a genuinely new doc
+      //    lands normally
+      DedupIndex.buildDigest(spark, s"$root/block",
+        recalled.select("doc_id", "text"), "doc_id", "text", 50)
+      val tomorrow = recalled
+        .select(($"doc_id" + 500L).as("doc_id"), $"text")
+        .unionByName(Seq((600L, "a genuinely new doc about subject s9"))
+          .toDF("doc_id", "text"))
+      val accepted = StreamingDedup.dedupBatch(spark, tomorrow,
+        "doc_id", "text", s"$root/corpus", s"$root/digest",
+        rowsPerFile = 50, blockIndexDir = Some(s"$root/block"))
+      assert(accepted == 1L, "the re-crawl of recalled content must " +
+        "be blocked; the new doc must land")
+      val ids = new OrderedDataset(spark, s"$root/corpus").df
+        .select("doc_id").as[Long].collect().toSet
+      assert(ids.contains(600L) && !ids.contains(507L) &&
+        !ids.contains(7L))
+    } finally recalled.unpersist(): Unit
+  }
+
   test("corpus day 7: stream in, watch NDV, roll back, restore") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
