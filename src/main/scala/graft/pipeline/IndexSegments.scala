@@ -98,6 +98,14 @@ object IndexSegments {
     * caller's equi-join alone. */
   val IsinResidualMax = 4096
 
+  /** Over-cap dispatch: when the driver-routed probe-key SAMPLE (the
+    * cap+1 keys already collected) covers at least this fraction of
+    * the union's files, the pruning tier is skipped — the full key
+    * set can only cover more, and the tier's hits pass would pay a
+    * full probe-key-lineage evaluation for nothing (the measured
+    * r13i regression). Clustered samples fall through to the tier. */
+  val MidTierSkipAtFraction = 0.6
+
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -336,8 +344,8 @@ object IndexSegments {
     require(parts.nonEmpty, "no index parts")
     val filesTotal = parts.map(_.m.files.size).sum
     // null keys (e.g. md5 of a null text) can never match an index row
-    val keys = probeKeys.na.drop().distinct()
-      .limit(maxDriverKeys + 1).collect()
+    val keysDf = probeKeys.na.drop().distinct()
+    val keys = keysDf.limit(maxDriverKeys + 1).collect()
     val scans =
       if (keys.length <= maxDriverKeys) {
         val pts = keys.map(r => OrdLong(r.getLong(0))).toSeq.sortBy(_.v)
@@ -370,7 +378,45 @@ object IndexSegments {
             d.where(col(p.m.orderedOn).isin(pts.map(_.v): _*))
           else d
         }
-      } else midTierScans(parts, probeKeys, filesTotal)
+      } else {
+        // Over the cap, first decide WHETHER the pruning tier can pay:
+        // its hits pass evaluates the full probe-key lineage (often a
+        // complete re-shingle of the batch — work the old full-union
+        // path never did, since limit-collect short-circuits), and for
+        // UNIFORM-hash keys over production file counts it opens every
+        // file anyway (measured: p_segment_dedup_inc at 100× paid
+        // 1.75× for 100/100 files opened, SCALE.md r13i). The decision
+        // is free: the cap+1 keys ALREADY collected are a sample —
+        // route them through the zone maps on the driver; if the
+        // sample alone hits most files, the full set can only hit
+        // more, so skip straight to the full union (the r12 cost,
+        // exactly). A clustered sample engages the tier, which then
+        // genuinely prunes.
+        val boundsOpt = partBounds(parts)
+        val sampleFrac = boundsOpt.map { bounds =>
+          driverHits(bounds, keys.map(_.getLong(0))).size.toDouble /
+            math.max(1, filesTotal)
+        }
+        if (boundsOpt.isEmpty ||
+            sampleFrac.exists(_ >= MidTierSkipAtFraction)) {
+          lastProbeStats.set(
+            ProbeStats("full_union", filesTotal, filesTotal))
+          System.err.println(
+            s"[graft] index probe of ${parts.head.ds.dir}: distinct " +
+              "probe keys exceed the driver cap and the key sample " +
+              f"already covers ${sampleFrac.getOrElse(1.0) * 100}%.0f%%" +
+              s" of $filesTotal files — full-union equi-join " +
+              "(cost ∝ index, not increment)")
+          parts.map(p => p.ds.dfOf(p.m))
+        } else {
+          // the hits pass evaluates the key lineage once more: persist
+          // so the (often expensive) lineage is computed once; the hit
+          // set is collected eagerly inside, so the cache drops here
+          val cached = keysDf.persist()
+          try midTierScans(parts, cached, boundsOpt.get, filesTotal)
+          finally cached.unpersist(): Unit
+        }
+      }
     // takedowns: anti-join effective tombstones per part (older parts
     // lose removed ids; later re-adds stay visible — see removeIds)
     val u = withTombstones(probeKeys.sparkSession, parts, scans)
@@ -379,44 +425,61 @@ object IndexSegments {
     else u
   }
 
-  /** The over-cap mid tier (see [[scanForProbes]]): distributive
-    * zone-map routing of probe keys to files, then a scan of only the
-    * hit files. */
-  private def midTierScans(parts: Seq[Part], probeKeys: DataFrame,
-      filesTotal: Int): Seq[DataFrame] = {
+  /** Per-part sorted boundary arrays (files are min-sorted in the
+    * sidecar; maxes are monotone because ordered files overlap only at
+    * equal boundary keys). None when any part's keys are not long
+    * (no index in the family — the full-union fallback handles it). */
+  private def partBounds(parts: Seq[Part])
+      : Option[Array[(Array[Long], Array[Long])]] = {
     val longKeyed = parts.forall(_.m.files.forall(f =>
       f.min.isInstanceOf[OrdLong] && f.max.isInstanceOf[OrdLong]))
-    if (!longKeyed || filesTotal == 0) {
-      lastProbeStats.set(ProbeStats("full_union", filesTotal, filesTotal))
-      return parts.map(p => p.ds.dfOf(p.m))
-    }
-    // per-part sorted boundary arrays (files are min-sorted in the
-    // sidecar; maxes are monotone because ordered files overlap only
-    // at equal boundary keys)
-    val bounds: Array[(Array[Long], Array[Long])] = parts.map { p =>
+    if (!longKeyed || parts.forall(_.m.files.isEmpty)) None
+    else Some(parts.map { p =>
       (p.m.files.map(_.min.asInstanceOf[OrdLong].v).toArray,
         p.m.files.map(_.max.asInstanceOf[OrdLong].v).toArray)
-    }.toArray
-    // key -> covering (part, file) ids: binary-search the last file
-    // with min <= k, then walk left across an equal-boundary chain.
-    // Encoded as part << 32 | file so the distinct set is primitive.
+    }.toArray)
+  }
+
+  /** key → covering (part << 32 | file) ids: binary-search the last
+    * file with min <= k, then walk left across an equal-boundary
+    * chain. Shared by the driver-side sample routing and the
+    * distributed hits pass. */
+  private def coveringFiles(bounds: Array[(Array[Long], Array[Long])],
+      k: Long, out: scala.collection.mutable.ArrayBuffer[Long]): Unit = {
+    var pi = 0
+    while (pi < bounds.length) {
+      val (mins, maxs) = bounds(pi)
+      var lo = 0; var hi = mins.length - 1; var res = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (mins(mid) <= k) { res = mid; lo = mid + 1 } else hi = mid - 1
+      }
+      var j = res
+      while (j >= 0 && maxs(j) >= k) {
+        out += (pi.toLong << 32) | j.toLong
+        j -= 1
+      }
+      pi += 1
+    }
+  }
+
+  private def driverHits(bounds: Array[(Array[Long], Array[Long])],
+      ks: Iterable[Long]): Set[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    ks.foreach(coveringFiles(bounds, _, out))
+    out.toSet
+  }
+
+  /** The over-cap mid tier (see [[scanForProbes]]): distributive
+    * zone-map routing of probe keys to files, then a scan of only the
+    * hit files. Only called when the driver-side key SAMPLE showed the
+    * set is clustered enough to prune. */
+  private def midTierScans(parts: Seq[Part], probeKeys: DataFrame,
+      bounds: Array[(Array[Long], Array[Long])], filesTotal: Int)
+      : Seq[DataFrame] = {
     val hitsFn = udf { (k: Long) =>
       val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-      var pi = 0
-      while (pi < bounds.length) {
-        val (mins, maxs) = bounds(pi)
-        var lo = 0; var hi = mins.length - 1; var res = -1
-        while (lo <= hi) {
-          val mid = (lo + hi) >>> 1
-          if (mins(mid) <= k) { res = mid; lo = mid + 1 } else hi = mid - 1
-        }
-        var j = res
-        while (j >= 0 && maxs(j) >= k) {
-          out += (pi.toLong << 32) | j.toLong
-          j -= 1
-        }
-        pi += 1
-      }
+      coveringFiles(bounds, k, out)
       out.toSeq
     }
     val keyCol = probeKeys.columns.head
