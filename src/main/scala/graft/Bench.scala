@@ -293,8 +293,11 @@ object Bench {
     val cpusJson = cpusNum.map(_.toString).getOrElse(s""""$cpus"""")
     // the one-field promotion verdict (VERDICT r12 #1): a record is
     // promotable only when BOTH gates read healthy — the synthetic
-    // sentinel AND the datapath probe. A subset run is never a record.
-    val recordOk = runProbes && !drifted && !datapathDegraded
+    // sentinel AND the datapath probe. A subset run is never a record:
+    // gate on only.isEmpty, NOT runProbes — SPARK_GRAFT_FORCE_PROBES
+    // makes a QUERIES-subset calibration run probe too, and it must
+    // not self-report as promotable on a partial surface (ADVICE r13)
+    val recordOk = only.isEmpty && !drifted && !datapathDegraded
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpus":$cpusJson,"record_ok":$recordOk,"drift":$driftJson,"canon":$canonJson,"queries":$qs,"queries_median":$qsMed,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // the UNTRUNCATED record: the same JSON line, kept as a file so

@@ -109,11 +109,20 @@ object IndexSegments {
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Test seam: ms offset added to the wall clock when minting segment
+    * and tombstone dir names — lets a spec simulate cross-HOST clock
+    * skew between uncoordinated writers. Safe to expose because since
+    * r14 the dir-name ms is debug info for segments: tombstone
+    * ordering is CAUSAL ([[TombSeenKey]]), and this seam exists to
+    * prove that under skew. */
+  private[graft] def nowMs(): Long = System.currentTimeMillis() +
+    sys.props.get("graft.test.clock.skew.ms").map(_.toLong).getOrElse(0L)
+
   /** Fresh segment directory name: millis prefix keeps listing order ≈
     * creation order (debuggability only — correctness never depends on
     * it), the random suffix keeps concurrent adds collision-free. */
   def newSegmentDir(dir: String): String =
-    s"$dir/$DeltaPrefix${System.currentTimeMillis()}-" +
+    s"$dir/$DeltaPrefix${nowMs()}-" +
       java.util.UUID.randomUUID().toString.take(8)
 
   /** One member of the index union: a dataset plus the CAPTURED
@@ -206,8 +215,18 @@ object IndexSegments {
     * [[Bm25Index.KvBumpWaitMs]] reasoning). */
   val RemoveKvWaitMs: Long = 30L * 60 * 1000
 
+  /** Segment kv: [[Sep]]-joined tombstone names LISTED in the base kv
+    * when the segment's writer started — the causal ordering record
+    * (VERDICT r13 #2). A tombstone a segment observed at creation was
+    * registered before it, so the segment's content is a re-add that
+    * logically follows the remove and keeps its ids; a tombstone the
+    * segment did NOT observe applies to it, regardless of what any
+    * writer's wall clock said. Pre-r14 segments lack the stamp and
+    * fall back to the dir-name-ms rule (single-clock only). */
+  val TombSeenKey = "graft.index.tombseen"
+
   def newTombstoneDir(dir: String): String =
-    s"$dir/$TombstonePrefix${System.currentTimeMillis()}-" +
+    s"$dir/$TombstonePrefix${nowMs()}-" +
       java.util.UUID.randomUUID().toString.take(8)
 
   /** Take ids down from the index union at `dir` — the LSM
@@ -217,9 +236,12 @@ object IndexSegments {
     * [[unionDf]] recount, and fold anti-joins effective tombstones
     * from the SAME base-kv snapshot its scans are built from (pinned
     * captures therefore pin the tombstone view too). A segment added
-    * AFTER the remove re-admits the id (registration-ms vs
-    * segment-creation-ms, the LSM sequence rule at millisecond
-    * grain); the physical purge happens at the next [[compact]],
+    * AFTER the remove re-admits the id — the LSM sequence rule,
+    * ordered CAUSALLY since r14: each segment's kv records the
+    * tombstones its writer observed ([[TombSeenKey]]), so the
+    * ordering is immune to cross-writer clock skew (the pre-r14
+    * dir-name-ms rule survives only as the fallback for unstamped
+    * segments). The physical purge happens at the next [[compact]],
     * after which [[vacuum]] reaps the applied tombstone dir.
     *
     * Only meaningful for id-carrying index kinds — use
@@ -251,11 +273,9 @@ object IndexSegments {
     scala.util.Try(n.stripPrefix(TombstonePrefix)
       .takeWhile(_.isDigit).toLong).getOrElse(Long.MaxValue)
 
-  /** A part's creation time: the ms prefix of a delta segment's dir
-    * name; the base reads as -1 — every effective tombstone applies
-    * to it (a fold that applied tombstones moved them to the applied
-    * ledger in the same commit, so post-fold base content is always
-    * newer than every tombstone it still sees as effective). */
+  /** A part's creation time from the ms prefix of its dir name —
+    * LEGACY fallback ordering for pre-r14 segments without the
+    * [[TombSeenKey]] stamp (see [[applicableTombs]]). */
   private def partCreateMs(p: Part): Long = {
     val n = p.ds.dir.split('/').last
     if (n.startsWith(DeltaPrefix))
@@ -287,12 +307,33 @@ object IndexSegments {
     }
   }
 
-  /** Anti-join one part's scan against every effective tombstone
-    * registered at or after the part's creation (see [[removeIds]]). */
+  /** Which effective tombstones apply to a part. The base takes ALL
+    * (a fold that applied tombstones moved them to the applied ledger
+    * in the same commit, so post-fold base content never sees them as
+    * effective). A segment takes every tombstone it did NOT observe at
+    * creation ([[TombSeenKey]] — the causal rule: immune to
+    * cross-writer clock skew, VERDICT r13 #2). A pre-r14 segment
+    * without the stamp falls back to the wall-clock dir-name rule
+    * (registration ms ≥ creation ms), which assumes a single clock. */
+  private def applicableTombs(p: Part, tombs: Seq[(String, Long)])
+      : Seq[String] = {
+    val n = p.ds.dir.split('/').last
+    if (!n.startsWith(DeltaPrefix)) tombs.map(_._1)
+    else p.m.kv.get(TombSeenKey) match {
+      case Some(seen) =>
+        val s = splitList(seen).toSet
+        tombs.collect { case (tn, _) if !s.contains(tn) => tn }
+      case None =>
+        val cut = partCreateMs(p)
+        tombs.collect { case (tn, ms) if ms >= cut => tn }
+    }
+  }
+
+  /** Anti-join one part's scan against every tombstone applicable to
+    * it (see [[applicableTombs]] / [[removeIds]]). */
   private def applyTombstones(spark: SparkSession, baseDir: String,
       p: Part, scan: DataFrame, tombs: Seq[(String, Long)]): DataFrame = {
-    val cut = partCreateMs(p)
-    val applicable = tombs.collect { case (n, ms) if ms >= cut => n }
+    val applicable = applicableTombs(p, tombs)
     if (applicable.isEmpty) scan
     else {
       require(scan.columns.contains("id"),
@@ -524,10 +565,22 @@ object IndexSegments {
     }
 
   /** Land an increment as a fresh delta segment — cost ∝ increment
-    * (sort + write of the batch alone; no overlap planning, no lock). */
+    * (sort + write of the batch alone; no overlap planning, no lock).
+    * The segment's kv records the tombstone ledger observed at
+    * creation ([[TombSeenKey]], one lock-free base-kv read): a
+    * tombstone registered before this read is causally BEFORE the
+    * segment and never applies to it; one registered after (even
+    * mid-write — conservative) applies. */
   def writeSegment(spark: SparkSession, dir: String, rows: DataFrame,
-      opts: WriteOpts): Unit =
-    new OrderedDataset(spark, newSegmentDir(dir)).write(rows, opts): Unit
+      opts: WriteOpts): Unit = {
+    val base = new OrderedDataset(spark, dir)
+    val seen =
+      if (base.exists)
+        base.kv.get(TombstoneKey).map(splitList).getOrElse(Nil)
+      else Nil
+    new OrderedDataset(spark, newSegmentDir(dir)).write(rows,
+      opts.copy(kv = opts.kv + (TombSeenKey -> seen.mkString(Sep)))): Unit
+  }
 
   /** Fold every live segment into the base — ONE ordinary ordered
     * upsert whose sidecar swap also commits the fold declaration
@@ -704,16 +757,24 @@ object IndexSegments {
               !lockFresh(st.getPath)
         } else if (n.startsWith(TombstonePrefix)) {
           // applied: purged from the base, grace from the apply time;
-          // unREGISTERED (a crashed remove — ids written, kv append
-          // never landed): invisible to every reader, reap past the
-          // window. Listed-but-unapplied tombstones are LIVE law —
-          // never reaped.
+          // unREGISTERED: either a crashed remove (ids written, kv
+          // append never landed — garbage) or an IN-FLIGHT remove
+          // whose registration is queued up to [[RemoveKvWaitMs]]
+          // behind a fold's lock hold (ADVICE r13: reaping THAT dir
+          // loses the takedown — the registration then lands naming a
+          // missing dir and every probe throws). The two are
+          // indistinguishable from here, so the reap age is gated on
+          // the registration budget: past RemoveKvWaitMs the remove
+          // has either registered or thrown to its caller.
+          // Listed-but-unapplied tombstones are LIVE law — never
+          // reaped.
           if (tombApplied.contains(n))
             now - foldedAt.getOrElse(n, st.getModificationTime) >
               olderThanMs
           else
             !tombListed.contains(n) &&
-              now - st.getModificationTime > olderThanMs
+              now - st.getModificationTime >
+                math.max(olderThanMs, RemoveKvWaitMs)
         } else false
       }
       if (reapable) { fsys.delete(st.getPath, true): Unit; true }

@@ -52,8 +52,9 @@ class TakedownSpec extends SparkSpec {
           .select(($"doc_id" + 1000L).as("doc_id"), $"text"),
         "doc_id", "text", maxDriverKeys = 0)
       .select("corpus_id").as[Long].collect().toSet == Set(7L))
-    // a RE-ADD after the removal is visible again (LSM sequence rule)
-    Thread.sleep(5L) // keep the re-add segment off the tombstone's ms
+    // a RE-ADD after the removal is visible again — the causal rule
+    // (TombSeenKey) makes even a same-millisecond re-add safe, so no
+    // clock-separating sleep is needed (r14)
     DedupIndex.buildDigest(spark, dir, corpus(5L, 6L), "doc_id", "text",
       rowsPerFile = 10)
     assert(probe(5L, 35L, 7L) == Set(5L, 7L))
