@@ -167,24 +167,38 @@ object Bm25Index {
     * scan restricted by the equi-join — id is not the ordered key, so
     * this is an O(index) READ (no rewrite); takedowns are rare and
     * the honest alternative (trusting caller-supplied lengths) would
-    * corrupt the normalizers on a wrong claim. A crash between the
-    * tombstone and the bump overstates N/Σdl — [[recountStats]] is
-    * the repair, and it reads tombstone-filtered truth. */
+    * corrupt the normalizers on a wrong claim. The tombstone is
+    * registered BEFORE the scan and the scan self-excludes only its
+    * own tombstone, so concurrent overlapping removes never
+    * double-decrement (r14). A crash between the tombstone and the
+    * bump — or a truly simultaneous overlapping remove — overstates
+    * N/Σdl; [[recountStats]] is the repair for both, and it reads
+    * tombstone-filtered truth. */
   def remove(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
-    val parts = DedupIndex.partsFor(spark, dir, Kind, None)
-    val kv = parts.head.m.kv
-    require(kv.contains(NDocsKey) && kv.contains(SumDlKey),
+    val ds0 = new OrderedDataset(spark, dir)
+    DedupIndex.requireCfg(ds0, Kind, None)
+    require(ds0.kv.contains(NDocsKey) && ds0.kv.contains(SumDlKey),
       scalarRemedy(dir))
     val idsDf = ids.select(col(ids.columns.head).cast("long").as("id"))
       .na.drop().distinct()
-    val r = IndexSegments.unionDf(parts)
+    // REGISTER FIRST (ADVICE r13): two concurrent removes with
+    // overlapping ids used to both scan pre-tombstone state and both
+    // decrement the overlap's contribution. Registering before the
+    // scan, then scanning with every OTHER remove's tombstone applied
+    // (self-excluded — our own ids must still be countable), means an
+    // overlap is counted by at most one remove. Truly simultaneous
+    // registrations can leave the overlap counted by NEITHER — the
+    // same overstatement direction as the documented crash window
+    // between tombstone and bump; recountStats is the repair for both.
+    val name = IndexSegments.removeIds(spark, dir, idsDf)
+    val parts = DedupIndex.partsFor(spark, dir, Kind, None)
+    val r = IndexSegments.unionDfExcept(parts, Some(name))
       .join(idsDf, Seq("id"), "left_semi")
       .groupBy("id").agg(max("dl").as("dl"))
       .agg(count(lit(1)).cast("long"), sum("dl").cast("long"))
       .collect()(0)
     val (n, s) =
       if (r.isNullAt(1)) (0L, 0L) else (r.getLong(0), r.getLong(1))
-    IndexSegments.removeIds(spark, dir, idsDf): Unit
     if (n > 0) new OrderedDataset(spark, dir)
       .transformKvWait(KvBumpWaitMs) { kv2 =>
         require(kv2.contains(NDocsKey) && kv2.contains(SumDlKey),

@@ -625,10 +625,12 @@ object DedupIndex {
         val scanned = IndexSegments.scanForProbes(parts,
           segs.select(hkey60(col("segd")).as("hkey")), maxDriverKeys)
         // frequencies SUM across base + delta segments (one row per
-        // segd each); skip the aggregate when only the base is live
+        // segd each); skip the aggregate when only the base is live.
+        // Clamped at zero — see dedupBatchSpans' decrement note
         val merged =
           if (parts.size == 1) scanned
-          else scanned.groupBy("segd").agg(sum("df").as("df"))
+          else scanned.groupBy("segd")
+            .agg(greatest(sum("df"), lit(0L)).as("df"))
         merged.select(col("segd").as("osegd"), col("df").as("odf"))
       }
     val own = if (includeBatchDf) col("bdf") else lit(0L)
@@ -718,10 +720,13 @@ object DedupIndex {
         val scanned = IndexSegments.scanForProbes(parts,
           grams.select(hkey60(col("h")).as("hkey")).distinct(),
           maxDriverKeys)
-        // occurrence counts SUM across base + delta segments
+        // occurrence counts SUM across base + delta segments; clamped
+        // at zero so a decrement segment (removeCountedDocs) can
+        // cancel corpus counts but never suppress the batch's own
         val merged =
           if (parts.size == 1) scanned
-          else scanned.groupBy("gd").agg(sum("cnt").as("cnt"))
+          else scanned.groupBy("gd")
+            .agg(greatest(sum("cnt"), lit(0L)).as("cnt"))
         merged.select(col("gd").as("ogd"), col("cnt").as("ocnt"))
       }
     val own = if (includeBatchCnt) col("bcnt") else lit(0L)
@@ -735,6 +740,64 @@ object DedupIndex {
       .groupBy("id")
       .agg(sort_array(collect_list(col("pos"))).as("dps"))
     DedupOps.spanAssemble(base, dupPos, k, idCol, textOut)
+  }
+
+  /** Take documents DOWN from an aggregate-COUNT index kind (spans /
+    * segments) — the decrement-segment path (VERDICT r13 missing #3).
+    * Per-doc contributions are not recoverable from stored totals, so
+    * the CALLER supplies the removed documents (id + the exact text
+    * that was indexed); their contributions are recomputed (cost ∝
+    * removed docs, never the index) and land as ONE delta segment of
+    * NEGATIVE counts. Count kinds SUM across segments at read time,
+    * so probes see decremented totals immediately; the next
+    * [[compactIndex]] folds the decrements into the base and DROPS
+    * rows whose total reaches zero (the physical purge). Probes clamp
+    * the index contribution at zero, so an out-of-contract double
+    * remove degrades to "gram absent", never to suppressing a later
+    * batch's own counts. Supplying text that differs from what was
+    * indexed under-/over-decrements silently — same trust contract as
+    * every rebuild. Presence/id-carrying kinds use [[removeDocs]].
+    */
+  def removeCountedDocs(spark: SparkSession, dir: String,
+      docs: DataFrame, idCol: String, textCol: String): Unit = {
+    val ds = new OrderedDataset(spark, dir)
+    require(ds.exists, s"no graft index at $dir")
+    val kv = ds.kv
+    val rpf = math.max(1L,
+      ds.meta.files.map(_.rows).foldLeft(0L)(math.max))
+    kv.get("graft.index.kind") match {
+      case Some("spans") =>
+        val k = kv.get("graft.index.cfg")
+          .map(_.stripPrefix("k").toInt).getOrElse(8)
+        val base = docs.select(col(idCol).cast("long").as("id"),
+          TextOps.wsTokens(col(textCol)).as("ws"))
+        val dec = DedupOps.spanGramTable(base, k)
+          .groupBy(col("h").as("gd"))
+          .agg((-count(lit(1))).cast("long").as("cnt"))
+        IndexSegments.writeSegment(spark, dir,
+          dec.select(hkey60(col("gd")).as("hkey"), col("gd"),
+            col("cnt")),
+          WriteOpts("hkey", NRows(rpf),
+            duplicatesOn = Some(Seq("gd")),
+            kv = Map("graft.index.kind" -> "spans")))
+      case Some("segments") =>
+        val w = kv.get("graft.index.cfg")
+          .map(_.stripPrefix("w").toInt).getOrElse(10)
+        val dec = DedupOps.segmentTable(docs, idCol, textCol, w)
+          .groupBy("seg")
+          .agg((-countDistinct(col("id"))).cast("long").as("df"))
+          .select(md5(col("seg")).as("segd"), col("df"))
+        IndexSegments.writeSegment(spark, dir,
+          dec.select(hkey60(col("segd")).as("hkey"), col("segd"),
+            col("df")),
+          WriteOpts("hkey", NRows(rpf),
+            duplicatesOn = Some(Seq("segd")),
+            kv = Map("graft.index.kind" -> "segments")))
+      case other => throw new IllegalArgumentException(
+        s"removeCountedDocs supports the aggregate-count kinds " +
+          s"(spans, segments); index at $dir is kind $other — use " +
+          "removeDocs for id-carrying kinds")
+    }
   }
 
   /** Take documents DOWN from any id-carrying index in the family —
@@ -782,12 +845,19 @@ object DedupIndex {
         2
       case Some("simhash") =>
         IndexSegments.removeIds(spark, s"$dir/members", ids): Unit; 1
-      case Some(k @ ("spans" | "segments" | "contamination")) =>
+      case Some(k @ ("spans" | "segments")) =>
         throw new IllegalArgumentException(
           s"index at $dir is a '$k' index — aggregate gram counts " +
-            "carry no per-doc lineage, so takedown is unsupported; " +
-            "rebuild the index from the corpus without the removed " +
-            "documents")
+            "carry no per-doc lineage, so an id-only takedown is " +
+            "unsupported; use removeCountedDocs with the removed " +
+            "documents' text (decrement segments), or rebuild the " +
+            "index from the corpus without them")
+      case Some("contamination") =>
+        throw new IllegalArgumentException(
+          s"index at $dir is a 'contamination' index — its rows are " +
+            "EVAL-set grams shared across documents, so a per-doc " +
+            "takedown is not well-defined; rebuild the index from " +
+            "the eval set without the removed documents")
       case other => throw new IllegalArgumentException(
         s"no graft index at $dir (kind = $other)")
     }

@@ -98,13 +98,28 @@ object IndexSegments {
     * caller's equi-join alone. */
   val IsinResidualMax = 4096
 
-  /** Over-cap dispatch: when the driver-routed probe-key SAMPLE (the
-    * cap+1 keys already collected) covers at least this fraction of
-    * the union's files, the pruning tier is skipped — the full key
-    * set can only cover more, and the tier's hits pass would pay a
-    * full probe-key-lineage evaluation for nothing (the measured
-    * r13i regression). Clustered samples fall through to the tier. */
+  /** Over-cap dispatch: when the ESTIMATED file coverage of the full
+    * probe-key set (extrapolated from a keyspace-spread sample, see
+    * [[estimateCoverage]]) reaches this fraction of the union's
+    * files, the pruning tier is skipped — it would pay a full
+    * probe-key-lineage evaluation for nothing (the measured r13i
+    * regression). Clustered keyspaces fall through to the tier. */
   val MidTierSkipAtFraction = 0.6
+
+  /** Hash stride of the over-cap gate's key sample: the gate collects
+    * up to cap+1 keys with xxhash64(key) % stride == 0 — a ~1/stride
+    * subsample spread over the KEYSPACE, where the cap decision's
+    * plain `limit()` collect returns whatever partitions answered
+    * first (VERDICT r13: a key-clustered early partition misread as a
+    * clustered keyspace, engaging the tier's full-lineage hits pass
+    * on a uniform set — the exact cost the gate exists to avoid).
+    * The stride also turns the sample size into a full-set-size
+    * estimate (k × stride) when the limit is not reached. Residual
+    * bias: the strided collect still reads partitions in scheduler
+    * order, so a clustered prefix longer than stride × cap keys can
+    * still dominate the sample — a full pass would close that, and
+    * cost exactly what the gate is protecting. */
+  val SampleStride = 16
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -184,10 +199,18 @@ object IndexSegments {
   /** Full union scan over captured parts (the recount/repair path),
     * with effective tombstones applied — a recount is truth, so it
     * must not resurrect taken-down ids. */
-  def unionDf(parts: Seq[Part]): DataFrame = {
+  def unionDf(parts: Seq[Part]): DataFrame = unionDfExcept(parts, None)
+
+  /** [[unionDf]] with one tombstone name treated as NOT effective —
+    * the remove path's self-exclusion ([[Bm25Index.remove]] registers
+    * its tombstone FIRST so concurrent overlapping removes cannot
+    * double-count, then still needs to read its OWN ids'
+    * contributions for the scalar decrement). */
+  def unionDfExcept(parts: Seq[Part], exceptTomb: Option[String])
+      : DataFrame = {
     require(parts.nonEmpty, "no index parts")
     val raw = parts.map(p => p.ds.dfOf(p.m))
-    withTombstones(raw.head.sparkSession, parts, raw)
+    withTombstonesExcept(raw.head.sparkSession, parts, raw, exceptTomb)
       .reduce(_ unionByName _)
   }
 
@@ -299,8 +322,14 @@ object IndexSegments {
     * scan branches instead of going through [[scanForProbes]]
     * ([[IvfIndex]]'s probed lists). */
   def withTombstones(spark: SparkSession, parts: Seq[Part],
-      scans: Seq[DataFrame]): Seq[DataFrame] = {
+      scans: Seq[DataFrame]): Seq[DataFrame] =
+    withTombstonesExcept(spark, parts, scans, None)
+
+  private def withTombstonesExcept(spark: SparkSession,
+      parts: Seq[Part], scans: Seq[DataFrame],
+      exceptTomb: Option[String]): Seq[DataFrame] = {
     val tombs = effectiveTombstones(parts.head.m.kv)
+      .filterNot(t => exceptTomb.contains(t._1))
     if (tombs.isEmpty) scans
     else parts.zip(scans).map { case (p, s) =>
       applyTombstones(spark, parts.head.ds.dir, p, s, tombs)
@@ -426,26 +455,56 @@ object IndexSegments {
         // path never did, since limit-collect short-circuits), and for
         // UNIFORM-hash keys over production file counts it opens every
         // file anyway (measured: p_segment_dedup_inc at 100× paid
-        // 1.75× for 100/100 files opened, SCALE.md r13i). The decision
-        // is free: the cap+1 keys ALREADY collected are a sample —
-        // route them through the zone maps on the driver; if the
-        // sample alone hits most files, the full set can only hit
-        // more, so skip straight to the full union (the r12 cost,
-        // exactly). A clustered sample engages the tier, which then
-        // genuinely prunes.
+        // 1.75× for 100/100 files opened, SCALE.md r13i). The gate
+        // samples the KEYSPACE, not the scheduler (VERDICT r13): a
+        // hash-strided collect — the cap decision's limit() prefix
+        // above reads whatever partitions answered first, and a
+        // key-clustered early partition would misread a uniform set
+        // as prunable. The strided sample's size also estimates the
+        // full key count; [[estimateCoverage]] extrapolates the FULL
+        // set's file coverage from it. An empty strided sample (a set
+        // barely over the cap) falls back to the prefix keys with the
+        // conservative (small) full-count estimate.
         val boundsOpt = partBounds(parts)
-        val sampleFrac = boundsOpt.map { bounds =>
-          driverHits(bounds, keys.map(_.getLong(0))).size.toDouble /
-            math.max(1, filesTotal)
-        }
+        val keyCol = keysDf.columns.head
+        val stridedKeys = keysDf.where(
+            pmod(xxhash64(col(keyCol)), lit(SampleStride.toLong)) === 0L)
+          .limit(maxDriverKeys + 1).collect().map(_.getLong(0))
+        val k = stridedKeys.length
+        // minimum sample the per-file extrapolation trusts: ~4 keys
+        // per file sees every hittable file of a spread keyspace
+        val minSample = math.max(128, 4 * filesTotal)
+        val (sample, fullK, exact) =
+          if (k >= minSample) (stridedKeys, SampleStride.toLong * k, false)
+          else if (k < maxDriverKeys + 1) {
+            // the strided limit was NOT reached → the collect already
+            // exhausted the lineage and the full key count is
+            // ~stride×k ≤ stride×minSample: one bounded top-by-hash
+            // pass (an unbiased uniform subsample — top-k of a hash
+            // is position-independent) is cheap, and usually
+            // EXHAUSTIVE, making the coverage read exact
+            val more = keysDf.orderBy(xxhash64(col(keyCol)))
+              .limit(minSample + 1).collect().map(_.getLong(0))
+            if (more.length <= minSample)
+              (more, more.length.toLong, true)
+            else (more, math.max(SampleStride.toLong * k,
+              minSample.toLong + 1), false)
+          } else if (k > 0)
+            // tiny-cap corner: the limit bound the strided collect, so
+            // the full count is unknown — extrapolate from what it got
+            (stridedKeys, SampleStride.toLong * k, false)
+          else (keys.map(_.getLong(0)), keys.length.toLong, false)
+        val covEst = boundsOpt.map(
+          estimateCoverage(_, sample, fullK, filesTotal, exact))
         if (boundsOpt.isEmpty ||
-            sampleFrac.exists(_ >= MidTierSkipAtFraction)) {
+            covEst.exists(_ >= MidTierSkipAtFraction)) {
           lastProbeStats.set(
             ProbeStats("full_union", filesTotal, filesTotal))
           System.err.println(
             s"[graft] index probe of ${parts.head.ds.dir}: distinct " +
-              "probe keys exceed the driver cap and the key sample " +
-              f"already covers ${sampleFrac.getOrElse(1.0) * 100}%.0f%%" +
+              "probe keys exceed the driver cap and the full set's " +
+              "estimated file coverage is " +
+              f"${covEst.getOrElse(1.0) * 100}%.0f%%" +
               s" of $filesTotal files — full-union equi-join " +
               "(cost ∝ index, not increment)")
           parts.map(p => p.ds.dfOf(p.m))
@@ -504,11 +563,36 @@ object IndexSegments {
     }
   }
 
-  private def driverHits(bounds: Array[(Array[Long], Array[Long])],
-      ks: Iterable[Long]): Set[Long] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-    ks.foreach(coveringFiles(bounds, _, out))
-    out.toSet
+  /** Estimated file-coverage fraction of the FULL probe-key set, from
+    * a keyspace-spread sample of it. Per-file extrapolation: a file
+    * hit by `m` of `k` sample keys is hit by a random key with
+    * probability ~m/k, so the full set of `fullK` keys misses it with
+    * ~(1−m/k)^fullK. Files the sample never hit contribute 0 — an
+    * UNDERestimate when the sample is small relative to the file
+    * count, which errs toward the tier (bounded worst case: the old
+    * full-union cost plus one key pass). `exact = true` means the
+    * sample IS the full key set and the coverage is counted, not
+    * modeled. */
+  private[pipeline] def estimateCoverage(
+      bounds: Array[(Array[Long], Array[Long])], sample: Array[Long],
+      fullK: Long, filesTotal: Int, exact: Boolean): Double = {
+    if (sample.isEmpty || filesTotal <= 0) return 1.0
+    val hits = scala.collection.mutable.HashMap.empty[Long, Int]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    sample.foreach { key =>
+      buf.clear()
+      coveringFiles(bounds, key, buf)
+      buf.foreach(f => hits.update(f, hits.getOrElse(f, 0) + 1))
+    }
+    if (hits.isEmpty) return 0.0 // keys hit no file: the tier opens 0
+    val cov =
+      if (exact) hits.size.toDouble
+      else {
+        val k = sample.length.toDouble
+        hits.valuesIterator
+          .map(m => 1.0 - math.pow(1.0 - m / k, fullK.toDouble)).sum
+      }
+    math.min(1.0, cov / filesTotal.toDouble)
   }
 
   /** The over-cap mid tier (see [[scanForProbes]]): distributive
@@ -666,18 +750,24 @@ object IndexSegments {
       kvRemove = (opts.kvRemove :+ StampKey).distinct)
     if (sumCols.nonEmpty) {
       require(tombs.isEmpty,
-        s"index at $dir is an aggregate-count kind but carries " +
-          "tombstones — takedown is unsupported there (rebuild the " +
-          "index); remove the tomb- dirs and kv entries to proceed")
+        s"index at $dir is an aggregate-count kind but carries id " +
+          "tombstones — takedown there is decrement segments " +
+          "(DedupIndex.removeCountedDocs), not removeIds; remove the " +
+          "tomb- dirs and kv entries to proceed")
       val all = (base.ds.dfOf(base.m) +: segs.map(p => p.ds.dfOf(p.m)))
         .reduce(_ unionByName _)
       val keyCols = all.columns.filterNot(sumCols.contains).toSeq
       val aggs = sumCols.map(c => sum(col(c)).cast("long").as(c))
       val totals =
         all.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+          // rows a decrement segment cancelled to zero (or below —
+          // out-of-contract double removes) are physically dropped:
+          // the fold IS the purge for count-kind takedowns
+          .filter(sumCols.map(c => col(c) > 0L).reduce(_ or _))
           // column ORDER: parquet reads by name, but keep the stored
           // layout for readability of the rewritten files
           .select(base.ds.dfOf(base.m).columns.map(col).toSeq: _*)
+      requireNonEmptyFold(dir, totals)
       base.ds.replaceAll(totals, foldOpts): Unit
     } else if (tombs.isEmpty) {
       // pure segment fold: ordered upsert of the segment union (the
@@ -700,6 +790,7 @@ object IndexSegments {
         case Some(cols) => merged0.dropDuplicates(cols)
         case None       => merged0
       }
+      requireNonEmptyFold(dir, merged)
       base.ds.replaceAll(merged, foldOpts): Unit
     }
     // ALSO stamp the fold time on each folded dir's mtime, best-effort
@@ -711,6 +802,19 @@ object IndexSegments {
     }
     segs.size
   }
+
+  /** A takedown that covers EVERY row would fold to an empty base,
+    * which [[OrderedDataset.replaceAll]] rejects with a message that
+    * misdiagnoses the cause (ADVICE r13) — name the takedown-specific
+    * remedy instead. The one extra action is a limit-1 probe, cheap
+    * next to the fold itself. */
+  private def requireNonEmptyFold(dir: String, merged: DataFrame): Unit =
+    require(!merged.isEmpty,
+      s"compacting $dir would fold to an EMPTY index: takedowns cover " +
+        "every remaining row. An empty ordered dataset is not " +
+        "representable — delete the index (Store.delete / rm) and " +
+        "rebuild when content returns, or add content before " +
+        "compacting")
 
   /** Reap folded segment dirs older than the reader grace window
     * (measured from the DURABLE fold timestamp in the base kv, falling

@@ -236,6 +236,33 @@ object PipelineQueries {
       dir
     }
 
+  /** Count-kind takedown fixture (r14): the span-gram occurrence
+    * index over the injected corpus split (doc_id % 5 != 0), then
+    * [[DedupIndex.removeCountedDocs]] of its doc_id % 7 == 3
+    * sub-split — the removed docs' gram contributions recomputed from
+    * their text and landed as ONE negative decrement segment; NO
+    * compaction, so p_spans_takedown gates the LIVE summed-decrement
+    * probe path (base + negative segment, zero clamp) against an
+    * oracle whose universe simply never held the removed docs. */
+  private def ensureSpanTakedownIndex(s: SparkSession, d: String)
+      : String =
+    synchronized {
+      val root = s"/tmp/graft_spantd_${inputTag(d, "documents")}"
+      val marker = new java.io.File(s"$root/_done")
+      if (marker.exists()) return s"$root/idx"
+      graft.LocalFs.rmTree(new java.io.File(root))
+      DedupIndex.buildSpanGrams(s, s"$root/idx",
+        injectedSpanDocs(s, d).filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", SpanK,
+        rowsPerFile = math.max(4000L, nEmbs(s, d) * 8L))
+      DedupIndex.removeCountedDocs(s, s"$root/idx",
+        injectedSpanDocs(s, d)
+          .filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 3),
+        "doc_id", "text")
+      java.nio.file.Files.createFile(marker.toPath): Unit
+      s"$root/idx"
+    }
+
   /** BM25 postings index built INCREMENTALLY on purpose — corpus split
     * (doc_id % 5 != 0) built, the rest added (an LSM delta segment
     * since r12) — so the oracle-equality of p_bm25_indexed gates
@@ -1174,6 +1201,21 @@ object PipelineQueries {
     // p_span_dedup's CTE chain filtered to batch documents.
     "p_span_dedup_inc" -> { (s, d) =>
       val dir = ensureSpanIndex(s, d)
+      DedupIndex.dedupBatchSpans(s, dir,
+          injectedSpanDocs(s, d).filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", SpanK)
+        .orderBy("doc_id")
+    },
+
+    // COUNT-KIND TAKEDOWN (see ensureSpanTakedownIndex): the %7==3
+    // sub-split of the indexed corpus taken down as a NEGATIVE
+    // decrement segment — contributions recomputed from its text at
+    // cost ∝ removed docs, never an index rewrite or rebuild. The
+    // batch probes the live base+decrement sum; the oracle's universe
+    // never held the removed docs, so one hash equality gates the
+    // recompute, the cross-segment sum, and the zero clamp together.
+    "p_spans_takedown" -> { (s, d) =>
+      val dir = ensureSpanTakedownIndex(s, d)
       DedupIndex.dedupBatchSpans(s, dir,
           injectedSpanDocs(s, d).filter(col("doc_id") % 5 === 0),
           "doc_id", "text", SpanK)
@@ -2272,9 +2314,14 @@ object PipelineQueries {
   /** `where` restricts the output docs (the incremental variant is
     * the same corpus-wide computation emitted for the batch split
     * only). */
-  private def spanDedupOracle(where: String = ""): String = {
+  /** `universeWhere` restricts the CORPUS the occurrence counts are
+    * computed over (the takedown variant: the removed docs were never
+    * in the oracle's universe). */
+  private def spanDedupOracle(where: String = "",
+      universeWhere: String = ""): String = {
     s"""WITH $spanInjCte,
-       w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM inj),
+       w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM inj
+         $universeWhere),
        ${spanDedupOracleTail(where)}"""
   }
 
@@ -2636,6 +2683,8 @@ object PipelineQueries {
     "p_pipeline_shards" -> pipelineShardsOracle,
     "p_span_dedup" -> spanDedupOracle(),
     "p_span_dedup_inc" -> spanDedupOracle("WHERE w.doc_id % 5 = 0"),
+    "p_spans_takedown" -> spanDedupOracle("WHERE w.doc_id % 5 = 0",
+      "WHERE NOT (doc_id % 5 <> 0 AND doc_id % 7 = 3)"),
     "p_span_dedup_bpe" -> spanDedupBpeOracle,
 
     // packSequences replay: same BPE replace-chain as p_text_bpe_encode

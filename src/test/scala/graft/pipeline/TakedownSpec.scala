@@ -153,13 +153,84 @@ class TakedownSpec extends SparkSpec {
     assert(DedupIndex.removeDocs(spark, simDir,
       Seq(100L).toDF("id")) == 1)
     assert(!simPairs().contains(100L))
-    // count kinds: loud rejection naming the remedy
+    // count kinds: id-only removeDocs rejects, naming BOTH remedies
     val spanDir = tmpDir("td_spans") + "/idx"
     DedupIndex.buildSpanGrams(spark, spanDir, corpus(0L, 5L),
       "doc_id", "text", k = 4, rowsPerFile = 100)
     val e = intercept[IllegalArgumentException] {
       DedupIndex.removeDocs(spark, spanDir, Seq(1L).toDF("id"))
     }
-    assert(e.getMessage.contains("rebuild"))
+    assert(e.getMessage.contains("rebuild") &&
+      e.getMessage.contains("removeCountedDocs"))
+  }
+
+  test("count kinds: decrement-segment takedown equals an index " +
+      "built without the docs — live (summed) before compaction, " +
+      "physically purged after; a double remove degrades to absent, " +
+      "never suppressing a batch's own counts") {
+    def spanDocs(ids: Seq[Long]) = ids.map(i =>
+      (i, s"shared lead p q r s t u tail c$i extra words here"))
+      .toDF("doc_id", "text")
+    val all = 0L until 20L
+    val removed = Seq(3L, 8L, 15L)
+    val keep = all.filterNot(removed.contains)
+    val dir = tmpDir("td_spans_dec") + "/idx"
+    val refDir = tmpDir("td_spans_decref") + "/idx"
+    DedupIndex.buildSpanGrams(spark, dir, spanDocs(all), "doc_id",
+      "text", k = 4, rowsPerFile = 50)
+    DedupIndex.buildSpanGrams(spark, refDir, spanDocs(keep), "doc_id",
+      "text", k = 4, rowsPerFile = 50)
+    // cost ∝ removed docs: their grams land as ONE negative segment
+    DedupIndex.removeCountedDocs(spark, dir, spanDocs(removed),
+      "doc_id", "text")
+    val probeBatch = Seq((100L, "z p q r s t u w"),
+      (101L, "alone c8 extra words here now")).toDF("doc_id", "text")
+    def spans(d: String) = DedupIndex.dedupBatchSpans(spark, d,
+        probeBatch, "doc_id", "text", k = 4)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(spans(dir) == spans(refDir),
+      "live decrement sum must answer like the without-docs build")
+    // the fold physically purges: base rows == the reference build's
+    assert(DedupIndex.compactIndex(spark, dir) >= 1)
+    assert(spans(dir) == spans(refDir))
+    def rows(d: String) = IndexSegments
+      .unionDf(IndexSegments.liveParts(spark, d))
+      .select("hkey", "gd", "cnt").as[(Long, String, Long)]
+      .collect().toSet
+    assert(rows(dir) == rows(refDir),
+      "post-fold totals must equal an index that never saw the docs")
+    // segments kind: same decrement story through one add/remove/fold
+    val segDir = tmpDir("td_seg_dec") + "/idx"
+    val segRef = tmpDir("td_seg_decref") + "/idx"
+    def segDocs(ids: Seq[Long]) = ids.map(i =>
+      (i, ("common boiler plate sentence here again and again also " +
+        s"unique u$i piece")))
+      .toDF("doc_id", "text")
+    DedupIndex.buildSegments(spark, segDir, segDocs(all), "doc_id",
+      "text", segWords = 5, rowsPerFile = 50)
+    DedupIndex.buildSegments(spark, segRef, segDocs(keep), "doc_id",
+      "text", segWords = 5, rowsPerFile = 50)
+    DedupIndex.removeCountedDocs(spark, segDir, segDocs(removed),
+      "doc_id", "text")
+    def segs(d: String) = DedupIndex.dedupBatchSegments(spark, d,
+        segDocs(Seq(200L, 201L)), "doc_id", "text", segWords = 5)
+      .collect().toSeq.map(_.toString).toSet
+    assert(segs(segDir) == segs(segRef))
+    assert(DedupIndex.compactIndex(spark, segDir) >= 1)
+    assert(segs(segDir) == segs(segRef))
+    // OUT-OF-CONTRACT double remove: totals go negative, the probe
+    // clamp turns them into "absent" — a batch whose OWN repetition
+    // crosses minCount must still be flagged (an unclamped sum would
+    // cancel the batch's own counts and under-strip)
+    DedupIndex.removeCountedDocs(spark, dir, spanDocs(removed),
+      "doc_id", "text")
+    val selfDup = Seq((300L, "shared lead p q r s t u " +
+      "shared lead p q r s t u end")).toDF("doc_id", "text")
+    val flagged = DedupIndex.dedupBatchSpans(spark, dir, selfDup,
+        "doc_id", "text", k = 4)
+      .as[(Long, Long, Long, Long, String)].collect().head
+    assert(flagged._3 > 0L,
+      s"batch-internal duplicate spans must stay flagged after a " +
+        s"double remove, got $flagged")
   }
 }
