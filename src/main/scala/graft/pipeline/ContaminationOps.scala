@@ -152,13 +152,23 @@ object ContaminationOps {
   private def writeBloom(spark: SparkSession, ds: OrderedDataset,
       fpp: Double): Unit = {
     val builtOverRows = ds.meta.totalRows
-    val bloom = graft.functions.BloomFns.build(ds.df, col("g"),
-      math.max(builtOverRows, 1L), fpp)
+    val bytes = graft.functions.BloomFns.serialize(
+      graft.functions.BloomFns.build(ds.df, col("g"),
+        math.max(builtOverRows, 1L), fpp))
+    publishBloom(spark, ds, bytes, builtOverRows)
+  }
+
+  /** Atomically publish already-built bloom bytes + their generation
+    * stamp (split from [[writeBloom]] so the probe's auto-repair can
+    * publish the bloom it just built in memory without a second part
+    * scan). */
+  private def publishBloom(spark: SparkSession, ds: OrderedDataset,
+      bytes: Array[Byte], builtOverRows: Long): Unit = {
     val fs = new HPath(ds.dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new HPath(s"${ds.dir}/_bloom.tmp")
     val out = fs.create(tmp, true)
-    try out.write(graft.functions.BloomFns.serialize(bloom))
+    try out.write(bytes)
     finally out.close()
     fs.delete(new HPath(s"${ds.dir}/_bloom"), false)
     if (!fs.rename(tmp, new HPath(s"${ds.dir}/_bloom")))
@@ -196,6 +206,10 @@ object ContaminationOps {
 
   private val BloomGenKey = "graft.contam.bloomrows"
 
+  /** fpp of a probe-time auto-repaired bloom — [[buildIndex]]'s
+    * default; the original fpp is not recoverable from the blob. */
+  private val AutoRepairFpp = 0.001
+
   /** Probe the persisted index: `(id, n_shared)` for every batch doc
     * sharing ≥ 1 distinct n-gram with the indexed eval grams —
     * identical semantics to [[overlap]] against the same eval set.
@@ -210,17 +224,28 @@ object ContaminationOps {
     * route, never decide.
     */
   def probeIndex(spark: SparkSession, dir: String, batch: DataFrame,
-      idCol: String, textCol: String, n: Int, maxDriverKeys: Int = 65536)
-      : DataFrame =
+      idCol: String, textCol: String, n: Int, maxDriverKeys: Int = 65536,
+      autoRepair: Boolean = false): DataFrame =
     probeIndex(spark, DedupIndex.partsFor(spark, dir, "contamination",
-      Some(s"n=$n")), batch, idCol, textCol, n, maxDriverKeys)
+      Some(s"n=$n")), batch, idCol, textCol, n, maxDriverKeys,
+      autoRepair)
 
   /** [[probeIndex]] against a generation-pinned capture
     * ([[DedupIndex.pinIndex]]); the per-part blooms are read from the
-    * captured parts' dirs with the captured generation tags. */
+    * captured parts' dirs with the captured generation tags.
+    *
+    * `autoRepair` (opt-in, VERDICT r13 #6): a part lacking a current
+    * `_bloom` (crash between its gram commit and bloom write) is
+    * repaired IN the probe — the bloom is built over the CAPTURED
+    * part rows (pin-safe: it covers exactly what this probe scans)
+    * and published for future probes when the part is unchanged, so
+    * one degraded probe heals the prefilter instead of every probe
+    * paying the unfiltered exact-join until someone runs
+    * [[repairBlooms]]. Default off: a probe that silently costs an
+    * extra O(part) scan would surprise latency-budgeted callers. */
   def probeIndex(spark: SparkSession, parts: Seq[IndexSegments.Part],
       batch: DataFrame, idCol: String, textCol: String, n: Int,
-      maxDriverKeys: Int): DataFrame = {
+      maxDriverKeys: Int, autoRepair: Boolean): DataFrame = {
     val dir = parts.head.ds.dir
     DedupIndex.requireCfgKv(dir, parts.head.m.kv, "contamination",
       Some(s"n=$n"))
@@ -231,7 +256,7 @@ object ContaminationOps {
     // of the per-part blooms and engages only when EVERY part has a
     // current bloom: with any part unfiltered, dropping a gram on the
     // other parts' evidence would be a false negative.
-    val bloomBytes: Seq[Option[Array[Byte]]] = parts.map { p =>
+    val bloomBytes0: Seq[Option[Array[Byte]]] = parts.map { p =>
       val bloomP = new HPath(s"${p.ds.dir}/_bloom")
       val current =
         p.m.kv.get(BloomGenKey).contains(p.m.totalRows.toString)
@@ -247,15 +272,35 @@ object ContaminationOps {
         } finally in.close()
       }
     }
+    val bloomBytes: Seq[Option[Array[Byte]]] =
+      if (!autoRepair || !bloomBytes0.exists(_.isEmpty)) bloomBytes0
+      else parts.zip(bloomBytes0).map {
+        case (_, some @ Some(_)) => some
+        case (p, None) =>
+          System.err.println(
+            s"[graft] contamination probe of $dir: auto-repairing " +
+              s"stale _bloom of ${p.ds.dir} (opt-in autoRepair, " +
+              "one O(part) scan)")
+          val bytes = graft.functions.BloomFns.serialize(
+            graft.functions.BloomFns.build(p.ds.dfOf(p.m), col("g"),
+              math.max(p.m.totalRows, 1L), AutoRepairFpp))
+          // publish only when the part hasn't moved since the capture
+          // (a bloom stamped for another generation would be ignored
+          // by its gen check anyway — skip the useless write)
+          if (p.ds.exists && p.ds.meta.totalRows == p.m.totalRows)
+            publishBloom(spark, p.ds, bytes, p.m.totalRows)
+          Some(bytes)
+      }
     val tsh0 = DedupOps.shingleTable(batch, idCol, textCol, n)
-    // slow path is LOUD and names its targeted repair (ADVICE r12):
-    // one stale part disables the prefilter for the whole index
+    // slow path is LOUD and names BOTH remedies (ADVICE r12): one
+    // stale part disables the prefilter for the whole index
     if (bloomBytes.exists(_.isEmpty)) System.err.println(
       s"[graft] contamination probe of $dir: " +
         s"${bloomBytes.count(_.isEmpty)}/${parts.size} part(s) lack a " +
         "current _bloom — prefilter disabled (every batch gram goes to " +
         "the exact probe); repair with " +
-        s"ContaminationOps.repairBlooms(spark, \"$dir\")")
+        s"ContaminationOps.repairBlooms(spark, \"$dir\") or probe " +
+        "with autoRepair = true")
     val tsh =
       if (bloomBytes.exists(_.isEmpty)) tsh0
       else tsh0.filter(bloomBytes.flatten

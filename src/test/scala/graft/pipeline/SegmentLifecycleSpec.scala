@@ -150,6 +150,18 @@ class SegmentLifecycleSpec extends SparkSpec {
     assert(segBloom.exists())
     assert(ContaminationOps.repairBlooms(spark, dir) == 0) // idempotent
     assert(probe() == expect)
+    // opt-in AUTO-repair (VERDICT r13 #6): ONE degraded probe builds
+    // the missing bloom in memory, answers identically, and publishes
+    // it — the next probe's prefilter is active again with no manual
+    // repairBlooms call
+    assert(segBloom.delete())
+    assert(ContaminationOps.probeIndex(spark, dir, train, "doc_id",
+        "text", 3, autoRepair = true)
+      .as[(Long, Long)].collect().toMap == expect)
+    assert(segBloom.exists(), "autoRepair must publish the bloom")
+    assert(ContaminationOps.repairBlooms(spark, dir) == 0,
+      "the auto-published bloom must carry a current generation tag")
+    assert(probe() == expect)
   }
 
   test("over-cap probes take the zone-pruned mid tier: identical " +
