@@ -47,7 +47,7 @@ object PipelineQueries {
   private val SampleRateEn = 0.5
   private val SampleRateDefault = 0.25
   private val EvalRate = 0.1
-  private val ContamN = 5
+  private[graft] val ContamN = 5
   // boilerplate signal: trigram shingles present in >= 20 docs count
   // as template text (selective but non-trivial at every driver SF)
   private val BoilerN = 3
@@ -351,15 +351,30 @@ object PipelineQueries {
   }
 
   /** The day's curation: decontaminate → index-dedup → batch-internal
-    * keep-first, each via the persisted indexes under `root`. */
+    * keep-first, each via the persisted indexes under `root`.
+    *
+    * PINNED end to end (VERDICT r13 #7 stretch): each index is
+    * captured ONCE ([[DedupIndex.pinIndex]]) when the day's plan is
+    * built, and every step probes that capture — a concurrent
+    * compaction or add committing mid-day (between plan construction
+    * and execution, or between executions of the composed plan's
+    * stages) provably cannot shift any step's view: captured file
+    * lists stay readable for `retireGraceMs` past replacement.
+    * CrawlDaySpec injects a compaction between plan and execution and
+    * asserts identical survivors. */
   private[graft] def crawlDaySurvive(s: SparkSession, root: String,
       crawl: DataFrame): DataFrame = {
-    val contaminated = ContaminationOps.probeIndex(s, s"$root/contam",
-        crawl, "doc_id", "text", ContamN)
+    val contamPin = DedupIndex.pinIndex(s, s"$root/contam",
+      "contamination", Some(s"n=$ContamN"))
+    val digestPin = DedupIndex.pinIndex(s, s"$root/digest", "digest")
+    val contaminated = ContaminationOps.probeIndex(s, contamPin,
+        crawl, "doc_id", "text", ContamN, 65536, autoRepair = false)
       .select(col("id").as("doc_id"))
     val clean = crawl.join(contaminated, Seq("doc_id"), "left_anti")
-    val dups = DedupIndex.probeDigest(s, s"$root/digest", clean,
-        "doc_id", "text")
+    // same (new_id, digest) shape probeDigest derives internally
+    val dups = DedupIndex.probeDigestKeyed(digestPin,
+        clean.select(col("doc_id").cast("long").as("new_id"),
+          md5(col("text")).as("digest")), 65536)
       .select(col("new_id").as("doc_id")).distinct()
     clean.join(dups, Seq("doc_id"), "left_anti")
       .withColumn("__rn", row_number().over(

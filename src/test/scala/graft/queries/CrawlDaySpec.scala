@@ -84,4 +84,52 @@ class CrawlDaySpec extends SparkSpec {
       assert(dgProbe(s"$root/digest") == dgProbe(s"$oneShot/digest"))
     } finally survivors.unpersist(): Unit
   }
+
+  test("the day's plan is PINNED end to end: a compaction AND a new " +
+      "index add landing after plan construction change nothing; a " +
+      "fresh plan sees the add") {
+    val root = tmpDir("crawl_pin")
+    def mk(ids: Seq[Long], tag: String) = ids.map(i =>
+      (i, s"$tag doc $i alpha beta gamma delta u$i epsilon zeta"))
+      .toDF("doc_id", "text")
+    val eval = mk(900L to 903L, "evalset")
+    val corpus = mk(0L until 20L, "corpus")
+    // crawl: 10 fresh docs + 2 exact re-crawls of corpus + 1 eval-
+    // contaminated doc (shares a ContamN-gram window with eval text)
+    val crawl = mk(100L until 110L, "fresh")
+      .unionByName(mk(Seq(3L, 7L), "corpus")
+        .select(($"doc_id" + 500L).as("doc_id"), $"text"))
+      .unionByName(Seq((300L,
+        "evalset doc 900 alpha beta gamma delta u900 epsilon"))
+        .toDF("doc_id", "text"))
+    ContaminationOps.buildIndex(spark, s"$root/contam", eval,
+      "doc_id", "text", PipelineQueries.ContamN, rowsPerFile = 500L)
+    // digest in TWO increments so the compaction genuinely folds
+    DedupIndex.buildDigest(spark, s"$root/digest",
+      corpus.filter($"doc_id" < 10L), "doc_id", "text",
+      rowsPerFile = 500L)
+    DedupIndex.buildDigest(spark, s"$root/digest",
+      corpus.filter($"doc_id" >= 10L), "doc_id", "text",
+      rowsPerFile = 500L)
+    def ids(df: DataFrame): Set[Long] =
+      df.select("doc_id").as[Long].collect().toSet
+    val expected = ids(
+      PipelineQueries.crawlDaySurvive(spark, root, crawl))
+    assert(expected == ((100L until 110L).toSet),
+      s"fixture sanity: re-crawls and the contaminated doc drop, got " +
+        s"$expected")
+    // build the pinned plan, THEN mutate both indexes: fold + a new
+    // add that would flag doc 105 as a duplicate if it were visible
+    val pinned = PipelineQueries.crawlDaySurvive(spark, root, crawl)
+    assert(DedupIndex.compactIndex(spark, s"$root/digest") >= 1)
+    assert(DedupIndex.compactIndex(spark, s"$root/contam") >= 0)
+    DedupIndex.buildDigest(spark, s"$root/digest",
+      mk(Seq(105L), "fresh").select(($"doc_id" + 700L).as("doc_id"),
+        $"text"), "doc_id", "text", rowsPerFile = 500L)
+    assert(ids(pinned) == expected,
+      "a pinned day must not see post-capture folds or adds")
+    // a FRESH plan captures the new state: 105 now deduplicates away
+    assert(ids(PipelineQueries.crawlDaySurvive(spark, root, crawl)) ==
+      expected - 105L)
+  }
 }
