@@ -540,28 +540,10 @@ object IndexSegments {
     }.toArray)
   }
 
-  /** key → covering (part << 32 | file) ids: binary-search the last
-    * file with min <= k, then walk left across an equal-boundary
-    * chain. Shared by the driver-side sample routing and the
-    * distributed hits pass. */
-  private def coveringFiles(bounds: Array[(Array[Long], Array[Long])],
-      k: Long, out: scala.collection.mutable.ArrayBuffer[Long]): Unit = {
-    var pi = 0
-    while (pi < bounds.length) {
-      val (mins, maxs) = bounds(pi)
-      var lo = 0; var hi = mins.length - 1; var res = -1
-      while (lo <= hi) {
-        val mid = (lo + hi) >>> 1
-        if (mins(mid) <= k) { res = mid; lo = mid + 1 } else hi = mid - 1
-      }
-      var j = res
-      while (j >= 0 && maxs(j) >= k) {
-        out += (pi.toLong << 32) | j.toLong
-        j -= 1
-      }
-      pi += 1
-    }
-  }
+  // key → covering (part << 32 | file) ids: ONE kernel
+  // ([[graft.functions.CoveringFiles.covering]]) shared by the
+  // driver-side sample routing here and, codegen-inlined, the
+  // distributed hits pass of [[midTierScans]].
 
   /** Estimated file-coverage fraction of the FULL probe-key set, from
     * a keyspace-spread sample of it. Per-file extrapolation: a file
@@ -577,12 +559,12 @@ object IndexSegments {
       bounds: Array[(Array[Long], Array[Long])], sample: Array[Long],
       fullK: Long, filesTotal: Int, exact: Boolean): Double = {
     if (sample.isEmpty || filesTotal <= 0) return 1.0
+    val mins = bounds.map(_._1)
+    val maxs = bounds.map(_._2)
     val hits = scala.collection.mutable.HashMap.empty[Long, Int]
-    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
     sample.foreach { key =>
-      buf.clear()
-      coveringFiles(bounds, key, buf)
-      buf.foreach(f => hits.update(f, hits.getOrElse(f, 0) + 1))
+      graft.functions.CoveringFiles.covering(mins, maxs, key)
+        .foreach(f => hits.update(f, hits.getOrElse(f, 0) + 1))
     }
     if (hits.isEmpty) return 0.0 // keys hit no file: the tier opens 0
     val cov =
@@ -602,16 +584,16 @@ object IndexSegments {
   private def midTierScans(parts: Seq[Part], probeKeys: DataFrame,
       bounds: Array[(Array[Long], Array[Long])], filesTotal: Int)
       : Seq[DataFrame] = {
-    val hitsFn = udf { (k: Long) =>
-      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-      coveringFiles(bounds, k, out)
-      out.toSeq
-    }
     val keyCol = probeKeys.columns.head
     // ONE exchange over the probe keys (the distinct); the collected
-    // result is bounded by the union's file count
+    // result is bounded by the union's file count. The routing is a
+    // codegen'd expression over long[][] reference objects
+    // ([[graft.functions.CoveringFiles]]) — the per-key binary search
+    // stays inside whole-stage codegen with a primitive-array output,
+    // where the UDF it replaced paid boxed conversion per probe key.
     val hit = probeKeys.na.drop()
-      .select(explode(hitsFn(col(keyCol))).as("pf"))
+      .select(explode(graft.functions.CoveringFiles.coveringFiles(
+        col(keyCol), bounds.map(_._1), bounds.map(_._2))).as("pf"))
       .distinct().collect().map(_.getLong(0)).toSet
     lastProbeStats.set(ProbeStats("zone_pruned", filesTotal, hit.size))
     System.err.println(
