@@ -61,6 +61,46 @@ object ContaminationOps {
         round(col("n_shared").cast("double") / col("n_grams"), 6))
   }
 
+  /** FUZZY decontamination — flag training documents that are
+    * NEAR-DUPLICATES of any eval document, not merely sharing one
+    * n-gram: the screen that catches a benchmark item leaked into the
+    * training set with light edits (reworded prompt, appended
+    * boilerplate, shifted whitespace), where the whole-doc Jaccard
+    * stays high but an exact-gram hit count can read as noise.
+    * Returns `(i, j, jac)` — training doc `i`, eval doc `j`, exact
+    * word-n-gram Jaccard — for every pair a banded minhash-LSH screen
+    * surfaces with `jac >= threshold`.
+    *
+    * 100 TB shape: the training side is map-side ONLY until
+    * candidates exist — shingling and minhash signatures are
+    * projections ([[DedupOps.minhashSignature]] never shuffles), and
+    * the banded eval table (benchmark-sized × bands rows) is
+    * `broadcast()` so candidate generation adds NO training-side
+    * exchange. Only the flagged candidates (≈ the contamination rate)
+    * enter the exact-Jaccard verify joins, which AQE broadcasts on
+    * its own. The explicit hint is justified where [[overlap]]'s is
+    * not: eval BANDS are strictly smaller than eval grams, and a
+    * screen's value is exactly the no-shuffle train side.
+    *
+    * Same LSH recall economics as the dedup family (bands/rows trade
+    * recall at the threshold; the exact verify removes all false
+    * positives, so precision is always 1.0).
+    */
+  def fuzzyOverlap(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int, numHashes: Int, bands: Int,
+      threshold: Double): DataFrame = {
+    val tsh = DedupOps.shingleArrays(train, idCol, textCol, n)
+    val esh = DedupOps.shingleArrays(eval, idCol, textCol, n)
+    val tband = DedupOps.bandTable(
+      DedupOps.minhashSignature(tsh, numHashes), numHashes, bands)
+    val eband = DedupOps.bandTable(
+      DedupOps.minhashSignature(esh, numHashes), numHashes, bands)
+      .withColumnRenamed("id", "__eid")
+    val cand = tband.join(broadcast(eband), Seq("band_id", "sig"))
+      .select(col("id").as("i"), col("__eid").as("j")).distinct()
+    DedupOps.jaccardVerifyCross(cand, tsh, esh, threshold)
+  }
+
   /** [[overlap]] with a Bloom prefilter on the training side — the
     * 100 TB plan shape. The eval n-gram set is bounded (a benchmark:
     * thousands of docs), so it is collected ONCE into a driver-built

@@ -81,16 +81,24 @@ object DedupOps {
         array_min(transform(col("gs"), g => md5(concat(lit(s"$i|"), g))))
           .as(s"s$i")): _*)
 
-  /** LSH candidate pairs from banded minhash signatures. */
-  def lshCandidates(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  /** Exploded banded minhash table `(id, band_id, sig)` from
+    * signature columns s0..s(numHashes-1) — the shared front half of
+    * the self-join candidates ([[lshCandidates]]) and the cross-frame
+    * screen ([[ContaminationOps.fuzzyOverlap]], where one side is
+    * broadcast). */
+  def bandTable(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     val bandCols = (0 until bands).map(b =>
       concat((b * rows until (b + 1) * rows).map(i => col(s"s$i")): _*)
         .as(s"band$b"))
-    val withBands = sig.select(col("id") +: bandCols: _*)
-    val exploded = withBands.select(col("id"),
+    sig.select(col("id") +: bandCols: _*).select(col("id"),
       posexplode(array((0 until bands).map(b => col(s"band$b")): _*))
         .as(Seq("band_id", "sig")))
+  }
+
+  /** LSH candidate pairs from banded minhash signatures. */
+  def lshCandidates(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val exploded = bandTable(sig, numHashes, bands)
     val a = exploded.as("a"); val b = exploded.as("b")
     a.join(b, col("a.band_id") === col("b.band_id") &&
         col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
@@ -109,11 +117,21 @@ object DedupOps {
     * sets on its own.
     */
   def jaccardVerify(cand: DataFrame, shingled: DataFrame, threshold: Double)
-      : DataFrame = {
-    val withA = shingled
+      : DataFrame = jaccardVerifyCross(cand, shingled, shingled, threshold)
+
+  /** [[jaccardVerify]] generalized to candidates whose two sides come
+    * from DIFFERENT shingled frames — `i` ids resolve in `left`, `j`
+    * ids in `right` (the cross-frame screens: fuzzy decontamination,
+    * where `right` is the eval set). Same join economics: no broadcast
+    * hints, AQE broadcasts a genuinely small candidate set on its own
+    * (and a screen's candidates are ≈ the contamination rate, tiny
+    * next to the corpus). */
+  def jaccardVerifyCross(cand: DataFrame, left: DataFrame,
+      right: DataFrame, threshold: Double): DataFrame = {
+    val withA = left
       .join(cand, col("id") === col("i"))
       .select(col("i"), col("j"), col("gs").as("__ga"))
-    val pairs = shingled
+    val pairs = right
       .join(withA, col("id") === col("j"))
       .select(col("i"), col("j"),
         size(array_intersect(col("__ga"), col("gs"))).as("inter"),

@@ -1431,6 +1431,26 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // FUZZY decontamination: near-duplicates of eval docs (benchmark
+    // items leaked into training data with light edits) caught by a
+    // banded minhash-LSH screen with the eval bands broadcast, exact
+    // whole-doc Jaccard verified. The eval fixture is a derived
+    // mutation — every %10==3 doc with junk tokens appended under a
+    // fresh id — so the flagged pairs are KNOWN leaks whose Jaccard
+    // the mutation controls (long docs pass the 0.8 bar, short ones
+    // honestly fall below it).
+    "p_decontaminate_fuzzy" -> { (s, d) =>
+      val base = docs(s, d)
+      val eval = base.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 2000000000L).as("doc_id"),
+          concat(col("text"), lit(" qq yy zz ww")).as("text"))
+      ContaminationOps.fuzzyOverlap(base, eval, "doc_id", "text", 3,
+          NumHashes, MinhashBands, JaccardThreshold)
+        .select(col("i").as("doc_id"), col("j").as("eval_id"),
+          col("jac"))
+        .orderBy("doc_id", "eval_id")
+    },
+
     // Streaming ingest dedup: the documents table replayed as four
     // micro-batches (three crawl-day chunks + a full re-crawl) through
     // foreachBatch probe-and-append against the store-backed digest
@@ -1760,6 +1780,52 @@ object PipelineQueries {
                 JOIN cnt cb ON cb.id = inter.j
      WHERE inter * 1.0 / (ca.n + cb.n - inter) >= $JaccardThreshold
      ORDER BY i, j"""
+  }
+
+  /** Fuzzy-decontamination oracle: the cross-frame minhash screen
+    * restated index-free — corpus and derived eval set shingled and
+    * signed independently, banded candidates joined corpus × eval,
+    * exact Jaccard verified at [[JaccardThreshold]]. Mirrors the
+    * Spark side's [[ContaminationOps.fuzzyOverlap]] exactly (the
+    * broadcast is a plan choice, never an answer change). */
+  private def fuzzyDecontaminateOracle: String = {
+    val sigExprs = (0 until NumHashes)
+      .map(i => s"min(md5('$i|' || g)) AS s$i").mkString(", ")
+    val rows = NumHashes / MinhashBands
+    def bandSelects(src: String) = (0 until MinhashBands).map { b =>
+      val cc = (b * rows until (b + 1) * rows).map(i => s"s$i")
+        .mkString(" || ")
+      s"SELECT id, $b AS band_id, $cc AS sig FROM $src"
+    }.mkString(" UNION ALL ")
+    s"""WITH $ShingleCte,
+       edocs AS (SELECT doc_id + 2000000000 AS doc_id,
+                   text || ' qq yy zz ww' AS text
+                 FROM documents WHERE doc_id % 10 = 3),
+       esh AS (SELECT DISTINCT doc_id AS id,
+                 ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+               FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                     FROM edocs),
+                    unnest(generate_series(1, len(ws) - 2)) t(i)),
+       tsig AS (SELECT id, $sigExprs FROM sh GROUP BY id),
+       esig AS (SELECT id, $sigExprs FROM esh GROUP BY id),
+       tband AS (${bandSelects("tsig")}),
+       eband AS (${bandSelects("esig")}),
+       cand AS (SELECT DISTINCT a.id AS i, b.id AS j
+                FROM tband a JOIN eband b
+                  ON a.band_id = b.band_id AND a.sig = b.sig),
+       tcnt AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+       ecnt AS (SELECT id, count(*) AS n FROM esh GROUP BY id),
+       inter AS (SELECT c.i, c.j, count(*) AS inter
+                 FROM cand c
+                 JOIN sh sa ON sa.id = c.i
+                 JOIN esh sb ON sb.id = c.j AND sa.g = sb.g
+                 GROUP BY c.i, c.j)
+     SELECT inter.i AS doc_id, inter.j AS eval_id,
+            inter * 1.0 / (ca.n + cb.n - inter) AS jac
+     FROM inter JOIN tcnt ca ON ca.id = inter.i
+                JOIN ecnt cb ON cb.id = inter.j
+     WHERE inter * 1.0 / (ca.n + cb.n - inter) >= $JaccardThreshold
+     ORDER BY doc_id, eval_id"""
   }
 
   /** Incremental-LSH oracle: the minhash pipeline run independently on
@@ -3005,6 +3071,8 @@ object PipelineQueries {
        FROM st LEFT JOIN top USING (doc_id) ORDER BY doc_id""",
 
     "p_decontaminate" -> decontaminateSql,
+
+    "p_decontaminate_fuzzy" -> fuzzyDecontaminateOracle,
 
     "p_text_boilerplate" -> {
       val gram = (0 until BoilerN).map(k => s"ws[i+$k]")

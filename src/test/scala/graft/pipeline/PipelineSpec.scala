@@ -32,6 +32,43 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("fuzzyOverlap flags eval near-dups cross-frame: exact leaks " +
+      "always caught, output is exactly the brute-force pair set, " +
+      "unrelated docs never flagged") {
+    // eval: a verbatim leak of doc 0, a lightly-edited leak of doc 1,
+    // and an unrelated benchmark item
+    val eval = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "the quick brown fox jumps over the lazy cat indeed"),
+      (102L, "unrelated benchmark question about astrophysics topics"))
+      .toDF("doc_id", "text")
+    val out = ContaminationOps.fuzzyOverlap(docs, eval, "doc_id",
+        "text", 3, 12, 4, 0.5)
+      .as[(Long, Long, Double)].collect()
+    val pairs = out.map(t => (t._1, t._2)).toSet
+    // identical shingle sets give identical signatures in every band:
+    // a verbatim leak is caught with certainty (docs 0 AND 3 are both
+    // copies of eval 100)
+    assert(pairs.contains((0L, 100L)) && pairs.contains((3L, 100L)))
+    assert(!pairs.exists(_._2 == 102L), "unrelated eval item flagged")
+    assert(!pairs.exists(p => p._1 == 2L || p._1 == 4L),
+      "unrelated training doc flagged")
+    // precision 1 with exact scores: every output pair is in the
+    // brute-force cross-frame Jaccard>=0.5 set, with the same jac
+    val tsh = DedupOps.shingleTable(docs, "doc_id", "text", 3)
+      .as[(Long, String)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val esh = DedupOps.shingleTable(eval, "doc_id", "text", 3)
+      .as[(Long, String)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    out.foreach { case (i, j, jac) =>
+      val inter = tsh(i).intersect(esh(j)).size.toDouble
+      val exp = inter / (tsh(i).size + esh(j).size - inter)
+      assert(exp >= 0.5 && math.abs(jac - exp) < 1e-12,
+        s"pair ($i,$j): jac=$jac expected $exp")
+    }
+  }
+
   test("shingles/fingerprints survive documents shorter than the width") {
     val short = Seq((1L, "one two"), (2L, ""), (3L, "a b c d"))
       .toDF("doc_id", "text")
