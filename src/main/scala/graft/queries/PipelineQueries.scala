@@ -123,6 +123,7 @@ object PipelineQueries {
     ensureStreamingDedup(s, d): Unit
     ensureStreamingPipeline(s, d): Unit
     ensureContamIndex(s, d): Unit
+    ensureFuzzyContamIndex(s, d): Unit
   }
 
   /** DuckDB oracle shared by p_decontaminate and its Bloom-prefiltered
@@ -433,6 +434,28 @@ object PipelineQueries {
 
   /** Build the store-backed MinHash LSH band index over the full
     * documents table (one row per doc × band). */
+  /** The fuzzy-decontamination eval fixture: every %10==3 doc with
+    * junk tokens appended under a fresh id — KNOWN leaks whose
+    * Jaccard the mutation controls (long docs clear the 0.8 bar,
+    * short ones honestly fall below it). */
+  private def fuzzyEval(base: DataFrame): DataFrame =
+    base.filter(col("doc_id") % 10 === 3)
+      .select((col("doc_id") + 2000000000L).as("doc_id"),
+        concat(col("text"), lit(" qq yy zz ww")).as("text"))
+
+  /** Build the persisted fuzzy-decontamination screen: a minhash band
+    * index over the (derived) eval set. */
+  private def ensureFuzzyContamIndex(s: SparkSession, d: String): String =
+    synchronized {
+      val dir = s"/tmp/graft_fuzzycontam_${inputTag(d, "documents")}"
+      val ds = new graft.store.OrderedDataset(s, dir)
+      if (!ds.exists)
+        DedupIndex.buildMinhash(s, dir, fuzzyEval(docs(s, d)),
+          "doc_id", "text", shingleN = 3, numHashes = NumHashes,
+          bands = MinhashBands, rowsPerFile = 800)
+      dir
+    }
+
   private def ensureLshIndex(s: SparkSession, d: String): String =
     synchronized {
       val dir = s"/tmp/graft_lshband_${inputTag(d, "documents")}"
@@ -1441,12 +1464,26 @@ object PipelineQueries {
     // honestly fall below it).
     "p_decontaminate_fuzzy" -> { (s, d) =>
       val base = docs(s, d)
-      val eval = base.filter(col("doc_id") % 10 === 3)
-        .select((col("doc_id") + 2000000000L).as("doc_id"),
-          concat(col("text"), lit(" qq yy zz ww")).as("text"))
-      ContaminationOps.fuzzyOverlap(base, eval, "doc_id", "text", 3,
-          NumHashes, MinhashBands, JaccardThreshold)
+      ContaminationOps.fuzzyOverlap(base, fuzzyEval(base), "doc_id",
+          "text", 3, NumHashes, MinhashBands, JaccardThreshold)
         .select(col("i").as("doc_id"), col("j").as("eval_id"),
+          col("jac"))
+        .orderBy("doc_id", "eval_id")
+    },
+
+    // FUZZY decontamination against the PERSISTED eval screen: the
+    // eval set's banded minhash signatures are indexed ONCE (and grow
+    // incrementally as new benchmark versions land — the same LSM
+    // segment adds every store-backed index uses); each training
+    // batch pays only its own map-side signatures + a band probe of
+    // the benchmark-sized index. Identical answers to the index-free
+    // screen by construction — same oracle.
+    "p_decontaminate_fuzzy_inc" -> { (s, d) =>
+      val dir = ensureFuzzyContamIndex(s, d)
+      val base = docs(s, d)
+      DedupIndex.probeMinhash(s, dir, base, fuzzyEval(base), "doc_id",
+          "text", 3, NumHashes, MinhashBands, JaccardThreshold)
+        .select(col("j").as("doc_id"), col("i").as("eval_id"),
           col("jac"))
         .orderBy("doc_id", "eval_id")
     },
@@ -3073,6 +3110,9 @@ object PipelineQueries {
     "p_decontaminate" -> decontaminateSql,
 
     "p_decontaminate_fuzzy" -> fuzzyDecontaminateOracle,
+
+    // the persisted-screen variant answers identically by construction
+    "p_decontaminate_fuzzy_inc" -> fuzzyDecontaminateOracle,
 
     "p_text_boilerplate" -> {
       val gram = (0 until BoilerN).map(k => s"ws[i+$k]")

@@ -69,6 +69,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy decontamination via the persisted eval screen equals " +
+      "the index-free cross-frame screen") {
+    val dir = tmpDir("fuzzy_eval_idx")
+    val eval = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "the quick brown fox jumps over the lazy cat indeed"),
+      (102L, "unrelated benchmark question about astrophysics topics"))
+      .toDF("doc_id", "text")
+    DedupIndex.buildMinhash(spark, dir, eval, "doc_id", "text",
+      shingleN = 3, numHashes = 12, bands = 4, rowsPerFile = 500)
+    val direct = ContaminationOps.fuzzyOverlap(docs, eval, "doc_id",
+        "text", 3, 12, 4, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val viaIdx = DedupIndex.probeMinhash(spark, dir, docs, eval,
+        "doc_id", "text", 3, 12, 4, 0.5)
+      .select(col("j"), col("i"), col("jac"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(direct.nonEmpty && viaIdx == direct,
+      s"index screen diverged: direct=$direct viaIdx=$viaIdx")
+  }
+
   test("shingles/fingerprints survive documents shorter than the width") {
     val short = Seq((1L, "one two"), (2L, ""), (3L, "a b c d"))
       .toDF("doc_id", "text")
