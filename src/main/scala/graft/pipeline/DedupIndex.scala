@@ -273,7 +273,8 @@ object DedupIndex {
   def probeMinhash(spark: SparkSession, dir: String, batch: DataFrame,
       corpusDocs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, bands: Int, threshold: Double,
-      maxDriverKeys: Int = 65536): DataFrame = {
+      maxDriverKeys: Int = 65536,
+      checkpointCandidates: Boolean = false): DataFrame = {
     // Batch-side frames feed several plan branches (probe-key collect,
     // candidate join, verification) and are recomputed per action; NOT
     // persisted deliberately — all batch work is map-side and ∝ the
@@ -294,12 +295,25 @@ object DedupIndex {
     // absorbing any cross-segment band-row duplicates
     val index = IndexSegments.scanForProbes(parts, bBanded.select("hkey"),
       maxDriverKeys)
-    // residual (band_id, sig) equality behind the hkey equi-join
-    val cand = index.join(bBanded, Seq("hkey"))
+    // residual (band_id, sig) equality behind the hkey equi-join.
+    // The candidate set feeds BOTH the corpus-side semi-join and the
+    // verify join, so its lineage (band scan + batch SIGNATURE pass +
+    // distinct) executes once per use — checkpointCandidates trades
+    // that double execution for an eager materialization barrier.
+    // Measured at 100× (SCALE.md r14e), the right side depends on the
+    // batch:probe-index ratio: a LARGE batch against a small screen
+    // wins big (fuzzy decontamination, 40% of the corpus vs the
+    // benchmark index: 34.3 → 26.4 s), a small batch against a large
+    // index LOSES the barrier cost (p_dedup_inc_lsh, 12.5% batch:
+    // 22.5 → 25.9 s) — hence a caller knob, not a default. Same
+    // non-reliable-storage caveat as DedupOps.dupClusters.
+    val cand0 = index.join(bBanded, Seq("hkey"))
       .filter(col("band_id") === col("bband_id") &&
         col("sig") === col("bsig"))
       .select(col("id").as("i"), col("bid").as("j"))
       .distinct()
+    val cand =
+      if (checkpointCandidates) cand0.localCheckpoint() else cand0
     // exact-Jaccard verify: corpus side re-shingled AFTER the
     // semi-join down to candidate ids (bounded by LSH output)
     val csh = DedupOps.shingleArrays(
