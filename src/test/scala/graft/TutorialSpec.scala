@@ -508,6 +508,70 @@ class TutorialSpec extends SparkSpec {
     } finally recalled.unpersist(): Unit
   }
 
+  /** Day 11 — benchmark hygiene at the door: eval suites are living
+    * artifacts, and leaks arrive EDITED, not verbatim. The day-3
+    * exact screen catches word-for-word leaks; a paraphrase that
+    * inserts a filler every few words dodges every 5-gram while still
+    * sharing a third of its shingles — whole-doc similarity is the
+    * signal, and the fuzzy screen thresholds on it. Benchmark v2
+    * lands as an O(increment) segment add to the persisted screen,
+    * exactly like a crawl increment lands in the digest index.
+    */
+  test("corpus day 11: a paraphrased benchmark leak dodges the " +
+      "5-gram screen; the fuzzy screen catches it; benchmark v2 " +
+      "lands incrementally") {
+    import graft.pipeline.{ContaminationOps, DedupIndex}
+    val w = (0 until 24).map(i => s"w$i")
+    val evalV1 = Seq((9000L, w.mkString(" "))).toDF("doc_id", "text")
+    // the paraphrase: a filler token after every 4th word — no run of
+    // 5 original words survives, so the exact 5-gram overlap is ZERO
+    val para = w.grouped(4).zipWithIndex
+      .map { case (g, i) => (g :+ s"zz$i").mkString(" ") }
+      .mkString(" ")
+    val crawl = Seq(
+      (1L, w.mkString(" ")), // verbatim leak
+      (2L, para), // paraphrased leak
+      (3L, "clean doc " + (0 until 22).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val exact = ContaminationOps.overlap(crawl, evalV1,
+      "doc_id", "text", 5)
+    assert(exact.select("id").as[Long].collect().toSet == Set(1L),
+      "the 5-gram screen sees only the verbatim leak")
+    // fuzzy screen at threshold 0.3: band width is the recall knob —
+    // 12 one-row bands catch low-Jaccard pairs (P ≈ 1-(1-j)^12);
+    // the exact verify keeps precision 1.0 at ANY banding
+    val fz = ContaminationOps.fuzzyOverlap(crawl, evalV1,
+        "doc_id", "text", 3, 12, 12, 0.3)
+      .as[(Long, Long, Double)].collect()
+    assert(fz.map(_._1).toSet == Set(1L, 2L),
+      s"fuzzy screen must flag both leaks and only them: ${fz.toSeq}")
+    val byId = fz.map(t => t._1 -> t._3).toMap
+    assert(byId(1L) == 1.0)
+    assert(byId(2L) > 0.3 && byId(2L) < 0.6,
+      s"the paraphrase shares about a third of its shingles: $byId")
+    // persist the screen; benchmark v2 lands as a segment add and the
+    // next batch is screened against BOTH versions in one probe
+    val dir = tmpDir("day11") + "/fuzzyscreen"
+    DedupIndex.buildMinhash(spark, dir, evalV1, "doc_id", "text",
+      shingleN = 3, numHashes = 12, bands = 12, rowsPerFile = 500)
+    val v2 = (0 until 24).map(i => s"v$i")
+    val evalV2 = Seq((9100L, v2.mkString(" "))).toDF("doc_id", "text")
+    DedupIndex.buildMinhash(spark, dir, evalV2, "doc_id", "text",
+      shingleN = 3, numHashes = 12, bands = 12, rowsPerFile = 500)
+    val paraV2 = v2.grouped(4).zipWithIndex
+      .map { case (g, i) => (g :+ s"yy$i").mkString(" ") }
+      .mkString(" ")
+    val batch2 = Seq((10L, paraV2),
+      (11L, "another clean doc " + (0 until 22).map(i => s"d$i")
+        .mkString(" "))).toDF("doc_id", "text")
+    val hits = DedupIndex.probeMinhash(spark, dir, batch2,
+        evalV1.unionByName(evalV2), "doc_id", "text", 3, 12, 12, 0.3)
+      .select("j", "i").as[(Long, Long)].collect().toSet
+    assert(hits == Set((10L, 9100L)),
+      s"the v2 paraphrase must hit the incrementally-added version " +
+        s"and nothing else: $hits")
+  }
+
   test("corpus day 7: stream in, watch NDV, roll back, restore") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
