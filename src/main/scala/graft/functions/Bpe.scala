@@ -103,6 +103,20 @@ object Bpe {
         m.put(a + " " + b, Int.box(i)) }
       m
     }
+    /** word → encoded tokens memo (the GPT-2 `bpe()` cache, public
+      * knowledge): corpora are zipfian, so the greedy merge loop —
+      * O(len²) worst case with allocation churn per pass — runs once
+      * per DISTINCT word and every repeat is one hash probe. Bounded
+      * by [[Bpe.MaxCacheWords]] entries (insert-side cap; reads are
+      * uncapped), shared across tasks via the plan's reference object
+      * — pure memoization of a pure function, so results are
+      * byte-identical with or without it. Stored as UTF8String arrays
+      * so the hot emit path ([[Bpe.tokensOf]]) also skips the per-row
+      * fromString re-conversions. */
+    @transient lazy val cache
+        : java.util.concurrent.ConcurrentHashMap[String, Array[UTF8String]] =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[UTF8String]](
+        1 << 12)
   }
 
   object Table {
@@ -168,6 +182,25 @@ object Bpe {
     syms.take(n).toSeq
   }
 
+  /** Insert-side cap on [[Table.cache]] — far above any real corpus
+    * working set of distinct words per executor while bounding memory
+    * under adversarial vocabularies. */
+  val MaxCacheWords = 1 << 16
+
+  /** Memoized per-word encode: probe [[Table.cache]], fall back to
+    * [[encodeWord]] and record (bounded). Single-char words shortcut
+    * without touching the map — they are always their own token. */
+  private def encodedWord(word: String, table: Table)
+      : Array[UTF8String] = {
+    val cache = table.cache
+    val hit = cache.get(word)
+    if (hit != null) return hit
+    val toks = encodeWord(word, table)
+      .map(t => UTF8String.fromString(t)).toArray
+    if (cache.size < MaxCacheWords) cache.putIfAbsent(word, toks): Unit
+    toks
+  }
+
   /** Total BPE token count of a space-pre-tokenized text. Public and
     * UTF8String-typed because the generated code calls it. */
   def countTokens(text: UTF8String, table: Table): Long = {
@@ -187,11 +220,13 @@ object Bpe {
   private def countWord(s: String, from: Int, end: Int,
       table: Table): Long =
     if (end - from == 1) 1L
-    else encodeWord(s.substring(from, end), table).size.toLong
+    else encodedWord(s.substring(from, end), table).length.toLong
 
   /** All BPE tokens of a space-pre-tokenized text, in order (words
     * concatenated). Public and catalyst-typed because the generated
-    * code calls it. */
+    * code calls it. UTF8String values are immutable, so the memo's
+    * arrays are shared by reference; GenericArrayData only holds
+    * them, and unsafe-row writers copy bytes out. */
   def tokensOf(text: UTF8String, table: Table)
       : org.apache.spark.sql.catalyst.util.ArrayData = {
     val s = text.toString
@@ -201,9 +236,11 @@ object Bpe {
     while (go && from <= s.length) {
       val sp = s.indexOf(' ', from)
       val end = if (sp < 0) s.length else sp
-      if (end > from)
-        encodeWord(s.substring(from, end), table)
-          .foreach(t => out += UTF8String.fromString(t))
+      if (end > from) {
+        val toks = encodedWord(s.substring(from, end), table)
+        var i = 0
+        while (i < toks.length) { out += toks(i); i += 1 }
+      }
       if (sp < 0) go = false else from = sp + 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
