@@ -26,11 +26,36 @@ object Explain {
     // broadcast/skew decisions) are invisible in the pre-execution
     // plan (isFinalPlan=false shows the unoptimized duplicate subtrees)
     val exec = sys.env.contains("SPARK_GRAFT_EXPLAIN_EXEC")
+    // capture the WRITE's own QueryExecution: the noop save plans a
+    // fresh QueryExecution, so `df.queryExecution` stays un-executed
+    // (isFinalPlan=false) and shows none of the runtime AQE effects
+    // (stage reuse, runtime broadcasts, coalesced reads) — the
+    // listener hands us the executed plan the metrics came from
+    @volatile var lastQe: org.apache.spark.sql.execution.QueryExecution =
+      null
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = lastQe = qe
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    if (exec) spark.listenerManager.register(listener)
     names.foreach { n =>
       println(s"\n========== $n ==========")
       val df = SparkEntry.queries(n)(spark, d)
-      if (exec) df.write.mode("overwrite").format("noop").save()
-      println(df.queryExecution.explainString(
+      if (exec) {
+        lastQe = null
+        df.write.mode("overwrite").format("noop").save()
+        // listener events are posted asynchronously
+        var waited = 0
+        while (lastQe == null && waited < 100) {
+          Thread.sleep(100); waited += 1
+        }
+      }
+      val qe = if (exec && lastQe != null) lastQe else df.queryExecution
+      println(qe.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()

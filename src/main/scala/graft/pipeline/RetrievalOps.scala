@@ -61,26 +61,32 @@ object RetrievalOps {
   def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, k: Int,
       k1: Double = K1, b: Double = B): DataFrame = {
-    // tf feeds the query-term prune AND the corpus scalars; persisted,
-    // the corpus is scanned and tokenized ONCE — the unpersisted plan
-    // re-read the parquet three times (plan audit, PLANS.md r11)
-    val tf = termFreqs(corpus, idCol, textCol).persist()
-    try {
-      // corpus scalars from the slim cached table, not a fresh corpus
-      // scan: N counts docs that produced at least one token (null text
-      // tokenizes to nothing in every engine; empty text is one empty
-      // token, same as SQL string_split)
-      val stats = tf.groupBy("id").agg(max("dl").as("dl"))
-        .agg(count(lit(1)).cast("long").as("n_docs"),
-          sum("dl").cast("long").as("sum_dl"))
-      // EAGER result (ADVICE r11): top-k is (|queries| × k) rows by
-      // construction, so materializing it here (localCheckpoint) lets
-      // the corpus-sized term cache be released in finally instead of
-      // leaking MEMORY_AND_DISK for the session; callers get a pinned
-      // small frame, recomputation-free under reuse (the hybrid query
-      // feeds it to fusion twice)
-      scoreTermTable(tf, stats, queries, k, k1, b).localCheckpoint()
-    } finally tf.unpersist(): Unit
+    // tf feeds the query-term prune AND the corpus scalars. LAZY since
+    // r14: the three consumers (stats, df, posts) share tf's aggregate
+    // EXCHANGE, and ReuseExchange/AQE stage reuse materializes that
+    // shuffle once per action — the corpus is scanned and tokenized
+    // ONCE (plan audit, plans/r14/p_bm25_topk_after.txt: one Scan +
+    // one ReusedExchange per extra consumer), with none of the
+    // persist + localCheckpoint + unpersist jobs the r11 form paid
+    // (measured 20 → 12 scheduler jobs, ~1.8 → ~1.1 s at sf0.1; the
+    // indexed path, Bm25Index.topK, was always lazy). Callers run one
+    // action per result — the engine's query contract — so nothing
+    // re-executes the subtree across actions.
+    val tf = termFreqs(corpus, idCol, textCol)
+    // corpus scalars DIRECTLY from the corpus, not via tf: a
+    // tf-derived stats branch re-runs the tokenize + explode +
+    // partial-agg subtree (its pruned projection differs from the
+    // posts branch's, so the tf exchange does not canonicalize equal
+    // and AQE cannot reuse it — plan audit r14). One map-side
+    // split + global agg is strictly cheaper: no explode, no
+    // (id, term) shuffle. Semantics identical: dl = size(split),
+    // null text splits to null (excluded both ways), empty text is
+    // one empty token, same as SQL string_split.
+    val ws = split(col(textCol), " ")
+    val stats = corpus.select(ws.as("ws")).filter(col("ws").isNotNull)
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(size(col("ws"))).cast("long").as("sum_dl"))
+    scoreTermTable(tf, stats, queries, k, k1, b)
   }
 
   /** The shared scoring tail: `tf` is any (id, term, tf, dl) term
@@ -101,8 +107,16 @@ object RetrievalOps {
       .select(explode(array_distinct(split(col("q_text"), " ")))
         .as("term")).distinct()
     val tf = tf0.join(broadcast(qterms), "term")
-    val dft = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
-    val posts = tf.join(broadcast(dft), "term")
+    // document frequency as a count-over-window on the PRUNED term
+    // table (tf has one row per (term, doc), so the partition count
+    // IS df) instead of a groupBy + broadcast-join: the join form
+    // re-ran the whole tf lineage a second time for the df branch
+    // (same non-reusable-exchange trap as the stats scalar — plan
+    // audit r14); the window form reads the pruned postings once and
+    // adds one small exchange bounded by Σ df(query terms)
+    val wTerm = Window.partitionBy("term")
+    val posts = tf
+      .withColumn("df", count(lit(1)).over(wTerm).cast("long"))
       .crossJoin(broadcast(stats))
       .withColumn("avgdl",
         col("sum_dl").cast("double") / col("n_docs").cast("double"))

@@ -669,6 +669,27 @@ object PipelineQueries {
     Tables.embeddings(s, d)
       .repartition(s.sparkContext.defaultParallelism)
 
+  /** The hybrid queries' (q_id, q_text) set — the first [[HybridNQ]]
+    * documents, COLLECTED into a local relation (bounded by
+    * construction: HybridNQ = 5 rows, the same driver-read class as
+    * the Bm25Queries literals). A scan-derived q made every broadcast
+    * evaluation that touches the query set (query-vocabulary prune,
+    * per-query term table) re-run the documents scan + repartition as
+    * its own scheduler job; a local relation broadcasts job-free. */
+  private def hybridQueryDocs(s: SparkSession, d: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = Tables.documents(s, d).select("doc_id", "text")
+      .filter(col("doc_id") < HybridNQ)
+      .select(col("doc_id").as("q_id"), col("text").as("q_text"))
+      .collect().sortBy(_.getLong(0))
+    s.createDataFrame(rows.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("q_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("q_text",
+          org.apache.spark.sql.types.StringType, nullable = true))))
+  }
+
   /** Deterministic scrub-target injection (the synthetic corpus has no
     * URLs/emails/phones/IPs of its own) — shared by p_text_clean and
     * the composed pipeline so both clean something real.
@@ -949,20 +970,22 @@ object PipelineQueries {
     // replayed by the oracle.
     "p_hybrid_rrf" -> { (s, d) =>
       val dd = docs(s, d)
-      val q = dd.filter(col("doc_id") < HybridNQ)
-        .select(col("doc_id").as("q_id"), col("text").as("q_text"))
+      // the HybridNQ query docs are a bounded literal-sized set (5
+      // rows): collect them ONCE into a local relation so the several
+      // broadcast evaluations deriving from q (qterms, per-query term
+      // explode) cost no scan+shuffle jobs — with the scan-derived q,
+      // every broadcast re-ran the documents scan + repartition
+      val q = hybridQueryDocs(s, d)
+      // both arms LAZY since r14 (see bm25TopK): each feeds the fusion
+      // union exactly once under the caller's single action, so the
+      // eager persist/localCheckpoint pins (and their scheduler jobs)
+      // bought nothing — the r11 leak they fixed is gone structurally
       val lex = RetrievalOps.bm25TopK(dd, "doc_id", "text", q, RrfPool)
         .select("q_id", "doc_id", "rank")
       val v = SimilarityOps.withNorm(embs(s, d), "vec_id", "embedding")
-        .persist()
-      // pin the (HybridNQ × RrfPool) arm eagerly, then release the
-      // vector cache — the ADVICE-r11 leak fix, same pattern as the
-      // indexed-ANN neighbors below
-      val sem = try SimilarityOps.bruteForceTopK(
+      val sem = SimilarityOps.bruteForceTopK(
           v.filter(col("id") < HybridNQ), v, RrfPool)
         .select(col("q_id"), col("vec_id").as("doc_id"), col("rank"))
-        .localCheckpoint()
-      finally v.unpersist()
       RetrievalOps.rrfFuse(lex, sem, FusedK).orderBy("q_id", "rank")
     },
 
@@ -974,17 +997,14 @@ object PipelineQueries {
     // shape real hybrid stacks bolt onto lexical+dense retrieval.
     "p_hybrid_rrf3" -> { (s, d) =>
       val dd = docs(s, d)
-      val q = dd.filter(col("doc_id") < HybridNQ)
-        .select(col("doc_id").as("q_id"), col("text").as("q_text"))
+      // local-relation query set + lazy arms — see p_hybrid_rrf
+      val q = hybridQueryDocs(s, d)
       val lex = RetrievalOps.bm25TopK(dd, "doc_id", "text", q, RrfPool)
         .select("q_id", "doc_id", "rank")
       val v = SimilarityOps.withNorm(embs(s, d), "vec_id", "embedding")
-        .persist()
-      val sem = try SimilarityOps.bruteForceTopK(
+      val sem = SimilarityOps.bruteForceTopK(
           v.filter(col("id") < HybridNQ), v, RrfPool)
         .select(col("q_id"), col("vec_id").as("doc_id"), col("rank"))
-        .localCheckpoint()
-      finally v.unpersist()
       // distributed top-k (TakeOrderedAndProject), NOT a global window
       // over the corpus: only the RrfPool survivors see the
       // single-partition rank window
