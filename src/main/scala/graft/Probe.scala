@@ -25,9 +25,12 @@ object Probe {
       })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try SparkEntry.prepare(spark, d)
-    catch { case e: Throwable =>
-      System.err.println(s"[probe] prepare failed: ${e.getMessage}") }
+    // SPARK_GRAFT_SKIP_PREPARE: same contract as Bench — fixture-free
+    // query subsets skip the store/index builds
+    if (!sys.env.contains("SPARK_GRAFT_SKIP_PREPARE"))
+      try SparkEntry.prepare(spark, d)
+      catch { case e: Throwable =>
+        System.err.println(s"[probe] prepare failed: ${e.getMessage}") }
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "p_dedup_minhash_lsh", "p_dedup_simhash", "p_dedup_ngram_jaccard",
       "p_dedup_exact", "p_dedup_embedding_lsh", "p_multimodal_framesample",

@@ -25,9 +25,36 @@ object Tables {
     spark
   }
 
+  /** Inferred-schema memo keyed on path + file size/mtime fingerprint:
+    * `spark.read.parquet` without an explicit schema runs a small
+    * footer-reading JOB per call, and the query surface loads these
+    * tables hundreds of times per bench session (~30-50 ms each,
+    * measured as the `parquet at Tables.scala` job leading every
+    * query). The fingerprint makes a driver-regenerated table re-infer
+    * instead of serving a stale schema — same discipline as the
+    * pipeline fixtures' inputTag. Schema metadata only; every query
+    * still computes from the parquet bytes. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.types.StructType]
+
+  private def fingerprint(path: String): String = {
+    val f = new java.io.File(path)
+    val parts =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName)
+          .map(p => s"${p.getName}:${p.length}:${p.lastModified}")
+          .mkString(",")
+      else s"${f.length}:${f.lastModified}"
+    s"$path|$parts"
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     configure(spark)
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(fingerprint(path),
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
   }
 
   /** Normalize a timestamp column to µs TIMESTAMP_NTZ, whatever the
