@@ -169,4 +169,34 @@ class BpeSpec extends SparkSpec {
       .toDF("line", "rank")
     assert(Bpe.Table.fromDataFrame(df).merges == T.merges)
   }
+
+  test("word memo: warm-cache encodes are byte-identical and the " +
+      "insert cap holds under adversarial vocabularies") {
+    // fresh table so this test controls the cache population
+    val t = new Bpe.Table(Bpe.FixtureMerges)
+    val words = Seq("spark", "scans", "table", "zzz", "sorting")
+    val cold = words.map(w => Bpe.encodeWord(w, t))
+    // drive the memoized path twice (cold fill, then warm probes)
+    val viaExpr = () => words.map { w =>
+      Bpe.tokensOf(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w), t)
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+    }
+    assert(viaExpr() == cold)
+    assert(viaExpr() == cold) // warm: served from the memo
+    // multi-char words land in the cache; single-char shortcut skips it
+    assert(t.cache.size >= words.count(_.length > 1) - 0)
+    // insert cap: size never exceeds MaxCacheWords even when the
+    // distinct-word stream is larger (synthetic words, all distinct)
+    val small = new Bpe.Table(Seq("a" -> "b"))
+    (0 until Bpe.MaxCacheWords + 100).foreach { i =>
+      Bpe.countTokens(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"w$i ab"),
+        small): Unit
+    }
+    assert(small.cache.size <= Bpe.MaxCacheWords + 1)
+    // and over-cap words still encode correctly (compute path)
+    assert(Bpe.encodeWord("ab", small) == Seq("ab"))
+  }
 }
