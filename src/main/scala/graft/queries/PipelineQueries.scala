@@ -690,6 +690,25 @@ object PipelineQueries {
           org.apache.spark.sql.types.StringType, nullable = true))))
   }
 
+  /** The dense arms' (id, vec, norm) query set — the first `n`
+    * vectors, COLLECTED into a local relation (bounded: n ≤ 20 —
+    * NQueryVecs/HybridNQ — of 64-dim doubles, the same driver-read
+    * class as [[hybridQueryDocs]]). A scan-derived query side made
+    * the broadcast evaluation re-run the embeddings scan +
+    * repartition as its own scheduler job; doubles round-trip the
+    * driver exactly, so the cosine inputs are bit-identical. */
+  private def queryVecs(s: SparkSession, d: String, n: Long): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = SimilarityOps.withNorm(embs(s, d), "vec_id", "embedding")
+      .filter(col("id") < n).collect().sortBy(_.getLong(0))
+    import org.apache.spark.sql.types._
+    s.createDataFrame(rows.toSeq.asJava, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("vec", ArrayType(DoubleType, containsNull = true),
+        nullable = true),
+      StructField("norm", DoubleType, nullable = true))))
+  }
+
   /** Deterministic scrub-target injection (the synthetic corpus has no
     * URLs/emails/phones/IPs of its own) — shared by p_text_clean and
     * the composed pipeline so both clean something real.
@@ -909,9 +928,11 @@ object PipelineQueries {
     // Brute-force cosine top-k for a query subset (the exact ANN baseline).
     "p_ann_topk" -> { (s, d) =>
       val v = SimilarityOps.withNorm(embs(s, d), "vec_id", "embedding")
-        .persist()
+      // query side as a local relation (bounded: NQueryVecs = 20 rows)
+      // — see hybridQueryDocs; the corpus side is then referenced once
+      // and needs no persist
       SimilarityOps.bruteForceTopK(
-        v.filter(col("id") < NQueryVecs), v, TopK)
+        queryVecs(s, d, NQueryVecs), v, TopK)
         .orderBy("q_id", "rank")
     },
 
@@ -984,7 +1005,7 @@ object PipelineQueries {
         .select("q_id", "doc_id", "rank")
       val v = SimilarityOps.withNorm(embs(s, d), "vec_id", "embedding")
       val sem = SimilarityOps.bruteForceTopK(
-          v.filter(col("id") < HybridNQ), v, RrfPool)
+          queryVecs(s, d, HybridNQ), v, RrfPool)
         .select(col("q_id"), col("vec_id").as("doc_id"), col("rank"))
       RetrievalOps.rrfFuse(lex, sem, FusedK).orderBy("q_id", "rank")
     },
@@ -1003,7 +1024,7 @@ object PipelineQueries {
         .select("q_id", "doc_id", "rank")
       val v = SimilarityOps.withNorm(embs(s, d), "vec_id", "embedding")
       val sem = SimilarityOps.bruteForceTopK(
-          v.filter(col("id") < HybridNQ), v, RrfPool)
+          queryVecs(s, d, HybridNQ), v, RrfPool)
         .select(col("q_id"), col("vec_id").as("doc_id"), col("rank"))
       // distributed top-k (TakeOrderedAndProject), NOT a global window
       // over the corpus: only the RrfPool survivors see the
