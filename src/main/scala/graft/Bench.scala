@@ -218,29 +218,37 @@ object Bench {
     // common query set, per-query min vs canonical min; a missing or
     // unreadable canonical degrades to null, never an abort.
     // cpus-KEYED canonical resolution (VERDICT r11 #3): a curated
-    // record pinned for THIS run's thread count —
-    // `<base>.cpus<N>.json` — wins over the plain `<base>.json`.
-    // Two failure modes this closes: (1) the driver runs cpus=32
-    // against a cpus=4 default and reads `common: 0, ratio: null`
-    // exactly where the machine-checkable promotion rule matters;
-    // (2) the bench WRITES BENCH_FULL.json at the end of every run
-    // (see outPath below), so the un-keyed default is the previous
-    // session's output, not a curated canonical — the r11 driver
-    // session (drifted, sentinel 1.675) overwrote it in place. The
-    // keyed files are committed records the bench never writes.
+    // record pinned for THIS run's thread count wins over the plain
+    // `<base>.json`. Two failure modes this closes: (1) the driver
+    // runs cpus=32 against a cpus=4 default and reads
+    // `common: 0, ratio: null` exactly where the machine-checkable
+    // promotion rule matters; (2) the bench WRITES BENCH_FULL.json at
+    // the end of every run (see outPath below), so the un-keyed
+    // default is the previous session's output, not a curated
+    // canonical — the r11 driver session (drifted, sentinel 1.675)
+    // overwrote it in place.
+    // r15: the bench now ALSO writes `<base>.cpus<N>.json` on every
+    // full-surface run (VERDICT r14 #2 — the c8 run used to clobber
+    // the c32 record because both wrote BENCH_FULL.json), so that
+    // name is no longer a curated record either. Curated canonicals
+    // live under `BENCH_CANON*.cpus<N>.json`, which the bench NEVER
+    // writes — promotion copies a run record there by hand.
+    val sfBase: Option[String] = {
+      val norm = sfDir.stripSuffix("/")
+      if (norm.endsWith("sf0.1")) Some("BENCH_FULL")
+      else if (norm.endsWith("graft_sf1")) Some("BENCH_FULL_10x")
+      else if (norm.endsWith("graft_sf10")) Some("BENCH_FULL_100x")
+      else None
+    }
     val canonPath: Option[String] =
       sys.env.get("SPARK_GRAFT_CANON").filter(_.nonEmpty).orElse {
-        val norm = sfDir.stripSuffix("/")
-        val base =
-          if (norm.endsWith("sf0.1")) Some("BENCH_FULL")
-          else if (norm.endsWith("graft_sf1")) Some("BENCH_FULL_10x")
-          else if (norm.endsWith("graft_sf10")) Some("BENCH_FULL_100x")
-          else None
-        base.map { b =>
-          cpusNum.map(c => s"$b.cpus$c.json")
-            .filter(p => java.nio.file.Files.exists(
-              java.nio.file.Paths.get(p)))
-            .getOrElse(s"$b.json")
+        sfBase.map { b =>
+          val curated = b.replace("BENCH_FULL", "BENCH_CANON")
+          val candidates = cpusNum.toSeq.flatMap(c =>
+            Seq(s"$curated.cpus$c.json", s"$b.cpus$c.json")) :+
+            s"$b.json"
+          candidates.find(p => java.nio.file.Files.exists(
+            java.nio.file.Paths.get(p))).getOrElse(s"$b.json")
         }
       }
     case class CanonCmp(file: String, canonCpus: Option[Int],
@@ -298,21 +306,44 @@ object Bench {
     // makes a QUERIES-subset calibration run probe too, and it must
     // not self-report as promotable on a partial surface (ADVICE r13)
     val recordOk = only.isEmpty && !drifted && !datapathDegraded
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpus":$cpusJson,"record_ok":$recordOk,"drift":$driftJson,"canon":$canonJson,"queries":$qs,"queries_median":$qsMed,"failed":$failedJson,"sf":"$sfDir"}"""
-    println(line)
-    // the UNTRUNCATED record: the same JSON line, kept as a file so
-    // per-query regression gating survives the driver's stdout-tail
-    // bound (VERDICT r4 #7); best-effort — a read-only cwd must not
-    // fail the bench. SPARK_GRAFT_BENCH_OUT redirects the record so a
-    // scale/experiment run can never clobber the canonical sf0.1 file
-    // (VERDICT r5 #2: a failed 100x rerun overwrote the only committed
-    // copy of the headline record — experiments write DATED files).
+    // Two output surfaces (VERDICT r14 #1): the driver records only a
+    // ~2000-char TAIL of stdout, and the 128-entry per-query map is
+    // ~3.3 KB on its own — a printed line carrying it is GUARANTEED
+    // to be truncated mid-map, so the driver's parser never sees the
+    // line start and PERF comparison degrades to empty (it did, for
+    // two consecutive rounds). So:
+    //   stdout  -> COMPACT contract line: scalars + drift/canon
+    //              verdicts + failed + a pointer to the full record
+    //              (~800 bytes, fits any sane tail bound);
+    //   file(s) -> the UNTRUNCATED record with the full per-query
+    //              min and median maps.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "BENCH_FULL.json")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outPath), line + "\n")
-    catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] bench record not written: $e") }
+    // cpus-keyed full record (VERDICT r14 #2: the c8 run clobbered
+    // the c32 record — both wrote BENCH_FULL.json): written on every
+    // FULL-surface default run, so each core count keeps its latest
+    // untruncated record. Subset runs never touch it (a 3-query map
+    // under the canonical-lineage name would wreck regression
+    // gating), and SPARK_GRAFT_BENCH_OUT runs are experiments that
+    // own their naming.
+    val keyedOut: Option[String] =
+      if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_BENCH_OUT"))
+        for { b <- sfBase; c <- cpusNum } yield s"$b.cpus$c.json"
+      else None
+    val queriesFileJson = s""""${keyedOut.getOrElse(outPath)}""""
+    val compactLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpus":$cpusJson,"record_ok":$recordOk,"n_queries":${results.size},"drift":$driftJson,"canon":$canonJson,"queries_file":$queriesFileJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpus":$cpusJson,"record_ok":$recordOk,"n_queries":${results.size},"drift":$driftJson,"canon":$canonJson,"queries":$qs,"queries_median":$qsMed,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(compactLine)
+    // best-effort file writes — a read-only cwd must not fail the
+    // bench (VERDICT r4 #7). SPARK_GRAFT_BENCH_OUT redirects the
+    // record so a scale/experiment run can never clobber the
+    // canonical sf0.1 file (VERDICT r5 #2).
+    (Seq(outPath) ++ keyedOut).distinct.foreach { p =>
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(p), fullLine + "\n")
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] bench record not written ($p): $e") }
+    }
     spark.stop()
   }
 }

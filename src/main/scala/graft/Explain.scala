@@ -33,16 +33,24 @@ object Explain {
     // listener hands us the executed plan the metrics came from
     @volatile var lastQe: org.apache.spark.sql.execution.QueryExecution =
       null
+    // accept ONLY the write's own event (ADVICE r14): query
+    // construction may run bounded collect() jobs (local-relation
+    // query sets), and their async onSuccess events can arrive after
+    // the `lastQe = null` reset — without the funcName filter a tiny
+    // collect plan could masquerade as the query's executed plan in
+    // the plan-audit artifacts. DataFrameWriter.save posts
+    // funcName = "save"/"command"; collect posts "collect".
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
-          durationNs: Long): Unit = lastQe = qe
+          durationNs: Long): Unit =
+        if (funcName == "save" || funcName == "command") lastQe = qe
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
           exception: Exception): Unit = ()
     }
     if (exec) spark.listenerManager.register(listener)
-    names.foreach { n =>
+    try names.foreach { n =>
       println(s"\n========== $n ==========")
       val df = SparkEntry.queries(n)(spark, d)
       if (exec) {
@@ -57,7 +65,7 @@ object Explain {
       val qe = if (exec && lastQe != null) lastQe else df.queryExecution
       println(qe.explainString(
         org.apache.spark.sql.execution.FormattedMode))
-    }
+    } finally if (exec) spark.listenerManager.unregister(listener)
     spark.stop()
   }
 }

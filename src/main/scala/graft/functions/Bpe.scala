@@ -188,8 +188,13 @@ object Bpe {
   val MaxCacheWords = 1 << 16
 
   /** Memoized per-word encode: probe [[Table.cache]], fall back to
-    * [[encodeWord]] and record (bounded). Single-char words shortcut
-    * without touching the map — they are always their own token. */
+    * [[encodeWord]] and record. Single-char words ARE cached here
+    * (only [[countWord]] shortcuts them) — their distinct count is
+    * bounded by the alphabet, so they cannot crowd the cap
+    * (ADVICE r14 fixed this doc, which claimed a shortcut that never
+    * existed). The `size < MaxCacheWords` insert guard races benignly
+    * under concurrent tasks: overshoot is bounded by the thread
+    * count, reads stay correct. */
   private def encodedWord(word: String, table: Table)
       : Array[UTF8String] = {
     val cache = table.cache

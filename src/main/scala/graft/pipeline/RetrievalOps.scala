@@ -79,9 +79,15 @@ object RetrievalOps {
     // posts branch's, so the tf exchange does not canonicalize equal
     // and AQE cannot reuse it — plan audit r14). One map-side
     // split + global agg is strictly cheaper: no explode, no
-    // (id, term) shuffle. Semantics identical: dl = size(split),
-    // null text splits to null (excluded both ways), empty text is
-    // one empty token, same as SQL string_split.
+    // (id, term) shuffle. Semantics: dl = size(split), null text
+    // splits to null (excluded both ways), empty text is one empty
+    // token, same as SQL string_split. PRECONDITION (ADVICE r14): ids
+    // are unique and non-null per corpus row — the old tf-derived
+    // form grouped by id first, so a duplicate/NULL id would collapse
+    // to one doc in n_docs/sum_dl where this per-row count counts
+    // each occurrence. Every corpus here satisfies it (doc_id is the
+    // fixture primary key; oracle-verified), and termFreqs itself
+    // would already double-count tf for a duplicated id.
     val ws = split(col(textCol), " ")
     val stats = corpus.select(ws.as("ws")).filter(col("ws").isNotNull)
       .agg(count(lit(1)).cast("long").as("n_docs"),

@@ -185,7 +185,9 @@ class BpeSpec extends SparkSpec {
     }
     assert(viaExpr() == cold)
     assert(viaExpr() == cold) // warm: served from the memo
-    // multi-char words land in the cache; single-char shortcut skips it
+    // multi-char AND single-char words land in the cache (the count
+    // path shortcuts singles, the tokens path caches them; distinct
+    // singles are alphabet-bounded so they cannot crowd the cap)
     assert(t.cache.size >= words.count(_.length > 1) - 0)
     // insert cap: size never exceeds MaxCacheWords even when the
     // distinct-word stream is larger (synthetic words, all distinct)
@@ -195,7 +197,10 @@ class BpeSpec extends SparkSpec {
         org.apache.spark.unsafe.types.UTF8String.fromString(s"w$i ab"),
         small): Unit
     }
-    assert(small.cache.size <= Bpe.MaxCacheWords + 1)
+    // the insert guard reads size then puts without a lock, so under
+    // concurrent tasks the cap can overshoot by ~the thread count —
+    // assert a small slack, not an exact bound (ADVICE r14)
+    assert(small.cache.size <= Bpe.MaxCacheWords + 64)
     // and over-cap words still encode correctly (compute path)
     assert(Bpe.encodeWord("ab", small) == Seq("ab"))
   }
