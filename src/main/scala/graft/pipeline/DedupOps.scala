@@ -582,17 +582,19 @@ object DedupOps {
 
   /** (id, pos, h) stride-1 k-gram rows of a (id, ws) frame — the
     * shared gram front of [[spanDedup]] and the incremental
-    * [[DedupIndex.dedupBatchSpans]]. */
+    * [[DedupIndex.dedupBatchSpans]]. Since r15 the per-position
+    * md5-of-window is ONE JVM loop ([[graft.functions.SpanGrams]],
+    * byte-identical digests) instead of a
+    * transform/slice/concat_ws/md5 composition — the composed form
+    * allocated a k-token array + joined string + fresh MessageDigest
+    * per position and was the dominant map-stage cost of the 100×
+    * span lines (guide §1.2). Short docs (< k tokens) yield no rows,
+    * exactly like the old `when(size >= k, …)` guard. */
   private[pipeline] def spanGramTable(base: DataFrame, k: Int)
       : DataFrame =
-    base.select(col("id"), explode(
-        when(size(col("ws")) >= k,
-          transform(sequence(lit(0), size(col("ws")) - k),
-            i => struct(i.as("pos"),
-              md5(concat_ws(" ", slice(col("ws"), i + 1, lit(k))))
-                .as("h"))))
-          .otherwise(array().cast("array<struct<pos:int,h:string>>")))
-        .as("g"))
+    base.select(col("id"),
+        explode(graft.functions.SpanGrams.spanGrams(col("ws"), k))
+          .as("g"))
       .select(col("id"), col("g.pos").as("pos"), col("g.h").as("h"))
 
   /** The span-dedup tail shared with [[DedupIndex.dedupBatchSpans]]:
@@ -624,13 +626,15 @@ object DedupOps {
           .as("n_spans"),
         {
           // the ingest path (textOut) emits the rewritten text itself;
-          // the default digests it for hash-exact oracle compares
-          val joined = concat_ws(" ", transform(filter(
-            transform(col("ws"),
-              (t, i) => struct(t.as("tok"), i.as("ti"))),
-            s => !exists(col("dps"),
-              p => p <= s("ti") && s("ti") < p + k)),
-            s => s("tok")))
+          // the default digests it for hash-exact oracle compares.
+          // ONE JVM sweep (r15, graft.functions.SpanClean) instead of
+          // the transform/filter/exists/concat_ws composition — the
+          // composed form allocated a struct per token and re-scanned
+          // dps per token (O(tokens·|dps|)), and was measured as ~80%
+          // of p_span_dedup_bpe's wall time at 10× (guide §1.2).
+          // Byte-identical output, spec-pinned (SpanCleanSpec).
+          val joined = graft.functions.SpanClean.spanClean(
+            col("ws"), col("dps"), k)
           if (textOut) joined.as("clean_text")
           else md5(joined).as("clean_digest")
         })
