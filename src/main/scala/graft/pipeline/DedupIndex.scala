@@ -312,8 +312,21 @@ object DedupIndex {
         col("sig") === col("bsig"))
       .select(col("id").as("i"), col("bid").as("j"))
       .distinct()
+    // BATCHED probe — see probeSimhash: the candidate pairs feed the
+    // corpus-side semi-join AND the verify join, so the band-scan +
+    // batch-signature + distinct lineage used to execute once per
+    // consumer (or pay a localCheckpoint barrier under the caller
+    // knob). ONE bounded collect executes it once and joins back as a
+    // local relation. Over the cap, the old shape (knob included).
+    val candRows = cand0.limit(maxDriverKeys + 1).collect()
     val cand =
-      if (checkpointCandidates) cand0.localCheckpoint() else cand0
+      if (candRows.length <= maxDriverKeys) {
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(
+          candRows.toSeq.sortBy(r => (r.getLong(0), r.getLong(1))).asJava,
+          cand0.schema)
+      } else if (checkpointCandidates) cand0.localCheckpoint()
+      else cand0
     // exact-Jaccard verify: corpus side re-shingled AFTER the
     // semi-join down to candidate ids (bounded by LSH output)
     val csh = DedupOps.shingleArrays(
@@ -398,9 +411,24 @@ object DedupIndex {
   def probeSimhash(spark: SparkSession, dir: String, batch: DataFrame,
       idCol: String, textCol: String, maxDist: Int,
       maxDriverKeys: Int = 65536): DataFrame = {
-    // not persisted — map-side, ∝ increment; see probeMinhash note
-    val bsim = DedupOps.simhash(batch, idCol, textCol)
+    val bsim0 = DedupOps.simhash(batch, idCol, textCol)
       .select(col("id").as("j"), col("simhash").as("bfp"))
+    // batch fingerprints as a LOCAL RELATION when bounded (r15,
+    // VERDICT r14 #3): the (j, bfp) frame feeds the band-key collect
+    // AND the candidate join, so the per-word-md5 fingerprint pass
+    // over the batch used to execute once per consumer (it is
+    // deliberately not persisted — a cache outliving the call leaks,
+    // the ADVICE-r2 IvfIndex lesson). One bounded collect executes it
+    // once; fingerprints are longs, so the driver round-trip is
+    // exact. An over-cap batch keeps the old recompute-per-consumer
+    // shape (cost still ∝ increment).
+    val bsimRows = bsim0.limit(maxDriverKeys + 1).collect()
+    val bsim =
+      if (bsimRows.length <= maxDriverKeys) {
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(
+          bsimRows.toSeq.sortBy(_.getLong(0)).asJava, bsim0.schema)
+      } else bsim0
     val bBanded = simhashWithBands(bsim, "bfp")
     val bandParts = partsFor(spark, s"$dir/bands", "simhash",
       Some(s"${DedupOps.SimhashBits}|${DedupOps.SimhashBands}"))
@@ -408,26 +436,41 @@ object DedupIndex {
       bBanded.select("hkey"), maxDriverKeys)
     // fingerprint-level candidates: the hkey encodes (pair, value)
     // injectively, so the equi-join needs no residual check
-    // localCheckpoint: the candidate set feeds BOTH the member-key
-    // collect below and the returned plan — without it the whole
-    // bands-scan + hkey-join + distinct pipeline executes twice per
-    // action (shuffle stages of distinct plans are not reused across
-    // jobs). Same non-reliable-storage caveat as DedupOps.dupClusters.
-    val fpCand = index.join(bBanded, Seq("hkey"))
+    val fpCand0 = index.join(bBanded, Seq("hkey"))
       .select(col("simhash"), col("j"), col("bfp"))
       .distinct()
       .filter(bit_count(col("simhash").bitwiseXOR(col("bfp")))
         <= maxDist)
-      .localCheckpoint()
+    // BATCHED probe (r15, VERDICT r14 #3): the candidate set is
+    // bounded (Hamming-verified fingerprints ≪ batch × bands), and it
+    // used to feed BOTH the member-key collect and the returned plan —
+    // which cost a localCheckpoint barrier (its own job train) plus a
+    // second collect job against the checkpoint. ONE bounded collect
+    // now executes the candidate lineage once; the member keys are
+    // derived driver-side and the candidates join back as a local
+    // relation (broadcast, job-free). Over the cap, the old
+    // checkpoint + DataFrame-probe shape is kept verbatim.
+    val candRows = fpCand0.limit(maxDriverKeys + 1).collect()
+    val memParts = IndexSegments.liveParts(spark, s"$dir/members")
+    require(memParts.nonEmpty, s"no graft index at $dir/members")
     // expand winning corpus fingerprints to member doc ids — another
     // bounded zone-map probe (candidate fingerprints ≪ corpus);
     // cross-segment (simhash, id) duplicates dedup here so re-adds
     // can't double a pair
-    val memParts = IndexSegments.liveParts(spark, s"$dir/members")
-    require(memParts.nonEmpty, s"no graft index at $dir/members")
-    val mem = IndexSegments.scanForProbes(memParts,
-      fpCand.select(col("simhash").as("hkey")), maxDriverKeys,
-      dedupCols = Seq("simhash", "id"))
+    val (fpCand, mem) =
+      if (candRows.length <= maxDriverKeys) {
+        import scala.jdk.CollectionConverters._
+        val local = spark.createDataFrame(
+          candRows.toSeq.sortBy(r => (r.getLong(0), r.getLong(1))).asJava,
+          fpCand0.schema)
+        (local, IndexSegments.scanForPointKeys(memParts,
+          candRows.map(_.getLong(0)), dedupCols = Seq("simhash", "id")))
+      } else {
+        val cp = fpCand0.localCheckpoint()
+        (cp, IndexSegments.scanForProbes(memParts,
+          cp.select(col("simhash").as("hkey")), maxDriverKeys,
+          dedupCols = Seq("simhash", "id")))
+      }
     mem.join(fpCand, Seq("simhash"))
       .select(col("id").as("i"), col("j"),
         bit_count(col("simhash").bitwiseXOR(col("bfp")))
@@ -478,11 +521,26 @@ object DedupIndex {
     * the band probe; verification fetches ONLY candidate vectors from
     * `dir/members` (a second bounded zone-map probe on corpus id).
     */
-  def probeEmbedding(spark: SparkSession, dir: String, batch: DataFrame,
+  def probeEmbedding(spark: SparkSession, dir: String, batch0: DataFrame,
       planes: Seq[Seq[Double]], planesPerBand: Int, threshold: Double,
       maxDriverKeys: Int = 65536,
       maxExpectedBucketRows: Long = 4L * LshConfig.TargetBucketRows,
       maxBroadcastRows: Long = 1000000L): DataFrame = {
+    // batch vectors as a LOCAL RELATION when bounded — see
+    // probeSimhash: the batch frame feeds the band-key collect, the
+    // candidate join AND the verify broadcast, so its scan + banding
+    // lineage used to execute once per consumer. Doubles round-trip
+    // the driver exactly (the r14 queryVecs precedent), so cosines
+    // are bit-identical. An over-cap batch keeps the old shape.
+    val batchProj = batch0.select(col("id"), col("vec"), col("norm"))
+    val batchRows = batchProj.limit(maxDriverKeys + 1).collect()
+    val batchLocal = batchRows.length <= maxDriverKeys
+    val batch =
+      if (batchLocal) {
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(
+          batchRows.toSeq.sortBy(_.getLong(0)).asJava, batchProj.schema)
+      } else batch0
     val bBanded = SimilarityOps.lshBands(batch, planes, planesPerBand)
       .select((col("band_id") * lit(1L << planesPerBand) +
         conv(col("bucket"), 2, 10).cast("long")).as("hkey"),
@@ -515,21 +573,34 @@ object DedupIndex {
         "(buildEmbedding keeps its width for the index's lifetime)")
     val index = IndexSegments.scanForProbes(bandParts,
       bBanded.select("hkey"), maxDriverKeys)
-    // localCheckpoint — see probeSimhash: cand feeds the member-key
-    // collect AND the returned plan
-    val cand = index.join(bBanded, Seq("hkey"))
+    val cand0 = index.join(bBanded, Seq("hkey"))
       .select(col("id").as("i"), col("j"))
       .distinct()
-      .localCheckpoint()
+    // BATCHED probe — see probeSimhash: one bounded collect of the
+    // (i, j) candidate pairs replaces the localCheckpoint barrier +
+    // member-key collect; member keys derive driver-side, candidates
+    // join back as a local relation. Over the cap, the old shape.
+    val candRows = cand0.limit(maxDriverKeys + 1).collect()
     // full-row dedup on the member fetch (the old upsert's
     // duplicatesOn(all-columns) semantics): an id re-added with the
     // SAME vector collapses to one row; a changed vector keeps both —
     // both versions' pairs verify, exactly as before
     val memParts = IndexSegments.liveParts(spark, s"$dir/members")
     require(memParts.nonEmpty, s"no graft index at $dir/members")
-    val mem = IndexSegments.scanForProbes(memParts,
-      cand.select(col("i").as("hkey")), maxDriverKeys,
-      dedupCols = Seq("id", "vec", "norm"))
+    val (cand, mem) =
+      if (candRows.length <= maxDriverKeys) {
+        import scala.jdk.CollectionConverters._
+        val local = spark.createDataFrame(
+          candRows.toSeq.sortBy(r => (r.getLong(0), r.getLong(1))).asJava,
+          cand0.schema)
+        (local, IndexSegments.scanForPointKeys(memParts,
+          candRows.map(_.getLong(0)), dedupCols = Seq("id", "vec", "norm")))
+      } else {
+        val cp = cand0.localCheckpoint()
+        (cp, IndexSegments.scanForProbes(memParts,
+          cp.select(col("i").as("hkey")), maxDriverKeys,
+          dedupCols = Seq("id", "vec", "norm")))
+      }
     // Join order + hints are the scale story: the SLIM (i, j) candidate
     // set shuffles once (16-byte rows) to meet the pruned member
     // vectors on i; the fat (i, j, va, na) stream then meets the BATCH
@@ -546,7 +617,9 @@ object DedupIndex {
     // caller violates the bounded-increment contract
     val bTbl = batch.select(col("id").as("j"), col("vec").as("vb"),
       col("norm").as("nb"))
-    val bSmall =
+    // a local-relation batch is under maxDriverKeys rows — trivially
+    // broadcastable, no count probe needed
+    val bSmall = batchLocal ||
       batch.select(col("id"))
         .limit(math.min(maxBroadcastRows + 1, Int.MaxValue.toLong).toInt)
         .count() <= maxBroadcastRows

@@ -409,6 +409,72 @@ object IndexSegments {
     * segments — presence probes keep their one-row-per-key contract;
     * the arbitrary survivor mirrors the old upsert's keep-last.
     */
+  /** The under-cap point-read tier of [[scanForProbes]] with an
+    * ALREADY-COLLECTED key set (r15, VERDICT r14 #3 "batched probe"):
+    * probe paths that have just collected their bounded candidate
+    * rows anyway (simhash/embedding member expansion) derive the next
+    * level's keys DRIVER-SIDE instead of paying another
+    * limit+collect scheduler job against a lineage that would
+    * otherwise need a localCheckpoint barrier. Same zone-map file
+    * selection, point-membership residual, tombstones and
+    * cross-segment dedup as the DataFrame form. */
+  def scanForPointKeys(parts: Seq[Part], keyArr: Array[Long],
+      dedupCols: Seq[String] = Nil): DataFrame = {
+    require(parts.nonEmpty, "no index parts")
+    val filesTotal = parts.map(_.m.files.size).sum
+    val scans = pointScans(parts, keyArr, filesTotal)
+    finishScans(parts.head.ds.spark, parts, scans, dedupCols)
+  }
+
+  /** Zone-map point-read scan branches for a driver-held key set —
+    * the shared body of [[scanForPointKeys]] and [[scanForProbes]]'
+    * under-cap tier. */
+  private def pointScans(parts: Seq[Part], keyArr: Array[Long],
+      filesTotal: Int): Seq[DataFrame] = {
+    val pts = keyArr.distinct.sorted.map(OrdLong(_)).toSeq
+    // stats: binary-search the sorted point set per file (O(F log
+    // K) — cheap next to the selection multiPointDFOf itself does)
+    val arr = pts.toArray
+    def anyIn(mn: graft.store.OrdVal, mx: graft.store.OrdVal)
+        : Boolean = {
+      var a = 0; var b = arr.length - 1; var res = -1
+      while (a <= b) {
+        val m = (a + b) >>> 1
+        if (arr(m) >= mn) { res = m; b = m - 1 } else a = m + 1
+      }
+      res >= 0 && arr(res) <= mx
+    }
+    val opened = parts.map(
+      _.m.files.count(f => anyIn(f.min, f.max))).sum
+    lastProbeStats.set(ProbeStats("driver_points", filesTotal, opened))
+    // point-membership residual ON THE SCAN (r13): the caller's
+    // equi-join drops non-probe keys anyway, but filtering them at
+    // the parquet scan pushes down (row-group stats / dictionary)
+    // and — the larger win — keeps the non-matching rows of every
+    // covering file out of the join's shuffle. Bounded so a huge
+    // literal list never bloats the plan; above the bound the
+    // zone-map file selection alone is kept (old behavior).
+    val residual = pts.size <= IsinResidualMax
+    parts.map { p =>
+      val d = p.ds.multiPointDFOf(p.m, pts)
+      if (residual)
+        d.where(col(p.m.orderedOn).isin(pts.map(_.v): _*))
+      else d
+    }
+  }
+
+  /** Tombstones + union + optional cross-segment dedup — the shared
+    * tail of every probe scan. */
+  private def finishScans(spark: SparkSession, parts: Seq[Part],
+      scans: Seq[DataFrame], dedupCols: Seq[String]): DataFrame = {
+    // takedowns: anti-join effective tombstones per part (older parts
+    // lose removed ids; later re-adds stay visible — see removeIds)
+    val u = withTombstones(spark, parts, scans)
+      .reduce(_ unionByName _)
+    if (parts.size > 1 && dedupCols.nonEmpty) u.dropDuplicates(dedupCols)
+    else u
+  }
+
   def scanForProbes(parts: Seq[Part], probeKeys: DataFrame,
       maxDriverKeys: Int, dedupCols: Seq[String] = Nil): DataFrame = {
     require(parts.nonEmpty, "no index parts")
@@ -417,38 +483,9 @@ object IndexSegments {
     val keysDf = probeKeys.na.drop().distinct()
     val keys = keysDf.limit(maxDriverKeys + 1).collect()
     val scans =
-      if (keys.length <= maxDriverKeys) {
-        val pts = keys.map(r => OrdLong(r.getLong(0))).toSeq.sortBy(_.v)
-        // stats: binary-search the sorted point set per file (O(F log
-        // K) — cheap next to the selection multiPointDFOf itself does)
-        val arr = pts.toArray
-        def anyIn(mn: graft.store.OrdVal, mx: graft.store.OrdVal)
-            : Boolean = {
-          var a = 0; var b = arr.length - 1; var res = -1
-          while (a <= b) {
-            val m = (a + b) >>> 1
-            if (arr(m) >= mn) { res = m; b = m - 1 } else a = m + 1
-          }
-          res >= 0 && arr(res) <= mx
-        }
-        val opened = parts.map(
-          _.m.files.count(f => anyIn(f.min, f.max))).sum
-        lastProbeStats.set(ProbeStats("driver_points", filesTotal, opened))
-        // point-membership residual ON THE SCAN (r13): the caller's
-        // equi-join drops non-probe keys anyway, but filtering them at
-        // the parquet scan pushes down (row-group stats / dictionary)
-        // and — the larger win — keeps the non-matching rows of every
-        // covering file out of the join's shuffle. Bounded so a huge
-        // literal list never bloats the plan; above the bound the
-        // zone-map file selection alone is kept (old behavior).
-        val residual = pts.size <= IsinResidualMax
-        parts.map { p =>
-          val d = p.ds.multiPointDFOf(p.m, pts)
-          if (residual)
-            d.where(col(p.m.orderedOn).isin(pts.map(_.v): _*))
-          else d
-        }
-      } else {
+      if (keys.length <= maxDriverKeys)
+        pointScans(parts, keys.map(_.getLong(0)), filesTotal)
+      else {
         // Over the cap, first decide WHETHER the pruning tier can pay:
         // its hits pass evaluates the full probe-key lineage (often a
         // complete re-shingle of the batch — work the old full-union
@@ -517,12 +554,7 @@ object IndexSegments {
           finally cached.unpersist(): Unit
         }
       }
-    // takedowns: anti-join effective tombstones per part (older parts
-    // lose removed ids; later re-adds stay visible — see removeIds)
-    val u = withTombstones(probeKeys.sparkSession, parts, scans)
-      .reduce(_ unionByName _)
-    if (parts.size > 1 && dedupCols.nonEmpty) u.dropDuplicates(dedupCols)
-    else u
+    finishScans(probeKeys.sparkSession, parts, scans, dedupCols)
   }
 
   /** Per-part sorted boundary arrays (files are min-sorted in the
