@@ -1047,8 +1047,11 @@ object PipelineQueries {
     "p_ann_ivf" -> { (s, d) =>
       val v = SimilarityOps.withNorm(embs(s, d), "vec_id", "embedding")
         .persist()
+      // local-relation query set (r15, VERDICT r14 #4) — see queryVecs:
+      // a scan-derived query side re-ran the embeddings scan +
+      // repartition per broadcast evaluation
       SimilarityOps.ivfTopK(
-        v.filter(col("id") < NQueryVecs), v,
+        queryVecs(s, d, NQueryVecs), v,
         centroidPred, nProbe = 4, k = TopK)
         .orderBy("q_id", "rank")
     },
@@ -1122,8 +1125,9 @@ object PipelineQueries {
       val v = SimilarityOps.withNorm(embs(s, d), "vec_id", "embedding")
         .persist()
       val cb = SimilarityOps.pqCodebook(v, PqM, PqK, PqStep)
+      // local-relation query set — see p_ann_ivf
       SimilarityOps.ivfPqTopK(
-        v.filter(col("id") < NQueryVecs), v,
+        queryVecs(s, d, NQueryVecs), v,
         centroidPred, cb, nProbe = 4, k = TopK)
         .orderBy("q_id", "rank")
     },
@@ -1139,8 +1143,9 @@ object PipelineQueries {
       // search() collects the (bounded) probe table eagerly, so the
       // returned plan no longer references v — release the cache here
       // rather than leaking it for the session (ADVICE r2)
+      // local-relation query set — see p_ann_ivf
       try IvfIndex.search(s, dir,
-        v.filter(col("id") < NQueryVecs),
+        queryVecs(s, d, NQueryVecs),
         v.filter(centroidPred), nProbe = 4, k = TopK)
         .orderBy("q_id", "rank")
       finally v.unpersist()
@@ -1155,8 +1160,9 @@ object PipelineQueries {
       val v = SimilarityOps.withNorm(embs(s, d), "vec_id", "embedding")
         .persist()
       val cb = SimilarityOps.pqCodebook(v, PqM, PqK, PqStep)
+      // local-relation query set — see p_ann_ivf
       try IvfIndex.searchPq(s, dir,
-        v.filter(col("id") < NQueryVecs),
+        queryVecs(s, d, NQueryVecs),
         v.filter(centroidPred), cb, nProbe = 4, k = TopK)
         .orderBy("q_id", "rank")
       finally v.unpersist()
