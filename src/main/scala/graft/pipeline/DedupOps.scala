@@ -76,10 +76,21 @@ object DedupOps {
     * signatures to the exploded-distinct formulation.
     */
   def minhashSignature(shingled: DataFrame, numHashes: Int): DataFrame =
-    shingled.select(col("id") +:
-      (0 until numHashes).map(i =>
-        array_min(transform(col("gs"), g => md5(concat(lit(s"$i|"), g))))
-          .as(s"s$i")): _*)
+    // ONE JVM loop over the shingle array (r15,
+    // graft.functions.Shingles.minhashSig) — the per-seed
+    // array_min(transform(md5(concat(...)))) columns paid numHashes ×
+    // (a concat allocation + one-shot digest + 32-char hex render)
+    // per shingle; the loop reuses one digest and hexifies only the
+    // numHashes winners. Byte-identical signatures (hex order ==
+    // digest-byte order), spec-pinned (ShinglesSpec). Staged so __sig
+    // is an attribute: element_at references it numHashes times, so
+    // the expression evaluates once per row.
+    shingled.select(col("id"),
+        graft.functions.Shingles.minhashSigCol(col("gs"), numHashes)
+          .as("__sig"))
+      .select(col("id") +:
+        (0 until numHashes).map(i =>
+          element_at(col("__sig"), i + 1).as(s"s$i")): _*)
 
   /** Exploded banded minhash table `(id, band_id, sig)` from
     * signature columns s0..s(numHashes-1) — the shared front half of
@@ -204,45 +215,17 @@ object DedupOps {
     * vocabulary join, no groupBy — signature computation never shuffles,
     * regardless of corpus size.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val nDigits = SimhashBits / 4
-    // per word-hash VALUE (one 60-bit long per word — a single conv of
-    // the leading md5 nibbles, instead of nDigits conv+substring calls
-    // per word): nDigits packed longs, digit p's 4 bit-votes at offsets
-    // 0/16/32/48. Digit p is md5 hex position p+1 (most significant
-    // first), i.e. bits [4*(nDigits-1-p), +3] of the value — the same
-    // layout the DuckDB oracle computes digit-wise.
-    def packArray(v: Column): Column = array((0 until nDigits).map { p =>
-      val d = shiftright(v, 4 * (nDigits - 1 - p)).bitwiseAND(lit(15L))
-      (0 until 4).map(b =>
-        shiftleft(shiftright(d, b).bitwiseAND(lit(1L)), 16 * b))
-        .reduce(_ + _)
-    }: _*)
-    def fingerprint(votes: Column, nw: Column): Column =
-      (0 until SimhashBits).map { bit =>
-        val p = bit / 4; val b = bit % 4
-        val vote = shiftright(element_at(votes, p + 1), 16 * b)
-          .bitwiseAND(lit(0xFFFFL))
-        when(vote * 2 >= nw, lit(1L << bit)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    // staged projections: `ws`/`nw` become ATTRIBUTES before any lambda
-    // references them (an outer non-attribute expression inside a
-    // higher-order lambda is re-evaluated per use — see
-    // SimilarityOps.normalizeQuantize), and each alias keeps >=2
-    // references so CollapseProject cannot inline it back
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // ONE JVM loop per document (r15, graft.functions.SimhashFp) —
+    // the r14 expression composition (array_distinct → per-word
+    // conv(substring(md5(w),1,15),16,10) → aggregate/zip_with vote
+    // fold) paid a one-shot digest + hex render + string conv parse +
+    // two 15-long array allocations PER WORD (guide §1.2).
+    // Bit-identical fingerprints, spec-pinned (SimhashFpSpec); the
+    // DuckDB oracle replays the same digit-wise math unchanged.
     df.select(col(idCol).as("id"),
-        array_distinct(TextOps.wsTokens(col(textCol))).as("ws"))
-      .select(col("id"), size(col("ws")).as("nw"),
-        transform(col("ws"), w =>
-          conv(substring(md5(w), 1, nDigits), 16, 10).cast("long"))
-          .as("hv"))
-      .select(col("id"), col("nw"),
-        aggregate(col("hv"),
-          array_repeat(lit(0L), nDigits),
-          (acc, v) => zip_with(acc, packArray(v), (a, b) => a + b),
-          votes => fingerprint(votes, col("nw"))).as("simhash"))
-      .select(col("id"), col("simhash"))
-  }
+      graft.functions.SimhashFp.simhashFp(
+        TextOps.wsTokens(col(textCol))).as("simhash"))
 
   /** Segment-level exact dedup ACROSS the corpus (the RefinedWeb /
     * CCNet line-dedup stage, adapted to segment = disjoint `segWords`-

@@ -79,22 +79,28 @@ object TextOps {
       .otherwise(array().cast("array<int>"))
 
   /** All word n-grams in order (space-joined, with multiplicity);
-    * empty for documents with fewer than n words. */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val ws = wsTokens(text)
-    transform(upTo(size(ws) - (n - 1)),
-      i => array_join(slice(ws, i, lit(n)), " "))
-  }
+    * empty for documents with fewer than n words. ONE JVM loop since
+    * r15 ([[graft.functions.Shingles.wordNgrams]]) — the
+    * transform/slice/array_join composition allocated an n-token
+    * slice per position (guide §1.2); output byte-identical,
+    * including the null-text → empty-array guard. */
+  def wordNgrams(text: Column, n: Int): Column =
+    graft.functions.Shingles.wordNgramsCol(wsTokens(text), n,
+      distinct = false)
 
   /** Distinct word n-gram shingles (space-joined); empty for documents
-    * with fewer than n words. */
+    * with fewer than n words. First-occurrence dedup inside the same
+    * loop (array_distinct semantics). */
   def wordShingles(text: Column, n: Int): Column =
-    array_distinct(wordNgrams(text, n))
+    graft.functions.Shingles.wordNgramsCol(wsTokens(text), n,
+      distinct = true)
 
-  /** All character n-gram shingles (stride 1). */
+  /** All character n-gram shingles (stride 1). ONE JVM loop since r15
+    * — the per-position `substr(text, i, n)` re-walked the string
+    * from byte 0 to resolve the character offset, O(len²) per
+    * document on multi-byte text. */
   def charShingles(text: Column, n: Int): Column =
-    transform(upTo(length(text) - (n - 1)),
-      i => text.substr(i, lit(n)))
+    graft.functions.Shingles.charShinglesCol(text, n)
 
   /** Occurrences of a literal marker inside text — the
     * length/replace trick, exact integer math in any engine. */
