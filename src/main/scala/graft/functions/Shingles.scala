@@ -152,17 +152,7 @@ object Shingles {
     }
     s = 0
     while (s < k) {
-      val dig = mins(s)
-      if (dig != null) {
-        val hex = new Array[Byte](32)
-        var bb = 0
-        while (bb < 16) {
-          hex(2 * bb) = HexDigits((dig(bb) >> 4) & 0xf)
-          hex(2 * bb + 1) = HexDigits(dig(bb) & 0xf)
-          bb += 1
-        }
-        out(s) = UTF8String.fromBytes(hex)
-      }
+      if (mins(s) != null) out(s) = toHex(mins(s))
       s += 1
     }
     new GenericArrayData(out)
@@ -178,6 +168,62 @@ object Shingles {
     false
   }
 
+  private def toHex(dig: Array[Byte]): UTF8String = {
+    val hex = new Array[Byte](32)
+    var b = 0
+    while (b < 16) {
+      hex(2 * b) = HexDigits((dig(b) >> 4) & 0xf)
+      hex(2 * b + 1) = HexDigits(dig(b) & 0xf)
+      b += 1
+    }
+    UTF8String.fromBytes(hex)
+  }
+
+  /** `md5_window_minmax(text, n)` — the lexicographic min and max md5
+    * of all stride-1 n-char windows (the winnowing-lite document
+    * fingerprint), as one struct. Replaces
+    * `array_min/array_max(transform(sequence, i -> md5(substr(text,
+    * i, n))))`: per position that paid a from-byte-0 substr walk
+    * (O(len²) on multi-byte text), a one-shot digest and a 32-char
+    * hex render kept alive in the full array. Here one offset walk,
+    * a reused digest fed by byte ranges (no substring copies), min
+    * and max tracked in byte space (hex order == digest-byte order)
+    * and only the two winners hexified. Returns null (both fields)
+    * for null text or texts shorter than n chars — exactly
+    * array_min/max over the empty array. */
+  def md5WindowMinMax(text: UTF8String, n: Int)
+      : org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    if (text == null) return null
+    val nChars = text.numChars()
+    val wins = nChars - n + 1
+    if (wins <= 0) return null
+    val bytes = text.getBytes
+    val offs = new Array[Int](nChars + 1)
+    var c = 0
+    var b = 0
+    while (c < nChars) {
+      offs(c) = b
+      b += org.apache.spark.unsafe.types.UTF8String
+        .numBytesForFirstByte(bytes(b))
+      c += 1
+    }
+    offs(nChars) = bytes.length
+    val md = localMd5.get()
+    var min: Array[Byte] = null
+    var max: Array[Byte] = null
+    var i = 0
+    while (i < wins) {
+      md.reset()
+      md.update(bytes, offs(i), offs(i + n) - offs(i))
+      val dig = md.digest()
+      if (min == null || unsignedLess(dig, min)) min = dig
+      if (max == null || unsignedLess(max, dig)) max = dig
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](toHex(min), toHex(max)))
+  }
+
   def wordNgramsCol(ws: Column, n: Int, distinct: Boolean): Column =
     SparkInternals.column(
       WordNgramsExpr(SparkInternals.expression(ws), n, distinct))
@@ -189,6 +235,10 @@ object Shingles {
   def minhashSigCol(gs: Column, k: Int): Column =
     SparkInternals.column(
       MinhashSigExpr(SparkInternals.expression(gs), k))
+
+  def md5WindowMinMaxCol(text: Column, n: Int): Column =
+    SparkInternals.column(
+      FpMinMaxExpr(SparkInternals.expression(text), n))
 }
 
 /** See [[Shingles.wordNgrams]]. Total: null input maps to an empty
@@ -318,4 +368,52 @@ case class MinhashSigExpr(child: Expression, k: Int)
       : Expression = copy(child = newChild)
 
   override def prettyName: String = "minhash_sig"
+}
+
+/** See [[Shingles.md5WindowMinMax]]. NULL for null/short text (the
+  * composition's array_min/max-over-empty). */
+case class FpMinMaxExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"window width must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"md5_window_minmax requires string input, got $other")
+    }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("fp_min", StringType),
+      org.apache.spark.sql.types.StructField("fp_max", StringType)))
+
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val t = child.eval(input)
+    if (t == null) null
+    else Shingles.md5WindowMinMax(t.asInstanceOf[UTF8String], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val c = child.genCode(ctx)
+    // the call itself returns null for short texts, so isNull must be
+    // derived from the VALUE, not just the child
+    val code =
+      code"""
+        |${c.code}
+        |org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+        |  ${ev.value} = ${c.isNull} ? null :
+        |    graft.functions.Shingles.md5WindowMinMax(${c.value}, $n);
+        |boolean ${ev.isNull} = ${ev.value} == null;
+        |""".stripMargin
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+
+  override def prettyName: String = "md5_window_minmax"
 }

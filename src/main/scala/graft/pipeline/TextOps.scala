@@ -303,14 +303,19 @@ object TextOps {
     * aggregate loses to one interpreted HOF pass per row.)
     */
   def fingerprintDF(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, n: Int = 8): org.apache.spark.sql.DataFrame = {
-    val hashes = transform(upTo(length(col(textCol)) - (n - 1)),
-      i => md5(col(textCol).substr(i, lit(n))))
-    df.select(col(idCol), hashes.as("__h"))
+      textCol: String, n: Int = 8): org.apache.spark.sql.DataFrame =
+    // ONE JVM loop since r15 (graft.functions.Shingles.md5WindowMinMax)
+    // — the transform/substr/md5 + array_min/max composition paid a
+    // from-byte-0 substr walk, a one-shot digest and a hex render per
+    // position, holding the whole hash array alive per row. Identical
+    // output (PipelineSpec pins it against fingerprintCols, which
+    // keeps the composition form precisely as that pin).
+    df.select(col(idCol),
+        graft.functions.Shingles.md5WindowMinMaxCol(col(textCol), n)
+          .as("__h"))
       .select(col(idCol),
-        array_min(col("__h")).as("fp_min"),
-        array_max(col("__h")).as("fp_max"))
-  }
+        col("__h.fp_min").as("fp_min"),
+        col("__h.fp_max").as("fp_max"))
 
   /** Char-trigram language-model scoring — the CCNet-style perplexity
     * quality filter, with the LM trained ON the corpus (self-scoring:
